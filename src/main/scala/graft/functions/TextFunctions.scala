@@ -1,0 +1,225 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: tokenization, quality scoring, language ID, document
+  * fingerprinting, shingling, MinHash, SimHash.
+  *
+  * Design rules:
+  *  - everything is built from `org.apache.spark.sql.functions._`
+  *    (codegen'd, stays inside WholeStageCodegen — no UDFs);
+  *  - everything is deterministic, so results can be verified against
+  *    an independent engine running the same formula;
+  *  - per-row cost is O(len(text)); no shuffles are introduced here.
+  *
+  * Reference analogue: the ColumnFilter family
+  * (DPF/filters/column_filter.py:8-68; texts/lang_filter.py:8;
+  * texts/regex_filter.py:15) — metadata-only 1-row-in/1-row-out maps.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties removed (robust to leading /
+    * trailing / repeated whitespace). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Token count — the whitespace half of DPF-style token counting. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: splits on word/non-word boundaries so
+    * punctuation counts as its own token, then counts ~4-char chunks
+    * of long words (a cheap deterministic stand-in for a BPE vocab). */
+  def subwordCount(text: Column): Column = {
+    val words = filter(split(text, "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
+    // ceil(len/4) per word; floor() because Column./ is float division
+    aggregate(words, lit(0L),
+      (acc, w) => acc + floor((length(w) + lit(3)) / lit(4)).cast("long"))
+  }
+
+  /** Mean token length in characters (0.0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / size(ts).cast("double"))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters to total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
+        .cast("double") / length(text).cast("double"))
+
+  /** Ratio of uppercase letters to total letters (0.0 if no letters). */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^\\p{L}]", ""))
+    val uppers  = length(regexp_replace(text, "[^\\p{Lu}]", ""))
+    when(letters === 0, lit(0.0))
+      .otherwise(uppers.cast("double") / letters.cast("double"))
+  }
+
+  /** Fraction of tokens that are in the given stopword list
+    * (case-insensitive). Small lists only — inlined into the plan. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts  = tokens(lower(text))
+    val sw  = array(stopwords.map(lit): _*)
+    val hit = size(filter(ts, t => array_contains(sw, t)))
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(hit.cast("double") / size(ts).cast("double"))
+  }
+
+  /** English stopword list used by the default quality score. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "that", "this")
+
+  /** Composite quality score in [0,1]: rewards mid-length documents,
+    * penalizes punctuation soup and all-caps shouting, rewards a
+    * natural stopword rate. Deterministic, SQL-mirrorable. */
+  def qualityScore(text: Column): Column = {
+    val nTok    = tokenCount(text).cast("double")
+    val lenOk   = when(nTok >= 5 && nTok <= 5000, lit(1.0))
+      .otherwise(when(nTok === 0, lit(0.0)).otherwise(lit(0.5)))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 2.0, lit(1.0))
+    val caseOk  = lit(1.0) - upperRatio(text)
+    val stopOk  = least(stopwordRatio(text, EnglishStopwords) * 4.0, lit(1.0))
+    round((lenOk * 0.3 + punctOk * 0.3 + caseOk * 0.2 + stopOk * 0.2), 4)
+  }
+
+  /** Marker words for the n-gram/keyword language-ID heuristic.
+    * Deliberately tiny and deterministic: real pipelines plug in a
+    * model via DataFilter; this is the oracle-checkable scale path. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "une", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "para", "con"),
+  )
+
+  /** Per-language marker hit count. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val ts = tokens(lower(text))
+    val mk = array(markers.map(lit): _*)
+    size(filter(ts, t => array_contains(mk, t)))
+  }
+
+  /** Heuristic language ID:
+    *  - any CJK character        → "zh"
+    *  - any Cyrillic character   → "ru"
+    *  - else argmax of marker hits over [[LangMarkers]], ties broken
+    *    by list order, zero hits → "und".
+    */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    // argmax with first-wins tie-break, as a fold over whens
+    val best = scored.tail.foldLeft((lit(LangMarkers.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+         when(s > bestScore, s).otherwise(bestScore))
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(text.rlike("[\\u0400-\\u04ff]"), lit("ru"))
+      .when(best._2 === 0, lit("und"))
+      .otherwise(best._1)
+  }
+
+  /** 128-bit document fingerprint: md5 of the normalized text
+    * (lowercased, whitespace collapsed). Exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(normalize(text).cast("binary"))
+
+  /** Normalization used by fingerprint/minhash: lowercase + collapse
+    * whitespace + trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Rolling-window content fingerprint: md5 over each k-token window,
+    * kept as the minimum hex digest — a cheap winnowing-style sketch
+    * for locality-sensitive exact-ish matching. */
+  def windowFingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(shingles(text, k), s => md5(s.cast("binary"))))
+
+  /** Word k-shingles over normalized tokens. Documents shorter than k
+    * tokens yield a single shingle of all tokens (never empty for
+    * non-empty docs). */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = tokens(normalize(text))
+    val n  = size(ts)
+    when(n === 0, array().cast("array<string>"))
+      .when(n <= k, array(concat_ws(" ", ts)))
+      .otherwise(transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(k)))))
+  }
+
+  /** One MinHash value: the lexicographic minimum of md5(seed|shingle)
+    * over the document's shingle set. Using the hex digest as the hash
+    * keeps the formula engine-portable (any engine with md5 can verify
+    * it) while remaining a valid uniform hash family. Null for
+    * shingle-less (empty) documents. */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol,
+      s => md5(concat(lit(s"$seed|"), s).cast("binary"))))
+
+  /** Full MinHash signature as an array of k hex digests. */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3)
+      : Column = {
+    val sh = shingles(text, shingleSize)
+    array((0 until numHashes).map(seed => minhash(sh, seed)): _*)
+  }
+
+  /** LSH band keys: the signature is split into `bands` groups of
+    * `rowsPerBand` hashes; each band key is the md5 of the band's
+    * concatenated member hashes, prefixed with the band index so keys
+    * from different bands never collide. */
+  def minhashBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        (lit(s"band$b") +:
+          (0 until rowsPerBand).map(r =>
+            element_at(signature, b * rowsPerBand + r + 1))): _*)
+        .cast("binary"))
+    }: _*)
+
+  /** SimHash over whitespace tokens, `bits` wide (max 32).
+    * bit_b(simhash) = 1 iff sum over distinct tokens of
+    * (+1 if bit_b(md5(token)) else -1) > 0. Uses the top `bits` bits
+    * of the first 8 hex chars of md5. Returns a non-negative long. */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    require(bits <= 32, "simhash supports at most 32 bits here")
+    val toks  = array_distinct(tokens(normalize(text)))
+    // 32-bit word from the first 8 hex chars of md5(token)
+    val h     = (t: Column) => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val bitCols = (0 until bits).map { b =>
+      val mask = 1L << b
+      val votes = aggregate(toks, lit(0L),
+        (acc, t) => acc + when(h(t).bitwiseAND(lit(mask)) > 0, lit(1L))
+          .otherwise(lit(-1L)))
+      when(votes > 0, lit(mask)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash longs (≤32 bits). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Character n-gram set (distinct) for n-gram Jaccard similarity. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t   = normalize(text)
+    val len = length(t)
+    when(len < n, when(len === 0, array().cast("array<string>"))
+        .otherwise(array(t)))
+      .otherwise(array_distinct(transform(sequence(lit(1), len - (n - 1)),
+        i => t.substr(i, lit(n)))))
+  }
+
+  /** Jaccard similarity of two string arrays (treated as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni   = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+}

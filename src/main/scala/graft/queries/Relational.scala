@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Num.{r2, r4}
+
+/** Relational operator catalog (SURVEY.md §2.2–2.5): each entry is one
+  * operator from the reference's inventory re-expressed Spark-first,
+  * paired with ANSI SQL in [[Relational.oracles]] for the DuckDB gate.
+  *
+  * Determinism rules (driver hashes sorted values):
+  *  - every query returns a deterministic row SET (total tie-break
+  *    orders under any limit/rank);
+  *  - double aggregates are rounded;
+  *  - timestamps are compared as-is under session UTC.
+  *
+  * Scale notes are inline per query — the plans are written for the
+  * 100 TB case (pushdown-friendly predicates, broadcast only
+  * fixed-cardinality dims, partial aggregation everywhere).
+  */
+object Relational {
+  import Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Predicate filter + projection (processor.filter_df,
+    * DPF/processors/processor.py:322-333). Filter and the 4-column
+    * projection both reach the parquet scan (PushedFilters/ReadSchema). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        r2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+
+  /** Group-by aggregation with partial (map-side) combine — the
+    * print_summary/describe family (processor.py:66-99). TPC-H Q1
+    * shape: one shuffle on the 2 low-cardinality keys. */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_revenue"),
+        r4(avg(col("l_quantity"))).as("avg_qty"))
+
+  /** Enrichment merge: left equi-join of the metadata table with a
+    * filter-result table on the key column (processor.py:190-197).
+    * The enrich side is pre-filtered so only needed rows shuffle;
+    * at scale Catalyst/AQE picks broadcast when the right side fits. */
+  def joinEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").filter(col("l_quantity") > 48)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    li.join(p, li("l_partkey") === p("p_partkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+        col("p_retailprice"))
+  }
+
+  /** Multi-way star join + agg: revenue per region. region/nation are
+    * fixed-cardinality → explicit broadcast; customer/orders/lineitem
+    * shuffle on their keys (sort-merge or AQE-chosen). */
+  def joinStar(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val o  = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val c  = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val n  = t(spark, dir, "nation").select("n_nationkey", "n_regionkey")
+    val r  = t(spark, dir, "region").select("r_regionkey", "r_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(r2(sum(col("rev"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left-semi join (EXISTS): customers having a high-value order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  /** Duplicate detection: groupBy(key).count > N
+    * (validators/utils.py:6-9; sharded_validator.py:42-47). */
+  def dupDetect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 3)
+
+  /** Distinct values of a column (shards_processor.py:55-58). */
+  def distinctValues(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_mktsegment")).distinct()
+
+  /** Deterministic keep-first dedup: row_number over a total order
+    * within each key partition (pipeline_stages.py:50-60 /
+    * the README `duplicated()` idiom). One shuffle on the dedup key. */
+  def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_partkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** Top-k per group with total tie-break (rank family). */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+
+  /** Running (cumulative) aggregate per key — the ordered-window
+    * analytics shape. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        r2(sum(col("o_totalprice")).over(w)).as("running_total"))
+  }
+
+  /** Global sort + limit under a total order (head/limit, §2.5).
+    * TakeOrderedAndProject — no full sort at scale. */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Union/concat with dedup (pd.concat + drop_duplicates shape,
+    * dataset_reader.py:125-130). */
+  def unionSegments(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING")
+    val b = c.filter(col("c_acctbal") > 9000)
+    a.unionByName(b).select("c_custkey", "c_name").distinct()
+  }
+
+  /** Deterministic sample: hash-free modulo on the key — the
+    * reproducible re-spec of processor.random_sample
+    * (processor.py:295-320; SURVEY §7.4 risk 7). */
+  def sampleDeterministic(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 20 === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** describe()-style summary statistics incl. exact percentiles
+    * (processor.print_summary, processor.py:66-99). */
+  def summaryStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      count(lit(1)).as("cnt"),
+      r4(avg(col("l_quantity"))).as("mean_qty"),
+      r4(stddev_samp(col("l_quantity"))).as("std_qty"),
+      r2(min(col("l_quantity"))).as("min_qty"),
+      r4(expr("percentile(l_quantity, 0.25)")).as("q25"),
+      r4(expr("percentile(l_quantity, 0.5)")).as("q50"),
+      r4(expr("percentile(l_quantity, 0.75)")).as("q75"),
+      r2(max(col("l_quantity"))).as("max_qty"))
+
+  /** Shard-split assignment: deterministic bucketing of rows into N
+    * shards (np.array_split / group-by-split analog,
+    * multigpu_filter.py:103). pmod keeps it engine-portable. */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("shard_id", pmod(col("o_orderkey"), lit(8)).cast("int"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        r2(sum(col("o_totalprice"))).as("shard_price"))
+
+  val queries: Map[String, Q] = Map(
+    "q_filter_project" -> (filterProject _),
+    "q_agg_pricing" -> (aggPricing _),
+    "q_join_enrich" -> (joinEnrich _),
+    "q_join_star" -> (joinStar _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_anti" -> (joinAnti _),
+    "q_dup_detect" -> (dupDetect _),
+    "q_distinct" -> (distinctValues _),
+    "q_dedup_first" -> (dedupFirst _),
+    "q_window_topk" -> (windowTopK _),
+    "q_window_running" -> (windowRunning _),
+    "q_sort_limit" -> (sortLimit _),
+    "q_union" -> (unionSegments _),
+    "q_sample_deterministic" -> (sampleDeterministic _),
+    "q_summary_stats" -> (summaryStats _),
+    "q_shard_assign" -> (shardAssign _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+         round((l_extendedprice * (1.0 - l_discount)) + 1e-9, 2) AS revenue
+         FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""",
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         round((sum(l_quantity)) + 1e-9, 2) AS sum_qty,
+         round((sum(l_extendedprice * (1.0 - l_discount))) + 1e-9, 2) AS sum_revenue,
+         round((avg(l_quantity)) + 1e-9, 4) AS avg_qty
+         FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_join_enrich" ->
+      """SELECT l.l_orderkey, l.l_linenumber, p.p_brand, p.p_retailprice
+         FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_quantity > 48""",
+    "q_join_star" ->
+      """SELECT r.r_name,
+         round((sum(l.l_extendedprice * (1.0 - l.l_discount))) + 1e-9, 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey)""",
+    "q_dup_detect" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem
+         GROUP BY l_partkey, l_suppkey HAVING count(*) > 3""",
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+    "q_dedup_first" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber FROM (
+           SELECT l_partkey, l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn = 1""",
+    "q_window_topk" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         round((sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 1e-9, 2)
+           AS running_total
+         FROM orders WHERE o_custkey % 10 = 0""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_union" ->
+      """SELECT DISTINCT c_custkey, c_name FROM (
+           SELECT c_custkey, c_name FROM customer
+             WHERE c_mktsegment = 'BUILDING'
+           UNION ALL
+           SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000)""",
+    "q_sample_deterministic" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey % 20 = 0""",
+    "q_summary_stats" ->
+      """SELECT count(*) AS cnt,
+         round((avg(l_quantity)) + 1e-9, 4) AS mean_qty,
+         round((stddev_samp(l_quantity)) + 1e-9, 4) AS std_qty,
+         round((min(l_quantity)) + 1e-9, 2) AS min_qty,
+         round((quantile_cont(l_quantity, 0.25)) + 1e-9, 4) AS q25,
+         round((quantile_cont(l_quantity, 0.5)) + 1e-9, 4) AS q50,
+         round((quantile_cont(l_quantity, 0.75)) + 1e-9, 4) AS q75,
+         round((max(l_quantity)) + 1e-9, 2) AS max_qty
+         FROM lineitem""",
+    "q_shard_assign" ->
+      """SELECT CAST(o_orderkey % 8 AS INT) AS shard_id,
+         count(*) AS n_rows, round((sum(o_totalprice)) + 1e-9, 2) AS shard_price
+         FROM orders GROUP BY 1""",
+  )
+}
