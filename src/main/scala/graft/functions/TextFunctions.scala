@@ -78,14 +78,19 @@ object TextFunctions {
   /** Composite quality score in [0,1]: rewards mid-length documents,
     * penalizes punctuation soup and all-caps shouting, rewards a
     * natural stopword rate. Deterministic, SQL-mirrorable. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    round(qualityScoreRaw(text), 4)
+
+  /** Unrounded quality score — callers choose the rounding policy
+    * (queries use the shared epsilon-rounding in [[graft.queries.Num]]). */
+  def qualityScoreRaw(text: Column): Column = {
     val nTok    = tokenCount(text).cast("double")
     val lenOk   = when(nTok >= 5 && nTok <= 5000, lit(1.0))
       .otherwise(when(nTok === 0, lit(0.0)).otherwise(lit(0.5)))
     val punctOk = lit(1.0) - least(punctRatio(text) * 2.0, lit(1.0))
     val caseOk  = lit(1.0) - upperRatio(text)
     val stopOk  = least(stopwordRatio(text, EnglishStopwords) * 4.0, lit(1.0))
-    round((lenOk * 0.3 + punctOk * 0.3 + caseOk * 0.2 + stopOk * 0.2), 4)
+    lenOk * 0.3 + punctOk * 0.3 + caseOk * 0.2 + stopOk * 0.2
   }
 
   /** Marker words for the n-gram/keyword language-ID heuristic.
@@ -182,25 +187,37 @@ object TextFunctions {
         .cast("binary"))
     }: _*)
 
-  /** SimHash over whitespace tokens, `bits` wide (max 32).
-    * bit_b(simhash) = 1 iff sum over distinct tokens of
-    * (+1 if bit_b(md5(token)) else -1) > 0. Uses the top `bits` bits
-    * of the first 8 hex chars of md5. Returns a non-negative long. */
-  def simhash(text: Column, bits: Int = 32): Column = {
+  /** 32-bit uniform hash of a string: first 8 hex chars of md5, parsed
+    * base-16 — reproducible in any engine with md5. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** SimHash over an arbitrary string-set column (`bits` ≤ 32):
+    * bit_b = 1 iff Σ over items of (+1 if bit_b(hash32(item)) else -1)
+    * is > 0. Pass shingles rather than tokens when the vocabulary is
+    * small — the feature set must be rich enough to discriminate.
+    * Materialize [[simhashHashes]] as its own column first so the md5
+    * pass over the set runs once, not once per bit. */
+  def simhashOfHashes(hashes: Column, bits: Int = 32): Column = {
     require(bits <= 32, "simhash supports at most 32 bits here")
-    val toks  = array_distinct(tokens(normalize(text)))
-    // 32-bit word from the first 8 hex chars of md5(token)
-    val h     = (t: Column) => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10)
-      .cast("long")
     val bitCols = (0 until bits).map { b =>
       val mask = 1L << b
-      val votes = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(h(t).bitwiseAND(lit(mask)) > 0, lit(1L))
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(mask)) > 0, lit(1L))
           .otherwise(lit(-1L)))
       when(votes > 0, lit(mask)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
+
+  /** hash32 of each distinct item — the precomputed input to
+    * [[simhashOfHashes]]. */
+  def simhashHashes(items: Column): Column =
+    transform(array_distinct(items), h => hash32(h))
+
+  /** SimHash over distinct whitespace tokens of the normalized text. */
+  def simhash(text: Column, bits: Int = 32): Column =
+    simhashOfHashes(simhashHashes(tokens(normalize(text))), bits)
 
   /** Hamming distance between two simhash longs (≤32 bits). */
   def hammingDistance(a: Column, b: Column): Column =

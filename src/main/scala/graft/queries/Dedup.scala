@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+import graft.queries.Num._
+
+/** Deduplication operator catalog over the `documents` table — the
+  * scale-critical family of a training-data pipeline. The reference
+  * only has exact dedup (`drop_duplicates`,
+  * DPF/pipelines/pipeline_stages.py:50-60 and the README
+  * `duplicated()` idiom); near-dup detection is the 100 TB extension.
+  *
+  * Scale design: every near-dup operator is
+  *   sketch (narrow per-row map) → band explode → equi-join on band
+  *   key → verify candidates,
+  * so the only shuffles are on short band keys and the candidate set
+  * is a tiny fraction of the N² pair space. No operator here compares
+  * all pairs.
+  *
+  * All sketches are md5-derived, so the DuckDB oracles reproduce them
+  * bit-for-bit.
+  */
+object Dedup {
+  import Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- parameters (shared by Spark queries and oracle SQL) ----
+  val ShingleK = 3 // word-shingle width
+  val NumHashes = 16 // minhash signature length
+  val Bands = 4 // LSH bands (rows-per-band = 16/4 = 4)
+  val RowsPerBand: Int = NumHashes / Bands
+  val MinEstJaccard = 0.75 // signature-agreement verify threshold
+  val SimhashBits = 32
+  val SimhashBands = 4 // byte-sized bands → pigeonhole for hamming<=3
+  val MaxHamming = 3
+  val MinNgramJaccard = 0.8 // char-4-gram verify threshold
+  val NgramN = 4
+
+  // ---- DuckDB fragments ----
+  import TextAnalysis.SqlNorm
+
+  /** word ShingleK-shingles of the normalized text (TextFunctions.shingles) */
+  private val SqlShingles =
+    s"""CASE WHEN length(ts) = 0 THEN []::VARCHAR[]
+        WHEN length(ts) <= $ShingleK THEN [array_to_string(ts, ' ')]
+        ELSE list_transform(generate_series(1, length(ts) - ${ShingleK - 1}),
+               i -> array_to_string(list_slice(ts, i, i + ${ShingleK - 1}), ' ')) END"""
+
+  private val SqlToksOfNorm =
+    """list_filter(string_split_regex(nt, ' '), x -> x <> '')"""
+
+  /** CTE prefix producing (doc_id, s = shingle list) from documents. */
+  private val SqlShingleCte =
+    s"""WITH n AS (SELECT doc_id, $SqlNorm AS nt FROM documents),
+       tk AS (SELECT doc_id, $SqlToksOfNorm AS ts FROM n),
+       sh AS (SELECT doc_id, $SqlShingles AS s FROM tk)"""
+
+  /** Exact dedup: keep the first doc_id per content fingerprint —
+    * deterministic `drop_duplicates` (pipeline_stages.py:50-60). One
+    * shuffle on the 128-bit fingerprint. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"))
+  }
+
+  val dedupExactSql: String =
+    s"""SELECT doc_id, fp FROM (
+         SELECT doc_id, md5($SqlNorm) AS fp,
+           row_number() OVER (PARTITION BY md5($SqlNorm) ORDER BY doc_id) AS rn
+         FROM documents) WHERE rn = 1"""
+
+  /** MinHash + LSH near-duplicate pairs: signature of [[NumHashes]]
+    * md5-min-hashes over word [[ShingleK]]-shingles; [[Bands]] band
+    * keys; candidates = pairs sharing a band; verified by signature
+    * agreement ≥ [[MinEstJaccard]].
+    *
+    * The band join is the only wide operation; candidate rows carry
+    * the two signatures so verification is shuffle-free afterwards.
+    * est_jaccard is an exact multiple of 1/16 — no float rounding
+    * needed for the oracle. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(
+      col("doc_id"),
+      minhashSignature(col("text"), NumHashes, ShingleK).as("sig"))
+    val banded = docs
+      .withColumn("band", explode(minhashBands(col("sig"), Bands, RowsPerBand)))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    val agree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+    cand
+      .withColumn("est_jaccard", agree.cast("double") / NumHashes.toDouble)
+      .filter(col("est_jaccard") >= MinEstJaccard)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  val dedupMinhashSql: String = {
+    val sigItems = (0 until NumHashes).map(seed =>
+      s"list_min(list_transform(s, x -> md5('$seed|' || x)))").mkString(",\n           ")
+    val bandItems = (0 until Bands).map { b =>
+      val elems = (0 until RowsPerBand)
+        .map(r => s"sg[${b * RowsPerBand + r + 1}]").mkString(", ")
+      s"md5(concat_ws('|', 'band$b', $elems))"
+    }.mkString(", ")
+    s"""$SqlShingleCte,
+       sig AS (SELECT doc_id, [$sigItems] AS sg FROM sh),
+       bands AS (SELECT doc_id, sg, unnest([$bandItems]) AS band FROM sig),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sg AS sg_a, b.sg AS sg_b
+                FROM bands a JOIN bands b
+                ON a.band = b.band AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b,
+         length(list_filter(generate_series(1, $NumHashes),
+           i -> sg_a[i] = sg_b[i]))::DOUBLE / $NumHashes.0 AS est_jaccard
+       FROM cand
+       WHERE length(list_filter(generate_series(1, $NumHashes),
+         i -> sg_a[i] = sg_b[i]))::DOUBLE / $NumHashes.0 >= $MinEstJaccard"""
+  }
+
+  /** Shared Spark-side simhash-banded candidate pairs: (doc_a, doc_b,
+    * sh_a, sh_b [, extra]) for pairs sharing ≥1 of the 4 byte bands.
+    * SimHash runs over distinct word-shingles (a 31-word vocabulary
+    * makes token-set simhash degenerate; the shingle space is rich). */
+  private def simhashCandidates(spark: SparkSession, dir: String,
+      extra: Seq[(String, Column)] = Nil): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(Seq(col("doc_id"),
+        simhashHashes(shingles(col("text"), ShingleK)).as("hs")) ++
+        extra.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("sh", simhashOfHashes(col("hs"), SimhashBits))
+      .drop("hs")
+    val bandKeys = array((0 until SimhashBands).map { b =>
+      shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L)) + lit(b * 256L)
+    }: _*)
+    val banded = docs.withColumn("bk", explode(bandKeys))
+    val extraSel = extra.map(_._1).flatMap(n =>
+      Seq(col(s"a.$n").as(s"${n}_a"), col(s"b.$n").as(s"${n}_b")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b")) ++ extraSel: _*)
+      .distinct()
+  }
+
+  /** DuckDB CTE chain computing (doc_id, sh = simhash) plus banded
+    * keys, mirroring [[simhashCandidates]]. Ends with `cand`. */
+  private def sqlSimhashCte(extraCols: String = ""): String = {
+    val votes = (0 until SimhashBits).map { b =>
+      val mask = 1L << b
+      s"CASE WHEN coalesce(list_sum(list_transform(hs, h -> CASE WHEN (h & $mask) > 0 THEN 1 ELSE -1 END)), 0) > 0 THEN $mask ELSE 0 END"
+    }.mkString(" + ")
+    val bandItems = (0 until SimhashBands)
+      .map(b => s"((sh >> ${8 * b}) & 255) + ${b * 256}").mkString(", ")
+    s"""$SqlShingleCte,
+       hsh AS (SELECT doc_id, list_transform(list_distinct(s),
+         x -> CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT)) AS hs
+         FROM sh),
+       sim AS (SELECT doc_id, ($votes)::BIGINT AS sh FROM hsh),
+       banded AS (SELECT doc_id, sh$extraCols, unnest([$bandItems]) AS bk
+                  FROM sim${if (extraCols.isEmpty) "" else " JOIN extras USING (doc_id)"}),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sh AS sh_a, b.sh AS sh_b${
+      if (extraCols.isEmpty) ""
+      else extraCols.split(", ").filter(_.nonEmpty).map(c =>
+        s", a.$c AS ${c}_a, b.$c AS ${c}_b").mkString}
+                FROM banded a JOIN banded b
+                ON a.bk = b.bk AND a.doc_id < b.doc_id)"""
+  }
+
+  /** SimHash near-duplicate pairs: hamming distance ≤ [[MaxHamming]]
+    * over banded candidates. 4 byte-bands pigeonhole-guarantee that
+    * every pair within hamming 3 shares a band — the LSH is lossless
+    * at this threshold. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashCandidates(spark, dir)
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+  val dedupSimhashSql: String =
+    s"""${sqlSimhashCte()}
+       SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+       FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $MaxHamming"""
+
+  /** N-gram Jaccard near-duplicate pairs: char-[[NgramN]]-gram set
+    * Jaccard ≥ [[MinNgramJaccard]], verified only on simhash-banded
+    * candidates (sketch-block → exact-verify, the scalable shape). */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    simhashCandidates(spark, dir,
+      extra = Seq("gs" -> charNgrams(col("text"), NgramN)))
+      .withColumn("jac", jaccard(col("gs_a"), col("gs_b")))
+      .filter(col("jac") >= MinNgramJaccard)
+      .select(col("doc_a"), col("doc_b"), r4(col("jac")).as("jaccard"))
+
+  val dedupNgramSql: String = {
+    // charNgrams over the normalized text (distinct n-grams)
+    val gs =
+      s"""CASE WHEN length(nt) < $NgramN THEN
+            CASE WHEN length(nt) = 0 THEN []::VARCHAR[] ELSE [nt] END
+          ELSE list_distinct(list_transform(
+            generate_series(1, length(nt) - ${NgramN - 1}),
+            i -> substring(nt, i, $NgramN))) END"""
+    val jac = """CASE WHEN length(list_distinct(list_concat(gs_a, gs_b))) = 0
+          THEN 0.0
+          ELSE length(list_intersect(gs_a, gs_b))::DOUBLE
+               / length(list_distinct(list_concat(gs_a, gs_b))) END"""
+    s"""${sqlSimhashCte(extraCols = ", gs")},
+       x AS (SELECT doc_a, doc_b, $jac AS jac FROM cand)
+       SELECT doc_a, doc_b, ${sqlR("jac", 4)} AS jaccard
+       FROM x WHERE jac >= $MinNgramJaccard""".replace(
+      "hsh AS (",
+      s"""extras AS (SELECT doc_id, $gs AS gs FROM n),
+       hsh AS (""")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_ngram" -> (dedupNgram _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_ngram" -> dedupNgramSql,
+  )
+}

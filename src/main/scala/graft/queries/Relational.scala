@@ -91,10 +91,13 @@ object Relational {
       .select("c_custkey", "c_name", "c_mktsegment")
   }
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no high-value order
+    * (the all-orders variant is empty on this data — a predicate on
+    * the right side keeps the check meaningful). */
   def joinAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
-    val o = t(spark, dir, "orders").select("o_custkey")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 150000)
+      .select("o_custkey")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
   }
@@ -246,7 +249,7 @@ object Relational {
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
-           WHERE o.o_custkey = c.c_custkey)""",
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)""",
     "q_dup_detect" ->
       """SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem
          GROUP BY l_partkey, l_suppkey HAVING count(*) > 3""",

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+import graft.queries.Num._
+
+/** Similarity-search operator catalog over the `embeddings` table
+  * (`vec_id`, `embedding: array<float>[64]`, `label`) — the ANN
+  * family of a training-data pipeline (not present in the reference;
+  * a 100 TB extension per the build brief).
+  *
+  * Three physical strategies, worst → best at scale:
+  *  1. brute force: cross join against a tiny broadcast query set —
+  *     exact, O(N·Q), the correctness baseline;
+  *  2. IVF: one linear pass assigns every vector to its nearest of
+  *     C fixed centroids (broadcast C), then search probes only the
+  *     query's cluster — O(N·C) once + O(N/C·Q) per search;
+  *  3. sign-LSH: md5-derived random hyperplanes bucket vectors in one
+  *     narrow map, near-dup search becomes per-bucket self-joins.
+  *
+  * All math is double-precision index-order arithmetic on md5-derived
+  * constants, so the DuckDB oracles reproduce results bit-for-bit
+  * (modulo the shared epsilon-rounding).
+  */
+object Similarity {
+  import Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dim = 64
+  val NumQueries = 10 // query set = vec_id < 10
+  val TopK = 5
+  val NumCentroids = 16 // IVF: centroids = vec_id < 16
+  val IvfTopK = 3
+  val LshPlanes = 4 // 16 buckets
+  val MinCosine = 0.4 // near-dup verify threshold
+
+  // ---- DuckDB fragments (mirrors of VectorFunctions, index order) ----
+  private def sqlDot(a: String, b: String): String =
+    s"coalesce(list_sum(list_transform(generate_series(1, $Dim), i -> $a[i] * $b[i])), 0)"
+  private def sqlNormSq(a: String): String =
+    s"coalesce(list_sum(list_transform($a, x -> x * x)), 0)"
+  /** cosine(a, b) with the zero-norm guard of VectorFunctions.cosine */
+  private def sqlCos(a: String, b: String): String =
+    s"""CASE WHEN sqrt(${sqlNormSq(a)}) = 0 OR sqrt(${sqlNormSq(b)}) = 0 THEN 0.0
+        ELSE ${sqlDot(a, b)} / (sqrt(${sqlNormSq(a)}) * sqrt(${sqlNormSq(b)})) END"""
+
+  /** Exact brute-force top-k cosine neighbors for a fixed small query
+    * set. The query side is broadcast; ranking uses the rounded
+    * similarity with vec_id tie-break so the result is a deterministic
+    * set under any parallelism. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", r6(cosine(col("qv"), col("v"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+  }
+
+  val annBruteForceSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       s AS (SELECT q.query_id, e.vec_id,
+               ${sqlR(sqlCos("q.qv", "e.v"), 6)} AS sim
+             FROM q JOIN e ON e.vec_id <> q.query_id),
+       r AS (SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS rk FROM s)
+       SELECT query_id, rk, vec_id AS neighbor_id, sim FROM r
+       WHERE rk <= $TopK"""
+
+  /** IVF cluster assignment: every vector joins the broadcast centroid
+    * set (first [[NumCentroids]] vectors) and keeps its
+    * highest-cosine centroid (rounded, centroid-id tie-break). */
+  private def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("csim", r6(cosine(col("v"), col("cv"))))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("v"))
+  }
+
+  private val sqlIvfAssignCte: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
+       ac AS (SELECT e.vec_id, cent.cid, e.v,
+                ${sqlR(sqlCos("e.v", "cent.cv"), 6)} AS csim
+              FROM e CROSS JOIN cent),
+       assign AS (SELECT vec_id, cid AS cluster, v FROM (
+                    SELECT vec_id, cid, v,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY csim DESC, cid) AS crk
+                    FROM ac) WHERE crk = 1)"""
+
+  /** IVF partition statistics: vectors per cluster (the skew check a
+    * real deployment monitors before trusting probe-1 search). */
+  def ivfSizes(spark: SparkSession, dir: String): DataFrame =
+    ivfAssign(spark, dir)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  val ivfSizesSql: String =
+    s"""$sqlIvfAssignCte
+       SELECT cluster, count(*) AS n_vecs FROM assign GROUP BY cluster"""
+
+  /** IVF probe-1 ANN: each query searches only its own cluster —
+    * the scale path (touches 1/C of the data per query). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssign(spark, dir)
+    val qa = assign.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assign.join(broadcast(qa), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", r6(cosine(col("qv"), col("v"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("query_id"), col("cluster"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  val annIvfSql: String =
+    s"""$sqlIvfAssignCte,
+       qa AS (SELECT vec_id AS query_id, cluster, v AS qv FROM assign
+              WHERE vec_id < $NumQueries),
+       s AS (SELECT qa.query_id, qa.cluster, a.vec_id,
+               ${sqlR(sqlCos("qa.qv", "a.v"), 6)} AS sim
+             FROM assign a JOIN qa ON a.cluster = qa.cluster
+             WHERE a.vec_id <> qa.query_id),
+       r AS (SELECT query_id, cluster, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS rk FROM s)
+       SELECT query_id, cluster, rk, vec_id AS neighbor_id, sim FROM r
+       WHERE rk <= $IvfTopK"""
+
+  /** Embedding near-duplicate pairs via sign-LSH: md5-derived random
+    * hyperplanes give every vector a [[LshPlanes]]-bit bucket in one
+    * narrow map; pairs are compared only within buckets and verified
+    * at cosine ≥ [[MinCosine]]. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), LshPlanes, Dim))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", r6(cosine(col("a.v"), col("b.v"))))
+      .filter(col("sim") >= MinCosine)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("sim"))
+  }
+
+  val embedNearDupSql: String = {
+    // plane p component for dim i (1-based i in SQL):
+    // md5_32("p|{i-1}") / 2^32 - 0.5  — mirrors planeComponent()
+    def comp(p: Int) =
+      s"(CAST(concat('0x', substring(md5('$p|' || (i - 1)::VARCHAR), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5)"
+    val bucket = (0 until LshPlanes).map { p =>
+      s"""CASE WHEN coalesce(list_sum(list_transform(generate_series(1, $Dim),
+            i -> v[i] * ${comp(p)})), 0) >= 0 THEN ${1 << p} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       bk AS (SELECT vec_id, v, ($bucket) AS bucket FROM e),
+       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ${sqlR(sqlCos("a.v", "b.v"), 6)} AS sim
+             FROM bk a JOIN bk b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       SELECT vec_a, vec_b, sim FROM p WHERE sim >= $MinCosine"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ann_bruteforce" -> (annBruteForce _),
+    "q_ann_ivf" -> (annIvf _),
+    "q_ivf_sizes" -> (ivfSizes _),
+    "q_embed_neardup" -> (embedNearDup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_bruteforce" -> annBruteForceSql,
+    "q_ann_ivf" -> annIvfSql,
+    "q_ivf_sizes" -> ivfSizesSql,
+    "q_embed_neardup" -> embedNearDupSql,
+  )
+}

@@ -8,6 +8,12 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    // default; read it as a nanosecond-epoch long (queries derive
+    // seconds/buckets with integer arithmetic — ns values overflow
+    // double precision, so no float math on raw ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 }

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.queries.Num._
+
+/** Text-analysis operator catalog over the `documents` table: token
+  * counting, quality scoring, language ID, document fingerprinting —
+  * the metadata-only ColumnFilter family of the reference
+  * (DPF/filters/column_filter.py:8-68; texts/lang_filter.py:8)
+  * re-expressed as codegen'd column expressions (no UDFs).
+  *
+  * Every query is a narrow per-row map (or one cheap aggregation):
+  * no shuffles except where the operator itself is an aggregation, so
+  * the plans scale linearly with input size. Each oracle mirrors the
+  * exact formula in DuckDB SQL, including the epsilon-rounding of
+  * [[Num]].
+  */
+object TextAnalysis {
+  import Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared DuckDB fragments (mirrors of TextFunctions) ----
+  /** whitespace tokens with empties removed (TextFunctions.tokens) */
+  private val SqlToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  /** lowercased whitespace tokens (tokens(lower(text))) */
+  private val SqlToksLower = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  /** TextFunctions.normalize */
+  private[queries] val SqlNorm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  /** punctRatio numerator helper */
+  private val SqlNoPunct = """regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')"""
+  private val SqlLetters = """regexp_replace(text, '[^\p{L}]', '', 'g')"""
+  private val SqlUppers  = """regexp_replace(text, '[^\p{Lu}]', '', 'g')"""
+
+  private def sqlList(items: Seq[String]): String =
+    items.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Per-document token statistics (the token-counting / length half
+    * of quality scoring). Pure project — reads (doc_id, text) only. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      subwordCount(col("text")).cast("long").as("n_subwords"),
+      r4(meanTokenLength(col("text"))).as("mean_tok_len"),
+      r4(punctRatio(col("text"))).as("punct_ratio"),
+      r4(upperRatio(col("text"))).as("upper_ratio"))
+
+  val textStatsSql: String =
+    s"""WITH f AS (SELECT doc_id, text, $SqlToks AS ts FROM documents)
+       SELECT doc_id,
+         length(ts)::BIGINT AS n_tokens,
+         coalesce(list_sum(list_transform(
+           list_filter(string_split_regex(text, '[^\\p{L}\\p{N}]+'), x -> x <> ''),
+           w -> (length(w) + 3) // 4)), 0)::BIGINT AS n_subwords,
+         ${sqlR("CASE WHEN length(ts) = 0 THEN 0.0 ELSE coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::DOUBLE / length(ts) END", 4)} AS mean_tok_len,
+         ${sqlR(s"CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length($SqlNoPunct))::DOUBLE / length(text) END", 4)} AS punct_ratio,
+         ${sqlR(s"CASE WHEN length($SqlLetters) = 0 THEN 0.0 ELSE length($SqlUppers)::DOUBLE / length($SqlLetters) END", 4)} AS upper_ratio
+       FROM f"""
+
+  /** Composite quality score per document. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), r4(qualityScoreRaw(col("text"))).as("quality"))
+
+  val textQualitySql: String = {
+    val stopList = sqlList(EnglishStopwords)
+    s"""WITH f AS (SELECT doc_id,
+         length($SqlToks)::DOUBLE AS ntok,
+         CASE WHEN length(text) = 0 THEN 0.0
+           ELSE (length(text) - length($SqlNoPunct))::DOUBLE / length(text) END AS punct,
+         CASE WHEN length($SqlLetters) = 0 THEN 0.0
+           ELSE length($SqlUppers)::DOUBLE / length($SqlLetters) END AS upper_r,
+         CASE WHEN length($SqlToksLower) = 0 THEN 0.0
+           ELSE length(list_filter($SqlToksLower, x -> list_contains($stopList, x)))::DOUBLE
+                / length($SqlToksLower) END AS stop_r
+       FROM documents)
+       SELECT doc_id, ${sqlR(
+      "(CASE WHEN ntok >= 5 AND ntok <= 5000 THEN 1.0 WHEN ntok = 0 THEN 0.0 ELSE 0.5 END) * 0.3" +
+        " + (1.0 - least(punct * 2.0, 1.0)) * 0.3" +
+        " + (1.0 - upper_r) * 0.2" +
+        " + least(stop_r * 4.0, 1.0) * 0.2", 4)} AS quality
+       FROM f"""
+  }
+
+  /** Heuristic language ID per document (script check then marker-word
+    * argmax with first-wins ties — TextFunctions.langId). */
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), langId(col("text")).as("lang_pred"))
+
+  val textLangIdSql: String = {
+    val scoreCols = LangMarkers.map { case (l, ms) =>
+      s"length(list_filter(lt, x -> list_contains(${sqlList(ms)}, x)))::BIGINT AS s_$l"
+    }.mkString(",\n         ")
+    val langs = LangMarkers.map(_._1)
+    val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    // first language attaining the max == the fold's first-wins argmax
+    val argmax = langs.init.map(l => s"WHEN s_$l = $maxExpr THEN '$l'")
+      .mkString(" ") + s" ELSE '${langs.last}'"
+    s"""WITH s AS (SELECT doc_id, text, $SqlToksLower AS lt FROM documents),
+       sc AS (SELECT doc_id, text, $scoreCols FROM s)
+       SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+              WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+              WHEN $maxExpr = 0 THEN 'und'
+              $argmax END AS lang_pred
+       FROM sc"""
+  }
+
+  /** Exact + rolling-window content fingerprints per document. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      windowFingerprint(col("text"), 8).as("win_fp"))
+
+  val textFingerprintSql: String =
+    s"""WITH n AS (SELECT doc_id, $SqlNorm AS nt FROM documents),
+       tk AS (SELECT doc_id, nt,
+         list_filter(string_split_regex(nt, ' '), x -> x <> '') AS ts FROM n),
+       sh AS (SELECT doc_id, nt,
+         CASE WHEN length(ts) = 0 THEN []::VARCHAR[]
+              WHEN length(ts) <= 8 THEN [array_to_string(ts, ' ')]
+              ELSE list_transform(generate_series(1, length(ts) - 7),
+                     i -> array_to_string(list_slice(ts, i, i + 7), ' ')) END AS s
+       FROM tk)
+       SELECT doc_id, md5(nt) AS fp,
+         list_min(list_transform(s, x -> md5(x))) AS win_fp
+       FROM sh"""
+
+  /** Aggregation over computed text features, grouped by the table's
+    * declared language — one narrow shuffle on a 5-value key. */
+  def textByLang(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r2(avg(col("n_chars"))).as("avg_chars"),
+        sum(tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        r4(avg(tokenCount(col("text")))).as("avg_tokens"))
+
+  val textByLangSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       ${sqlR("avg(n_chars)", 2)} AS avg_chars,
+       sum(length($SqlToks))::BIGINT AS sum_tokens,
+       ${sqlR(s"avg(length($SqlToks))", 4)} AS avg_tokens
+       FROM documents GROUP BY lang"""
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> (textStats _),
+    "q_text_quality" -> (textQuality _),
+    "q_text_langid" -> (textLangId _),
+    "q_text_fingerprint" -> (textFingerprint _),
+    "q_text_by_lang" -> (textByLang _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> textStatsSql,
+    "q_text_quality" -> textQualitySql,
+    "q_text_langid" -> textLangIdSql,
+    "q_text_fingerprint" -> textFingerprintSql,
+    "q_text_by_lang" -> textByLangSql,
+  )
+}
