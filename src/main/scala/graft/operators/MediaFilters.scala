@@ -1,0 +1,266 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
+import org.apache.spark.sql.types._
+import graft.core.Modality
+
+/** Image structural probe: decode + dimensions, null columns and an
+  * error string on failure — the contract of the reference's
+  * ImageInfoFilter (DPF/filters/images/info_filter.py:22-72), decoded
+  * with javax.imageio instead of PIL. */
+final case class ImageInfoFilter(override val batchSize: Int = 64)
+    extends DataFilter {
+  override val modalities = Seq(Modality.Image)
+  override val resultSchema = StructType(Seq(
+    StructField("is_correct", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("error", StringType)))
+
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+    batch.map { in =>
+      in.payloads.get(Modality.Image.name) match {
+        case None => Some(Seq(false, null, null, null, "payload missing"))
+        case Some(bytes) =>
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null)
+              Some(Seq(false, null, null, null, "undecodable image"))
+            else
+              Some(Seq(true, img.getWidth, img.getHeight,
+                img.getColorModel.getNumComponents, null))
+          } catch {
+            case e: Exception =>
+              Some(Seq(false, null, null, null, e.toString))
+          }
+      }
+    }
+}
+
+/** 64-bit DCT perceptual hash (pHash) as a hex string column
+  * `image_phash_{n}` — same algorithm family as the reference
+  * (DPF/filters/images/hash_filters.py:13-28: resize 32×32 → 2-D
+  * DCT → top-left n×n → median threshold → hex).
+  *
+  * Bit-exactness vs scipy/PIL is explicitly NOT the contract
+  * (SURVEY.md §7.4 risk 1): parity is same-input⇒same-hash within
+  * this engine and hash-equality for duplicate images, which is what
+  * dedup consumes. Pure JVM: area-average resample + own DCT-II.
+  */
+final case class PHashFilter(hashSize: Int = 8,
+    override val batchSize: Int = 64) extends DataFilter {
+  override val modalities = Seq(Modality.Image)
+  override def name = s"PHashFilter($hashSize)"
+  override val resultSchema = StructType(Seq(
+    StructField(s"image_phash_$hashSize", StringType)))
+
+  private val DctSize = 32
+
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+    batch.map { in =>
+      in.payloads.get(Modality.Image.name) match {
+        case None => Some(Seq(null))
+        case Some(bytes) =>
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) Some(Seq(null))
+            else Some(Seq(phashHex(img)))
+          } catch { case _: Exception => Some(Seq(null)) }
+      }
+    }
+
+  /** grayscale 32×32 area-average → DCT-II → hashSize×hashSize
+    * low-frequency block → median threshold → hex. */
+  private[operators] def phashHex(img: BufferedImage): String = {
+    val gray = toGray32(img)
+    val dct = dct2d(gray)
+    val block = for {
+      y <- 0 until hashSize
+      x <- 0 until hashSize
+    } yield dct(y)(x)
+    // median over the block excluding the DC term, like the common
+    // pHash formulation (robust to global brightness)
+    val vals = block.drop(1)
+    val sorted = vals.sorted
+    val median = sorted(sorted.length / 2)
+    val bits = block.map(v => if (v > median) 1 else 0)
+    bits.grouped(4).map(g =>
+      Integer.toHexString(g.foldLeft(0)((a, b) => (a << 1) | b))).mkString
+  }
+
+  private def toGray32(img: BufferedImage): Array[Array[Double]] = {
+    val out = Array.ofDim[Double](DctSize, DctSize)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < DctSize) {
+      var x = 0
+      while (x < DctSize) {
+        // area-average the source cell mapped to this target pixel
+        val x0 = x * w / DctSize
+        val x1 = math.max((x + 1) * w / DctSize, x0 + 1)
+        val y0 = y * h / DctSize
+        val y1 = math.max((y + 1) * h / DctSize, y0 + 1)
+        var sum = 0.0
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) {
+            val rgb = img.getRGB(xx, yy)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sum += 0.299 * r + 0.587 * g + 0.114 * b
+            xx += 1
+          }
+          yy += 1
+        }
+        out(y)(x) = sum / ((x1 - x0) * (y1 - y0))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Separable DCT-II with orthonormal scaling. */
+  private def dct2d(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = DctSize
+    val cos = Array.tabulate(n, n)((k, i) =>
+      math.cos(math.Pi * k * (2 * i + 1) / (2.0 * n)))
+    def scale(k: Int) = if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+    val rows = Array.tabulate(n, n) { (y, k) =>
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += m(y)(i) * cos(k)(i); i += 1 }
+      scale(k) * s
+    }
+    Array.tabulate(n, n) { (k, x) =>
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += rows(i)(x) * cos(k)(i); i += 1 }
+      scale(k) * s
+    }
+  }
+}
+
+/** Audio structural probe via javax.sound (WAV/AIFF/AU in a stock
+  * JVM) — contract of the reference's AudioInfoFilter
+  * (DPF/filters/audios/info_filter.py:21-43): duration = frames /
+  * sample_rate. */
+final case class AudioInfoFilter(override val batchSize: Int = 64)
+    extends DataFilter {
+  override val modalities = Seq(Modality.Audio)
+  override val resultSchema = StructType(Seq(
+    StructField("is_correct", BooleanType),
+    StructField("duration", DoubleType),
+    StructField("sample_rate", IntegerType),
+    StructField("error", StringType)))
+
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+    batch.map { in =>
+      in.payloads.get(Modality.Audio.name) match {
+        case None => Some(Seq(false, null, null, "payload missing"))
+        case Some(bytes) =>
+          try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength
+            val rate = fmt.getSampleRate
+            val duration =
+              if (frames >= 0 && rate > 0) frames.toDouble / rate else null
+            Some(Seq(true, duration, rate.toInt, null))
+          } catch {
+            case e: Exception => Some(Seq(false, null, null, e.toString))
+          }
+      }
+    }
+}
+
+/** Video structural probe — contract of the reference's
+  * VideoInfoFilter (DPF/filters/videos/info_filter.py:22-45:
+  * is_correct, error, width, height, fps, duration).
+  *
+  * A stock JVM has no video codecs (and this container has no
+  * ffmpeg), so only the uncompressed RIFF/AVI header path is real:
+  * width/height from `avih`, fps from the video `strh` rate/scale,
+  * duration = totalFrames/fps. Anything non-AVI is reported as
+  * undecodable — the Spark-side plumbing (schema, batching, null
+  * semantics) is the tested contract; production swaps in an
+  * ffprobe/JNI decoder behind the same trait.
+  */
+final case class VideoInfoFilter(override val batchSize: Int = 64)
+    extends DataFilter {
+  override val modalities = Seq(Modality.Video)
+  override val resultSchema = StructType(Seq(
+    StructField("is_correct", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("fps", DoubleType),
+    StructField("duration", DoubleType),
+    StructField("error", StringType)))
+
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+    batch.map { in =>
+      in.payloads.get(Modality.Video.name) match {
+        case None => Some(Seq(false, null, null, null, null, "payload missing"))
+        case Some(bytes) => Some(probeAvi(bytes))
+      }
+    }
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Minimal RIFF walk: find `avih` (frame count, width, height) and
+    * the first `vids` `strh` (dwRate/dwScale → fps). */
+  private[graft] def probeAvi(b: Array[Byte]): Seq[Any] = {
+    try {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+        return Seq(false, null, null, null, null, "not an AVI file")
+      var totalFrames = -1L
+      var width = -1L
+      var height = -1L
+      var fps = -1.0
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val id = fourcc(b, o)
+          val size = u32(b, o + 4).toInt
+          val body = o + 8
+          if (id == "LIST" && body + 4 <= end) {
+            walk(body + 4, math.min(body + size, end))
+          } else if (id == "avih" && body + 40 <= end) {
+            totalFrames = u32(b, body + 16)
+            width = u32(b, body + 32)
+            height = u32(b, body + 36)
+          } else if (id == "strh" && body + 32 <= end &&
+            fourcc(b, body) == "vids") {
+            val scale = u32(b, body + 20)
+            val rate = u32(b, body + 24)
+            if (scale > 0) fps = rate.toDouble / scale
+          }
+          o = body + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, b.length)
+      if (width < 0 || height < 0)
+        Seq(false, null, null, null, null, "no avih header")
+      else {
+        val dur = if (fps > 0 && totalFrames >= 0) totalFrames / fps else null
+        Seq(true, width.toInt, height.toInt,
+          if (fps > 0) fps else null, dur, null)
+      }
+    } catch {
+      case e: Exception => Seq(false, null, null, null, null, e.toString)
+    }
+  }
+}
