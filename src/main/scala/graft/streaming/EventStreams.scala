@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over event streams — the streaming
+  * twin of [[graft.queries.TimeSeries]] (same windowing and
+  * sessionization semantics, plus watermarked late-data handling).
+  *
+  * The reference has no streaming (SURVEY.md §2.11); this is the
+  * 100 TB extension: a pipeline that runs identically over a bounded
+  * backfill (`Trigger.AvailableNow`) and an unbounded feed, because
+  * the transformations are the same DataFrame expressions in both
+  * modes.
+  *
+  * Scale notes: tumbling-window + watermark keeps state bounded
+  * (windows close once the watermark passes); session windows use
+  * Spark's native `session_window`, whose state store is keyed by
+  * (user, session) and pruned by the same watermark.
+  */
+object EventStreams {
+
+  /** Schema of the events table (events.parquet, TESTDATA.md) with
+    * `ts` as a proper timestamp. */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream: every parquet file dropped into `dir`
+    * becomes a micro-batch (readStream analog of the batch reader). */
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(EventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with late-data
+    * tolerance — streaming twin of TimeSeries.eventsHourly. */
+  def hourlyAggregates(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sessionization with Spark's native session windows (30-minute
+    * inactivity gap) — streaming twin of TimeSeries.eventsSessionize.
+    * State per (user, open session); watermark closes sessions. */
+  def sessionAggregates(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Run a bounded backfill of a streaming query into an in-memory
+    * table and block until complete — the test/verification harness
+    * (AvailableNow processes all existing files then stops, so the
+    * same code path is exercised as in continuous mode). */
+  def runAvailableNow(stream: DataFrame, queryName: String,
+      outputMode: String = "append"): Unit = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Continuous writer to parquet with checkpointing — the production
+    * sink shape (exactly-once per file-sink semantics). */
+  def parquetSink(stream: DataFrame, outDir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+}
