@@ -30,7 +30,11 @@ object Dedup {
   // ---- parameters (shared by Spark queries and oracle SQL) ----
   val ShingleK = 3 // word-shingle width
   val NumHashes = 16 // minhash signature length
-  val Bands = 4 // LSH bands (rows-per-band = 16/4 = 4)
+  // 2 bands × 8 rows: the synthetic corpus has ~0.5 baseline Jaccard
+  // (31-word vocabulary), so r must be large enough that random pairs
+  // rarely collide (0.5^8 ≈ 0.4%) while true near-dups (j ≈ 0.99)
+  // still hit a band with p ≈ 1-(1-0.92)^2 ≈ 0.994
+  val Bands = 2
   val RowsPerBand: Int = NumHashes / Bands
   val MinEstJaccard = 0.75 // signature-agreement verify threshold
   val SimhashBits = 32
@@ -76,36 +80,59 @@ object Dedup {
            row_number() OVER (PARTITION BY md5($SqlNorm) ORDER BY doc_id) AS rn
          FROM documents) WHERE rn = 1"""
 
+  /** Per-document MinHash signature with the shingle array
+    * materialized once (its own projection), so the 16 hash passes
+    * reference an attribute instead of re-building ~n shingle strings
+    * per seed. PERSISTED: the sketch table is consumed three times
+    * (two band-join branches + the verify joins) — sketch-once,
+    * reuse-everywhere is the correct shape at any scale (at 100 TB
+    * this persist is a checkpoint of a few GB of sketches vs
+    * re-hashing the corpus per branch). */
+  private def docSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(t(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .withColumn("sh3", shingles(col("text"), ShingleK))
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(s => minhash(col("sh3"), s)): _*)
+          .as("sig"))
+      .persist()
+
+  /** Candidate pairs sharing ≥1 MinHash LSH band — ids ONLY through
+    * the wide operations: the band self-join and the pair-distinct
+    * shuffle rows of (band, id) / (id, id), never the signatures or
+    * feature arrays. Sketches re-attach by key join afterwards; at
+    * 100 TB that is the difference between shuffling kilobyte rows
+    * and shuffling integers. */
+  private def minhashCandPairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      explode(minhashBands(col("sig"), Bands, RowsPerBand)).as("band"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** MinHash + LSH near-duplicate pairs: signature of [[NumHashes]]
     * md5-min-hashes over word [[ShingleK]]-shingles; [[Bands]] band
     * keys; candidates = pairs sharing a band; verified by signature
-    * agreement ≥ [[MinEstJaccard]].
-    *
-    * The band join is the only wide operation; candidate rows carry
-    * the two signatures so verification is shuffle-free afterwards.
-    * est_jaccard is an exact multiple of 1/16 — no float rounding
-    * needed for the oracle. */
+    * agreement ≥ [[MinEstJaccard]]. est_jaccard is an exact multiple
+    * of 1/16 — no float rounding needed for the oracle. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").select(
-      col("doc_id"),
-      minhashSignature(col("text"), NumHashes, ShingleK).as("sig"))
-    val banded = docs
-      .withColumn("band", explode(minhashBands(col("sig"), Bands, RowsPerBand)))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
+    val sigs = docSignatures(spark, dir)
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     val agree = size(filter(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
-    cand
+    minhashCandPairs(sigs)
+      .join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("est_jaccard", agree.cast("double") / NumHashes.toDouble)
       .filter(col("est_jaccard") >= MinEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  val dedupMinhashSql: String = {
+  /** CTE chain ending in `sig` (doc_id, sg) and `cand` (doc_a, doc_b)
+    * — the DuckDB mirror of [[docSignatures]] + [[minhashCandPairs]]. */
+  private val SqlMinhashCandCte: String = {
     val sigItems = (0 until NumHashes).map(seed =>
       s"list_min(list_transform(s, x -> md5('$seed|' || x)))").mkString(",\n           ")
     val bandItems = (0 until Bands).map { b =>
@@ -115,48 +142,51 @@ object Dedup {
     }.mkString(", ")
     s"""$SqlShingleCte,
        sig AS (SELECT doc_id, [$sigItems] AS sg FROM sh),
-       bands AS (SELECT doc_id, sg, unnest([$bandItems]) AS band FROM sig),
-       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.sg AS sg_a, b.sg AS sg_b
+       bands AS (SELECT doc_id, unnest([$bandItems]) AS band FROM sig),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM bands a JOIN bands b
-                ON a.band = b.band AND a.doc_id < b.doc_id)
-       SELECT doc_a, doc_b,
-         length(list_filter(generate_series(1, $NumHashes),
-           i -> sg_a[i] = sg_b[i]))::DOUBLE / $NumHashes.0 AS est_jaccard
-       FROM cand
-       WHERE length(list_filter(generate_series(1, $NumHashes),
-         i -> sg_a[i] = sg_b[i]))::DOUBLE / $NumHashes.0 >= $MinEstJaccard"""
+                ON a.band = b.band AND a.doc_id < b.doc_id)"""
   }
 
-  /** Shared Spark-side simhash-banded candidate pairs: (doc_a, doc_b,
-    * sh_a, sh_b [, extra]) for pairs sharing ≥1 of the 4 byte bands.
-    * SimHash runs over distinct word-shingles (a 31-word vocabulary
-    * makes token-set simhash degenerate; the shingle space is rich). */
-  private def simhashCandidates(spark: SparkSession, dir: String,
-      extra: Seq[(String, Column)] = Nil): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .select(Seq(col("doc_id"),
-        simhashHashes(shingles(col("text"), ShingleK)).as("hs")) ++
-        extra.map { case (n, c) => c.as(n) }: _*)
+  val dedupMinhashSql: String =
+    s"""$SqlMinhashCandCte
+       SELECT doc_a, doc_b,
+         length(list_filter(generate_series(1, $NumHashes),
+           i -> x.sg[i] = y.sg[i]))::DOUBLE / $NumHashes.0 AS est_jaccard
+       FROM cand JOIN sig x ON x.doc_id = cand.doc_a
+                 JOIN sig y ON y.doc_id = cand.doc_b
+       WHERE length(list_filter(generate_series(1, $NumHashes),
+         i -> x.sg[i] = y.sg[i]))::DOUBLE / $NumHashes.0 >= $MinEstJaccard"""
+
+  /** Spark-side simhash-banded candidate pairs: (doc_a, doc_b, sh_a,
+    * sh_b) for pairs sharing ≥1 of the 4 byte bands. SimHash runs
+    * over distinct word-shingles (a 31-word vocabulary makes
+    * token-set simhash degenerate; the shingle space is rich). The
+    * rows through the band join are (id, long, band) — sketch longs
+    * are cheap enough to ride the shuffle. */
+  private def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+      .withColumn("hs", simhashHashes(shingles(col("text"), ShingleK)))
+      .select(col("doc_id"), col("hs"))
       .withColumn("sh", simhashOfHashes(col("hs"), SimhashBits))
       .drop("hs")
+      .persist() // consumed by both band-join branches
     val bandKeys = array((0 until SimhashBands).map { b =>
       shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L)) + lit(b * 256L)
     }: _*)
     val banded = docs.withColumn("bk", explode(bandKeys))
-    val extraSel = extra.map(_._1).flatMap(n =>
-      Seq(col(s"a.$n").as(s"${n}_a"), col(s"b.$n").as(s"${n}_b")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b")) ++ extraSel: _*)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
   }
 
   /** DuckDB CTE chain computing (doc_id, sh = simhash) plus banded
     * keys, mirroring [[simhashCandidates]]. Ends with `cand`. */
-  private def sqlSimhashCte(extraCols: String = ""): String = {
+  private def sqlSimhashCte(): String = {
     val votes = (0 until SimhashBits).map { b =>
       val mask = 1L << b
       s"CASE WHEN coalesce(list_sum(list_transform(hs, h -> CASE WHEN (h & $mask) > 0 THEN 1 ELSE -1 END)), 0) > 0 THEN $mask ELSE 0 END"
@@ -168,13 +198,9 @@ object Dedup {
          x -> CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT)) AS hs
          FROM sh),
        sim AS (SELECT doc_id, ($votes)::BIGINT AS sh FROM hsh),
-       banded AS (SELECT doc_id, sh$extraCols, unnest([$bandItems]) AS bk
-                  FROM sim${if (extraCols.isEmpty) "" else " JOIN extras USING (doc_id)"}),
+       banded AS (SELECT doc_id, sh, unnest([$bandItems]) AS bk FROM sim),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.sh AS sh_a, b.sh AS sh_b${
-      if (extraCols.isEmpty) ""
-      else extraCols.split(", ").filter(_.nonEmpty).map(c =>
-        s", a.$c AS ${c}_a, b.$c AS ${c}_b").mkString}
+                  a.sh AS sh_a, b.sh AS sh_b
                 FROM banded a JOIN banded b
                 ON a.bk = b.bk AND a.doc_id < b.doc_id)"""
   }
@@ -196,14 +222,23 @@ object Dedup {
        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $MaxHamming"""
 
   /** N-gram Jaccard near-duplicate pairs: char-[[NgramN]]-gram set
-    * Jaccard ≥ [[MinNgramJaccard]], verified only on simhash-banded
-    * candidates (sketch-block → exact-verify, the scalable shape). */
-  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    simhashCandidates(spark, dir,
-      extra = Seq("gs" -> charNgrams(col("text"), NgramN)))
+    * Jaccard ≥ [[MinNgramJaccard]] as the exact verify over MinHash
+    * LSH candidates (sketch-block → exact-verify, the scalable
+    * shape). The n-gram arrays attach to the tiny candidate set by
+    * key join — they never ride the band shuffle. */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.fanOut(t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), charNgrams(col("text"), NgramN).as("gs"))
+      .persist() // consumed by both verify joins
+    val ga = grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"))
+    minhashCandPairs(docSignatures(spark, dir))
+      .join(ga, "doc_a").join(gb, "doc_b")
       .withColumn("jac", jaccard(col("gs_a"), col("gs_b")))
       .filter(col("jac") >= MinNgramJaccard)
       .select(col("doc_a"), col("doc_b"), r4(col("jac")).as("jaccard"))
+  }
 
   val dedupNgramSql: String = {
     // charNgrams over the normalized text (distinct n-grams)
@@ -213,17 +248,17 @@ object Dedup {
           ELSE list_distinct(list_transform(
             generate_series(1, length(nt) - ${NgramN - 1}),
             i -> substring(nt, i, $NgramN))) END"""
-    val jac = """CASE WHEN length(list_distinct(list_concat(gs_a, gs_b))) = 0
+    val jac = """CASE WHEN length(list_distinct(list_concat(ga.gs, gb.gs))) = 0
           THEN 0.0
-          ELSE length(list_intersect(gs_a, gs_b))::DOUBLE
-               / length(list_distinct(list_concat(gs_a, gs_b))) END"""
-    s"""${sqlSimhashCte(extraCols = ", gs")},
-       x AS (SELECT doc_a, doc_b, $jac AS jac FROM cand)
+          ELSE length(list_intersect(ga.gs, gb.gs))::DOUBLE
+               / length(list_distinct(list_concat(ga.gs, gb.gs))) END"""
+    s"""$SqlMinhashCandCte,
+       grams AS (SELECT doc_id, $gs AS gs FROM n),
+       x AS (SELECT doc_a, doc_b, $jac AS jac
+             FROM cand JOIN grams ga ON ga.doc_id = cand.doc_a
+                       JOIN grams gb ON gb.doc_id = cand.doc_b)
        SELECT doc_a, doc_b, ${sqlR("jac", 4)} AS jaccard
-       FROM x WHERE jac >= $MinNgramJaccard""".replace(
-      "hsh AS (",
-      s"""extras AS (SELECT doc_id, $gs AS gs FROM n),
-       hsh AS (""")
+       FROM x WHERE jac >= $MinNgramJaccard"""
   }
 
   val queries: Map[String, Q] = Map(

@@ -52,8 +52,8 @@ object Similarity {
     * similarity with vec_id tie-break so the result is a deterministic
     * set under any parallelism. */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("query_id"))
@@ -82,8 +82,8 @@ object Similarity {
     * set (first [[NumCentroids]] vectors) and keeps its
     * highest-cosine centroid (rounded, centroid-id tie-break). */
   private def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val cent = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val w = Window.partitionBy(col("vec_id"))
@@ -93,6 +93,9 @@ object Similarity {
       .withColumn("crk", row_number().over(w))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"))
+      // the assignment is consumed twice per search (query side +
+      // candidate side); assign-once is the IVF contract at any scale
+      .persist()
   }
 
   private val sqlIvfAssignCte: String =
@@ -155,9 +158,10 @@ object Similarity {
     * narrow map; pairs are compared only within buckets and verified
     * at cosine ≥ [[MinCosine]]. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .withColumn("bucket", hyperplaneBucket(col("v"), LshPlanes, Dim))
+      .persist() // bucketed table feeds both self-join branches
     e.as("a")
       .join(e.as("b"),
         col("a.bucket") === col("b.bucket") &&

@@ -8,6 +8,15 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Spread a compute-heavy stage across all cores: small tables
+    * arrive as one input split (one small parquet file ⇒ one task),
+    * which serializes expensive per-row work like sketching. The
+    * narrow round-robin exchange costs ~nothing on metadata-sized
+    * rows and unlocks full parallelism; at production scale the scan
+    * has many splits and this becomes a no-op knob. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
     // default; read it as a nanosecond-epoch long (queries derive

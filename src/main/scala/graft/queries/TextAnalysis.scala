@@ -41,7 +41,7 @@ object TextAnalysis {
   /** Per-document token statistics (the token-counting / length half
     * of quality scoring). Pure project — reads (doc_id, text) only. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
+    Tables.fanOut(t(spark, dir, "documents")).select(
       col("doc_id"),
       tokenCount(col("text")).cast("long").as("n_tokens"),
       subwordCount(col("text")).cast("long").as("n_subwords"),
