@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
+import graft.functions.GraftFunctions
 import graft.queries.Num._
 
 /** Similarity-search operator catalog over the `embeddings` table
@@ -52,6 +53,7 @@ object Similarity {
     * similarity with vec_id tie-break so the result is a deterministic
     * set under any parallelism. */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val q = e.filter(col("vec_id") < NumQueries)
@@ -59,7 +61,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", r6(cosine(col("qv"), col("v"))))
+      .withColumn("sim", r6(GraftFunctions.cosineSim(col("qv"), col("v"))))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
@@ -82,6 +84,7 @@ object Similarity {
     * set (first [[NumCentroids]] vectors) and keeps its
     * highest-cosine centroid (rounded, centroid-id tie-break). */
   private def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val cent = e.filter(col("vec_id") < NumCentroids)
@@ -89,7 +92,7 @@ object Similarity {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
     e.crossJoin(broadcast(cent))
-      .withColumn("csim", r6(cosine(col("v"), col("cv"))))
+      .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
       .withColumn("crk", row_number().over(w))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"))
@@ -132,7 +135,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
     assign.join(broadcast(qa), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", r6(cosine(col("qv"), col("v"))))
+      .withColumn("sim", r6(GraftFunctions.cosineSim(col("qv"), col("v"))))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= IvfTopK)
       .select(col("query_id"), col("cluster"), col("rk"),
@@ -158,6 +161,7 @@ object Similarity {
     * narrow map; pairs are compared only within buckets and verified
     * at cosine ≥ [[MinCosine]]. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .withColumn("bucket", hyperplaneBucket(col("v"), LshPlanes, Dim))
@@ -166,7 +170,7 @@ object Similarity {
       .join(e.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", r6(cosine(col("a.v"), col("b.v"))))
+      .withColumn("sim", r6(GraftFunctions.cosineSim(col("a.v"), col("b.v"))))
       .filter(col("sim") >= MinCosine)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("sim"))
