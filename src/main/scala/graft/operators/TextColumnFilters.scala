@@ -29,13 +29,20 @@ final case class RegexCleanFilter(
 
 object RegexCleanFilter {
   /** html tags, urls, emails, bracketed refs, punctuation runs,
-    * whitespace collapse — applied in order. */
+    * whitespace collapse — applied in order. Patterns deliberately
+    * avoid backreferences so the same rules run on RE2 engines
+    * (punctuation runs are per-character rules). */
   val DefaultRules: Seq[(String, String)] = Seq(
     "<[^>]{1,100}>" -> " ",
     "https?://\\S+" -> " ",
     "\\S+@\\S+\\.\\S+" -> " ",
     "\\[[0-9]{1,4}\\]" -> " ",
-    "([!?.,;:])\\1{1,}" -> "$1",
+    "!{2,}" -> "!",
+    "\\?{2,}" -> "?",
+    ",{2,}" -> ",",
+    "\\.{3,}" -> ".",
+    ";{2,}" -> ";",
+    ":{2,}" -> ":",
     "\\s{2,}" -> " ")
 }
 

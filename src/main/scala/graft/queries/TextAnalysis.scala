@@ -132,6 +132,29 @@ object TextAnalysis {
          list_min(list_transform(s, x -> md5(x))) AS win_fp
        FROM sh"""
 
+  /** Regex caption-cleaning pipeline applied to the documents table —
+    * the RegexFilter operator (texts/regex_filter.py) through the
+    * oracle gate; the same chained-regexp_replace expressions as
+    * [[graft.operators.RegexCleanFilter]]. */
+  def textClean(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.operators.RegexCleanFilter()
+      .resultColumns.head._2
+    t(spark, dir, "documents").select(col("doc_id"),
+      cleaned.as("clean_caption"))
+  }
+
+  val textCleanSql: String = {
+    // same rule chain; RE2 flavor with the 'g' flag per rule
+    val rules = graft.operators.RegexCleanFilter.DefaultRules
+    // DuckDB string literals are escape-free: the Scala pattern text
+    // (single backslashes) goes into the SQL literal verbatim
+    val chained = rules.foldLeft("trim(lower(text))") {
+      case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, '${pat.replace("'", "''")}', '$rep', 'g')"
+    }
+    s"SELECT doc_id, trim($chained) AS clean_caption FROM documents"
+  }
+
   /** Aggregation over computed text features, grouped by the table's
     * declared language — one narrow shuffle on a 5-value key. */
   def textByLang(spark: SparkSession, dir: String): DataFrame =
@@ -155,6 +178,7 @@ object TextAnalysis {
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangId _),
     "q_text_fingerprint" -> (textFingerprint _),
+    "q_text_clean" -> (textClean _),
     "q_text_by_lang" -> (textByLang _),
   )
 
@@ -163,6 +187,7 @@ object TextAnalysis {
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangIdSql,
     "q_text_fingerprint" -> textFingerprintSql,
+    "q_text_clean" -> textCleanSql,
     "q_text_by_lang" -> textByLangSql,
   )
 }
