@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, SimHash32}
 
 /** Engine extension wiring: registers graft's native Catalyst
   * expressions with a SparkSession, either through the standard
@@ -12,28 +12,35 @@ import graft.functions.expressions.CosineSimilarity
   * programmatically via [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.cosineSimDescription)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
 
-  private[functions] val cosineSimDescription:
-      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    { args: Seq[Expression] =>
-      require(args.length == 2, "cosine_sim takes exactly 2 arguments")
-      CosineSimilarity(args.head, args(1))
-    })
+  private type Description =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private[functions] val descriptions: Seq[Description] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSimilarity(args.head, args(1))
+      }),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "simhash32 takes exactly 1 argument")
+        SimHash32(args.head)
+      }))
 
   /** Idempotently register graft's native expressions on a session
     * (for sessions not launched with the extensions config). */
   def register(spark: SparkSession): Unit =
-    if (!spark.catalog.functionExists("cosine_sim")) {
-      val (id, info, builder) = cosineSimDescription
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    descriptions.foreach { case (id, info, builder) =>
+      if (!spark.catalog.functionExists(id.funcName))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 
   /** Codegen'd cosine similarity (see
@@ -42,4 +49,10 @@ object GraftFunctions {
     * [[VectorFunctions.cosine]]. */
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+
+  /** Codegen'd 32-bit SimHash over pre-hashed features (see
+    * [[graft.functions.expressions.SimHash32]]); bit-identical to
+    * [[TextFunctions.simhashOfHashes]] at 32 bits. */
+  def simhash32(hashes: Column): Column =
+    call_function("simhash32", hashes)
 }

@@ -165,11 +165,14 @@ object Dedup {
     * rows through the band join are (id, long, band) — sketch longs
     * are cheap enough to ride the shuffle. */
   private def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.fanOut(t(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
       .withColumn("hs", simhashHashes(shingles(col("text"), ShingleK)))
       .select(col("doc_id"), col("hs"))
-      .withColumn("sh", simhashOfHashes(col("hs"), SimhashBits))
+      // native codegen'd sketch: one fused loop instead of 32
+      // interpreted aggregate passes (bit-identical, see SimHash32)
+      .withColumn("sh", graft.functions.GraftFunctions.simhash32(col("hs")))
       .drop("hs")
       .persist() // consumed by both band-join branches
     val bandKeys = array((0 until SimhashBands).map { b =>

@@ -88,6 +88,39 @@ object TimeSeries {
          min(sec) AS session_start, max(sec) AS session_end
        FROM s GROUP BY user_id, session_idx"""
 
+  /** Sessionization via Spark's NATIVE session_window operator (the
+    * exact engine path the streaming module uses) — semantics pinned
+    * against a µs-exact oracle: a new session starts when
+    * ts_next - ts_prev ≥ gap in MICROSECONDS (session_window merges
+    * while next.start < current.end), and window.end is
+    * last-event + gap. */
+  def eventsSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(session_window(tsMicros, "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end_gap"),
+        col("n_events"), col("sum_value"))
+
+  val eventsSessionWindowSql: String =
+    s"""WITH x AS (SELECT user_id, event_id, ts, value,
+         epoch_us(ts)::BIGINT AS us,
+         lag(epoch_us(ts)::BIGINT) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       FROM events),
+       s AS (SELECT user_id, value, us,
+         sum(CASE WHEN prev IS NULL OR us - prev >= ${SessionGapSec}000000
+             THEN 1 ELSE 0 END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       FROM x)
+       SELECT user_id,
+         min(us) // 1000000 AS session_start,
+         (max(us) + ${SessionGapSec}000000) // 1000000 AS session_end_gap,
+         count(*) AS n_events, ${sqlR("sum(value)", 2)} AS sum_value
+       FROM s GROUP BY user_id, session_idx"""
+
   /** Pivot: per-user event-type counts as columns (pandas
     * crosstab-style reshaping; explicit value list keeps the plan a
     * single pass with no distinct-values pre-job). */
@@ -111,12 +144,14 @@ object TimeSeries {
   val queries: Map[String, Q] = Map(
     "q_events_hourly" -> (eventsHourly _),
     "q_events_sessionize" -> (eventsSessionize _),
+    "q_events_session_window" -> (eventsSessionWindow _),
     "q_events_pivot" -> (eventsPivot _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_events_hourly" -> eventsHourlySql,
     "q_events_sessionize" -> eventsSessionizeSql,
+    "q_events_session_window" -> eventsSessionWindowSql,
     "q_events_pivot" -> eventsPivotSql,
   )
 }
