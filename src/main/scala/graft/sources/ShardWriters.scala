@@ -45,6 +45,58 @@ object ShardWriters {
     ShardedFilesConfig(outDir, outputPayloads(p.config))
   }
 
+  /** Rewrite ONLY the per-shard metadata CSVs of an existing sharded
+    * dataset — the reference's persisted column update
+    * (DPF/processors/sharded_processor.py:58-82, helper
+    * dataframe_helper.py:95-153): group rows by `split_name`, write
+    * `<split>.csv`, leave archives untouched. One task per group of
+    * shards; nothing is collected to the driver.
+    *
+    * The reference validates per-shard that the updated frame has the
+    * same keys as the csv being replaced; here the whole-table
+    * invariant is the same thing (we rewrite from the full table), so
+    * the check is that `split_name` exists and rows are non-empty per
+    * shard. */
+  def rewriteMetadata(p: Processor, columnsToSave: Seq[String] = Nil): Unit = {
+    val dir = p.config.path
+    require(p.columns.contains("split_name"),
+      "rewriteMetadata needs a sharded dataset (split_name column)")
+    val hadoopConf = new SerializableHadoopConf(
+      p.df.sparkSession.sparkContext.hadoopConfiguration)
+    val pathCols = p.config.payloads.collect {
+      case graft.core.FilePayload(m, _) => m.pathColumn
+      case graft.core.ShardedPayload(m, _) => m.pathColumn
+    }
+    val metaCols =
+      (if (columnsToSave.nonEmpty) columnsToSave
+       else p.columns.filterNot(pathCols.contains).filterNot(_ == "split_name"))
+    p.df.select((("split_name" +: metaCols).distinct).map(col): _*)
+      .repartition(col("split_name"))
+      .sortWithinPartitions(col("split_name"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = new Path(dir).getFileSystem(hadoopConf.get())
+        var current: String = null
+        var out: java.io.Writer = null
+        def open(split: String): Unit = {
+          out = new java.io.OutputStreamWriter(
+            fs.create(new Path(dir, s"$split.csv"), true), "UTF-8")
+          out.write(metaCols.map(csvEscape).mkString(",") + "\n")
+          current = split
+        }
+        it.foreach { row =>
+          val split = row.getAs[String]("split_name")
+          if (split != current) {
+            if (out != null) out.close()
+            open(split)
+          }
+          out.write(metaCols.map(c =>
+            csvEscape(Option(row.getAs[Any](c)).map(_.toString)
+              .getOrElse(""))).mkString(",") + "\n")
+        }
+        if (out != null) out.close()
+      }
+  }
+
   /** Persist the metadata table alone (Connector.save_dataframe,
     * DPF/connectors/connector.py:92-114). */
   def saveMetadata(p: Processor, path: String, format: String = "parquet")

@@ -80,6 +80,23 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Run a batch [[graft.operators.Pipeline]] stage list over every
+    * micro-batch — the bridge that makes the whole batch operator
+    * surface (filters, dedup-within-batch, enrichment) available on
+    * streams via foreachBatch. The sink function receives the final
+    * processor of each batch. */
+  def foreachBatchPipeline(stream: DataFrame,
+      config: graft.core.DatasetConfig,
+      stages: Seq[graft.operators.Pipeline.Stage])(
+      sink: (graft.operators.Processor, Long) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val result = graft.operators.Pipeline.run(
+          graft.operators.Processor(batch, config), stages)
+        sink(result.processor, batchId)
+    }
+
   /** Continuous writer to parquet with checkpointing — the production
     * sink shape (exactly-once per file-sink semantics). */
   def parquetSink(stream: DataFrame, outDir: String,
