@@ -17,10 +17,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: one small end-to-end plan (scan+join+agg) to JIT the
-    // common codegen paths before any timed query
-    try SparkEntry.queries("q_join_star")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // warmup: JIT the common codegen paths (scan+join+agg, then the
+    // md5/regex/window family) before any timed query
+    for (w <- Seq("q_join_star", "q_dedup_exact"))
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
