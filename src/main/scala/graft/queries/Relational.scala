@@ -197,7 +197,17 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"),
         r2(sum(col("o_totalprice"))).as("shard_price"))
 
+  /** Hierarchical subtotals via ROLLUP (priority → status → grand
+    * total): one pass, Spark expands grouping sets map-side — the
+    * OLAP reporting shape over the same shuffle as a plain groupBy. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        r2(sum(col("o_totalprice"))).as("total_price"))
+
   val queries: Map[String, Q] = Map(
+    "q_rollup" -> (rollupAgg _),
     "q_filter_project" -> (filterProject _),
     "q_agg_pricing" -> (aggPricing _),
     "q_join_enrich" -> (joinEnrich _),
@@ -217,6 +227,10 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+         round((sum(o_totalprice)) + 1e-9, 2) AS total_price
+         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey,
          round((l_extendedprice * (1.0 - l_discount)) + 1e-9, 2) AS revenue

@@ -156,6 +156,56 @@ object Similarity {
        SELECT query_id, cluster, rk, vec_id AS neighbor_id, sim FROM r
        WHERE rk <= $IvfTopK"""
 
+  /** IVF probe-2 ANN: each query searches its TWO nearest centroids'
+    * clusters — the recall/cost dial of IVF (probe-1 misses neighbors
+    * that fell just across a centroid boundary). Same assignment
+    * table; the query side carries its top-2 centroid ids and the
+    * candidate join hits both clusters. */
+  def annIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val assign = ivfAssign(spark, dir)
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val cent = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val qprobes = e.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= 2)
+      .select(col("vec_id").as("query_id"), col("cid").as("cluster"),
+        col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assign.join(broadcast(qprobes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", r6(GraftFunctions.cosineSim(col("qv"), col("v"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+  }
+
+  val annIvfProbe2Sql: String =
+    s"""$sqlIvfAssignCte,
+       qp AS (SELECT vec_id AS query_id, cid AS cluster, v AS qv FROM (
+                SELECT e.vec_id, cent.cid, e.v,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    ${sqlR(sqlCos("e.v", "cent.cv"), 6)} DESC, cent.cid) AS crk
+                FROM e CROSS JOIN cent WHERE e.vec_id < $NumQueries)
+              WHERE crk <= 2),
+       s AS (SELECT qp.query_id, a.vec_id,
+               ${sqlR(sqlCos("qp.qv", "a.v"), 6)} AS sim
+             FROM assign a JOIN qp ON a.cluster = qp.cluster
+             WHERE a.vec_id <> qp.query_id),
+       r AS (SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS rk FROM s)
+       SELECT query_id, rk, vec_id AS neighbor_id, sim FROM r
+       WHERE rk <= $IvfTopK"""
+
   /** Embedding near-duplicate pairs via sign-LSH: md5-derived random
     * hyperplanes give every vector a [[LshPlanes]]-bit bucket in one
     * narrow map; pairs are compared only within buckets and verified
@@ -197,6 +247,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_probe2" -> (annIvfProbe2 _),
     "q_ivf_sizes" -> (ivfSizes _),
     "q_embed_neardup" -> (embedNearDup _),
   )
@@ -204,6 +255,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> annBruteForceSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_probe2" -> annIvfProbe2Sql,
     "q_ivf_sizes" -> ivfSizesSql,
     "q_embed_neardup" -> embedNearDupSql,
   )
