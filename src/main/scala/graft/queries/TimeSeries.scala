@@ -141,7 +141,73 @@ object TimeSeries {
     s"SELECT user_id, $cols FROM events GROUP BY user_id"
   }
 
+  /** Conversion funnel: first signup per user, then purchases within
+    * the following 7 days — the sequential-pattern shape (aggregate →
+    * broadcast-friendly join back on user → windowed filter →
+    * aggregate). All time math in µs integers. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("signup_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(signups, Seq("user_id"))
+      .filter(col("us") >= col("signup_us") &&
+        col("us") < col("signup_us") + lit(7L * 86400L * 1000000L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        r2(sum(col("value"))).as("purchase_value"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"),
+        expr("signup_us div 1000000").as("signup_sec"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+  }
+
+  val eventsFunnelSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, value,
+         epoch_us(ts)::BIGINT AS us FROM events),
+       s AS (SELECT user_id, min(us) AS signup_us FROM ev
+             WHERE event_type = 'signup' GROUP BY user_id),
+       p AS (SELECT ev.user_id, count(*) AS n_purchases,
+               ${sqlR("sum(ev.value)", 2)} AS purchase_value
+             FROM ev JOIN s ON ev.user_id = s.user_id
+             WHERE ev.event_type = 'purchase'
+               AND ev.us >= s.signup_us
+               AND ev.us < s.signup_us + 604800000000::BIGINT
+             GROUP BY ev.user_id)
+       SELECT s.user_id, s.signup_us // 1000000 AS signup_sec,
+         coalesce(p.n_purchases, 0) AS n_purchases,
+         coalesce(p.purchase_value, 0.0) AS purchase_value
+       FROM s LEFT JOIN p ON s.user_id = p.user_id"""
+
+  /** Quartile assignment per event type by value (ntile — the
+    * bucketing window the reference's describe()-quartiles imply),
+    * aggregated so the output stays small. */
+  def eventsQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        r2(min(col("value"))).as("lo"),
+        r2(max(col("value"))).as("hi"))
+  }
+
+  val eventsQuartilesSql: String =
+    s"""SELECT event_type, quartile, count(*) AS n,
+       ${sqlR("min(value)", 2)} AS lo, ${sqlR("max(value)", 2)} AS hi
+       FROM (SELECT event_type, value,
+               ntile(4) OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS quartile
+             FROM events)
+       GROUP BY event_type, quartile"""
+
   val queries: Map[String, Q] = Map(
+    "q_events_funnel" -> (eventsFunnel _),
+    "q_events_quartiles" -> (eventsQuartiles _),
     "q_events_hourly" -> (eventsHourly _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_session_window" -> (eventsSessionWindow _),
@@ -149,6 +215,8 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_funnel" -> eventsFunnelSql,
+    "q_events_quartiles" -> eventsQuartilesSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_sessionize" -> eventsSessionizeSql,
     "q_events_session_window" -> eventsSessionWindowSql,

@@ -100,21 +100,15 @@ object Validators {
       Some(c.archivesExt))
     if (!p.columns.contains("split_name")) return base ++ pairing
 
-    val hadoopConf = new SerializableHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
-    val shardNames = p.df.select(col("split_name")).distinct()
-      .as[String].collect().toSeq
-    val archiveDir = c.path
-    val archiveExt = c.archivesExt
-    // distributed member listing: one task per group of shards
-    val members = spark.createDataset(shardNames)
-      .mapPartitions { it =>
-        val loader = new PayloadLoader(hadoopConf.get())
-        it.flatMap { s =>
-          loader.listTarMembers(s"$archiveDir/$s.$archiveExt")
-            .map(m => (s, m))
-        }
-      }.toDF("split_name", "member")
+    // distributed member listing via the pruned tar source: content
+    // is not projected, so readers stream headers only (one task per
+    // archive) — no payload bytes move for a validation pass
+    val members = spark.read.format("tar")
+      .load(c.path)
+      .select(
+        regexp_extract(col("archive"),
+          s"([^/]+)\\.${c.archivesExt}$$", 1).as("split_name"),
+        col("member"))
 
     val nameCols = c.payloads.collect {
       case ShardedPayload(m, _) => m.nameColumn
