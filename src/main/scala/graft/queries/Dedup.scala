@@ -117,7 +117,11 @@ object Dedup {
     * keys; candidates = pairs sharing a band; verified by signature
     * agreement ≥ [[MinEstJaccard]]. est_jaccard is an exact multiple
     * of 1/16 — no float rounding needed for the oracle. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Band candidates verified by signature agreement — the shared
+    * first verify tier: O(signature) per pair, killing the random
+    * band collisions (the corpus's ~0.5 baseline Jaccard makes those
+    * plentiful) before anything expensive touches a pair. */
+  private def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
     val sigs = docSignatures(spark, dir)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
@@ -129,6 +133,9 @@ object Dedup {
       .filter(col("est_jaccard") >= MinEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashVerified(spark, dir)
 
   /** CTE chain ending in `sig` (doc_id, sg) and `cand` (doc_a, doc_b)
     * — the DuckDB mirror of [[docSignatures]] + [[minhashCandPairs]]. */
@@ -179,11 +186,18 @@ object Dedup {
       shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L)) + lit(b * 256L)
     }: _*)
     val banded = docs.withColumn("bk", explode(bandKeys))
+    // verify BEFORE the pair-distinct: hamming is a per-row bit op,
+    // the distinct is a shuffle — filtering first means only real
+    // near-dup pairs (not the collision mass) ride the exchange
     banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
   }
 
@@ -214,10 +228,6 @@ object Dedup {
     * at this threshold. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashCandidates(spark, dir)
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= MaxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
 
   val dedupSimhashSql: String =
     s"""${sqlSimhashCte()}
@@ -236,7 +246,12 @@ object Dedup {
       .persist() // consumed by both verify joins
     val ga = grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"))
     val gb = grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"))
-    minhashCandPairs(docSignatures(spark, dir))
+    // CASCADE: signature agreement (cheap) kills the random band
+    // collisions before the exact set ops touch a pair — at 10× data
+    // the un-cascaded version spent 75 s intersecting ~5M random
+    // collisions (the corpus's ~0.5 baseline Jaccard makes them
+    // plentiful); the cascaded one verifies only the survivors
+    minhashVerified(spark, dir)
       .join(ga, "doc_a").join(gb, "doc_b")
       .withColumn("jac", jaccard(col("gs_a"), col("gs_b")))
       .filter(col("jac") >= MinNgramJaccard)
@@ -255,11 +270,19 @@ object Dedup {
           THEN 0.0
           ELSE length(list_intersect(ga.gs, gb.gs))::DOUBLE
                / length(list_distinct(list_concat(ga.gs, gb.gs))) END"""
+    // mirrors the cascade: band candidates → est_jaccard tier →
+    // exact n-gram verify on survivors
     s"""$SqlMinhashCandCte,
+       verified AS (SELECT doc_a, doc_b
+             FROM cand JOIN sig x ON x.doc_id = cand.doc_a
+                       JOIN sig y ON y.doc_id = cand.doc_b
+             WHERE length(list_filter(generate_series(1, $NumHashes),
+               i -> x.sg[i] = y.sg[i]))::DOUBLE / $NumHashes.0
+               >= $MinEstJaccard),
        grams AS (SELECT doc_id, $gs AS gs FROM n),
        x AS (SELECT doc_a, doc_b, $jac AS jac
-             FROM cand JOIN grams ga ON ga.doc_id = cand.doc_a
-                       JOIN grams gb ON gb.doc_id = cand.doc_b)
+             FROM verified JOIN grams ga ON ga.doc_id = verified.doc_a
+                           JOIN grams gb ON gb.doc_id = verified.doc_b)
        SELECT doc_a, doc_b, ${sqlR("jac", 4)} AS jaccard
        FROM x WHERE jac >= $MinNgramJaccard"""
   }
