@@ -206,7 +206,23 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         r2(sum(col("o_totalprice"))).as("total_price"))
 
+  /** Orders above their customer's (rounded) average — the
+    * correlated-aggregate shape as a self-join against a grouped
+    * aggregate. The threshold is epsilon-rounded BEFORE the
+    * comparison: an unrounded float threshold would make boundary
+    * rows engine-dependent (summation order differs). */
+  def aboveCustAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val avgs = o.groupBy(col("o_custkey"))
+      .agg(r2(avg(col("o_totalprice"))).as("cust_avg"))
+    o.join(avgs, Seq("o_custkey"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("cust_avg"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_above_cust_avg" -> (aboveCustAvg _),
     "q_rollup" -> (rollupAgg _),
     "q_filter_project" -> (filterProject _),
     "q_agg_pricing" -> (aggPricing _),
@@ -227,6 +243,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_above_cust_avg" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, a.cust_avg
+         FROM orders o JOIN (
+           SELECT o_custkey,
+             round((avg(o_totalprice)) + 1e-9, 2) AS cust_avg
+           FROM orders GROUP BY o_custkey) a
+         ON o.o_custkey = a.o_custkey
+         WHERE o.o_totalprice > a.cust_avg""",
     "q_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
          round((sum(o_totalprice)) + 1e-9, 2) AS total_price

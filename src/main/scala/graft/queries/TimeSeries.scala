@@ -205,7 +205,28 @@ object TimeSeries {
              FROM events)
        GROUP BY event_type, quartile"""
 
+  /** JSON property extraction from the events `props` column
+    * (semi-structured payload → typed column → aggregate) — the
+    * stringified-JSON pattern the reference stores for OCR boxes
+    * (DPF/filters/images/ocr_filter.py:147). */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        r4(avg(col("k"))).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  val eventsJsonSql: String =
+    s"""SELECT event_type, count(*) AS n,
+       ${sqlR("avg(json_extract(props, '$.k')::BIGINT)", 4)} AS avg_k,
+       min(json_extract(props, '$$.k')::BIGINT) AS min_k,
+       max(json_extract(props, '$$.k')::BIGINT) AS max_k
+       FROM events GROUP BY event_type"""
+
   val queries: Map[String, Q] = Map(
+    "q_events_json" -> (eventsJson _),
     "q_events_funnel" -> (eventsFunnel _),
     "q_events_quartiles" -> (eventsQuartiles _),
     "q_events_hourly" -> (eventsHourly _),
@@ -215,6 +236,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_json" -> eventsJsonSql,
     "q_events_funnel" -> eventsFunnelSql,
     "q_events_quartiles" -> eventsQuartilesSql,
     "q_events_hourly" -> eventsHourlySql,
