@@ -221,7 +221,39 @@ object Relational {
         col("o_totalprice"), col("cust_avg"))
   }
 
+  /** TPC-H Q3 shape through the SQL interface: temp views +
+    * `spark.sql` — the same Catalyst plan as the DataFrame API, shown
+    * here because the engine's SQL surface is part of the contract. */
+  def sqlShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("g_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("g_orders")
+    t(spark, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      s"""SELECT l.l_orderkey AS o_key,
+            round(sum(l.l_extendedprice * (1.0 - l.l_discount)) + 1e-9, 2)
+              AS revenue,
+            o.o_orderpriority
+          FROM g_customer c
+          JOIN g_orders o ON c.c_custkey = o.o_custkey
+          JOIN g_lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE c.c_mktsegment = 'BUILDING'
+          GROUP BY l.l_orderkey, o.o_orderpriority
+          HAVING sum(l.l_quantity) > 200""")
+  }
+
+  /** Typed-Aggregator UDAF: quantity-weighted mean price per return
+    * flag ([[graft.functions.WeightedMean]] through functions.udaf). */
+  def weightedAvgPrice(spark: SparkSession, dir: String): DataFrame = {
+    val wm = udaf(graft.functions.WeightedMean)
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(r2(wm(col("l_extendedprice"), col("l_quantity")))
+        .as("weighted_avg_price"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_shipping_priority" -> (sqlShippingPriority _),
+    "q_weighted_avg_price" -> (weightedAvgPrice _),
     "q_above_cust_avg" -> (aboveCustAvg _),
     "q_rollup" -> (rollupAgg _),
     "q_filter_project" -> (filterProject _),
@@ -243,6 +275,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_shipping_priority" ->
+      """SELECT l.l_orderkey AS o_key,
+         round(sum(l.l_extendedprice * (1.0 - l.l_discount)) + 1e-9, 2)
+           AS revenue,
+         o.o_orderpriority
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+         GROUP BY l.l_orderkey, o.o_orderpriority
+         HAVING sum(l.l_quantity) > 200""",
+    "q_weighted_avg_price" ->
+      """SELECT l_returnflag,
+         round((sum(l_extendedprice * l_quantity) / sum(l_quantity)) + 1e-9, 2)
+           AS weighted_avg_price
+         FROM lineitem GROUP BY l_returnflag""",
     "q_above_cust_avg" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, a.cust_avg
          FROM orders o JOIN (
