@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CosineSimilarity, SimHash32}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, RewriteHofDotProduct, SimHash32}
 
 /** Engine extension wiring: registers graft's native Catalyst
   * expressions with a SparkSession, either through the standard
@@ -12,8 +12,10 @@ import graft.functions.expressions.{CosineSimilarity, SimHash32}
   * programmatically via [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
 }
 
 object GraftFunctions {
@@ -33,15 +35,26 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 1, "simhash32 takes exactly 1 argument")
         SimHash32(args.head)
+      }),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(args.head, args(1))
       }))
 
-  /** Idempotently register graft's native expressions on a session
-    * (for sessions not launched with the extensions config). */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register graft's native expressions AND the
+    * HOF-dot-product optimizer rewrite on a session (for sessions
+    * not launched with the extensions config). */
+  def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (id, info, builder) =>
       if (!spark.catalog.functionExists(id.funcName))
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+  }
 
   /** Codegen'd cosine similarity (see
     * [[graft.functions.expressions.CosineSimilarity]]); requires
