@@ -93,6 +93,33 @@ object TextFunctions {
     lenOk * 0.3 + punctOk * 0.3 + caseOk * 0.2 + stopOk * 0.2
   }
 
+  /** Linear "model" score over the deterministic text features with
+    * an ALGEBRAIC squashing function: s(z) = 0.5·(1 + z/(1+|z|)).
+    * This is the model-backed-filter shape (aesthetic/NSFW scoring:
+    * featurize → linear head → squash) with a deterministic stand-in
+    * for the network: every op is exact IEEE arithmetic, so an
+    * independent engine reproduces it bit-for-bit — unlike exp(),
+    * whose libm rounding differs across engines. Production swaps an
+    * ONNX head behind the same DataFilter contract. */
+  def modelScoreRaw(text: Column, weights: ModelWeights = DefaultModelWeights)
+      : Column = {
+    val z = lit(weights.bias) +
+      tokenCount(text).cast("double") * weights.wTokens +
+      meanTokenLength(text) * weights.wMeanLen +
+      punctRatio(text) * weights.wPunct +
+      upperRatio(text) * weights.wUpper +
+      stopwordRatio(text, EnglishStopwords) * weights.wStop
+    (lit(1.0) + z / (lit(1.0) + abs(z))) * 0.5
+  }
+
+  final case class ModelWeights(bias: Double, wTokens: Double,
+      wMeanLen: Double, wPunct: Double, wUpper: Double, wStop: Double)
+
+  /** Arbitrary fixed head (stands in for trained weights). */
+  val DefaultModelWeights: ModelWeights =
+    ModelWeights(bias = -1.0, wTokens = 0.02, wMeanLen = 0.1,
+      wPunct = -3.0, wUpper = -1.5, wStop = 2.0)
+
   /** Marker words for the n-gram/keyword language-ID heuristic.
     * Deliberately tiny and deterministic: real pipelines plug in a
     * model via DataFilter; this is the oracle-checkable scale path. */

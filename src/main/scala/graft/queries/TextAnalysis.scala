@@ -132,6 +132,38 @@ object TextAnalysis {
          list_min(list_transform(s, x -> md5(x))) AS win_fp
        FROM sh"""
 
+  /** Model-backed scoring shape (featurize → linear head → algebraic
+    * squash) — see TextFunctions.modelScoreRaw for why the squash is
+    * z/(1+|z|) and not a libm exp. */
+  def textModelScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), r4(modelScoreRaw(col("text"))).as("model_score"))
+
+  val textModelScoreSql: String = {
+    val w = DefaultModelWeights
+    val stopList = sqlList(EnglishStopwords)
+    s"""WITH f AS (SELECT doc_id,
+         length($SqlToks)::DOUBLE AS ntok,
+         CASE WHEN length($SqlToks) = 0 THEN 0.0
+           ELSE coalesce(list_sum(list_transform($SqlToks, x -> length(x))), 0)::DOUBLE
+                / length($SqlToks) END AS meanlen,
+         CASE WHEN length(text) = 0 THEN 0.0
+           ELSE (length(text) - length($SqlNoPunct))::DOUBLE / length(text) END AS punct,
+         CASE WHEN length($SqlLetters) = 0 THEN 0.0
+           ELSE length($SqlUppers)::DOUBLE / length($SqlLetters) END AS upper_r,
+         CASE WHEN length($SqlToksLower) = 0 THEN 0.0
+           ELSE length(list_filter($SqlToksLower, x -> list_contains($stopList, x)))::DOUBLE
+                / length($SqlToksLower) END AS stop_r
+       FROM documents),
+       z AS (SELECT doc_id, ${w.bias}
+         + ntok * ${w.wTokens} + meanlen * ${w.wMeanLen}
+         + punct * ${w.wPunct} + upper_r * ${w.wUpper}
+         + stop_r * ${w.wStop} AS zv FROM f)
+       SELECT doc_id,
+         ${sqlR("(1.0 + zv / (1.0 + abs(zv))) * 0.5", 4)} AS model_score
+       FROM z"""
+  }
+
   /** Regex caption-cleaning pipeline applied to the documents table —
     * the RegexFilter operator (texts/regex_filter.py) through the
     * oracle gate; the same chained-regexp_replace expressions as
@@ -179,6 +211,7 @@ object TextAnalysis {
     "q_text_langid" -> (textLangId _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_clean" -> (textClean _),
+    "q_text_model_score" -> (textModelScore _),
     "q_text_by_lang" -> (textByLang _),
   )
 
@@ -188,6 +221,7 @@ object TextAnalysis {
     "q_text_langid" -> textLangIdSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_text_clean" -> textCleanSql,
+    "q_text_model_score" -> textModelScoreSql,
     "q_text_by_lang" -> textByLangSql,
   )
 }
