@@ -22,9 +22,12 @@ object Typed {
   final case class DocStats(doc_id: Long, lang: String, nTokens: Int,
       nChars: Long)
 
+  /** compiled once — String.split would Pattern.compile per row */
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   def docs(spark: SparkSession, sfDir: String): Dataset[Doc] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet").as[Doc]
+    graft.queries.Tables.t(spark, sfDir, "documents").as[Doc]
   }
 
   /** Typed row map (Encoder round trip, branchy logic allowed). */
@@ -32,7 +35,7 @@ object Typed {
     import ds.sparkSession.implicits._
     ds.map { d =>
       DocStats(d.doc_id, d.lang,
-        d.text.split("\\s+").count(_.nonEmpty), d.n_chars)
+        Ws.split(d.text).count(_.nonEmpty), d.n_chars)
     }
   }
 

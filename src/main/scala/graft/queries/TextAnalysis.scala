@@ -24,14 +24,19 @@ object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
   // ---- shared DuckDB fragments (mirrors of TextFunctions) ----
+  // Java's \s is [ \t\n\x0B\f\r]; RE2's \s lacks \x0B. The oracles
+  // spell the class contents out so both engines tokenize identically
+  // even on vertical-tab input (bare contents — they compose into
+  // larger character classes below).
+  private val SqlWsChars = """ \t\n\x{0b}\f\r"""
   /** whitespace tokens with empties removed (TextFunctions.tokens) */
-  private val SqlToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val SqlToks = s"""list_filter(string_split_regex(text, '[$SqlWsChars]+'), x -> x <> '')"""
   /** lowercased whitespace tokens (tokens(lower(text))) */
-  private val SqlToksLower = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  private val SqlToksLower = s"""list_filter(string_split_regex(lower(text), '[$SqlWsChars]+'), x -> x <> '')"""
   /** TextFunctions.normalize */
-  private[queries] val SqlNorm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  private[queries] val SqlNorm = s"""trim(regexp_replace(lower(text), '[$SqlWsChars]+', ' ', 'g'))"""
   /** punctRatio numerator helper */
-  private val SqlNoPunct = """regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')"""
+  private val SqlNoPunct = s"""regexp_replace(text, '[^\\p{L}\\p{N}$SqlWsChars]', '', 'g')"""
   private val SqlLetters = """regexp_replace(text, '[^\p{L}]', '', 'g')"""
   private val SqlUppers  = """regexp_replace(text, '[^\p{Lu}]', '', 'g')"""
 
@@ -66,10 +71,16 @@ object TextAnalysis {
     t(spark, dir, "documents").select(
       col("doc_id"), r4(qualityScoreRaw(col("text"))).as("quality"))
 
-  val textQualitySql: String = {
+  /** Shared feature CTE body (SELECT ... FROM documents) used by the
+    * quality and model-score oracles — ONE set of feature formulas to
+    * keep in sync with TextFunctions. */
+  private lazy val SqlFeatureSelect: String = {
     val stopList = sqlList(EnglishStopwords)
-    s"""WITH f AS (SELECT doc_id,
+    s"""SELECT doc_id,
          length($SqlToks)::DOUBLE AS ntok,
+         CASE WHEN length($SqlToks) = 0 THEN 0.0
+           ELSE coalesce(list_sum(list_transform($SqlToks, x -> length(x))), 0)::DOUBLE
+                / length($SqlToks) END AS meanlen,
          CASE WHEN length(text) = 0 THEN 0.0
            ELSE (length(text) - length($SqlNoPunct))::DOUBLE / length(text) END AS punct,
          CASE WHEN length($SqlLetters) = 0 THEN 0.0
@@ -77,14 +88,17 @@ object TextAnalysis {
          CASE WHEN length($SqlToksLower) = 0 THEN 0.0
            ELSE length(list_filter($SqlToksLower, x -> list_contains($stopList, x)))::DOUBLE
                 / length($SqlToksLower) END AS stop_r
-       FROM documents)
+       FROM documents"""
+  }
+
+  val textQualitySql: String =
+    s"""WITH f AS ($SqlFeatureSelect)
        SELECT doc_id, ${sqlR(
       "(CASE WHEN ntok >= 5 AND ntok <= 5000 THEN 1.0 WHEN ntok = 0 THEN 0.0 ELSE 0.5 END) * 0.3" +
         " + (1.0 - least(punct * 2.0, 1.0)) * 0.3" +
         " + (1.0 - upper_r) * 0.2" +
         " + least(stop_r * 4.0, 1.0) * 0.2", 4)} AS quality
        FROM f"""
-  }
 
   /** Heuristic language ID per document (script check then marker-word
     * argmax with first-wins ties — TextFunctions.langId). */
@@ -141,20 +155,7 @@ object TextAnalysis {
 
   val textModelScoreSql: String = {
     val w = DefaultModelWeights
-    val stopList = sqlList(EnglishStopwords)
-    s"""WITH f AS (SELECT doc_id,
-         length($SqlToks)::DOUBLE AS ntok,
-         CASE WHEN length($SqlToks) = 0 THEN 0.0
-           ELSE coalesce(list_sum(list_transform($SqlToks, x -> length(x))), 0)::DOUBLE
-                / length($SqlToks) END AS meanlen,
-         CASE WHEN length(text) = 0 THEN 0.0
-           ELSE (length(text) - length($SqlNoPunct))::DOUBLE / length(text) END AS punct,
-         CASE WHEN length($SqlLetters) = 0 THEN 0.0
-           ELSE length($SqlUppers)::DOUBLE / length($SqlLetters) END AS upper_r,
-         CASE WHEN length($SqlToksLower) = 0 THEN 0.0
-           ELSE length(list_filter($SqlToksLower, x -> list_contains($stopList, x)))::DOUBLE
-                / length($SqlToksLower) END AS stop_r
-       FROM documents),
+    s"""WITH f AS ($SqlFeatureSelect),
        z AS (SELECT doc_id, ${w.bias}
          + ntok * ${w.wTokens} + meanlen * ${w.wMeanLen}
          + punct * ${w.wPunct} + upper_r * ${w.wUpper}
