@@ -251,7 +251,28 @@ object Relational {
         .as("weighted_avg_price"))
   }
 
+  /** CUBE over two dimensions: all four grouping sets in one pass. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        r2(sum(col("l_quantity"))).as("sum_qty"))
+
+  /** EXCEPT set op: building-segment customers minus those holding a
+    * high-value order. */
+  def exceptSegments(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val highValue = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000).select("o_custkey")
+      .withColumnRenamed("o_custkey", "c_custkey")
+    building.exceptAll(highValue.distinct()).distinct()
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cube" -> (cubeAgg _),
+    "q_except" -> (exceptSegments _),
     "q_sql_shipping_priority" -> (sqlShippingPriority _),
     "q_weighted_avg_price" -> (weightedAvgPrice _),
     "q_above_cust_avg" -> (aboveCustAvg _),
@@ -275,6 +296,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+         round((sum(l_quantity)) + 1e-9, 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders
+         WHERE o_totalprice > 300000""",
     "q_sql_shipping_priority" ->
       """SELECT l.l_orderkey AS o_key,
          round(sum(l.l_extendedprice * (1.0 - l.l_discount)) + 1e-9, 2)

@@ -80,6 +80,20 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming exact-dedup: drop rows whose key was already seen,
+    * with state bounded by the watermark — the streaming twin of the
+    * batch fingerprint dedup (a training-data pipeline ingesting a
+    * document feed dedups exactly this way; pair with a MinHash
+    * band-explode + dropDuplicates for streaming near-dup). */
+  def dedupeStream(events: DataFrame, keys: Seq[String],
+      eventTimeCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      // keys-only dedup with watermark-bounded state (duplicates may
+      // arrive with different event times and still drop)
+      .dropDuplicatesWithinWatermark(keys.toArray)
+
   /** Run a batch [[graft.operators.Pipeline]] stage list over every
     * micro-batch — the bridge that makes the whole batch operator
     * surface (filters, dedup-within-batch, enrichment) available on
