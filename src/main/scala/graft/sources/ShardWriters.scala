@@ -31,8 +31,10 @@ object ShardWriters {
     * [[DatasetReader.readShards]]. Returns the output ShardsConfig. */
   def saveToShards(p: Processor, outDir: String,
       maxFilesInShard: Int = DefaultMaxFilesInShard,
-      columnsToSave: Seq[String] = Nil): ShardsConfig = {
-    write(p, outDir, maxFilesInShard, columnsToSave, asTar = true)
+      columnsToSave: Seq[String] = Nil,
+      partitionsOverride: Option[Int] = None): ShardsConfig = {
+    write(p, outDir, maxFilesInShard, columnsToSave, asTar = true,
+      partitionsOverride)
     ShardsConfig(outDir, outputPayloads(p.config))
   }
 
@@ -40,8 +42,10 @@ object ShardWriters {
     * [[DatasetReader.readShardedFiles]]. */
   def saveToShardedFiles(p: Processor, outDir: String,
       maxFilesInShard: Int = DefaultMaxFilesInShard,
-      columnsToSave: Seq[String] = Nil): ShardedFilesConfig = {
-    write(p, outDir, maxFilesInShard, columnsToSave, asTar = false)
+      columnsToSave: Seq[String] = Nil,
+      partitionsOverride: Option[Int] = None): ShardedFilesConfig = {
+    write(p, outDir, maxFilesInShard, columnsToSave, asTar = false,
+      partitionsOverride)
     ShardedFilesConfig(outDir, outputPayloads(p.config))
   }
 
@@ -116,7 +120,8 @@ object ShardWriters {
     }
 
   private def write(p: Processor, outDir: String, maxFilesInShard: Int,
-      columnsToSave: Seq[String], asTar: Boolean): Unit = {
+      columnsToSave: Seq[String], asTar: Boolean,
+      partitionsOverride: Option[Int] = None): Unit = {
     val spark = p.df.sparkSession
     val hadoopConf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
@@ -143,9 +148,12 @@ object ShardWriters {
     val nPayload = payloadPathCols.size
 
     // size partitions to the shard size so most tasks emit one shard
+    // (tasks receiving more than maxFilesInShard rows roll to a new
+    // `<pid>_<k>` shard; partitionsOverride exercises that path and
+    // lets callers trade task count for shard count)
     val total = withNames.count()
-    val parts = math.max(1, math.ceil(
-      total.toDouble / maxFilesInShard).toInt)
+    val parts = partitionsOverride.getOrElse(math.max(1, math.ceil(
+      total.toDouble / maxFilesInShard).toInt))
 
     val outPath = new Path(outDir)
     val fsSetup = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
