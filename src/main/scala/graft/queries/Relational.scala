@@ -270,7 +270,28 @@ object Relational {
     building.exceptAll(highValue.distinct()).distinct()
   }
 
+  /** Seeded full-table shuffle (pipeline_stages.py:27-34): the row
+    * SET is order-invariantly oracle-checkable — the check proves the
+    * op is a permutation, seeds make reruns reproducible. */
+  def shuffleRows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .orderBy(rand(42L))
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  /** Per-group exact percentiles (describe() per key — the grouped
+    * flavor of summary stats). */
+  def groupPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        r2(max(col("o_totalprice"))).as("mx"))
+
   val queries: Map[String, Q] = Map(
+    "q_shuffle" -> (shuffleRows _),
+    "q_group_percentiles" -> (groupPercentiles _),
     "q_cube" -> (cubeAgg _),
     "q_except" -> (exceptSegments _),
     "q_sql_shipping_priority" -> (sqlShippingPriority _),
@@ -296,6 +317,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_shuffle" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "q_group_percentiles" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         round((quantile_cont(o_totalprice, 0.5)) + 1e-9, 4) AS p50,
+         round((quantile_cont(o_totalprice, 0.9)) + 1e-9, 4) AS p90,
+         round((max(o_totalprice)) + 1e-9, 2) AS mx
+         FROM orders GROUP BY o_orderpriority""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
          round((sum(l_quantity)) + 1e-9, 2) AS sum_qty
