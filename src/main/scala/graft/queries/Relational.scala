@@ -289,7 +289,52 @@ object Relational {
         r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
         r2(max(col("o_totalprice"))).as("mx"))
 
+  /** Arbitrary GROUPING SETS (not a rollup/cube prefix): Spark 4's
+    * Dataset groupingSets API expands all sets in the same single
+    * shuffle as a plain groupBy — one pass over orders regardless of
+    * how many set combinations are requested. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        r2(sum(col("o_totalprice"))).as("total_price"))
+
+  /** Non-equi band join: orders against a small OVERLAPPING price-band
+    * dimension (each order lands in up to two bands, so this cannot
+    * degrade to a bucketing expression). The band table is broadcast —
+    * BroadcastNestedLoopJoin streams orders once with no shuffle; at
+    * 100 TB the probe side stays partition-local. */
+  def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(12).select(
+      col("id").as("band_id"),
+      (col("id") * 50000.0).as("lo"),
+      (col("id") * 50000.0 + 100000.0).as("hi"))
+    t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        r2(sum(col("o_totalprice"))).as("band_price"))
+  }
+
+  /** INTERSECT set op: building-segment customers who also hold a
+    * high-value order (the dual of [[exceptSegments]]). */
+  def intersectSegments(spark: SparkSession, dir: String): DataFrame = {
+    val building = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val highValue = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000).select("o_custkey")
+      .withColumnRenamed("o_custkey", "c_custkey")
+    building.intersect(highValue)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_grouping_sets" -> (groupingSetsAgg _),
+    "q_range_join" -> (rangeJoinBands _),
+    "q_intersect" -> (intersectSegments _),
     "q_shuffle" -> (shuffleRows _),
     "q_group_percentiles" -> (groupPercentiles _),
     "q_cube" -> (cubeAgg _),
@@ -317,6 +362,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+         round((sum(o_totalprice)) + 1e-9, 2) AS total_price
+         FROM orders GROUP BY GROUPING SETS
+           ((o_orderpriority, o_orderstatus), (o_orderstatus), ())""",
+    "q_range_join" ->
+      """SELECT b.band_id, count(*) AS n_orders,
+         round((sum(o.o_totalprice)) + 1e-9, 2) AS band_price
+         FROM orders o JOIN (
+           SELECT range AS band_id, range * 50000.0 AS lo,
+             range * 50000.0 + 100000.0 AS hi FROM range(12)) b
+         ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+         GROUP BY b.band_id""",
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey AS c_custkey FROM orders
+         WHERE o_totalprice > 300000""",
     "q_shuffle" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "q_group_percentiles" ->

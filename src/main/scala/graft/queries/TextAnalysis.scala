@@ -206,7 +206,31 @@ object TextAnalysis {
        ${sqlR(s"avg(length($SqlToks))", 4)} AS avg_tokens
        FROM documents GROUP BY lang"""
 
+  /** Corpus term frequencies (the explode/Generator shape — the one
+    * row-expanding operator in the catalog): tokenize, explode, count,
+    * global top-20 under a total tie-break. The explode happens
+    * map-side; partial aggregation collapses each partition's terms
+    * before the single shuffle on the term key, and the final top-k is
+    * TakeOrdered over the (vocabulary-sized) aggregate — no full sort. */
+  def textWordcount(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(t(spark, dir, "documents"))
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  val textWordcountSql: String =
+    s"""SELECT term, count(*) AS n FROM (
+         SELECT unnest(list_filter(
+           string_split_regex(lower(text), '[$SqlWsChars]+'),
+           x -> x <> '')) AS term
+         FROM documents)
+       GROUP BY term ORDER BY n DESC, term LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
+    "q_text_wordcount" -> (textWordcount _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangId _),
@@ -217,6 +241,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_wordcount" -> textWordcountSql,
     "q_text_stats" -> textStatsSql,
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangIdSql,

@@ -225,7 +225,97 @@ object TimeSeries {
        max(json_extract(props, '$$.k')::BIGINT) AS max_k
        FROM events GROUP BY event_type"""
 
+  /** Top-5 users by spend per event type: two-level aggregation
+    * (groupBy shuffles once on the compound key, the rank window
+    * re-shuffles only the small aggregate). Ranking happens on the
+    * ROUNDED sum so the order agrees across engines; user_id breaks
+    * remaining ties totally. */
+  def eventsTopkUsers(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = t(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(r2(sum(col("value"))).as("user_value"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("user_value").desc, col("user_id"))
+    perUser.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("rk"), col("user_id"),
+        col("user_value"), col("n"))
+  }
+
+  val eventsTopkUsersSql: String =
+    s"""SELECT event_type, rk, user_id, user_value, n FROM (
+         SELECT event_type, user_id,
+           ${sqlR("sum(value)", 2)} AS user_value, count(*) AS n,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY ${sqlR("sum(value)", 2)} DESC, user_id) AS rk
+         FROM events GROUP BY event_type, user_id)
+       WHERE rk <= 5"""
+
+  /** As-of (point-in-time) join: each purchase attributed to the same
+    * user's most recent STRICTLY PRIOR view. A self-join would shuffle
+    * events twice and explode on hot users; the scalable plan is one
+    * shuffle on user_id and a running ignore-nulls last() over the
+    * ordered partition — O(n) per user, no pair blow-up at 100 TB. */
+  def eventsAsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val prior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("view_us",
+        last(when(col("event_type") === "view", col("us")),
+          ignoreNulls = true).over(prior))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("us div 1000000").as("purchase_sec"),
+        expr("view_us div 1000000").as("view_sec"),
+        expr("(us - view_us) div 1000000").as("gap_sec"))
+  }
+
+  val eventsAsofSql: String =
+    """WITH x AS (SELECT event_id, user_id, event_type,
+         epoch_us(ts)::BIGINT AS us,
+         last_value(CASE WHEN event_type = 'view'
+             THEN epoch_us(ts)::BIGINT END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_us
+       FROM events)
+       SELECT event_id, user_id, us // 1000000 AS purchase_sec,
+         view_us // 1000000 AS view_sec,
+         (us - view_us) // 1000000 AS gap_sec
+       FROM x WHERE event_type = 'purchase'"""
+
+  /** Cohort retention: users grouped by first-seen day, distinct
+    * actives per (cohort, day-offset). The cohort table is one row per
+    * user (tiny next to the event log) — Catalyst/AQE broadcasts it
+    * back onto the fact side, so the only full-data shuffle is the
+    * final aggregate. Day index = epoch days (integer division of the
+    * ns timestamp; no float time math). */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH ev AS (SELECT user_id,
+         epoch_us(ts)::BIGINT // 86400000000 AS day FROM events),
+       c AS (SELECT user_id, min(day) AS cohort_day FROM ev
+             GROUP BY user_id)
+       SELECT c.cohort_day, ev.day - c.cohort_day AS day_offset,
+         count(DISTINCT ev.user_id) AS n_users
+       FROM ev JOIN c ON ev.user_id = c.user_id
+       GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "q_events_topk_users" -> (eventsTopkUsers _),
+    "q_events_asof" -> (eventsAsofAttribution _),
+    "q_events_retention" -> (eventsRetention _),
     "q_events_json" -> (eventsJson _),
     "q_events_funnel" -> (eventsFunnel _),
     "q_events_quartiles" -> (eventsQuartiles _),
@@ -236,6 +326,9 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_topk_users" -> eventsTopkUsersSql,
+    "q_events_asof" -> eventsAsofSql,
+    "q_events_retention" -> eventsRetentionSql,
     "q_events_json" -> eventsJsonSql,
     "q_events_funnel" -> eventsFunnelSql,
     "q_events_quartiles" -> eventsQuartilesSql,
