@@ -22,11 +22,19 @@ object Bench {
     for (w <- Seq("q_join_star", "q_dedup_exact"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val selected = if (args.nonEmpty)
+      SparkEntry.queries.filter(kv => args.contains(kv._1))
+    else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries persist() their reused sketch tables; dropping them
+        // between queries keeps storage memory from starving later
+        // queries' execution memory (isolated, stable numbers).
+        spark.catalog.clearCache()
+        name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

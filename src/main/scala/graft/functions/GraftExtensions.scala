@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CosineSimilarity, DotProduct, RewriteHofDotProduct, SimHash32}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, MinhashSignature, RewriteHofDotProduct, SimHash32, WordShingles}
 
 /** Engine extension wiring: registers graft's native Catalyst
   * expressions with a SparkSession, either through the standard
@@ -41,6 +41,34 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "minhash_sig takes (shingles array, numHashes literal)")
+        require(args(1).foldable, "minhash_sig numHashes must be a literal")
+        val k = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig numHashes must be an integer literal, got $other")
+        }
+        MinhashSignature(args.head, k)
+      }),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "word_shingles takes (text, k literal)")
+        require(args(1).foldable, "word_shingles k must be a literal")
+        val k = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles k must be an integer literal, got $other")
+        }
+        WordShingles(args.head, k)
       }))
 
   /** Idempotently register graft's native expressions AND the
@@ -68,4 +96,18 @@ object GraftFunctions {
     * [[TextFunctions.simhashOfHashes]] at 32 bits. */
   def simhash32(hashes: Column): Column =
     call_function("simhash32", hashes)
+
+  /** Fused MinHash signature over a shingle array (see
+    * [[graft.functions.expressions.MinhashSignature]]); bit-identical
+    * to [[TextFunctions.minhashSignature]]'s composable formula. */
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    call_function("minhash_sig", shingles,
+      org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Fused normalize→tokenize→k-shingle (see
+    * [[graft.functions.expressions.WordShingles]]); bit-identical to
+    * [[TextFunctions.shingles]]. */
+  def wordShingles(text: Column, k: Int): Column =
+    call_function("word_shingles", text,
+      org.apache.spark.sql.functions.lit(k))
 }

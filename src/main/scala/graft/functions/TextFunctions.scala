@@ -185,20 +185,44 @@ object TextFunctions {
         i => concat_ws(" ", slice(ts, i, lit(k)))))
   }
 
-  /** One MinHash value: the lexicographic minimum of md5(seed|shingle)
-    * over the document's shingle set. Using the hex digest as the hash
-    * keeps the formula engine-portable (any engine with md5 can verify
-    * it) while remaining a valid uniform hash family. Null for
-    * shingle-less (empty) documents. */
-  def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol,
-      s => md5(concat(lit(s"$seed|"), s).cast("binary"))))
+  /** MinHash hash family: ONE md5 per shingle (a 60-bit prefix of the
+    * digest), then k affine maps `(a_k·h + b_k) mod P` over the
+    * Mersenne prime P = 2^31−1. The md5 is the expensive step — the
+    * one-digest-many-maps factoring is 16× cheaper than hashing each
+    * shingle per seed, and every step is integer arithmetic any engine
+    * reproduces bit-for-bit (h mod P < 2^31, a_k < 2^31 ⇒ the product
+    * stays inside a signed 64-bit long). */
+  val MinhashP: Long = expressions.MinhashSignature.P
+  def minhashA(seed: Int): Long = expressions.MinhashSignature.a(seed)
+  def minhashB(seed: Int): Long = expressions.MinhashSignature.b(seed)
 
-  /** Full MinHash signature as an array of k hex digests. */
+  /** 60-bit base hashes of a shingle array: first 15 hex chars of each
+    * md5, parsed base-16 (fits a signed long). Materialize this ONCE
+    * per document; the per-seed maps below reuse it. */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol,
+      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+
+  /** One MinHash value from pre-computed base hashes: the minimum of
+    * the seed's affine map over the document's shingle-hash set. Null
+    * for shingle-less (empty) documents. */
+  def minhashFromHashes(hashesCol: Column, seed: Int): Column =
+    array_min(transform(hashesCol,
+      h => (lit(minhashA(seed)) * (h % lit(MinhashP)) + lit(minhashB(seed)))
+        % lit(MinhashP)))
+
+  /** One MinHash value straight from shingles (re-hashes the shingles;
+    * prefer [[shingleHashes]] + [[minhashFromHashes]] when computing a
+    * full signature). */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    minhashFromHashes(shingleHashes(shingleCol), seed)
+
+  /** Full MinHash signature as an array of k longs — base hashes
+    * computed once, k affine mins over them. */
   def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3)
       : Column = {
-    val sh = shingles(text, shingleSize)
-    array((0 until numHashes).map(seed => minhash(sh, seed)): _*)
+    val hs = shingleHashes(shingles(text, shingleSize))
+    array((0 until numHashes).map(seed => minhashFromHashes(hs, seed)): _*)
   }
 
   /** LSH band keys: the signature is split into `bands` groups of
@@ -210,7 +234,7 @@ object TextFunctions {
       md5(concat_ws("|",
         (lit(s"band$b") +:
           (0 until rowsPerBand).map(r =>
-            element_at(signature, b * rowsPerBand + r + 1))): _*)
+            element_at(signature, b * rowsPerBand + r + 1).cast("string"))): _*)
         .cast("binary"))
     }: _*)
 

@@ -80,21 +80,25 @@ object Dedup {
            row_number() OVER (PARTITION BY md5($SqlNorm) ORDER BY doc_id) AS rn
          FROM documents) WHERE rn = 1"""
 
-  /** Per-document MinHash signature with the shingle array
-    * materialized once (its own projection), so the 16 hash passes
-    * reference an attribute instead of re-building ~n shingle strings
-    * per seed. PERSISTED: the sketch table is consumed three times
-    * (two band-join branches + the verify joins) — sketch-once,
-    * reuse-everywhere is the correct shape at any scale (at 100 TB
-    * this persist is a checkpoint of a few GB of sketches vs
-    * re-hashing the corpus per branch). */
-  private def docSignatures(spark: SparkSession, dir: String): DataFrame =
+  /** Per-document MinHash signature via the native fused expression
+    * ([[graft.functions.expressions.MinhashSignature]]): one md5 per
+    * shingle + 16 integer affine maps in a single JVM loop —
+    * bit-identical to the composable HOF formula but without its
+    * 17 interpreted passes. PERSISTED: the sketch table is consumed
+    * three times (two band-join branches + the verify joins) —
+    * sketch-once, reuse-everywhere is the correct shape at any scale
+    * (at 100 TB this persist is a checkpoint of a few GB of sketches
+    * vs re-hashing the corpus per branch). */
+  private def docSignatures(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.fanOut(t(spark, dir, "documents").select(col("doc_id"), col("text")))
-      .withColumn("sh3", shingles(col("text"), ShingleK))
+      .withColumn("sh3",
+        graft.functions.GraftFunctions.wordShingles(col("text"), ShingleK))
       .select(col("doc_id"),
-        array((0 until NumHashes).map(s => minhash(col("sh3"), s)): _*)
+        graft.functions.GraftFunctions.minhashSig(col("sh3"), NumHashes)
           .as("sig"))
       .persist()
+  }
 
   /** Candidate pairs sharing ≥1 MinHash LSH band — ids ONLY through
     * the wide operations: the band self-join and the pair-distinct
@@ -112,11 +116,12 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash + LSH near-duplicate pairs: signature of [[NumHashes]]
-    * md5-min-hashes over word [[ShingleK]]-shingles; [[Bands]] band
-    * keys; candidates = pairs sharing a band; verified by signature
-    * agreement ≥ [[MinEstJaccard]]. est_jaccard is an exact multiple
-    * of 1/16 — no float rounding needed for the oracle. */
+  /** MinHash + LSH near-duplicate pairs: [[NumHashes]]-long signature
+    * (one md5 base hash per word [[ShingleK]]-shingle, affine maps per
+    * seed); [[Bands]] band keys; candidates = pairs sharing a band;
+    * verified by signature agreement ≥ [[MinEstJaccard]]. est_jaccard
+    * is an exact multiple of 1/16 — no float rounding needed for the
+    * oracle. */
   /** Band candidates verified by signature agreement — the shared
     * first verify tier: O(signature) per pair, killing the random
     * band collisions (the corpus's ~0.5 baseline Jaccard makes those
@@ -140,15 +145,20 @@ object Dedup {
   /** CTE chain ending in `sig` (doc_id, sg) and `cand` (doc_a, doc_b)
     * — the DuckDB mirror of [[docSignatures]] + [[minhashCandPairs]]. */
   private val SqlMinhashCandCte: String = {
+    import graft.functions.TextFunctions.{MinhashP, minhashA, minhashB}
     val sigItems = (0 until NumHashes).map(seed =>
-      s"list_min(list_transform(s, x -> md5('$seed|' || x)))").mkString(",\n           ")
+      s"list_min(list_transform(hs, h -> (${minhashA(seed)} * (h % $MinhashP) + ${minhashB(seed)}) % $MinhashP))")
+      .mkString(",\n           ")
     val bandItems = (0 until Bands).map { b =>
       val elems = (0 until RowsPerBand)
         .map(r => s"sg[${b * RowsPerBand + r + 1}]").mkString(", ")
       s"md5(concat_ws('|', 'band$b', $elems))"
     }.mkString(", ")
     s"""$SqlShingleCte,
-       sig AS (SELECT doc_id, [$sigItems] AS sg FROM sh),
+       hss AS (SELECT doc_id, list_transform(s,
+         x -> CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT)) AS hs
+         FROM sh),
+       sig AS (SELECT doc_id, [$sigItems] AS sg FROM hss),
        bands AS (SELECT doc_id, unnest([$bandItems]) AS band FROM sig),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM bands a JOIN bands b
@@ -175,7 +185,8 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.fanOut(t(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
-      .withColumn("hs", simhashHashes(shingles(col("text"), ShingleK)))
+      .withColumn("hs", simhashHashes(
+        graft.functions.GraftFunctions.wordShingles(col("text"), ShingleK)))
       .select(col("doc_id"), col("hs"))
       // native codegen'd sketch: one fused loop instead of 32
       // interpreted aggregate passes (bit-identical, see SimHash32)
@@ -240,18 +251,28 @@ object Dedup {
     * shape). The n-gram arrays attach to the tiny candidate set by
     * key join — they never ride the band shuffle. */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.fanOut(t(spark, dir, "documents")
-      .select(col("doc_id"), col("text")))
-      .select(col("doc_id"), charNgrams(col("text"), NgramN).as("gs"))
-      .persist() // consumed by both verify joins
-    val ga = grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"))
-    val gb = grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"))
     // CASCADE: signature agreement (cheap) kills the random band
     // collisions before the exact set ops touch a pair — at 10× data
     // the un-cascaded version spent 75 s intersecting ~5M random
     // collisions (the corpus's ~0.5 baseline Jaccard makes them
     // plentiful); the cascaded one verifies only the survivors
-    minhashVerified(spark, dir)
+    val verified = minhashVerified(spark, dir).persist()
+    // n-gram features ONLY for docs that appear in a candidate pair
+    // (a broadcast-able id set): the exact-verify features are never
+    // computed for the non-candidate bulk — at 100 TB that is the
+    // difference between featurizing ~0.1% of the corpus and all of
+    // it. (The sketch pass above already read every doc; this pass
+    // re-reads just the candidates via a semi join on the scan.)
+    val candIds = verified.select(col("doc_a").as("doc_id"))
+      .union(verified.select(col("doc_b").as("doc_id"))).distinct()
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val grams = docs
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), charNgrams(col("text"), NgramN).as("gs"))
+      .persist() // consumed by both verify joins
+    val ga = grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"))
+    verified
       .join(ga, "doc_a").join(gb, "doc_b")
       .withColumn("jac", jaccard(col("gs_a"), col("gs_b")))
       .filter(col("jac") >= MinNgramJaccard)
