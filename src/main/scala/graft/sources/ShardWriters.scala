@@ -112,6 +112,21 @@ object ShardWriters {
       s"unsupported metadata format: $other")
   }
 
+  /** Persist the metadata table hive-partitioned on the given columns
+    * (`dir/col=value/part-*.parquet`). The at-scale layout for event
+    * logs and date-keyed corpora: a reader filtering on a partition
+    * column scans only the matching directories (partition pruning —
+    * no file of any other partition is opened), and each partition
+    * can be written/backfilled independently. Choose low-cardinality,
+    * always-filtered columns (day, source, lang); high-cardinality
+    * keys belong in bucketing, not partitioning. */
+  def saveMetadataPartitioned(p: Processor, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    p.df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** The written dataset addresses payloads by basename again. */
   private def outputPayloads(config: DatasetConfig): Seq[PayloadType] =
     config.payloads.map {
