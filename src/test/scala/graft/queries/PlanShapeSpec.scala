@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** Plan-shape regression guards for the catalog's scale-critical
+  * queries: the assertions pin the PHYSICAL strategy (broadcast vs
+  * shuffle, window vs self-join) that makes each query viable at
+  * 100 TB — a silent planner regression should fail here, not show
+  * up as a 10× bench slowdown.
+  *
+  * Shapes are asserted on `executedPlan` before execution (the
+  * initial adaptive plan, after EnsureRequirements placed the
+  * exchanges): AQE may collapse exchanges at runtime but never adds
+  * any, so an upper bound pinned here is stable across AQE
+  * decisions.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countIn(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q_range_join broadcasts the band table (nested-loop, no shuffle join)") {
+    val p = plan(Relational.rangeJoinBands(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // only the final small aggregate shuffles
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p.take(1500))
+  }
+
+  test("q_events_asof is one window pass — no self-join, one shuffle") {
+    val p = plan(TimeSeries.eventsAsofAttribution(spark, dir))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p.take(1500))
+  }
+
+  test("q_grouping_sets expands in a single aggregation pass") {
+    val p = plan(Relational.groupingSetsAgg(spark, dir))
+    assert(p.contains("Expand"), p.take(1500))
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p.take(1500))
+  }
+
+  test("q_join_star broadcasts the fixed-cardinality dims") {
+    val p = plan(Relational.joinStar(spark, dir))
+    assert(countIn(p, "BroadcastHashJoin") >= 2, p.take(2000))
+  }
+
+  test("q_text_wordcount partial-aggregates before the term shuffle") {
+    val p = plan(TextAnalysis.textWordcount(spark, dir))
+    // explode feeds a map-side partial HashAggregate, then one
+    // exchange on the term key, and the top-k is TakeOrdered (no
+    // global sort)
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstAgg >= 0 && exchange >= 0, p.take(1500))
+  }
+
+  test("q_filter_project pushes filter and projection to the scan") {
+    val p = plan(Relational.filterProject(spark, dir))
+    assert(p.contains("PushedFilters: ["), p.take(1500))
+    assert(p.contains("l_quantity"), p.take(1500))
+    // pruned read schema: no column beyond the 6 referenced ones
+    assert(!p.contains("l_comment"), p.take(1500))
+  }
+}
