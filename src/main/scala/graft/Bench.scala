@@ -22,9 +22,13 @@ object Bench {
     for (w <- Seq("q_join_star", "q_dedup_exact"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
-    val selected = if (args.nonEmpty)
+    val selected = if (args.nonEmpty) {
+      val unknown = args.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"unknown queries: ${unknown.mkString(", ")} — valid names: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
       SparkEntry.queries.filter(kv => args.contains(kv._1))
-    else SparkEntry.queries
+    } else SparkEntry.queries
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

@@ -47,29 +47,26 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2,
           "minhash_sig takes (shingles array, numHashes literal)")
-        require(args(1).foldable, "minhash_sig numHashes must be a literal")
-        val k = args(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig numHashes must be an integer literal, got $other")
-        }
-        MinhashSignature(args.head, k)
+        MinhashSignature(args.head, foldableInt(args(1), "minhash_sig"))
       }),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       { args: Seq[Expression] =>
         require(args.length == 2,
           "word_shingles takes (text, k literal)")
-        require(args(1).foldable, "word_shingles k must be a literal")
-        val k = args(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"word_shingles k must be an integer literal, got $other")
-        }
-        WordShingles(args.head, k)
+        WordShingles(args.head, foldableInt(args(1), "word_shingles"))
       }))
+
+  /** Extract an integer from a foldable literal argument. */
+  private def foldableInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn count argument must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn count argument must be an integer literal, got $other")
+    }
+  }
 
   /** Idempotently register graft's native expressions AND the
     * HOF-dot-product optimizer rewrite on a session (for sessions

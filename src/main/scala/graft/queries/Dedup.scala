@@ -21,6 +21,12 @@ import graft.queries.Num._
   *
   * All sketches are md5-derived, so the DuckDB oracles reproduce them
   * bit-for-bit.
+  *
+  * Cache scope: queries persist() sketch/candidate tables that their
+  * own multi-branch plans consume; because a query function returns a
+  * LAZY DataFrame, the persists cannot be unpersisted here. The
+  * harness mains (Verify/Bench) clear the cache after executing each
+  * query — any other long-lived caller should do the same.
   */
 object Dedup {
   import Tables.t

@@ -214,8 +214,7 @@ object TextAnalysis {
     * TakeOrdered over the (vocabulary-sized) aggregate — no full sort. */
   def textWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(t(spark, dir, "documents"))
-      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
-      .filter(length(col("term")) > 0)
+      .select(explode(tokens(lower(col("text")))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))
@@ -223,10 +222,7 @@ object TextAnalysis {
 
   val textWordcountSql: String =
     s"""SELECT term, count(*) AS n FROM (
-         SELECT unnest(list_filter(
-           string_split_regex(lower(text), '[$SqlWsChars]+'),
-           x -> x <> '')) AS term
-         FROM documents)
+         SELECT unnest($SqlToksLower) AS term FROM documents)
        GROUP BY term ORDER BY n DESC, term LIMIT 20"""
 
   val queries: Map[String, Q] = Map(
