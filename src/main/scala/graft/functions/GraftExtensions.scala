@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CosineSimilarity, DotProduct, MinhashSignature, RewriteHofDotProduct, SimHash32, WordShingles}
+import graft.functions.expressions.{CharNgrams, CosineSimilarity, DotProduct, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, WordShingles}
 
 /** Engine extension wiring: registers graft's native Catalyst
   * expressions with a SparkSession, either through the standard
@@ -55,6 +55,24 @@ object GraftFunctions {
         require(args.length == 2,
           "word_shingles takes (text, k literal)")
         WordShingles(args.head, foldableInt(args(1), "word_shingles"))
+      }),
+    (FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "char_ngrams takes (text, n literal)")
+        CharNgrams(args.head, foldableInt(args(1), "char_ngrams"))
+      }),
+    (FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "jaccard_sim takes exactly 2 arguments")
+        JaccardSim(args.head, args(1))
+      }),
+    (FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "ngram_hashes takes (text, n literal)")
+        NgramHashes(args.head, foldableInt(args(1), "ngram_hashes"))
       }))
 
   /** Extract an integer from a foldable literal argument. */
@@ -107,4 +125,24 @@ object GraftFunctions {
   def wordShingles(text: Column, k: Int): Column =
     call_function("word_shingles", text,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Fused normalize→distinct-char-n-grams (see
+    * [[graft.functions.expressions.CharNgrams]]); bit-identical to
+    * [[TextFunctions.charNgrams]]. */
+  def charNgramsNative(text: Column, n: Int): Column =
+    call_function("char_ngrams", text,
+      org.apache.spark.sql.functions.lit(n))
+
+  /** Hash-set Jaccard similarity (see
+    * [[graft.functions.expressions.JaccardSim]]); bit-identical to
+    * [[TextFunctions.jaccard]]. */
+  def jaccardSim(a: Column, b: Column): Column =
+    call_function("jaccard_sim", a, b)
+
+  /** Fused normalize→distinct-n-gram 60-bit hashes (see
+    * [[graft.functions.expressions.NgramHashes]]); same set as
+    * `shingleHashes(charNgrams(text, n))`. */
+  def ngramHashes(text: Column, n: Int): Column =
+    call_function("ngram_hashes", text,
+      org.apache.spark.sql.functions.lit(n))
 }

@@ -112,4 +112,7 @@ object MinhashSignature {
 
   private[expressions] val md5: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** This thread's digest instance (shared across the expressions). */
+  private[expressions] def md5Digest: MessageDigest = md5.get()
 }

@@ -257,6 +257,7 @@ object Dedup {
     * shape). The n-gram arrays attach to the tiny candidate set by
     * key join — they never ride the band shuffle. */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     // CASCADE: signature agreement (cheap) kills the random band
     // collisions before the exact set ops touch a pair — at 10× data
     // the un-cascaded version spent 75 s intersecting ~5M random
@@ -272,15 +273,28 @@ object Dedup {
     val candIds = verified.select(col("doc_a").as("doc_id"))
       .union(verified.select(col("doc_b").as("doc_id"))).distinct()
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val grams = docs
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), charNgrams(col("text"), NgramN).as("gs"))
+    // fanOut AFTER the semi join: the surviving candidate docs (not
+    // the corpus) spread across all cores for the n-gram featurize —
+    // without it a single-file scan leaves one task doing all of it
+    // (observed 140 s at the 10× corpus where every doc is a candidate)
+    // grams travel as 60-bit HASHES (array<long>), not strings: the
+    // verify join copies each pair's two ~300-element feature arrays
+    // into its output rows, and a long array is a flat memcpy where a
+    // string array pays per-element offset bookkeeping (measured 15 s
+    // → ~4 s on the 10× corpus); the long-long jaccard path then
+    // sort-merges primitives with no boxing
+    val grams = Tables.fanOut(
+        docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.ngramHashes(col("text"), NgramN)
+          .as("gs"))
       .persist() // consumed by both verify joins
     val ga = grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"))
     val gb = grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"))
     verified
       .join(ga, "doc_a").join(gb, "doc_b")
-      .withColumn("jac", jaccard(col("gs_a"), col("gs_b")))
+      .withColumn("jac",
+        graft.functions.GraftFunctions.jaccardSim(col("gs_a"), col("gs_b")))
       .filter(col("jac") >= MinNgramJaccard)
       .select(col("doc_a"), col("doc_b"), r4(col("jac")).as("jaccard"))
   }
@@ -306,7 +320,9 @@ object Dedup {
              WHERE length(list_filter(generate_series(1, $NumHashes),
                i -> x.sg[i] = y.sg[i]))::DOUBLE / $NumHashes.0
                >= $MinEstJaccard),
-       grams AS (SELECT doc_id, $gs AS gs FROM n),
+       grams AS (SELECT doc_id, list_transform($gs,
+           x -> CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT))
+         AS gs FROM n),
        x AS (SELECT doc_a, doc_b, $jac AS jac
              FROM verified JOIN grams ga ON ga.doc_id = verified.doc_a
                            JOIN grams gb ON gb.doc_id = verified.doc_b)

@@ -69,6 +69,70 @@ class MinhashSignatureSpec extends SparkSpec {
     }
   }
 
+  test("native char_ngrams is bit-identical to the composable formula") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      "The quick brown fox",
+      "aaaa",          // heavy duplicate grams
+      "abc",           // == n
+      "ab",            // < n
+      "",              // empty
+      "Русский текст",
+      "  spaces   collapse  ").toDF("t")
+    for (n <- Seq(2, 4)) {
+      val rows = docs
+        .withColumn("native", GraftFunctions.charNgramsNative(col("t"), n))
+        .withColumn("composed", charNgrams(col("t"), n))
+        .select(col("native"), col("composed")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+      }
+    }
+  }
+
+  test("ngram_hashes = shingleHashes∘charNgrams as a set; long jaccard agrees") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "aaaa bbbb aaaa", "ab", "", "Русский текст").toDF("t")
+    val rows = docs
+      .withColumn("native", GraftFunctions.ngramHashes(col("t"), 4))
+      .withColumn("composed", shingleHashes(charNgrams(col("t"), 4)))
+      .select(col("native"), col("composed")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).sorted == r.getSeq[Long](1).sorted)
+    }
+    // long-long jaccard path agrees with the composable set formula
+    val pairs = docs.limit(2).crossJoin(docs.limit(2).select(col("t").as("u")))
+      .withColumn("ga", GraftFunctions.ngramHashes(col("t"), 4))
+      .withColumn("gb", GraftFunctions.ngramHashes(col("u"), 4))
+      .withColumn("native", GraftFunctions.jaccardSim(col("ga"), col("gb")))
+      .withColumn("composed", jaccard(col("ga"), col("gb")))
+      .select(col("native"), col("composed")).collect()
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native jaccard_sim is bit-identical to the composable formula") {
+    GraftFunctions.register(spark)
+    val pairs = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("x", "x", "y"), Seq("y", "y", "x"))).toDF("a", "b")
+    val rows = pairs
+      .withColumn("native", GraftFunctions.jaccardSim(col("a"), col("b")))
+      .withColumn("composed", jaccard(col("a"), col("b")))
+      .select(col("native"), col("composed")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("SQL surface: minhash_sig callable after register") {
     GraftFunctions.register(spark)
     val n = spark.sql(
