@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over event streams — the streaming
@@ -64,6 +64,83 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Typed event row for the stateful operators. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
+
+  /** Open-session accumulator kept in the state store (times in epoch
+    * micros — integer state serializes compactly and compares
+    * exactly). */
+  final case class OpenSession(startUs: Long, lastUs: Long,
+      n: Long, sum: Double)
+
+  /** A closed session as emitted downstream. */
+  final case class Session(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long, sum_value: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state API the native `session_window` cannot express
+    * variants of (per-session caps, custom close conditions, emitted
+    * mid-session markers all hang off this skeleton).
+    *
+    * Semantics match [[sessionAggregates]]' gap rule: a session
+    * closes when the next event of the user starts ≥ gap after the
+    * last, or when the watermark passes last + gap (event-time
+    * timeout) with no further events. Emitted times are epoch
+    * SECONDS, the catalog's convention.
+    *
+    * State per user is ONE OpenSession (bounded: O(users), pruned by
+    * timeout); batches sort their in-batch events per user — Spark
+    * hands the group iterator unordered — so intra-batch gaps close
+    * sessions deterministically.
+    */
+  def statefulSessions(events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events.withWatermark("ts", watermark).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          def emit(s: OpenSession): Unit =
+            out += Session(user, s.startUs / 1000000L,
+              s.lastUs / 1000000L, s.n, s.sum)
+          if (!it.hasNext && state.hasTimedOut) {
+            // watermark passed last + gap with no new events: close
+            state.getOption.foreach(emit)
+            state.remove()
+          } else {
+            var cur = state.getOption.orNull
+            it.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+              val us = toUs(e.ts)
+              cur match {
+                case null =>
+                  cur = OpenSession(us, us, 1L, e.value)
+                case s if us - s.lastUs >= gapUs =>
+                  emit(s)
+                  cur = OpenSession(us, us, 1L, e.value)
+                case s =>
+                  cur = s.copy(lastUs = math.max(s.lastUs, us),
+                    n = s.n + 1, sum = s.sum + e.value)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000L)
+            }
+          }
+          out.iterator
+      }
+  }
 
   /** Run a bounded backfill of a streaming query into an in-memory
     * table and block until complete — the test/verification harness
