@@ -17,11 +17,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JIT the common codegen paths (scan+join+agg, then the
-    // md5/regex/window family) before any timed query
-    for (w <- Seq("q_join_star", "q_dedup_exact"))
+    // warmup: JIT the common codegen paths — one representative per
+    // family (scan+join+agg, md5/window, text exprs, vector exprs,
+    // event windows) before any timed query
+    for (w <- Seq("q_join_star", "q_dedup_exact", "q_text_stats",
+        "q_ivf_sizes", "q_events_hourly"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     val selected = if (args.nonEmpty) {
       val unknown = args.filterNot(SparkEntry.queries.contains)
       require(unknown.isEmpty,

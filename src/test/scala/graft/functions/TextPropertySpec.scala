@@ -15,6 +15,44 @@ class TextPropertySpec extends SparkSpec {
     Seq.fill(1 + rnd.nextInt(maxTokens))("w" + rnd.nextInt(200))
       .mkString(" ")
 
+  /** Messy strings: mixed scripts, random whitespace runs, case,
+    * punctuation — the adversarial input for normalize/tokenize
+    * parity. */
+  private def messyDoc(): String = {
+    val alphabets = Seq("abcXYZ", "абвГДЕ", "äöüÉÑ", "中文字", "!?.,;:")
+    val ws = Seq(" ", "  ", "\t", "\n", "", "\r\n", "\f")
+    (0 until (1 + rnd.nextInt(40))).map { _ =>
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      val tok = Seq.fill(1 + rnd.nextInt(6))(a(rnd.nextInt(a.length))).mkString
+      tok + ws(rnd.nextInt(ws.length))
+    }.mkString
+  }
+
+  test("property: native word_shingles/char_ngrams/minhash_sig match composable on messy unicode") {
+    GraftFunctions.register(spark)
+    val docs = Seq.fill(150)(messyDoc()) :+ "" :+ "\t\n " :+ "один"
+    val df = docs.toDF("t")
+      .withColumn("ns", GraftFunctions.wordShingles(col("t"), 3))
+      .withColumn("cs", shingles(col("t"), 3))
+      .withColumn("ng", GraftFunctions.charNgramsNative(col("t"), 4))
+      .withColumn("cg", charNgrams(col("t"), 4))
+      .withColumn("nh", GraftFunctions.ngramHashes(col("t"), 4))
+      .withColumn("ch", shingleHashes(charNgrams(col("t"), 4)))
+      .withColumn("nm", GraftFunctions.minhashSig(
+        GraftFunctions.wordShingles(col("t"), 3), 8))
+      .withColumn("cm", array((0 until 8).map(s =>
+        minhashFromHashes(shingleHashes(shingles(col("t"), 3)), s)): _*))
+    val rows = df.select(col("ns"), col("cs"), col("ng"), col("cg"),
+      col("nh"), col("ch"), col("nm"), col("cm")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "word_shingles")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "char_ngrams")
+      assert(r.getSeq[Long](4).sorted == r.getSeq[Long](5).sorted,
+        "ngram_hashes")
+      assert(r.getSeq[Any](6) == r.getSeq[Any](7), "minhash_sig")
+    }
+  }
+
   test("property: shingle count is max(1, n-k+1) for non-empty docs") {
     val docs = Seq.fill(100)(randDoc())
     val rows = docs.toDF("t").select(
