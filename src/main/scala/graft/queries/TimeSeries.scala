@@ -184,7 +184,15 @@ object TimeSeries {
 
   /** Quartile assignment per event type by value (ntile — the
     * bucketing window the reference's describe()-quartiles imply),
-    * aggregated so the output stays small. */
+    * aggregated so the output stays small.
+    *
+    * Scale note: exact ntile sorts each event_type partition on ONE
+    * reducer (5 types ⇒ 5 tasks carry everything) — the slowest query
+    * of the family at 10× for exactly this reason. At real scale
+    * swap the window for `percentile_approx` boundaries + a range
+    * bucketing expression (distributed), or pre-aggregate per
+    * (type, value-bucket); the exact window stays here because the
+    * oracle pins exact ntile semantics. */
   def eventsQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
