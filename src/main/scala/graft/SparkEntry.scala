@@ -19,11 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ TimeSeries.queries ++ RoundTrip.queries
+      Similarity.queries ++ TimeSeries.queries ++ Curation.queries ++
+      RoundTrip.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TimeSeries.oracles
+      Similarity.oracles ++ TimeSeries.oracles ++ Curation.oracles
 }

@@ -30,7 +30,7 @@ object TextAnalysis {
   // larger character classes below).
   private val SqlWsChars = """ \t\n\x{0b}\f\r"""
   /** whitespace tokens with empties removed (TextFunctions.tokens) */
-  private val SqlToks = s"""list_filter(string_split_regex(text, '[$SqlWsChars]+'), x -> x <> '')"""
+  private[queries] val SqlToks = s"""list_filter(string_split_regex(text, '[$SqlWsChars]+'), x -> x <> '')"""
   /** lowercased whitespace tokens (tokens(lower(text))) */
   private val SqlToksLower = s"""list_filter(string_split_regex(lower(text), '[$SqlWsChars]+'), x -> x <> '')"""
   /** TextFunctions.normalize */
