@@ -39,26 +39,12 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "char_ngrams"
 
   override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val norm = UTF8String.fromString(
-      CharNgrams.Ws.matcher(lowered).replaceAll(" ").trim)
-    val len = norm.numChars()
-    if (len < n) {
-      if (len == 0) new GenericArrayData(Array.empty[Any])
-      else new GenericArrayData(Array[Any](norm))
-    } else {
-      val seen = new java.util.LinkedHashSet[UTF8String]()
-      var i = 1
-      while (i <= len - n + 1) {
-        seen.add(norm.substringSQL(i, n))
-        i += 1
-      }
-      val out = new Array[Any](seen.size())
-      val it = seen.iterator()
-      var j = 0
-      while (it.hasNext) { out(j) = it.next(); j += 1 }
-      new GenericArrayData(out)
-    }
+    val grams = CharNgrams.distinctGrams(input.asInstanceOf[UTF8String], n)
+    val out = new Array[Any](grams.size())
+    val it = grams.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -76,6 +62,42 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 object CharNgrams {
   /** Same pattern the composable normalize passes to regexp_replace. */
   private[expressions] val Ws: Pattern = Pattern.compile("\\s+")
+
+  /** Space-only trim — the built-in `trim` (and DuckDB's) strips ' '
+    * only, while Java's String.trim strips every char ≤ U+0020; using
+    * the latter would break bit-parity on control-char input. */
+  private def trimSpaces(s: String): String = {
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s.substring(lo, hi)
+  }
+
+  /** The shared normalize→distinct-n-gram walk of [[CharNgrams]] and
+    * [[NgramHashes]] (single source of truth for the parity-critical
+    * recipe): lowercase via UTF8String.toLowerCase, collapse \s+ runs
+    * to single spaces, space-trim, then all length-n code-point
+    * substrings in first-occurrence order; shorter-than-n text is a
+    * single whole-text gram; empty text yields the empty set. */
+  private[expressions] def distinctGrams(input: UTF8String, n: Int)
+      : java.util.LinkedHashSet[UTF8String] = {
+    val lowered = input.toLowerCase.toString
+    val norm = UTF8String.fromString(
+      trimSpaces(Ws.matcher(lowered).replaceAll(" ")))
+    val len = norm.numChars()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (len < n) {
+      if (len > 0) seen.add(norm)
+    } else {
+      var i = 1
+      while (i <= len - n + 1) {
+        seen.add(norm.substringSQL(i, n))
+        i += 1
+      }
+    }
+    seen
+  }
 }
 
 /** Native distinct character-n-gram 60-bit hash set: the same
@@ -121,26 +143,12 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val norm = UTF8String.fromString(
-      CharNgrams.Ws.matcher(lowered).replaceAll(" ").trim)
-    val len = norm.numChars()
-    if (len < n) {
-      if (len == 0) new GenericArrayData(Array.empty[Long])
-      else new GenericArrayData(Array(hash60(norm)))
-    } else {
-      val seen = new java.util.LinkedHashSet[UTF8String]()
-      var i = 1
-      while (i <= len - n + 1) {
-        seen.add(norm.substringSQL(i, n))
-        i += 1
-      }
-      val out = new Array[Long](seen.size())
-      val it = seen.iterator()
-      var j = 0
-      while (it.hasNext) { out(j) = hash60(it.next()); j += 1 }
-      new GenericArrayData(out)
-    }
+    val grams = CharNgrams.distinctGrams(input.asInstanceOf[UTF8String], n)
+    val out = new Array[Long](grams.size())
+    val it = grams.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = hash60(it.next()); j += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -175,18 +183,18 @@ case class JaccardSim(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
-      case (ArrayType(org.apache.spark.sql.types.LongType, false),
-            ArrayType(org.apache.spark.sql.types.LongType, false)) =>
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"jaccard_sim requires two array<string> or two non-null array<long>, got $l / $r")
+        s"jaccard_sim requires two array<string> or two array<long>, got $l / $r")
     }
 
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "jaccard_sim"
 
-  private val longInputs: Boolean = left.dataType match {
+  private lazy val longInputs: Boolean = left.dataType match {
     case ArrayType(org.apache.spark.sql.types.LongType, _) => true
     case _ => false
   }
@@ -196,10 +204,23 @@ case class JaccardSim(left: Expression, right: Expression)
     else evalStrings(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   /** Sorted-merge set overlap of two long arrays (dedups both sides
-    * while merging). */
+    * while merging); null elements count as one distinct value per
+    * side, like the built-in set ops. */
   private def evalLongs(a: ArrayData, b: ArrayData): Any = {
-    val xs = a.toLongArray()
-    val ys = b.toLongArray()
+    def nonNulls(arr: ArrayData): (Array[Long], Boolean) = {
+      val m = arr.numElements()
+      val out = new Array[Long](m)
+      var k = 0; var hasNull = false
+      var i = 0
+      while (i < m) {
+        if (arr.isNullAt(i)) hasNull = true
+        else { out(k) = arr.getLong(i); k += 1 }
+        i += 1
+      }
+      (java.util.Arrays.copyOf(out, k), hasNull)
+    }
+    val (xs, nullA) = nonNulls(a)
+    val (ys, nullB) = nonNulls(b)
     java.util.Arrays.sort(xs)
     java.util.Arrays.sort(ys)
     var i = 0; var j = 0
@@ -213,8 +234,10 @@ case class JaccardSim(left: Expression, right: Expression)
       if (takeB) { val v = ys(j); distinctB += 1
         while (j < ys.length && ys(j) == v) j += 1 }
     }
-    val union = distinctA + distinctB - common
-    if (union == 0) 0.0 else common.toDouble / union.toDouble
+    val inter = common + (if (nullA && nullB) 1 else 0)
+    val union = distinctA + distinctB - common +
+      (if (nullA || nullB) 1 else 0)
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
   private def evalStrings(a: ArrayData, b: ArrayData): Any = {

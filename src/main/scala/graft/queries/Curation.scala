@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
-import graft.queries.Num._
 
 /** Dataset-curation operators over `documents` — the train-set
   * assembly steps of an LLM data pipeline (no analog in the

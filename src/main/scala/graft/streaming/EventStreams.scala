@@ -69,11 +69,15 @@ object EventStreams {
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double, props: String)
 
-  /** Open-session accumulator kept in the state store (times in epoch
-    * micros — integer state serializes compactly and compares
-    * exactly). */
+  /** Open-session accumulators kept in the state store (times in
+    * epoch micros — integer state serializes compactly and compares
+    * exactly). A LIST of disjoint open sessions, not one: events may
+    * arrive out of order across micro-batches (anywhere above the
+    * watermark), so earlier not-yet-closable sessions must survive
+    * until the watermark proves them over. */
   final case class OpenSession(startUs: Long, lastUs: Long,
       n: Long, sum: Double)
+  final case class OpenSessions(sessions: List[OpenSession])
 
   /** A closed session as emitted downstream. */
   final case class Session(user_id: Long, session_start: Long,
@@ -84,16 +88,18 @@ object EventStreams {
     * variants of (per-session caps, custom close conditions, emitted
     * mid-session markers all hang off this skeleton).
     *
-    * Semantics match [[sessionAggregates]]' gap rule: a session
-    * closes when the next event of the user starts ≥ gap after the
-    * last, or when the watermark passes last + gap (event-time
-    * timeout) with no further events. Emitted times are epoch
-    * SECONDS, the catalog's convention.
+    * Semantics match native session windows: each event is the
+    * interval [t, t+gap); overlapping intervals merge (this handles
+    * out-of-order arrivals — a late event extends a session BACKWARD
+    * or founds its own). A session emits exactly once, when the
+    * watermark passes last + gap — only then can no admissible event
+    * still merge into it. Emitted times are epoch SECONDS, the
+    * catalog's convention.
     *
-    * State per user is ONE OpenSession (bounded: O(users), pruned by
-    * timeout); batches sort their in-batch events per user — Spark
-    * hands the group iterator unordered — so intra-batch gaps close
-    * sessions deterministically.
+    * State per user is the list of open sessions — bounded by the
+    * watermark horizon (all intervals end within gap + delay of the
+    * stream head), pruned at every emission; the event-time timeout
+    * fires at the earliest close among them.
     */
   def statefulSessions(events: DataFrame,
       gapMinutes: Int = 30,
@@ -107,36 +113,39 @@ object EventStreams {
 
     events.withWatermark("ts", watermark).as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          def emit(s: OpenSession): Unit =
-            out += Session(user, s.startUs / 1000000L,
-              s.lastUs / 1000000L, s.n, s.sum)
-          if (!it.hasNext && state.hasTimedOut) {
-            // watermark passed last + gap with no new events: close
-            state.getOption.foreach(emit)
-            state.remove()
-          } else {
-            var cur = state.getOption.orNull
-            it.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
-              val us = toUs(e.ts)
-              cur match {
-                case null =>
-                  cur = OpenSession(us, us, 1L, e.value)
-                case s if us - s.lastUs >= gapUs =>
-                  emit(s)
-                  cur = OpenSession(us, us, 1L, e.value)
-                case s =>
-                  cur = s.copy(lastUs = math.max(s.lastUs, us),
-                    n = s.n + 1, sum = s.sum + e.value)
-              }
+        (user: Long, it: Iterator[Event], state: GroupState[OpenSessions]) =>
+          // 1. fold new events into the interval list (merge-on-overlap)
+          var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+          it.foreach { e =>
+            val us = toUs(e.ts)
+            val (overlapping, disjoint) = sessions.partition(s =>
+              us + gapUs > s.startUs && us < s.lastUs + gapUs)
+            val merged = overlapping.foldLeft(
+              OpenSession(us, us, 1L, e.value)) { (acc, s) =>
+              OpenSession(math.min(acc.startUs, s.startUs),
+                math.max(acc.lastUs, s.lastUs),
+                acc.n + s.n, acc.sum + s.sum)
             }
-            if (cur != null) {
-              state.update(cur)
-              state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000L)
-            }
+            sessions = merged :: disjoint
+          }
+          // 2. emit every session the watermark has proven over
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) =
+            sessions.partition(s => s.lastUs + gapUs <= wmUs)
+          val out = closed.sortBy(_.startUs).map(s =>
+            Session(user, s.startUs / 1000000L, s.lastUs / 1000000L,
+              s.n, s.sum))
+          // 3. keep the rest; wake up at the earliest possible close
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            // µs→ms truncation could land exactly ON the watermark,
+            // which setTimeoutTimestamp rejects; nudge past it
+            state.setTimeoutTimestamp(math.max(
+              (open.map(_.lastUs).min + gapUs) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
           }
           out.iterator
       }

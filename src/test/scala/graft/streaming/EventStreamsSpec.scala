@@ -30,8 +30,11 @@ class EventStreamsSpec extends SparkSpec {
     val flat = Files.createTempDirectory("graft-stream-flat").toString
     val fs = new java.io.File(dir)
     var n = 0
+    // sorted walk: listFiles order is filesystem-dependent, and the
+    // file source's batch order follows mtime-then-path — an unsorted
+    // copy could feed batch1 after batch0's watermark passed it
     def copyAll(d: java.io.File): Unit =
-      d.listFiles().foreach { f =>
+      d.listFiles().sortBy(_.getName).foreach { f =>
         if (f.isDirectory) copyAll(f)
         else if (f.getName.endsWith(".parquet")) {
           Files.copy(f.toPath,

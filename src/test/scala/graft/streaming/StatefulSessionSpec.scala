@@ -5,9 +5,10 @@ import java.sql.Timestamp
 import graft.SparkSpec
 
 /** Custom-state sessionization (`flatMapGroupsWithState`) over a
-  * bounded two-micro-batch stream: sessions closed by an observed gap
-  * must emit with exact stats; still-open sessions must NOT emit
-  * (append mode emits a session only once it is provably over).
+  * bounded four-micro-batch stream: a session emits exactly once —
+  * when the watermark passes last + gap — with exact stats; an
+  * out-of-order (but admissible) event merges BACKWARD into an open
+  * session; still-open sessions never emit.
   */
 class StatefulSessionSpec extends SparkSpec {
   import spark.implicits._
@@ -15,50 +16,56 @@ class StatefulSessionSpec extends SparkSpec {
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
   private def sec(s: String): Long = ts(s).getTime / 1000L
 
+  /** batches written as part0..part3 in order (the file source picks
+    * files by mtime-then-path; explicit ordered copy keeps batch
+    * boundaries deterministic) */
   private lazy val eventsDir: String = {
-    val dir = Files.createTempDirectory("graft-fmgws").toString
-    val batch1 = Seq(
-      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
-      (2L, ts("2024-01-01 10:15:00"), 1L, "view", 2.0, "{}"),
-      (3L, ts("2024-01-01 10:55:00"), 2L, "click", 3.0, "{}"))
-    val batch2 = Seq(
-      (4L, ts("2024-01-01 11:05:00"), 1L, "click", 4.0, "{}"),
-      (5L, ts("2024-01-01 12:30:00"), 1L, "click", 5.0, "{}"),
-      (6L, ts("2024-01-01 12:40:00"), 2L, "view", 6.0, "{}"))
-    Seq(batch1, batch2).zipWithIndex.foreach { case (rows, i) =>
+    val flat = Files.createTempDirectory("graft-fmgws").toString
+    val batches = Seq(
+      Seq((1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 10:15:00"), 1L, "view", 2.0, "{}"),
+        (3L, ts("2024-01-01 10:55:00"), 2L, "click", 3.0, "{}")),
+      Seq((4L, ts("2024-01-01 11:05:00"), 1L, "click", 4.0, "{}"),
+        (5L, ts("2024-01-01 12:30:00"), 1L, "click", 5.0, "{}"),
+        (6L, ts("2024-01-01 12:40:00"), 2L, "view", 6.0, "{}")),
+      // 12:15 arrives AFTER 12:30 was seen (admissible: watermark is
+      // 12:10 here) and must extend that session backward
+      Seq((7L, ts("2024-01-01 12:15:00"), 1L, "click", 7.0, "{}"),
+        (8L, ts("2024-01-01 23:00:00"), 3L, "view", 8.0, "{}")),
+      // watermark driver: pushes wm past every user-1/2 session close
+      Seq((9L, ts("2024-01-01 23:30:00"), 3L, "view", 9.0, "{}")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory(s"graft-fmgws-b$i").toString + "/out"
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(s"$dir/b$i")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(flat, s"part$i.parquet"))
     }
-    val flat = Files.createTempDirectory("graft-fmgws-flat").toString
-    var n = 0
-    def copyAll(d: java.io.File): Unit =
-      d.listFiles().foreach { f =>
-        if (f.isDirectory) copyAll(f)
-        else if (f.getName.endsWith(".parquet")) {
-          Files.copy(f.toPath,
-            java.nio.file.Paths.get(flat, s"part$n.parquet"))
-          n += 1
-        }
-      }
-    copyAll(new java.io.File(dir))
     flat
   }
 
-  test("gap-closed sessions emit exactly once with exact stats") {
+  test("sessions emit once the watermark passes last+gap; late events merge backward") {
     val stream = EventStreams.readEventStream(spark, eventsDir,
       maxFilesPerTrigger = 1)
     EventStreams.runAvailableNow(
-      EventStreams.statefulSessions(stream, gapMinutes = 30).toDF(),
+      EventStreams.statefulSessions(stream, gapMinutes = 30,
+        watermark = "30 minutes").toDF(),
       "fmgws_sessions")
     val got = spark.table("fmgws_sessions").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4))).toSet
-    // user 1: [10:05,10:15] closes at 11:05 (50min gap); [11:05]
-    // closes at 12:30 (85min gap); [12:30,...] still open — not
-    // emitted. user 2: [10:55] closes at 12:40; [12:40,...] open.
     assert(got == Set(
+      // user 1: [10:05,10:15]; [11:05]; late 12:15 merges backward
+      // into [12:30] → [12:15,12:30] n=2 sum=12.0
       (1L, sec("2024-01-01 10:05:00"), sec("2024-01-01 10:15:00"), 2L, 3.0),
       (1L, sec("2024-01-01 11:05:00"), sec("2024-01-01 11:05:00"), 1L, 4.0),
-      (2L, sec("2024-01-01 10:55:00"), sec("2024-01-01 10:55:00"), 1L, 3.0)))
+      (1L, sec("2024-01-01 12:15:00"), sec("2024-01-01 12:30:00"), 2L, 12.0),
+      // user 2: both singleton sessions close by the final watermark
+      (2L, sec("2024-01-01 10:55:00"), sec("2024-01-01 10:55:00"), 1L, 3.0),
+      (2L, sec("2024-01-01 12:40:00"), sec("2024-01-01 12:40:00"), 1L, 6.0)))
+    // user 3's sessions (23:00, 23:30) are never provably over → absent
+    assert(!got.exists(_._1 == 3L))
   }
 }
