@@ -27,7 +27,7 @@ sealed trait DatasetConfig {
 final case class FilesConfig(
     path: String, // path to the metadata table file
     payloads: Seq[PayloadType],
-    format: String = "csv", // csv | parquet
+    format: String = "csv", // csv | parquet | jsonl
 ) extends DatasetConfig
 
 /** Directory of N.csv + N.tar shard pairs

@@ -33,6 +33,10 @@ object DatasetReader {
       case "csv" => spark.read.option("header", "true")
         .option("inferSchema", "true").csv(config.path)
       case "parquet" => spark.read.parquet(config.path)
+      // one JSON object per line — the interchange format most text
+      // corpora ship as; Spark's json source splits and schema-infers
+      // it like any other line-delimited scan
+      case "jsonl" => spark.read.json(config.path)
       case other => throw new IllegalArgumentException(
         s"unsupported metadata format: $other")
     }

@@ -119,6 +119,27 @@ class DatasetIOSpec extends SparkSpec {
     assert(paths.forall(_.startsWith("/")), "paths must be absolute")
   }
 
+  test("readFiles jsonl: line-delimited metadata reads like csv") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("data.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"image_path": "imgs/a.png", "caption": "first one"}
+        |{"image_path": "/abs/b.png", "caption": "second"}
+        |""".stripMargin)
+    val p = DatasetReader.readFiles(spark, graft.core.FilesConfig(
+      f.toString,
+      Seq(graft.core.FilePayload(graft.core.Modality.Image, "image_path"),
+        graft.core.ColumnPayload(graft.core.Modality.Text, "caption")),
+      format = "jsonl"))
+    assert(p.count() == 2)
+    assert(p.columns.take(2) == Seq("image_path", "text"))
+    val rows = p.df.select("image_path", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._2)
+    assert(rows(0)._1 == s"$dir/imgs/a.png") // relative → table dir
+    assert(rows(1)._1 == "/abs/b.png")       // absolute kept
+    assert(rows.map(_._2).toSeq == Seq("first one", "second"))
+  }
+
   test("readShards: split_name + member paths + all rows") {
     val p = DatasetReader.readShards(spark, shardsConfig)
     assert(p.count() == 5)
