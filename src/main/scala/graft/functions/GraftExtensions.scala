@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CharNgrams, CosineSimilarity, DotProduct, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, WordShingles}
+import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, WordShingles}
 
 /** Engine extension wiring: registers graft's native Catalyst
   * expressions with a SparkSession, either through the standard
@@ -73,6 +73,12 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2, "ngram_hashes takes (text, n literal)")
         NgramHashes(args.head, foldableInt(args(1), "ngram_hashes"))
+      }),
+    (FunctionIdentifier("compress_ratio"),
+      new ExpressionInfo(classOf[CompressRatio].getName, "compress_ratio"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "compress_ratio takes exactly 1 argument")
+        CompressRatio(args.head)
       }))
 
   /** Extract an integer from a foldable literal argument. */
@@ -145,4 +151,10 @@ object GraftFunctions {
   def ngramHashes(text: Column, n: Int): Column =
     call_function("ngram_hashes", text,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Deterministic deflate compression ratio (see
+    * [[graft.functions.expressions.CompressRatio]]); spec-verified —
+    * no SQL engine mirrors zlib, so it is not oracle-checked. */
+  def compressRatio(text: Column): Column =
+    call_function("compress_ratio", text)
 }

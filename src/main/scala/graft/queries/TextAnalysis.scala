@@ -225,7 +225,40 @@ object TextAnalysis {
          SELECT unnest($SqlToksLower) AS term FROM documents)
        GROUP BY term ORDER BY n DESC, term LIMIT 20"""
 
+  /** Token-repetition signals per document (the Gopher-style
+    * repetition rules a quality pipeline gates on): distinct-token
+    * ratio and the share of the single most frequent token. Narrow
+    * per-row map; the inner count-per-distinct-token is O(d·n) per
+    * doc, which beats an explode→groupBy→join-back round trip until
+    * vocabularies grow past ~10³ per doc (then the explode shape
+    * takes over — same answer, two shuffles). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(lower(col("text")))
+    val counts = transform(array_distinct(ts),
+      x => size(filter(ts, y => y === x)))
+    Tables.fanOut(t(spark, dir, "documents")).select(
+      col("doc_id"),
+      size(ts).cast("long").as("n_tokens"),
+      r4(when(size(ts) === 0, 0.0)
+        .otherwise(size(array_distinct(ts)).cast("double") /
+          size(ts).cast("double"))).as("distinct_ratio"),
+      r4(when(size(ts) === 0, 0.0)
+        .otherwise(array_max(counts).cast("double") /
+          size(ts).cast("double"))).as("top_token_share"))
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH f AS (SELECT doc_id, $SqlToksLower AS ts FROM documents),
+       c AS (SELECT doc_id, ts,
+         list_transform(list_distinct(ts),
+           x -> length(list_filter(ts, y -> y = x))) AS cnts FROM f)
+       SELECT doc_id, length(ts)::BIGINT AS n_tokens,
+         ${sqlR("CASE WHEN length(ts) = 0 THEN 0.0 ELSE length(list_distinct(ts))::DOUBLE / length(ts) END", 4)} AS distinct_ratio,
+         ${sqlR("CASE WHEN length(ts) = 0 THEN 0.0 ELSE list_max(cnts)::DOUBLE / length(ts) END", 4)} AS top_token_share
+       FROM c"""
+
   val queries: Map[String, Q] = Map(
+    "q_text_repetition" -> (textRepetition _),
     "q_text_wordcount" -> (textWordcount _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
@@ -237,6 +270,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_repetition" -> textRepetitionSql,
     "q_text_wordcount" -> textWordcountSql,
     "q_text_stats" -> textStatsSql,
     "q_text_quality" -> textQualitySql,

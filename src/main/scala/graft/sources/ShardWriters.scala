@@ -108,6 +108,7 @@ object ShardWriters {
     case "parquet" => p.df.write.mode("overwrite").parquet(path)
     case "csv" => p.df.write.mode("overwrite")
       .option("header", "true").csv(path)
+    case "jsonl" => p.df.write.mode("overwrite").json(path)
     case other => throw new IllegalArgumentException(
       s"unsupported metadata format: $other")
   }
