@@ -206,6 +206,36 @@ object Similarity {
        SELECT query_id, rk, vec_id AS neighbor_id, sim FROM r
        WHERE rk <= $IvfTopK"""
 
+  /** Materialize the IVF index as a cluster-partitioned parquet
+    * layout (`dir/cluster=K/…`): the deployment shape of an inverted
+    * file — each posting list is its own partition directory, so a
+    * probe-time search on `cluster = k` PRUNES the scan to that
+    * cluster's files (verified by `IvfIndexSpec` on the physical
+    * plan). At 100 TB the index build is one pass + one partitioned
+    * write; every subsequent query reads |N|/C of the data from disk
+    * instead of scanning the corpus. */
+  def buildIvfIndex(spark: SparkSession, dir: String,
+      outPath: String): Unit =
+    ivfAssign(spark, dir).write.mode("overwrite")
+      .partitionBy("cluster").parquet(outPath)
+
+  /** Probe-1 search against a materialized [[buildIvfIndex]] layout:
+    * the query vector's cluster selects one partition directory; the
+    * scan never opens any other posting list. */
+  def annIvfFromIndex(spark: SparkSession, indexPath: String,
+      queryCluster: Long, qv: Array[Double], topK: Int = IvfTopK)
+      : DataFrame = {
+    GraftFunctions.register(spark)
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("cluster") === queryCluster)
+    idx.withColumn("sim",
+        r6(GraftFunctions.cosineSim(
+          lit(qv).cast("array<double>"), col("v"))))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs via sign-LSH: md5-derived random
     * hyperplanes give every vector a [[LshPlanes]]-bit bucket in one
     * narrow map; pairs are compared only within buckets and verified
