@@ -111,6 +111,8 @@ final case class Processor(df: DataFrame, config: DatasetConfig) {
     val missing = f.requiredColumns.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"${f.name} requires missing columns: ${missing.mkString(",")}")
+    // filters may use graft's native expressions (idempotent, cheap)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     copy(df = f.resultColumns.foldLeft(df) {
       case (d, (n, c)) => d.withColumn(n, c)
     })

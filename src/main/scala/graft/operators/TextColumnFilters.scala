@@ -81,3 +81,28 @@ final case class TextQualityFilter(textColumn: String = "text")
       "quality_score" -> TextFunctions.qualityScore(text))
   }
 }
+
+/** Redundancy column filter: deflate compression ratio plus
+  * repetition signals (distinct-token ratio, top-token share) — the
+  * Gopher-style gates a training pipeline filters on before spending
+  * model compute. Pure column expressions; `compress_ratio` is
+  * graft's native expression (registered by `applyColumnFilter`). */
+final case class RedundancyFilter(textColumn: String = "text")
+    extends ColumnFilter {
+  override def requiredColumns: Seq[String] = Seq(textColumn)
+  override def resultColumns: Seq[(String, Column)] = {
+    val text = col(textColumn)
+    val ts = TextFunctions.tokens(lower(text))
+    val counts = transform(array_distinct(ts),
+      x => size(filter(ts, y => y === x)))
+    Seq(
+      "compress_ratio" ->
+        round(graft.functions.GraftFunctions.compressRatio(text), 4),
+      "distinct_token_ratio" -> when(size(ts) === 0, 0.0)
+        .otherwise(round(size(array_distinct(ts)).cast("double") /
+          size(ts).cast("double"), 4)),
+      "top_token_share" -> when(size(ts) === 0, 0.0)
+        .otherwise(round(array_max(counts).cast("double") /
+          size(ts).cast("double"), 4)))
+  }
+}

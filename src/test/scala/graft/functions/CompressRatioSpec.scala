@@ -27,6 +27,23 @@ class CompressRatioSpec extends SparkSpec {
     assert(rows(4).isNullAt(0))         // null
   }
 
+  test("RedundancyFilter enriches through the Processor pipeline") {
+    val df = Seq((1L, "spam ham " * 50), (2L, "all tokens unique here now"))
+      .toDF("doc_id", "text")
+    val p = graft.sources.DatasetReader.fromDataFrame(df,
+      graft.core.FilesConfig("/unused",
+        Seq(graft.core.ColumnPayload(graft.core.Modality.Text, "text"))))
+      .applyColumnFilter(graft.operators.RedundancyFilter())
+    val rows = p.df.orderBy(col("doc_id"))
+      .select("compress_ratio", "distinct_token_ratio", "top_token_share")
+      .collect()
+    assert(rows(0).getDouble(0) < 0.15)  // repetitive compresses away
+    assert(rows(0).getDouble(1) == 0.02) // 2 distinct / 100 tokens
+    assert(rows(0).getDouble(2) == 0.5)
+    assert(rows(1).getDouble(1) == 1.0)  // all-unique doc
+    assert(rows(1).getDouble(2) == 0.2)
+  }
+
   test("deterministic across invocations and SQL-callable") {
     GraftFunctions.register(spark)
     val a = spark.sql("SELECT compress_ratio('abcabcabcabc')").collect()
