@@ -284,6 +284,29 @@ object TextFunctions {
         i => t.substr(i, lit(n)))))
   }
 
+  /** Distinct-token ratio of the lowercased text (1.0 = no repeated
+    * token; unrounded — callers apply their own rounding policy).
+    * Repetition gate ingredient (with [[topTokenShare]]). */
+  def distinctTokenRatio(text: Column): Column = {
+    val ts = tokens(lower(text))
+    when(size(ts) === 0, 0.0)
+      .otherwise(size(array_distinct(ts)).cast("double") /
+        size(ts).cast("double"))
+  }
+
+  /** Share of the single most frequent token (unrounded). The
+    * per-distinct-token count is O(d·n) per doc — cheaper than an
+    * explode→groupBy→join-back round trip until per-doc vocabularies
+    * pass ~10³ (then the explode shape wins; same answer). */
+  def topTokenShare(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val counts = transform(array_distinct(ts),
+      x => size(filter(ts, y => y === x)))
+    when(size(ts) === 0, 0.0)
+      .otherwise(array_max(counts).cast("double") /
+        size(ts).cast("double"))
+  }
+
   /** Jaccard similarity of two string arrays (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -92,17 +92,14 @@ final case class RedundancyFilter(textColumn: String = "text")
   override def requiredColumns: Seq[String] = Seq(textColumn)
   override def resultColumns: Seq[(String, Column)] = {
     val text = col(textColumn)
-    val ts = TextFunctions.tokens(lower(text))
-    val counts = transform(array_distinct(ts),
-      x => size(filter(ts, y => y === x)))
+    // epsilon-then-round, matching the catalog's Num.r4 policy (the
+    // same ratios feed q_text_repetition's oracle)
+    def r4(c: Column): Column = round(c + lit(1e-9), 4)
     Seq(
       "compress_ratio" ->
-        round(graft.functions.GraftFunctions.compressRatio(text), 4),
-      "distinct_token_ratio" -> when(size(ts) === 0, 0.0)
-        .otherwise(round(size(array_distinct(ts)).cast("double") /
-          size(ts).cast("double"), 4)),
-      "top_token_share" -> when(size(ts) === 0, 0.0)
-        .otherwise(round(array_max(counts).cast("double") /
-          size(ts).cast("double"), 4)))
+        r4(graft.functions.GraftFunctions.compressRatio(text)),
+      "distinct_token_ratio" ->
+        r4(TextFunctions.distinctTokenRatio(text)),
+      "top_token_share" -> r4(TextFunctions.topTokenShare(text)))
   }
 }

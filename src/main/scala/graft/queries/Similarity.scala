@@ -215,20 +215,31 @@ object Similarity {
     * write; every subsequent query reads |N|/C of the data from disk
     * instead of scanning the corpus. */
   def buildIvfIndex(spark: SparkSession, dir: String,
-      outPath: String): Unit =
-    ivfAssign(spark, dir).write.mode("overwrite")
+      outPath: String): Unit = {
+    val assign = ivfAssign(spark, dir)
+    try assign.write.mode("overwrite")
       .partitionBy("cluster").parquet(outPath)
+    // single consumer here — ivfAssign's persist (meant for the
+    // twice-consumed search path) must not outlive the build
+    finally assign.unpersist()
+  }
 
   /** Probe-1 search against a materialized [[buildIvfIndex]] layout:
     * the query vector's cluster selects one partition directory; the
-    * scan never opens any other posting list. */
+    * scan never opens any other posting list. `excludeId` removes the
+    * query vector itself when it is part of the index (the sibling
+    * ANN entry points all self-exclude the same way). */
   def annIvfFromIndex(spark: SparkSession, indexPath: String,
-      queryCluster: Long, qv: Array[Double], topK: Int = IvfTopK)
-      : DataFrame = {
+      queryCluster: Long, qv: Array[Double], topK: Int = IvfTopK,
+      excludeId: Option[Long] = None): DataFrame = {
     GraftFunctions.register(spark)
     val idx = spark.read.parquet(indexPath)
       .filter(col("cluster") === queryCluster)
-    idx.withColumn("sim",
+    val candidates = excludeId match {
+      case Some(id) => idx.filter(col("vec_id") =!= id)
+      case None => idx
+    }
+    candidates.withColumn("sim",
         r6(GraftFunctions.cosineSim(
           lit(qv).cast("array<double>"), col("v"))))
       .orderBy(col("sim").desc, col("vec_id"))

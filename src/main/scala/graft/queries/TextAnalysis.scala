@@ -232,20 +232,12 @@ object TextAnalysis {
     * doc, which beats an explode→groupBy→join-back round trip until
     * vocabularies grow past ~10³ per doc (then the explode shape
     * takes over — same answer, two shuffles). */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val ts = tokens(lower(col("text")))
-    val counts = transform(array_distinct(ts),
-      x => size(filter(ts, y => y === x)))
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(t(spark, dir, "documents")).select(
       col("doc_id"),
-      size(ts).cast("long").as("n_tokens"),
-      r4(when(size(ts) === 0, 0.0)
-        .otherwise(size(array_distinct(ts)).cast("double") /
-          size(ts).cast("double"))).as("distinct_ratio"),
-      r4(when(size(ts) === 0, 0.0)
-        .otherwise(array_max(counts).cast("double") /
-          size(ts).cast("double"))).as("top_token_share"))
-  }
+      tokenCount(lower(col("text"))).cast("long").as("n_tokens"),
+      r4(distinctTokenRatio(col("text"))).as("distinct_ratio"),
+      r4(topTokenShare(col("text"))).as("top_token_share"))
 
   val textRepetitionSql: String =
     s"""WITH f AS (SELECT doc_id, $SqlToksLower AS ts FROM documents),

@@ -108,7 +108,11 @@ object ShardWriters {
     case "parquet" => p.df.write.mode("overwrite").parquet(path)
     case "csv" => p.df.write.mode("overwrite")
       .option("header", "true").csv(path)
-    case "jsonl" => p.df.write.mode("overwrite").json(path)
+    // keep null fields explicit: the default (ignoreNullFields=true)
+    // drops keys for null values and loses all-null columns on
+    // roundtrip, unlike the csv/parquet paths
+    case "jsonl" => p.df.write.mode("overwrite")
+      .option("ignoreNullFields", "false").json(path)
     case other => throw new IllegalArgumentException(
       s"unsupported metadata format: $other")
   }

@@ -16,11 +16,19 @@ import graft.sources.DatasetReader
   */
 class PayloadPlanSpec extends SparkSpec {
 
-  private def shuffleSchemas(plan: SparkPlan): Seq[String] = {
+  /** (binary leaks, exchanges visited). The visited count guards the
+    * guard: AdaptiveSparkPlanExec is a LEAF node (its real plan hangs
+    * off `executedPlan`), so a naive walk sees no exchanges at all
+    * and would pass vacuously. */
+  private def shuffleSchemas(plan: SparkPlan): (Seq[String], Int) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var visited = 0
     def walk(p: SparkPlan): Unit = {
       p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
         case s: ShuffleExchangeLike =>
+          visited += 1
           s.child.output.foreach { a =>
             if (a.dataType == BinaryType)
               out += s"${a.name}: ${a.dataType} in ${s.nodeName}"
@@ -31,7 +39,7 @@ class PayloadPlanSpec extends SparkSpec {
       p.subqueries.foreach(walk)
     }
     walk(plan)
-    out.toSeq
+    (out.toSeq, visited)
   }
 
   test("enrichment + dedup plan carries no BinaryType through any exchange") {
@@ -56,7 +64,9 @@ class PayloadPlanSpec extends SparkSpec {
 
     // force a plan with joins + window over the enriched frame
     val plan = deduped.df.queryExecution.executedPlan
-    val leaks = shuffleSchemas(plan)
+    val (leaks, visited) = shuffleSchemas(plan)
+    assert(visited > 0, "no exchange visited — the walk went vacuous:\n" +
+      plan.treeString.take(1500))
     assert(leaks.isEmpty, s"payload bytes ride a shuffle: $leaks")
     assert(deduped.df.count() == 1) // equal dims → one survivor
   }

@@ -27,7 +27,8 @@ class IvfIndexSpec extends SparkSpec {
     val qCluster = q.getAs[Number](0).longValue()
     val qv = q.getSeq[Double](1).toArray
 
-    val res = Similarity.annIvfFromIndex(spark, idxPath, qCluster, qv)
+    val res = Similarity.annIvfFromIndex(spark, idxPath, qCluster, qv,
+      excludeId = Some(0L))
 
     // plan: the cluster predicate is a partition filter and selects
     // exactly one of the index's partition directories
@@ -40,21 +41,17 @@ class IvfIndexSpec extends SparkSpec {
     assert(selected.length == 1,
       s"expected 1 pruned partition, got ${selected.length}")
 
-    // results: identical to searching the full assignment in memory
+    // results: identical to the INDEPENDENT in-memory IVF search
+    // (annIvf recomputes the assignment from the raw embeddings —
+    // if the partitioned write corrupted or dropped rows, the two
+    // paths diverge here)
     val fromIndex = res.collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val full = spark.read.parquet(idxPath)
-      .filter(col("cluster") === qCluster)
-    graft.functions.GraftFunctions.register(spark)
-    val expected = full
-      .withColumn("sim", Num.r6(graft.functions.GraftFunctions.cosineSim(
-        lit(qv).cast("array<double>"), col("v"))))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(Similarity.IvfTopK)
-      .select(col("vec_id"), col("sim")).collect()
+    val expected = Similarity.annIvf(spark, dir)
+      .filter(col("query_id") === 0)
+      .orderBy(col("rk"))
+      .select(col("neighbor_id"), col("sim")).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(fromIndex == expected)
-    assert(fromIndex.head._1 == 0L && fromIndex.head._2 == 1.0,
-      "the query vector itself must be its own nearest neighbor")
+    assert(fromIndex == expected, s"$fromIndex vs $expected")
   }
 }

@@ -140,6 +140,23 @@ class DatasetIOSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == Seq("first one", "second"))
   }
 
+  test("saveMetadata jsonl roundtrip preserves null fields") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-w")
+    val out = s"$dir/meta"
+    val cfg = graft.core.FilesConfig("/unused",
+      Seq(graft.core.ColumnPayload(graft.core.Modality.Text, "text")))
+    val df = Seq((1L, Some("kept")), (2L, None), (3L, None))
+      .toDF("doc_id", "text")
+    ShardWriters.saveMetadata(
+      DatasetReader.fromDataFrame(df, cfg), out, format = "jsonl")
+    val back = spark.read.json(out)
+    assert(back.columns.toSet == Set("doc_id", "text"),
+      "all-null-in-split column must survive the roundtrip")
+    assert(back.count() == 3)
+    assert(back.filter(col("text").isNull).count() == 2)
+  }
+
   test("readShards: split_name + member paths + all rows") {
     val p = DatasetReader.readShards(spark, shardsConfig)
     assert(p.count() == 5)
