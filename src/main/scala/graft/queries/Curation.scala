@@ -116,13 +116,51 @@ object Curation {
        FROM (${Dedup.dedupMinhashSql})
        WHERE (doc_a % 20 = 0) <> (doc_b % 20 = 0)"""
 
+  /** Per-class deterministic downsampling rates (1-in-N per lang) —
+    * class rebalancing with the same hash-stable property as
+    * [[splitAssign]]: growth never resamples a kept doc away. */
+  val StratifiedRates: Map[String, Int] =
+    Map("en" -> 2, "ru" -> 3, "de" -> 5, "fr" -> 10, "zh" -> 20)
+
+  /** Stratified deterministic sampling: keep doc when
+    * md5-bucket(doc_id) mod rate(lang) = 0 — the per-class rebalance
+    * every mixture-tuned training set applies. Pure per-row map plus
+    * one small audit aggregate; unknown classes keep everything
+    * (rate 1). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = StratifiedRates.foldLeft(lit(1)) {
+      case (c, (l, r)) => when(col("lang") === l, lit(r)).otherwise(c)
+    }
+    t(spark, dir, "documents")
+      .withColumn("rate", rate)
+      .filter(pmod(hash32(col("doc_id").cast("string")), col("rate")) === 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
+  val sampleStratifiedSql: String = {
+    val rateCase = StratifiedRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 1 END")
+    s"""SELECT lang, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM (SELECT lang, n_chars,
+         CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+           % ($rateCase) AS m
+         FROM documents)
+       WHERE m = 0 GROUP BY lang"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_stratified" -> (sampleStratified _),
     "q_split_assign" -> (splitAssign _),
     "q_pack_sequences" -> (packSequences _),
     "q_decontaminate" -> (decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_stratified" -> sampleStratifiedSql,
     "q_split_assign" -> splitAssignSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_decontaminate" -> decontaminateSql,
