@@ -46,6 +46,67 @@ class StatefulSessionSpec extends SparkSpec {
     flat
   }
 
+  /** The strongest sessionization check: the custom-state operator
+    * must reproduce the native session_window batch twin on the REAL
+    * events table (same µs gap semantics: merge while next < last +
+    * gap). A far-future driver event forces the watermark past every
+    * real session so all of them emit. */
+  test("statefulSessions == native session_window batch twin on real events") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val flat = Files.createTempDirectory("graft-fmgws-real").toString
+    // batch 1: the real table converted to µs timestamps (the raw
+    // parquet is TIMESTAMP(NANOS), unreadable through the streaming
+    // TimestampType schema; the batch twin truncates to µs the same
+    // way). batch 2: the watermark driver.
+    val evDir = Files.createTempDirectory("graft-fmgws-ev").toString + "/o"
+    graft.queries.Tables.t(spark, sfDir, "events")
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.parquet(evDir)
+    def copyPart(from: String, name: String): Unit = {
+      val part = new java.io.File(from).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, java.nio.file.Paths.get(flat, name))
+    }
+    copyPart(evDir, "part0.parquet")
+    val driverDir = Files.createTempDirectory("graft-fmgws-drv").toString + "/o"
+    Seq((-1L, ts("2030-01-01 00:00:00"), -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(driverDir)
+    copyPart(driverDir, "part1.parquet")
+
+    val stream = EventStreams.readEventStream(spark, flat,
+      maxFilesPerTrigger = 1)
+    EventStreams.runAvailableNow(
+      EventStreams.statefulSessions(stream, gapMinutes = 30,
+        watermark = "30 minutes").toDF(),
+      "fmgws_real")
+    val got = spark.table("fmgws_real")
+      .filter(col("user_id") >= 0) // drop the driver event's user
+      .select(col("user_id"), col("session_start"),
+        (col("session_end") + graft.queries.TimeSeries.SessionGapSec)
+          .as("session_end_gap"),
+        col("n_events"),
+        round(col("sum_value") + lit(1e-9), 2).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    val expected = graft.queries.TimeSeries
+      .eventsSessionWindow(spark, sfDir)
+      .select(col("user_id"), col("session_start"),
+        col("session_end_gap"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    assert(got.nonEmpty && got == expected,
+      s"sizes: got=${got.size} expected=${expected.size}; " +
+        s"onlyGot=${(got -- expected).take(3)} onlyExp=${(expected -- got).take(3)}")
+  }
+
   test("sessions emit once the watermark passes last+gap; late events merge backward") {
     val stream = EventStreams.readEventStream(spark, eventsDir,
       maxFilesPerTrigger = 1)
