@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, WordShingles}
+import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, WordShingles}
 
 /** Engine extension wiring: registers graft's native Catalyst
   * expressions with a SparkSession, either through the standard
@@ -73,6 +73,12 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2, "ngram_hashes takes (text, n literal)")
         NgramHashes(args.head, foldableInt(args(1), "ngram_hashes"))
+      }),
+    (FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "simhash_bits takes (hashes, bits literal)")
+        SimHashBits(args.head, foldableInt(args(1), "simhash_bits"))
       }),
     (FunctionIdentifier("compress_ratio"),
       new ExpressionInfo(classOf[CompressRatio].getName, "compress_ratio"),
@@ -151,6 +157,13 @@ object GraftFunctions {
   def ngramHashes(text: Column, n: Int): Column =
     call_function("ngram_hashes", text,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Codegen'd SimHash at any width ≤ 63 (see
+    * [[graft.functions.expressions.SimHashBits]]); bit-identical to
+    * [[TextFunctions.simhashOfHashes]] at the same width. */
+  def simhashBits(hashes: Column, bits: Int): Column =
+    call_function("simhash_bits", hashes,
+      org.apache.spark.sql.functions.lit(bits))
 
   /** Deterministic deflate compression ratio (see
     * [[graft.functions.expressions.CompressRatio]]); spec-verified —

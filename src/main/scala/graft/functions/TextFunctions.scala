@@ -250,7 +250,7 @@ object TextFunctions {
     * Materialize [[simhashHashes]] as its own column first so the md5
     * pass over the set runs once, not once per bit. */
   def simhashOfHashes(hashes: Column, bits: Int = 32): Column = {
-    require(bits <= 32, "simhash supports at most 32 bits here")
+    require(bits <= 63, "simhash supports at most 63 bits here")
     val bitCols = (0 until bits).map { b =>
       val mask = 1L << b
       val votes = aggregate(hashes, lit(0L),
@@ -265,6 +265,11 @@ object TextFunctions {
     * [[simhashOfHashes]]. */
   def simhashHashes(items: Column): Column =
     transform(array_distinct(items), h => hash32(h))
+
+  /** 60-bit md5 hash of each distinct item — the wide-sketch input
+    * (every bit of a 60-bit simhash needs feature-hash signal). */
+  def simhashHashes60(items: Column): Column =
+    shingleHashes(array_distinct(items))
 
   /** SimHash over distinct whitespace tokens of the normalized text. */
   def simhash(text: Column, bits: Int = 32): Column =

@@ -43,9 +43,16 @@ object Dedup {
   val Bands = 2
   val RowsPerBand: Int = NumHashes / Bands
   val MinEstJaccard = 0.75 // signature-agreement verify threshold
-  val SimhashBits = 32
-  val SimhashBands = 4 // byte-sized bands → pigeonhole for hamming<=3
-  val MaxHamming = 3
+  // SimHash sizing: band-key space is 2^(bits/bands), and collision
+  // mass grows with N²/2^bandBits — the 32-bit/byte-band config
+  // saturated at the 100× corpus (each band value held ~2k docs →
+  // quadratic candidates, 83 s). 60-bit sketch, 4 × 15-bit bands:
+  // ~32k values per band keeps collisions linear past 10⁶ docs while
+  // the 4-band pigeonhole still guarantees recall at hamming ≤ 3.
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 15
+  val MaxHamming = 3 // tighter in relative terms at 60 bits (≈95%+)
   val MinNgramJaccard = 0.8 // char-4-gram verify threshold
   val NgramN = 4
 
@@ -191,16 +198,19 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.fanOut(t(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
-      .withColumn("hs", simhashHashes(
+      .withColumn("hs", simhashHashes60(
         graft.functions.GraftFunctions.wordShingles(col("text"), ShingleK)))
       .select(col("doc_id"), col("hs"))
-      // native codegen'd sketch: one fused loop instead of 32
-      // interpreted aggregate passes (bit-identical, see SimHash32)
-      .withColumn("sh", graft.functions.GraftFunctions.simhash32(col("hs")))
+      // native codegen'd sketch: one fused loop instead of 60
+      // interpreted aggregate passes (bit-identical, see SimHashBits)
+      .withColumn("sh",
+        graft.functions.GraftFunctions.simhashBits(col("hs"), SimhashBits))
       .drop("hs")
       .persist() // consumed by both band-join branches
+    val bandMask = (1L << SimhashBandBits) - 1L
     val bandKeys = array((0 until SimhashBands).map { b =>
-      shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L)) + lit(b * 256L)
+      shiftright(col("sh"), SimhashBandBits * b).bitwiseAND(lit(bandMask)) +
+        lit(b.toLong * (bandMask + 1L))
     }: _*)
     val banded = docs.withColumn("bk", explode(bandKeys))
     // verify BEFORE the pair-distinct: hamming is a per-row bit op,
@@ -225,11 +235,13 @@ object Dedup {
       val mask = 1L << b
       s"CASE WHEN coalesce(list_sum(list_transform(hs, h -> CASE WHEN (h & $mask) > 0 THEN 1 ELSE -1 END)), 0) > 0 THEN $mask ELSE 0 END"
     }.mkString(" + ")
+    val bandMask = (1L << SimhashBandBits) - 1L
     val bandItems = (0 until SimhashBands)
-      .map(b => s"((sh >> ${8 * b}) & 255) + ${b * 256}").mkString(", ")
+      .map(b => s"((sh >> ${SimhashBandBits * b}) & $bandMask) + ${b * (bandMask + 1L)}")
+      .mkString(", ")
     s"""$SqlShingleCte,
        hsh AS (SELECT doc_id, list_transform(list_distinct(s),
-         x -> CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT)) AS hs
+         x -> CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT)) AS hs
          FROM sh),
        sim AS (SELECT doc_id, ($votes)::BIGINT AS sh FROM hsh),
        banded AS (SELECT doc_id, sh, unnest([$bandItems]) AS bk FROM sim),

@@ -20,6 +20,19 @@ class SimHash32Spec extends SparkSpec {
     r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
   }
 
+  test("native simhash_bits at 60 is bit-identical to the composable formula") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    val docs = Seq.fill(80)(
+      Seq.fill(5 + rnd.nextInt(60))("w" + rnd.nextInt(500)).mkString(" "))
+    val df = docs.toDF("t")
+      .withColumn("hs", simhashHashes60(tokens(col("t"))))
+    val r = df.select(
+      simhashOfHashes(col("hs"), 60).as("hof"),
+      GraftFunctions.simhashBits(col("hs"), 60).as("native")).collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
+  }
+
   test("empty and null inputs") {
     GraftFunctions.register(spark)
     val df = Seq(
