@@ -243,7 +243,7 @@ object TextFunctions {
   def hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
-  /** SimHash over an arbitrary string-set column (`bits` ≤ 32):
+  /** SimHash over an arbitrary string-set column (`bits` ≤ 63):
     * bit_b = 1 iff Σ over items of (+1 if bit_b(hash32(item)) else -1)
     * is > 0. Pass shingles rather than tokens when the vocabulary is
     * small — the feature set must be rich enough to discriminate.
@@ -275,7 +275,7 @@ object TextFunctions {
   def simhash(text: Column, bits: Int = 32): Column =
     simhashOfHashes(simhashHashes(tokens(normalize(text))), bits)
 
-  /** Hamming distance between two simhash longs (≤32 bits). */
+  /** Hamming distance between two simhash longs (any width ≤ 63). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 

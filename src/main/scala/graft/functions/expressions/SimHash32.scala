@@ -25,6 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class SimHash32(child: Expression) extends UnaryExpression {
 
+  // a null ELEMENT yields null even when the array itself is
+  // non-nullable (see the class doc) — without this the codegen
+  // would assign to a constant-false isNull
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

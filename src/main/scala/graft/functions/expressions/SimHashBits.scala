@@ -18,12 +18,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Semantics identical to `TextFunctions.simhashOfHashes(hs, bits)`:
   * bit_b(out) = 1 iff strictly more than half the items have bit b
-  * set. Null array → null; null element → null.
+  * set. Null array → null; null element → null here (the composable
+  * form counts a null element as a −1 vote; hashes from
+  * simhashHashes/simhashHashes60 are never null, so the two agree on
+  * all real inputs — the parity spec pins this).
   */
 case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression {
 
   require(bits > 0 && bits <= 63, "simhash_bits supports 1..63 bits")
+
+  // a null ELEMENT yields null even when the array itself is
+  // non-nullable — without this the codegen would assign to a
+  // constant-false isNull and the interpreted path would break the
+  // declared contract
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

@@ -189,11 +189,12 @@ object Dedup {
          i -> x.sg[i] = y.sg[i]))::DOUBLE / $NumHashes.0 >= $MinEstJaccard"""
 
   /** Spark-side simhash-banded candidate pairs: (doc_a, doc_b, sh_a,
-    * sh_b) for pairs sharing ≥1 of the 4 byte bands. SimHash runs
-    * over distinct word-shingles (a 31-word vocabulary makes
-    * token-set simhash degenerate; the shingle space is rich). The
-    * rows through the band join are (id, long, band) — sketch longs
-    * are cheap enough to ride the shuffle. */
+    * sh_b) for pairs sharing ≥1 of the [[SimhashBands]] 15-bit bands
+    * of the 60-bit sketch. SimHash runs over distinct word-shingles
+    * (a 31-word vocabulary makes token-set simhash degenerate; the
+    * shingle space is rich). The rows through the band join are
+    * (id, long, band) — sketch longs are cheap enough to ride the
+    * shuffle. */
   private def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.fanOut(t(spark, dir, "documents")
@@ -252,9 +253,9 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: hamming distance ≤ [[MaxHamming]]
-    * over banded candidates. 4 byte-bands pigeonhole-guarantee that
-    * every pair within hamming 3 shares a band — the LSH is lossless
-    * at this threshold. */
+    * over banded candidates. The [[SimhashBands]] 15-bit bands
+    * pigeonhole-guarantee that every pair within hamming 3 shares a
+    * band — the LSH is lossless at this threshold. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashCandidates(spark, dir)
 

@@ -89,7 +89,7 @@ class StatefulSessionSpec extends SparkSpec {
         (col("session_end") + graft.queries.TimeSeries.SessionGapSec)
           .as("session_end_gap"),
         col("n_events"),
-        round(col("sum_value") + lit(1e-9), 2).as("s"))
+        graft.queries.Num.r2(col("sum_value")).as("s"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4))).toSet
