@@ -320,7 +320,52 @@ object TimeSeries {
        FROM ev JOIN c ON ev.user_id = c.user_id
        GROUP BY 1, 2"""
 
+  /** Quartile COUNTS via percentile boundaries — the distributed
+    * twin of [[eventsQuartiles]]'s exact ntile: boundaries come from
+    * one aggregate (tiny), then bucketing is a broadcast-joined
+    * per-row map — no single-reducer per-type sort, so this is the
+    * shape that survives when one event_type holds 10¹⁰ rows.
+    * Boundaries are epsilon-rounded before comparison so the bucket
+    * edges agree across engines. Counts differ from ntile's
+    * equal-size quartiles exactly at boundary ties — that is the
+    * documented semantic trade of the scalable form. (The boundary
+    * aggregate uses EXACT percentile for oracle reproducibility —
+    * it buffers per group; at 100 TB swap in approx_percentile,
+    * whose KLL sketch merges map-side, and the bucketing map is
+    * unchanged.) */
+  def eventsValueBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type")).agg(
+      r6(expr("percentile(value, 0.25)")).as("p25"),
+      r6(expr("percentile(value, 0.5)")).as("p50"),
+      r6(expr("percentile(value, 0.75)")).as("p75"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bucket",
+        when(col("value") <= col("p25"), 1)
+          .when(col("value") <= col("p50"), 2)
+          .when(col("value") <= col("p75"), 3)
+          .otherwise(4))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+  }
+
+  val eventsValueBucketsSql: String =
+    s"""WITH b AS (SELECT event_type,
+         ${sqlR("quantile_cont(value, 0.25)", 6)} AS p25,
+         ${sqlR("quantile_cont(value, 0.5)", 6)} AS p50,
+         ${sqlR("quantile_cont(value, 0.75)", 6)} AS p75
+       FROM events GROUP BY event_type)
+       SELECT e.event_type,
+         CASE WHEN e.value <= b.p25 THEN 1
+              WHEN e.value <= b.p50 THEN 2
+              WHEN e.value <= b.p75 THEN 3
+              ELSE 4 END AS bucket,
+         count(*) AS n, ${sqlR("sum(e.value)", 2)} AS sum_value
+       FROM events e JOIN b ON e.event_type = b.event_type
+       GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "q_events_value_buckets" -> (eventsValueBuckets _),
     "q_events_topk_users" -> (eventsTopkUsers _),
     "q_events_asof" -> (eventsAsofAttribution _),
     "q_events_retention" -> (eventsRetention _),
@@ -334,6 +379,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_value_buckets" -> eventsValueBucketsSql,
     "q_events_topk_users" -> eventsTopkUsersSql,
     "q_events_asof" -> eventsAsofSql,
     "q_events_retention" -> eventsRetentionSql,
