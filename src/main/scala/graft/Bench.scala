@@ -35,7 +35,13 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // keep benching the rest, but NEVER silently — a failed
+            // query would otherwise report an absurdly fast time
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1L
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // Queries persist() their reused sketch tables; dropping them
         // between queries keeps storage memory from starving later

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, WordShingles}
+import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, WordShingles}
 
 /** Engine extension wiring: registers graft's native Catalyst
   * expressions with a SparkSession, either through the standard
@@ -79,6 +79,17 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2, "simhash_bits takes (hashes, bits literal)")
         SimHashBits(args.head, foldableInt(args(1), "simhash_bits"))
+      }),
+    (FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName,
+        "hyperplane_buckets"),
+      { args: Seq[Expression] =>
+        require(args.length == 4,
+          "hyperplane_buckets takes (vec, planes, tables, dim literals)")
+        HyperplaneBuckets(args.head,
+          foldableInt(args(1), "hyperplane_buckets"),
+          foldableInt(args(2), "hyperplane_buckets"),
+          foldableInt(args(3), "hyperplane_buckets"))
       }),
     (FunctionIdentifier("compress_ratio"),
       new ExpressionInfo(classOf[CompressRatio].getName, "compress_ratio"),
@@ -164,6 +175,17 @@ object GraftFunctions {
   def simhashBits(hashes: Column, bits: Int): Column =
     call_function("simhash_bits", hashes,
       org.apache.spark.sql.functions.lit(bits))
+
+  /** Multi-table sign-LSH bucket keys in one fused loop (see
+    * [[graft.functions.expressions.HyperplaneBuckets]]);
+    * bit-identical to the composable
+    * [[VectorFunctions.hyperplaneBucket]] per table. */
+  def hyperplaneBuckets(vec: Column, planes: Int, tables: Int,
+      dim: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("hyperplane_buckets", vec, lit(planes), lit(tables),
+      lit(dim))
+  }
 
   /** Deterministic deflate compression ratio (see
     * [[graft.functions.expressions.CompressRatio]]); spec-verified —

@@ -53,13 +53,14 @@ object VectorFunctions {
     * narrow shuffle on an int key), then search within buckets —
     * turning a 100 TB cross join into per-bucket joins.
     */
-  def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int,
+      planeOffset: Int = 0): Column = {
     require(planes <= 16, "at most 16 hyperplanes (bucket id fits an int)")
     val v = d(vec)
     val bitCols = (0 until planes).map { p =>
       // component_{p,i} = (md5_32("p|i") / 2^32) - 0.5  (deterministic)
       val proj = (0 until dim).map { i =>
-        val comp = planeComponent(p, i)
+        val comp = planeComponent(planeOffset + p, i)
         element_at(v, i + 1) * lit(comp)
       }.reduce(_ + _)
       when(proj >= 0.0, lit(1 << p)).otherwise(lit(0))

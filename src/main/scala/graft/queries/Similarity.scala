@@ -35,7 +35,15 @@ object Similarity {
   val TopK = 5
   val NumCentroids = 16 // IVF: centroids = vec_id < 16
   val IvfTopK = 3
-  val LshPlanes = 4 // 16 buckets
+  // Sign-LSH sizing (same rule as the SimHash bands, NOTES.md): the
+  // bucket space 2^planes must scale with the corpus or candidates
+  // grow quadratically — 4 planes (16 buckets) hung at 200k vectors
+  // (~12.5k per bucket → billions of pairs). 16 planes give 65k
+  // buckets per table; multi-probing across [[LshTables]] independent
+  // tables restores the recall that narrower buckets cost
+  // (miss ⇔ the pair splits in EVERY table).
+  val LshPlanes = 16
+  val LshTables = 4
   val MinCosine = 0.4 // near-dup verify threshold
 
   // ---- DuckDB fragments (mirrors of VectorFunctions, index order) ----
@@ -247,24 +255,35 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("sim"))
   }
 
-  /** Embedding near-duplicate pairs via sign-LSH: md5-derived random
-    * hyperplanes give every vector a [[LshPlanes]]-bit bucket in one
-    * narrow map; pairs are compared only within buckets and verified
-    * at cosine ≥ [[MinCosine]]. */
+  /** Embedding near-duplicate pairs via multi-table sign-LSH:
+    * [[LshTables]] independent [[LshPlanes]]-bit bucketings (each an
+    * md5-derived hyperplane family), candidates = pairs sharing a
+    * bucket in ANY table, verified at cosine ≥ [[MinCosine]].
+    * Ids ONLY ride the band join and the pair-distinct (the Dedup
+    * lesson); vectors re-attach to the small candidate set by key
+    * join for the verify. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-      .withColumn("bucket", hyperplaneBucket(col("v"), LshPlanes, Dim))
-      .persist() // bucketed table feeds both self-join branches
-    e.as("a")
-      .join(e.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", r6(GraftFunctions.cosineSim(col("a.v"), col("b.v"))))
+      .persist() // bucket branches + both verify joins
+    // native fused bucketing: the composable form expands to
+    // planes×tables×dim (4096) expression nodes — minutes of
+    // codegen/interpretation at 100× corpus scale
+    val banded = e.withColumn("bk", explode(
+        GraftFunctions.hyperplaneBuckets(col("v"), LshPlanes, LshTables, Dim)))
+      .select(col("vec_id"), col("bk"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("sim", r6(GraftFunctions.cosineSim(col("v_a"), col("v_b"))))
       .filter(col("sim") >= MinCosine)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("sim"))
+      .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
   val embedNearDupSql: String = {
@@ -272,16 +291,22 @@ object Similarity {
     // md5_32("p|{i-1}") / 2^32 - 0.5  — mirrors planeComponent()
     def comp(p: Int) =
       s"(CAST(concat('0x', substring(md5('$p|' || (i - 1)::VARCHAR), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5)"
-    val bucket = (0 until LshPlanes).map { p =>
+    def bucket(table: Int) = (0 until LshPlanes).map { p =>
       s"""CASE WHEN coalesce(list_sum(list_transform(generate_series(1, $Dim),
-            i -> v[i] * ${comp(p)})), 0) >= 0 THEN ${1 << p} ELSE 0 END"""
+            i -> v[i] * ${comp(table * LshPlanes + p)})), 0) >= 0 THEN ${1 << p} ELSE 0 END"""
     }.mkString(" + ")
+    val keys = (0 until LshTables)
+      .map(tb => s"(${bucket(tb)}) + ${tb.toLong * (1L << LshPlanes)}")
+      .mkString(", ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       bk AS (SELECT vec_id, v, ($bucket) AS bucket FROM e),
-       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               ${sqlR(sqlCos("a.v", "b.v"), 6)} AS sim
-             FROM bk a JOIN bk b
-             ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       banded AS (SELECT vec_id, unnest([$keys]) AS bk FROM e),
+       cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM banded a JOIN banded b
+                ON a.bk = b.bk AND a.vec_id < b.vec_id),
+       p AS (SELECT cand.vec_a, cand.vec_b,
+               ${sqlR(sqlCos("x.v", "y.v"), 6)} AS sim
+             FROM cand JOIN e x ON x.vec_id = cand.vec_a
+                       JOIN e y ON y.vec_id = cand.vec_b)
        SELECT vec_a, vec_b, sim FROM p WHERE sim >= $MinCosine"""
   }
 

@@ -7,6 +7,23 @@ import graft.functions.VectorFunctions._
 class VectorFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("native hyperplane_buckets matches the composable per-table buckets") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val vecs = Seq.fill(40)(Seq.fill(dim)(rnd.nextGaussian()))
+    val df = vecs.toDF("v")
+      .withColumn("native",
+        GraftFunctions.hyperplaneBuckets(col("v"), 8, 3, dim))
+      .withColumn("composed", array((0 until 3).map { t =>
+        hyperplaneBucket(col("v"), 8, dim, t * 8).cast("long") +
+          lit(t.toLong * 256L)
+      }: _*))
+    df.select(col("native"), col("composed")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   private val df = Seq(
     (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
     (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
