@@ -35,14 +35,16 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            // keep benching the rest, but NEVER silently — a failed
-            // query would otherwise report an absurdly fast time
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1L
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        // a failed query reports -1 in the JSON (and is excluded from
+        // the total) — otherwise its tiny time-to-failure reads as an
+        // absurdly fast pass in the one artifact the driver consumes
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // Queries persist() their reused sketch tables; dropping them
         // between queries keeps storage memory from starving later
         // queries' execution memory (isolated, stable numbers).
@@ -51,7 +53,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

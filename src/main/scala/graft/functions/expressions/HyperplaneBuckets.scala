@@ -16,12 +16,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * form expands to planes × tables × dim expression nodes (4096 for
   * 16×4×64), which is minutes of codegen/interpretation at corpus
   * scale; this walks the vector once per plane in a JVM loop.
-  * Bit-identical to `hyperplaneBucket(v, planes, dim, t·planes)`
-  * (same component constants, same ≥ 0 sign rule; parity spec).
-  *
-  * Null vector → null; null element → null entry-wise semantics are
-  * not needed (embeddings are non-null arrays); a null element makes
-  * the whole result null for safety.
+  * Bit-identical to `hyperplaneBucket(v, planes, dim, t·planes)` on
+  * WELL-FORMED input — dense, `dim`-length, null-free vectors (the
+  * embedding contract; the parity spec pins exactly that domain).
+  * Malformed input diverges by construction: a short vector computes
+  * a partial dot here while the composable form nulls (or, under
+  * ANSI, errors) on the out-of-range element_at; a null element
+  * nulls the whole result here (the row then drops from banding)
+  * while SQL list ops skip the null product.
   */
 case class HyperplaneBuckets(child: Expression, planes: Int,
     tables: Int, dim: Int) extends UnaryExpression {

@@ -39,12 +39,17 @@ object Similarity {
   // bucket space 2^planes must scale with the corpus or candidates
   // grow quadratically — 4 planes (16 buckets) hung at 200k vectors
   // (~12.5k per bucket → billions of pairs). 16 planes give 65k
-  // buckets per table; multi-probing across [[LshTables]] independent
-  // tables restores the recall that narrower buckets cost
-  // (miss ⇔ the pair splits in EVERY table).
+  // buckets per table; [[LshTables]] independent tables set the
+  // recall CURVE: collision prob per pair is 1-(1-p^16)^4 with
+  // p = 1-θ/π, ≈1 for near-duplicates (cos ≥ ~0.98) and falling
+  // steeply below cos ~0.9 — the standard near-dup trade (recall at
+  // moderate similarity costs quadratic candidates at any scale; if
+  // moderate-similarity pairs are the goal, that is ANN search —
+  // [[annIvf]] — not dedup banding). [[MinCosine]] is the verify
+  // FLOOR on surviving candidates, not a recall target.
   val LshPlanes = 16
   val LshTables = 4
-  val MinCosine = 0.4 // near-dup verify threshold
+  val MinCosine = 0.4 // verify floor (recall is set by the LSH curve)
 
   // ---- DuckDB fragments (mirrors of VectorFunctions, index order) ----
   private def sqlDot(a: String, b: String): String =
