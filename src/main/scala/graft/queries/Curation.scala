@@ -86,7 +86,8 @@ object Curation {
          sum(toks) OVER (PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          FROM d)
-       SELECT source, greatest(cum - 1, 0) // $PackBudget AS pack_id,
+       SELECT source,
+         (greatest(cum - 1, 0) // $PackBudget)::BIGINT AS pack_id,
          count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
        FROM c GROUP BY source, pack_id"""
   }

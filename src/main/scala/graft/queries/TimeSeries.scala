@@ -83,7 +83,8 @@ object TimeSeries {
            (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
        FROM x)
-       SELECT user_id, session_idx, count(*) AS n_events,
+       SELECT user_id, session_idx::BIGINT AS session_idx,
+         count(*) AS n_events,
          ${sqlR("sum(value)", 2)} AS sum_value,
          min(sec) AS session_start, max(sec) AS session_end
        FROM s GROUP BY user_id, session_idx"""

@@ -53,12 +53,20 @@ def run_verify():
 
 
 def norm_val(v):
+    # Type-tagged: the driver hashes values, so a DuckDB HUGEINT that
+    # pandas renders as float64 (e.g. an uncast window sum) must NOT
+    # compare equal to a Spark int64 — Python's 0.0 == 0 would hide it.
     if v is None:
         return None
-    if isinstance(v, float):
+    import numpy as np
+    if isinstance(v, (bool, np.bool_)):  # before int: bool <: int
+        return ("b", bool(v))
+    if isinstance(v, float):  # covers numpy.float64 (subclass)
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return ("f", round(v, 6))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     return v
 
 
