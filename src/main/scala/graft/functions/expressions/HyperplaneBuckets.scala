@@ -19,11 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * Bit-identical to `hyperplaneBucket(v, planes, dim, t·planes)` on
   * WELL-FORMED input — dense, `dim`-length, null-free vectors (the
   * embedding contract; the parity spec pins exactly that domain).
-  * Malformed input diverges by construction: a short vector computes
-  * a partial dot here while the composable form nulls (or, under
-  * ANSI, errors) on the out-of-range element_at; a null element
-  * nulls the whole result here (the row then drops from banding)
-  * while SQL list ops skip the null product.
+  * Malformed input nulls: a vector shorter than `dim` or with a null
+  * element returns null, so the row drops out of banding instead of
+  * landing in a wrong-but-plausible bucket (the composable form also
+  * nulls on the out-of-range element_at; SQL list ops would skip a
+  * null product, which is the one remaining documented divergence).
   */
 case class HyperplaneBuckets(child: Expression, planes: Int,
     tables: Int, dim: Int) extends UnaryExpression {
@@ -53,7 +53,12 @@ case class HyperplaneBuckets(child: Expression, planes: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), dim)
+    // a short vector would compute a partial dot and land in a
+    // wrong-but-plausible bucket; null instead so the malformed
+    // embedding drops out of banding (matches the composable form,
+    // which nulls on the out-of-range element_at)
+    if (arr.numElements() < dim) return null
+    val n = dim
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {

@@ -290,6 +290,10 @@ object Dedup {
     // the corpus) spread across all cores for the n-gram featurize —
     // without it a single-file scan leaves one task doing all of it
     // (observed 140 s at the 10× corpus where every doc is a candidate)
+    // no broadcast hint on candIds: its size is corpus-dependent (the
+    // 10× experiment had EVERY doc as a candidate), so a forced
+    // broadcast can exceed the driver limit on adversarial corpora —
+    // AQE sees the actual size at runtime and broadcasts iff small
     // grams travel as 60-bit HASHES (array<long>), not strings: the
     // verify join copies each pair's two ~300-element feature arrays
     // into its output rows, and a long array is a flat memcpy where a
@@ -297,7 +301,7 @@ object Dedup {
     // → ~4 s on the 10× corpus); the long-long jaccard path then
     // sort-merges primitives with no boxing
     val grams = Tables.fanOut(
-        docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+        docs.join(candIds, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.ngramHashes(col("text"), NgramN)
           .as("gs"))
