@@ -41,20 +41,23 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
           }
-        // a failed query reports -1 in the JSON (and is excluded from
-        // the total) — otherwise its tiny time-to-failure reads as an
-        // absurdly fast pass in the one artifact the driver consumes
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // a failed query is OMITTED from the per-query map (its tiny
+        // time-to-failure would read as an absurdly fast pass) and
+        // listed by name in a separate "failed" array — no sentinel
+        // for downstream consumers to special-case
+        val dt = if (ok) Some((System.nanoTime() - t0) / 1e9) else None
         // Queries persist() their reused sketch tables; dropping them
         // between queries keeps storage memory from starving later
         // queries' execution memory (isolated, stable numbers).
         spark.catalog.clearCache()
         name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,7 +61,12 @@ case class CompressRatio(child: Expression) extends UnaryExpression {
 
 object CompressRatio {
   /** Fixed level ⇒ deterministic output; thread-local reuse avoids
-    * per-row native-resource churn. */
+    * per-row native-resource churn. The Deflater's native zlib buffer
+    * is intentionally never end()ed — it lives for the thread's
+    * lifetime, which on long-lived executor task threads is the right
+    * trade (one ~256 KiB native block per thread vs a malloc/free per
+    * row). Thread-churning hosts would leak; if that ever matters,
+    * wrap in a ThreadLocal subclass whose remove() calls end(). */
   private val deflater: ThreadLocal[Deflater] =
     ThreadLocal.withInitial(() => new Deflater(6))
 }

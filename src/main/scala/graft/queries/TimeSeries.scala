@@ -266,8 +266,12 @@ object TimeSeries {
     * shuffle on user_id and a running ignore-nulls last() over the
     * ordered partition — O(n) per user, no pair blow-up at 100 TB. */
   def eventsAsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    // order on the µs-TRUNCATED ts, not raw nanos: Spark reads ts as a
+    // nano long while the oracle's epoch_us is µs, so two events in the
+    // same microsecond must fall to the event_id tie-break on BOTH
+    // sides or the attributed prior view can flip between engines
     val prior = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(expr("ts div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     t(spark, dir, "events")
       .withColumn("us", expr("ts div 1000"))
@@ -286,7 +290,8 @@ object TimeSeries {
          epoch_us(ts)::BIGINT AS us,
          last_value(CASE WHEN event_type = 'view'
              THEN epoch_us(ts)::BIGINT END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts)::BIGINT, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_us
        FROM events)
        SELECT event_id, user_id, us // 1000000 AS purchase_sec,
