@@ -312,6 +312,27 @@ object TextFunctions {
         size(ts).cast("double"))
   }
 
+  /** Positional word n-grams of the lowercased text: element i spans
+    * tokens [i, i+n). Empty array (not null) when the doc has fewer
+    * than n tokens, so generators drop the row cleanly. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ts = tokens(lower(text))
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
+  }
+
+  /** Occurrence share of the single most frequent element (unrounded;
+    * 0.0 for empty input) — the n-gram generalization of
+    * [[topTokenShare]], same O(d·n) in-row shape and crossover note. */
+  def topItemShare(items: Column): Column = {
+    val counts = transform(array_distinct(items),
+      x => size(filter(items, y => y === x)))
+    when(size(items) === 0, 0.0)
+      .otherwise(array_max(counts).cast("double") /
+        size(items).cast("double"))
+  }
+
   /** Jaccard similarity of two string arrays (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

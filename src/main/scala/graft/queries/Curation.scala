@@ -153,7 +153,64 @@ object Curation {
        WHERE m = 0 GROUP BY lang"""
   }
 
+  /** Corpus-decile quality gate: keep documents whose quality score
+    * reaches the corpus's exact 10th-percentile score; report the
+    * keep audit per source. The naive exact quantile (global sort, or
+    * an ntile window) is a single-reducer trap at corpus scale — here
+    * the r4-rounded score quantizes to ≤ 10⁴ distinct values, so the
+    * plan is two map-side-combined aggregations (score histogram,
+    * per-source audit) plus a cumulative sum over the BOUNDED
+    * histogram: the only serial step is O(10⁴) regardless of corpus
+    * size, and the threshold broadcasts back. Discrete-quantile rank
+    * uses integer math — ceil(N/10) = (N+9) div 10 — so there is no
+    * float boundary for engines to disagree on. */
+  def qualityThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Num._
+    val scored = Tables.fanOut(Tables.t(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        r4(qualityScoreRaw(col("text"))).as("score"))
+      .persist()
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("n"))
+    // one pass over the bounded histogram computes both the running
+    // and the grand total (unbounded frame) — no separate count job
+    val byScore = Window.orderBy(col("score"))
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(
+        byScore.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(
+        byScore.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val thr = cum
+      .filter(col("cum") >= expr("(total + 9) div 10"))
+      .agg(min(col("score")).as("threshold"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy(col("source"), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("source"), col("threshold"), col("n_docs"), col("n_kept"),
+        r4(col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("kept_frac"))
+  }
+
+  val qualityThresholdSql: String = {
+    import graft.queries.Num.sqlR
+    s"""WITH f AS (${TextAnalysis.SqlFeatureSelect}),
+       s AS (SELECT doc_id, source,
+         ${sqlR(TextAnalysis.SqlQualityExpr, 4)} AS score FROM f),
+       h AS (SELECT score, count(*) AS n FROM s GROUP BY score),
+       c AS (SELECT score, sum(n) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+       tot AS (SELECT sum(n) AS total FROM h),
+       t AS (SELECT min(score) AS threshold FROM c, tot
+             WHERE cum >= (total + 9) // 10)
+       SELECT source, threshold, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         ${sqlR("sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4)} AS kept_frac
+       FROM s, t GROUP BY source, threshold"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_quality_threshold" -> (qualityThreshold _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_split_assign" -> (splitAssign _),
     "q_pack_sequences" -> (packSequences _),
@@ -161,6 +218,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quality_threshold" -> qualityThresholdSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_split_assign" -> splitAssignSql,
     "q_pack_sequences" -> packSequencesSql,

@@ -347,7 +347,79 @@ object Dedup {
        FROM x WHERE jac >= $MinNgramJaccard"""
   }
 
+  // ---- corpus-duplicated n-gram coverage (exact-substring signal) ----
+  val CoverN = 5 // word n-gram width for the coverage signal
+  val CoverMinDocs = 2 // "duplicated" = the gram appears in ≥ this many docs
+
+  /** Corpus-duplicated n-gram coverage — the ExactSubstr dedup signal
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499), re-expressed relationally: for each
+    * document, the fraction of token positions covered by at least one
+    * word [[CoverN]]-gram occurring in ≥ [[CoverMinDocs]] distinct
+    * documents — i.e. shared with at least one other document. (The
+    * reference has no analog; its dedup is whole-row
+    * `drop_duplicates`.)
+    *
+    * Scale shape: positional grams ride every shuffle as 60-bit
+    * md5-prefix LONGS (hash-before-shuffle rule, NOTES.md) — the gram
+    * strings never leave the map side. The duplicated-gram set is one
+    * partial-agg'd distinct count over gram hashes; coverage is the
+    * per-doc distinct count of exploded [pos, pos+N) intervals, one
+    * shuffle on doc_id. Everything is groupBy/semi-join on hashed
+    * keys — no pair blow-up, no driver state; linear in corpus token
+    * count. */
+  def dupGramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        size(tokens(lower(col("text")))).cast("long").as("n_tokens"),
+        shingleHashes(wordNgrams(col("text"), CoverN)).as("ghs"))
+      .persist()
+    // (doc_id, pos, gram-hash): pos is the gram's 0-based start token
+    val occ = toks.select(col("doc_id"),
+      posexplode(col("ghs")).as(Seq("pos", "gh")))
+    val dup = occ.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= CoverMinDocs)
+      .select(col("gh"))
+    val covered = occ.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(CoverN - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("covered_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        r4(when(col("n_tokens") === 0, 0.0)
+          .otherwise(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double"))).as("dup_coverage"))
+  }
+
+  val dupGramCoverageSql: String = {
+    import TextAnalysis.SqlToksLower
+    s"""WITH w AS (SELECT doc_id, $SqlToksLower AS ts FROM documents),
+       o AS (SELECT doc_id, ts AS ws,
+         unnest(range(0, greatest(length(ts) - ${CoverN - 1}, 0))) AS i
+       FROM w),
+       g AS (SELECT doc_id, i,
+         CAST(concat('0x', substring(md5(
+           array_to_string(ws[i+1:i+$CoverN], ' ')), 1, 15)) AS BIGINT) AS gh
+       FROM o),
+       d AS (SELECT gh FROM g GROUP BY gh
+             HAVING count(DISTINCT doc_id) >= $CoverMinDocs),
+       cp AS (SELECT doc_id, i + unnest(range(0, $CoverN)) AS p
+              FROM g JOIN d USING (gh)),
+       c AS (SELECT doc_id, count(DISTINCT p)::BIGINT AS covered_tokens
+             FROM cp GROUP BY doc_id),
+       n AS (SELECT doc_id, length(ts)::BIGINT AS n_tokens FROM w)
+       SELECT n.doc_id, n_tokens,
+         coalesce(covered_tokens, 0)::BIGINT AS covered_tokens,
+         ${sqlR("CASE WHEN n_tokens = 0 THEN 0.0 ELSE coalesce(covered_tokens, 0)::DOUBLE / n_tokens END", 4)} AS dup_coverage
+       FROM n LEFT JOIN c USING (doc_id)"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dup_gram_coverage" -> (dupGramCoverage _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
@@ -355,6 +427,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dup_gram_coverage" -> dupGramCoverageSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,

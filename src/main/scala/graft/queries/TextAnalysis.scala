@@ -32,7 +32,7 @@ object TextAnalysis {
   /** whitespace tokens with empties removed (TextFunctions.tokens) */
   private[queries] val SqlToks = s"""list_filter(string_split_regex(text, '[$SqlWsChars]+'), x -> x <> '')"""
   /** lowercased whitespace tokens (tokens(lower(text))) */
-  private val SqlToksLower = s"""list_filter(string_split_regex(lower(text), '[$SqlWsChars]+'), x -> x <> '')"""
+  private[queries] val SqlToksLower = s"""list_filter(string_split_regex(lower(text), '[$SqlWsChars]+'), x -> x <> '')"""
   /** TextFunctions.normalize */
   private[queries] val SqlNorm = s"""trim(regexp_replace(lower(text), '[$SqlWsChars]+', ' ', 'g'))"""
   /** punctRatio numerator helper */
@@ -74,9 +74,9 @@ object TextAnalysis {
   /** Shared feature CTE body (SELECT ... FROM documents) used by the
     * quality and model-score oracles — ONE set of feature formulas to
     * keep in sync with TextFunctions. */
-  private lazy val SqlFeatureSelect: String = {
+  private[queries] lazy val SqlFeatureSelect: String = {
     val stopList = sqlList(EnglishStopwords)
-    s"""SELECT doc_id,
+    s"""SELECT doc_id, source,
          length($SqlToks)::DOUBLE AS ntok,
          CASE WHEN length($SqlToks) = 0 THEN 0.0
            ELSE coalesce(list_sum(list_transform($SqlToks, x -> length(x))), 0)::DOUBLE
@@ -91,13 +91,17 @@ object TextAnalysis {
        FROM documents"""
   }
 
+  /** The quality-score formula over [[SqlFeatureSelect]]'s columns —
+    * shared with the curation threshold oracle. */
+  private[queries] val SqlQualityExpr: String =
+    "(CASE WHEN ntok >= 5 AND ntok <= 5000 THEN 1.0 WHEN ntok = 0 THEN 0.0 ELSE 0.5 END) * 0.3" +
+      " + (1.0 - least(punct * 2.0, 1.0)) * 0.3" +
+      " + (1.0 - upper_r) * 0.2" +
+      " + least(stop_r * 4.0, 1.0) * 0.2"
+
   val textQualitySql: String =
     s"""WITH f AS ($SqlFeatureSelect)
-       SELECT doc_id, ${sqlR(
-      "(CASE WHEN ntok >= 5 AND ntok <= 5000 THEN 1.0 WHEN ntok = 0 THEN 0.0 ELSE 0.5 END) * 0.3" +
-        " + (1.0 - least(punct * 2.0, 1.0)) * 0.3" +
-        " + (1.0 - upper_r) * 0.2" +
-        " + least(stop_r * 4.0, 1.0) * 0.2", 4)} AS quality
+       SELECT doc_id, ${sqlR(SqlQualityExpr, 4)} AS quality
        FROM f"""
 
   /** Heuristic language ID per document (script check then marker-word
@@ -249,7 +253,47 @@ object TextAnalysis {
          ${sqlR("CASE WHEN length(ts) = 0 THEN 0.0 ELSE list_max(cnts)::DOUBLE / length(ts) END", 4)} AS top_token_share
        FROM c"""
 
+  /** Gopher-style n-gram repetition gates (Rae et al.,
+    * arXiv:2112.11446, Table A1: "fraction of characters in the most
+    * common n-gram" family, here as occurrence shares): the share of
+    * the single most frequent word 2-gram and 3-gram per document.
+    * High shares mark boilerplate/templated text that token-level
+    * signals ([[textRepetition]]) miss — a doc can have a healthy
+    * distinct-token ratio while looping one phrase. Same in-row
+    * O(d·n) shape (and explode-crossover note) as textRepetition;
+    * no shuffle, scales linearly. */
+  def textTopgram(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(t(spark, dir, "documents"))
+      .withColumn("g2", wordNgrams(col("text"), 2))
+      .withColumn("g3", wordNgrams(col("text"), 3))
+      .select(col("doc_id"),
+        size(col("g2")).cast("long").as("n_bigrams"),
+        r4(topItemShare(col("g2"))).as("top_bigram_share"),
+        r4(topItemShare(col("g3"))).as("top_trigram_share"))
+
+  val textTopgramSql: String =
+    s"""WITH f AS (SELECT doc_id, $SqlToksLower AS ts FROM documents),
+       g AS (SELECT doc_id,
+         CASE WHEN length(ts) < 2 THEN []::VARCHAR[]
+           ELSE list_transform(range(1, length(ts)),
+             i -> ts[i] || ' ' || ts[i+1]) END AS g2,
+         CASE WHEN length(ts) < 3 THEN []::VARCHAR[]
+           ELSE list_transform(range(1, length(ts) - 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS g3
+       FROM f),
+       c AS (SELECT doc_id, g2, g3,
+         list_transform(list_distinct(g2),
+           x -> length(list_filter(g2, y -> y = x))) AS c2,
+         list_transform(list_distinct(g3),
+           x -> length(list_filter(g3, y -> y = x))) AS c3
+       FROM g)
+       SELECT doc_id, length(g2)::BIGINT AS n_bigrams,
+         ${sqlR("CASE WHEN length(g2) = 0 THEN 0.0 ELSE list_max(c2)::DOUBLE / length(g2) END", 4)} AS top_bigram_share,
+         ${sqlR("CASE WHEN length(g3) = 0 THEN 0.0 ELSE list_max(c3)::DOUBLE / length(g3) END", 4)} AS top_trigram_share
+       FROM c"""
+
   val queries: Map[String, Q] = Map(
+    "q_text_topgram" -> (textTopgram _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_wordcount" -> (textWordcount _),
     "q_text_stats" -> (textStats _),
@@ -262,6 +306,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_topgram" -> textTopgramSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_text_wordcount" -> textWordcountSql,
     "q_text_stats" -> textStatsSql,

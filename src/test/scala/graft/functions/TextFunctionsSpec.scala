@@ -99,4 +99,22 @@ class TextFunctionsSpec extends SparkSpec {
       .select(qualityScore(col("t")).as("q")).collect().map(_.getDouble(0))
     scores.foreach(s => assert(s >= 0.0 && s <= 1.0, s"score $s"))
   }
+
+  test("wordNgrams: positional grams, short docs yield empty array") {
+    def grams(n: Int, text: String): Seq[String] =
+      one(wordNgrams(col("t"), n), text)
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(grams(2, "A b c") == Seq("a b", "b c"))
+    assert(grams(3, "a b c") == Seq("a b c"))
+    assert(grams(4, "a b c").isEmpty)
+    assert(grams(2, "").isEmpty)
+  }
+
+  test("topItemShare: most frequent element's occurrence share") {
+    assert(one(topItemShare(wordNgrams(col("t"), 2)), "x y x y x y")
+      == 3.0 / 5.0) // bigrams: x y, y x, x y, y x, x y
+    assert(one(topItemShare(wordNgrams(col("t"), 2)), "a b c d")
+      == 1.0 / 3.0) // all distinct
+    assert(one(topItemShare(wordNgrams(col("t"), 2)), "a") == 0.0)
+  }
 }
