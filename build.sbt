@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked mains (Bench/Verify) write their stdout UNWRAPPED — the
+// harness parses Bench's one-line JSON from stdout, and sbt's default
+// logger framing ("[info] {...}") breaks that parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
