@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, WordShingles}
+import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, WordGramHashes, WordShingles}
 
 /** Engine extension wiring: registers graft's native Catalyst
   * expressions with a SparkSession, either through the standard
@@ -73,6 +73,14 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2, "ngram_hashes takes (text, n literal)")
         NgramHashes(args.head, foldableInt(args(1), "ngram_hashes"))
+      }),
+    (FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(classOf[WordGramHashes].getName,
+        "word_gram_hashes"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "word_gram_hashes takes (text, n literal)")
+        WordGramHashes(args.head, foldableInt(args(1), "word_gram_hashes"))
       }),
     (FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
@@ -167,6 +175,15 @@ object GraftFunctions {
     * `shingleHashes(charNgrams(text, n))`. */
   def ngramHashes(text: Column, n: Int): Column =
     call_function("ngram_hashes", text,
+      org.apache.spark.sql.functions.lit(n))
+
+  /** Fused lowercase→tokenize→positional-word-n-gram 60-bit hashes
+    * (see [[graft.functions.expressions.WordGramHashes]]);
+    * bit-identical to
+    * `TextFunctions.shingleHashes(TextFunctions.wordNgrams(text, n))`
+    * with array index = gram start position. */
+  def wordGramHashes(text: Column, n: Int): Column =
+    call_function("word_gram_hashes", text,
       org.apache.spark.sql.functions.lit(n))
 
   /** Codegen'd SimHash at any width ≤ 63 (see

@@ -115,4 +115,19 @@ object MinhashSignature {
 
   /** This thread's digest instance (shared across the expressions). */
   private[expressions] def md5Digest: MessageDigest = md5.get()
+
+  /** 60-bit md5-prefix hash of a UTF8String: first 8 digest bytes
+    * big-endian, logically shifted right 4 — equal to parsing the
+    * first 15 hex chars base-16, so any engine with md5 reproduces
+    * the value (the shared base-hash recipe of every sketch here). */
+  private[expressions] def hash60(
+      s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Digest
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var u = 0L
+    var j = 0
+    while (j < 8) { u = (u << 8) | (d(j) & 0xffL); j += 1 }
+    u >>> 4
+  }
 }

@@ -132,22 +132,14 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override def prettyName: String = "ngram_hashes"
 
-  private def hash60(s: UTF8String): Long = {
-    val md = MinhashSignature.md5Digest
-    md.reset()
-    val d = md.digest(s.getBytes)
-    var u = 0L
-    var j = 0
-    while (j < 8) { u = (u << 8) | (d(j) & 0xffL); j += 1 }
-    u >>> 4
-  }
-
   override def nullSafeEval(input: Any): Any = {
     val grams = CharNgrams.distinctGrams(input.asInstanceOf[UTF8String], n)
     val out = new Array[Long](grams.size())
     val it = grams.iterator()
     var j = 0
-    while (it.hasNext) { out(j) = hash60(it.next()); j += 1 }
+    while (it.hasNext) {
+      out(j) = MinhashSignature.hash60(it.next()); j += 1
+    }
     new GenericArrayData(out)
   }
 

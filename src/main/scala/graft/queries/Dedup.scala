@@ -369,10 +369,21 @@ object Dedup {
     * keys — no pair blow-up, no driver state; linear in corpus token
     * count. */
   def dupGramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // token count WITHOUT higher-order functions: split yields one
+    // empty field per whitespace END of the text (leading and, with
+    // Spark's limit=-1, trailing) — subtract those instead of running
+    // the interpreted filter-lambda chain, which cost ~1 ms/doc at
+    // the 100× corpus; identical to size(tokens(text)) on all input
+    val sz = size(split(col("text"), "\\s+"))
+    val nTokens = when(length(col("text")) === 0, lit(0L))
+      .otherwise((sz
+        - when(col("text").rlike("^\\s"), 1).otherwise(0)
+        - when(col("text").rlike("\\s$"), 1).otherwise(0)).cast("long"))
     val toks = Tables.fanOut(t(spark, dir, "documents"))
-      .select(col("doc_id"),
-        size(tokens(lower(col("text")))).cast("long").as("n_tokens"),
-        shingleHashes(wordNgrams(col("text"), CoverN)).as("ghs"))
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        graft.functions.GraftFunctions.wordGramHashes(col("text"), CoverN)
+          .as("ghs"))
       .persist()
     // (doc_id, pos, gram-hash): pos is the gram's 0-based start token
     val occ = toks.select(col("doc_id"),
