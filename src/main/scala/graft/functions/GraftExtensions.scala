@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, WordGramHashes, WordShingles}
+import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
 
 /** Engine extension wiring: registers graft's native Catalyst
   * expressions with a SparkSession, either through the standard
@@ -73,6 +73,12 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2, "ngram_hashes takes (text, n literal)")
         NgramHashes(args.head, foldableInt(args(1), "ngram_hashes"))
+      }),
+    (FunctionIdentifier("text_features"),
+      new ExpressionInfo(classOf[TextFeatures].getName, "text_features"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "text_features takes exactly 1 argument")
+        TextFeatures(args.head)
       }),
     (FunctionIdentifier("word_gram_hashes"),
       new ExpressionInfo(classOf[WordGramHashes].getName,
@@ -176,6 +182,15 @@ object GraftFunctions {
   def ngramHashes(text: Column, n: Int): Column =
     call_function("ngram_hashes", text,
       org.apache.spark.sql.functions.lit(n))
+
+  /** One-pass native text featurizer (see
+    * [[graft.functions.expressions.TextFeatures]]): struct of
+    * (ntok, nsubw, meanlen, punct, upper_r, stop_r), each
+    * bit-identical to its composable [[TextFunctions]] form. Feed the
+    * struct to [[TextFunctions.qualityScoreFromFeatures]] /
+    * [[TextFunctions.modelScoreFromFeatures]]. */
+  def textFeatures(text: Column): Column =
+    call_function("text_features", text)
 
   /** Fused lowercase→tokenize→positional-word-n-gram 60-bit hashes
     * (see [[graft.functions.expressions.WordGramHashes]]);

@@ -93,6 +93,34 @@ object TextFunctions {
     lenOk * 0.3 + punctOk * 0.3 + caseOk * 0.2 + stopOk * 0.2
   }
 
+  /** [[qualityScoreRaw]] over a pre-computed feature struct
+    * ([[graft.functions.GraftFunctions.textFeatures]]): the same
+    * formula tree over the same double values — bit-identical to the
+    * composable form (parity spec) at one featurization pass instead
+    * of four. */
+  def qualityScoreFromFeatures(f: Column): Column = {
+    val nTok    = f.getField("ntok").cast("double")
+    val lenOk   = when(nTok >= 5 && nTok <= 5000, lit(1.0))
+      .otherwise(when(nTok === 0, lit(0.0)).otherwise(lit(0.5)))
+    val punctOk = lit(1.0) - least(f.getField("punct") * 2.0, lit(1.0))
+    val caseOk  = lit(1.0) - f.getField("upper_r")
+    val stopOk  = least(f.getField("stop_r") * 4.0, lit(1.0))
+    lenOk * 0.3 + punctOk * 0.3 + caseOk * 0.2 + stopOk * 0.2
+  }
+
+  /** [[modelScoreRaw]] over a pre-computed feature struct — same
+    * IEEE arithmetic, one featurization pass. */
+  def modelScoreFromFeatures(f: Column,
+      weights: ModelWeights = DefaultModelWeights): Column = {
+    val z = lit(weights.bias) +
+      f.getField("ntok").cast("double") * weights.wTokens +
+      f.getField("meanlen") * weights.wMeanLen +
+      f.getField("punct") * weights.wPunct +
+      f.getField("upper_r") * weights.wUpper +
+      f.getField("stop_r") * weights.wStop
+    (lit(1.0) + z / (lit(1.0) + abs(z))) * 0.5
+  }
+
   /** Linear "model" score over the deterministic text features with
     * an ALGEBRAIC squashing function: s(z) = 0.5·(1 + z/(1+|z|)).
     * This is the model-backed-filter shape (aesthetic/NSFW scoring:

@@ -166,9 +166,12 @@ object Curation {
     * float boundary for engines to disagree on. */
   def qualityThreshold(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.Num._
+    graft.functions.GraftFunctions.register(spark)
     val scored = Tables.fanOut(Tables.t(spark, dir, "documents"))
+      .withColumn("f",
+        graft.functions.GraftFunctions.textFeatures(col("text")))
       .select(col("doc_id"), col("source"),
-        r4(qualityScoreRaw(col("text"))).as("score"))
+        r4(qualityScoreFromFeatures(col("f"))).as("score"))
       .persist()
     val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("n"))
     // one pass over the bounded histogram computes both the running

@@ -45,14 +45,18 @@ object TextAnalysis {
 
   /** Per-document token statistics (the token-counting / length half
     * of quality scoring). Pure project — reads (doc_id, text) only. */
-  def textStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(t(spark, dir, "documents")).select(
-      col("doc_id"),
-      tokenCount(col("text")).cast("long").as("n_tokens"),
-      subwordCount(col("text")).cast("long").as("n_subwords"),
-      r4(meanTokenLength(col("text"))).as("mean_tok_len"),
-      r4(punctRatio(col("text"))).as("punct_ratio"),
-      r4(upperRatio(col("text"))).as("upper_ratio"))
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.fanOut(t(spark, dir, "documents"))
+      .withColumn("f", graft.functions.GraftFunctions.textFeatures(col("text")))
+      .select(
+        col("doc_id"),
+        col("f.ntok").as("n_tokens"),
+        col("f.nsubw").as("n_subwords"),
+        r4(col("f.meanlen")).as("mean_tok_len"),
+        r4(col("f.punct")).as("punct_ratio"),
+        r4(col("f.upper_r")).as("upper_ratio"))
+  }
 
   val textStatsSql: String =
     s"""WITH f AS (SELECT doc_id, text, $SqlToks AS ts FROM documents)
@@ -67,9 +71,13 @@ object TextAnalysis {
        FROM f"""
 
   /** Composite quality score per document. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
-      col("doc_id"), r4(qualityScoreRaw(col("text"))).as("quality"))
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.fanOut(t(spark, dir, "documents"))
+      .withColumn("f", graft.functions.GraftFunctions.textFeatures(col("text")))
+      .select(col("doc_id"),
+        r4(qualityScoreFromFeatures(col("f"))).as("quality"))
+  }
 
   /** Shared feature CTE body (SELECT ... FROM documents) used by the
     * quality and model-score oracles — ONE set of feature formulas to
@@ -153,9 +161,13 @@ object TextAnalysis {
   /** Model-backed scoring shape (featurize → linear head → algebraic
     * squash) — see TextFunctions.modelScoreRaw for why the squash is
     * z/(1+|z|) and not a libm exp. */
-  def textModelScore(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
-      col("doc_id"), r4(modelScoreRaw(col("text"))).as("model_score"))
+  def textModelScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.fanOut(t(spark, dir, "documents"))
+      .withColumn("f", graft.functions.GraftFunctions.textFeatures(col("text")))
+      .select(col("doc_id"),
+        r4(modelScoreFromFeatures(col("f"))).as("model_score"))
+  }
 
   val textModelScoreSql: String = {
     val w = DefaultModelWeights
