@@ -173,25 +173,11 @@ object Curation {
       .select(col("doc_id"), col("source"),
         r4(qualityScoreFromFeatures(col("f"))).as("score"))
       .persist()
-    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("n"))
-    // one pass over the bounded histogram computes both the running
-    // and the grand total (unbounded frame) — no separate count job
-    val byScore = Window.orderBy(col("score"))
-    val cum = hist
-      .withColumn("cum", sum(col("n")).over(
-        byScore.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("n")).over(
-        byScore.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val thr = cum
-      .filter(col("cum") >= expr("(total + 9) div 10"))
-      .agg(min(col("score")).as("threshold"))
-    scored.crossJoin(broadcast(thr))
-      .groupBy(col("source"), col("threshold"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
-          .as("n_kept"))
-      .select(col("source"), col("threshold"), col("n_docs"), col("n_kept"),
-        r4(col("n_kept").cast("double") / col("n_docs").cast("double"))
+    graft.operators.Quantiles
+      .keepAboveQuantile(scored, "score", "source", 1, 10)
+      .select(col("source"), col("threshold"),
+        col("n_rows").as("n_docs"), col("n_kept"),
+        r4(col("n_kept").cast("double") / col("n_rows").cast("double"))
           .as("kept_frac"))
   }
 
