@@ -299,6 +299,68 @@ object TimeSeries {
          (us - view_us) // 1000000 AS gap_sec
        FROM x WHERE event_type = 'purchase'"""
 
+  /** The reusable [[graft.operators.AsofJoin]] operator through the
+    * oracle gate, checked against DuckDB's NATIVE `ASOF LEFT JOIN` —
+    * purchases paired with the latest strictly-prior view, carrying
+    * the view's id and time. Views are pre-aggregated to one row per
+    * (user, µs) so the as-of winner is unique on every engine (a
+    * same-instant tie has no defined winner in either). Both sides
+    * pass µs-truncated times explicitly — the operator never sees
+    * sub-µs nanos, so the engines order identically. */
+  def eventsAsofJoinOp(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").withColumn("us", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("view_us"), col("event_id"))
+      .groupBy(col("user_id"), col("view_us"))
+      .agg(max(col("event_id")).as("view_id"))
+    graft.operators.AsofJoin
+      .asofJoin(purchases, views, Seq("user_id"),
+        leftTime = "us", rightTime = "view_us",
+        payload = Seq("view_id", "view_us"), strict = true)
+      .select(col("event_id"), col("user_id"),
+        col("us").as("purchase_us"), col("view_id"), col("view_us"),
+        (col("us") - col("view_us")).as("gap_us"))
+  }
+
+  val eventsAsofJoinOpSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+         epoch_us(ts)::BIGINT AS us FROM events),
+       p AS (SELECT event_id, user_id, us FROM e
+             WHERE event_type = 'purchase'),
+       v AS (SELECT user_id, us AS view_us, max(event_id) AS view_id
+             FROM e WHERE event_type = 'view' GROUP BY user_id, us)
+       SELECT p.event_id, p.user_id, p.us AS purchase_us,
+         v.view_id, v.view_us, p.us - v.view_us AS gap_us
+       FROM p ASOF LEFT JOIN v
+         ON p.user_id = v.user_id AND v.view_us < p.us"""
+
+  /** The reusable [[graft.operators.Quantiles]] operator through the
+    * oracle gate: exact deciles/quartiles/median of the r2-rounded
+    * event value — the bounded-histogram plan (the r2 quantization
+    * caps the histogram, the cumulative sum is the only serial step)
+    * against a DuckDB mirror of the same integer-rank definition. */
+  def eventsValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val v = t(spark, dir, "events").select(r2(col("value")).as("v"))
+    graft.operators.Quantiles.exactQuantiles(v, "v",
+      Seq((1, 10), (1, 4), (1, 2), (3, 4), (9, 10)))
+  }
+
+  val eventsValueQuantilesSql: String = {
+    val per = Seq((1, 10), (1, 4), (1, 2), (3, 4), (9, 10)).map {
+      case (n, d) =>
+        s"""SELECT $n AS q_num, $d AS q_den, min(v) AS value FROM c
+           WHERE cum >= (total * $n + ${d - 1}) // $d"""
+    }
+    s"""WITH s AS (SELECT ${sqlR("value", 2)} AS v FROM events),
+       h AS (SELECT v, count(*) AS n FROM s GROUP BY v),
+       c AS (SELECT v, sum(n) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER () AS total FROM h)
+       ${per.mkString("\n UNION ALL ")}"""
+  }
+
   /** Cohort retention: users grouped by first-seen day, distinct
     * actives per (cohort, day-offset). The cohort table is one row per
     * user (tiny next to the event log) — Catalyst/AQE broadcasts it
@@ -371,6 +433,8 @@ object TimeSeries {
        GROUP BY 1, 2"""
 
   val queries: Map[String, Q] = Map(
+    "q_asof_join" -> (eventsAsofJoinOp _),
+    "q_value_quantiles" -> (eventsValueQuantiles _),
     "q_events_value_buckets" -> (eventsValueBuckets _),
     "q_events_topk_users" -> (eventsTopkUsers _),
     "q_events_asof" -> (eventsAsofAttribution _),
@@ -385,6 +449,8 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" -> eventsAsofJoinOpSql,
+    "q_value_quantiles" -> eventsValueQuantilesSql,
     "q_events_value_buckets" -> eventsValueBucketsSql,
     "q_events_topk_users" -> eventsTopkUsersSql,
     "q_events_asof" -> eventsAsofSql,
