@@ -44,14 +44,21 @@ object Quantiles {
       .withColumn("total", sum(col("n")).over(
         byV.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-    // ceil(q·N) in integer math: (N·num + den − 1) div den
-    val perQ: Seq[DataFrame] = qs.map { case (num, den) =>
-      cum.filter(col("cum") >=
-          expr(s"(total * $num + ${den - 1}) div $den"))
-        .agg(lit(num).as("q_num"), lit(den).as("q_den"),
-          min(col("v")).as("value"))
+    // ceil(q·N) in integer math: (N·num + den − 1) div den. ALL
+    // quantiles resolve in ONE pass over the histogram — a branch per
+    // quantile would re-aggregate the full input per q (a 5-quantile
+    // request cost 5 scans before this); a conditional min per q over
+    // the shared cumsum costs one.
+    val aggCols = qs.map { case (num, den) =>
+      min(when(col("cum") >=
+          expr(s"(total * $num + ${den - 1}) div $den"), col("v")))
+        .as(s"v_${num}_$den")
     }
-    perQ.reduce(_ unionByName _)
+    val one = cum.agg(aggCols.head, aggCols.tail: _*)
+    val stackExpr = s"stack(${qs.length}, " + qs.map { case (n, d) =>
+      s"$n, $d, v_${n}_$d"
+    }.mkString(", ") + ") as (q_num, q_den, value)"
+    one.select(expr(stackExpr))
   }
 
   /** The threshold form: keep-mass audit against the q-quantile —
