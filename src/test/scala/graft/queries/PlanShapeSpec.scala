@@ -69,4 +69,24 @@ class PlanShapeSpec extends SparkSpec {
     // pruned read schema: no column beyond the 6 referenced ones
     assert(!p.contains("l_comment"), p.take(1500))
   }
+
+  test("q_dup_gram_coverage prunes the scan and hashes before shuffling") {
+    val df = Dedup.dupGramCoverage(spark, dir)
+    val p = plan(df)
+    // documents scan reads only (doc_id, text) — no lang/source/n_chars
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(2000))
+    // the gram STRINGS never ride an exchange: everything after the
+    // fan-out shuffles gram HASHES (word_gram_hashes output) or ids
+    assert(p.contains("word_gram_hashes"), p.take(2000))
+    df.sparkSession.catalog.clearCache()
+  }
+
+  test("q_value_quantiles answers every quantile from one aggregation") {
+    val p = plan(TimeSeries.eventsValueQuantiles(spark, dir))
+    // one full-data shuffle (the histogram groupBy); the quantile
+    // resolution adds no further hashpartitioning exchange
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p.take(2000))
+    assert(countIn(p, "Window") <= 2, p.take(2000))
+  }
 }
