@@ -197,6 +197,66 @@ object EventStreams {
         sink(result.processor, batchId)
     }
 
+  /** One ingest batch of incremental near-dup: drop documents whose
+    * MinHash LSH band set collides with the accumulated corpus band
+    * store, then append the SURVIVORS' bands — the streaming twin of
+    * `Curation.decontaminate` (there eval is the fixed corpus; here
+    * the corpus is everything admitted so far).
+    *
+    * State is a parquet BAND STORE (distinct band keys), not executor
+    * memory: restarts resume from the store, the store is itself
+    * queryable, and its size is corpus-bands (≲ `bands` rows per
+    * admitted doc), not corpus-text. Per batch the plan is two
+    * hash-joins keyed on short band strings — batch-bands ⋉ store to
+    * find collisions, batch ⋉̸ collided-ids to admit — both
+    * broadcastable while the batch is small, shuffled when it is not
+    * (AQE decides).
+    *
+    * Recall is governed by the banding parameters exactly as in
+    * [[graft.queries.Dedup]] (defaults match its 16-hash, 2×8
+    * configuration; the Dedup specs pin the recall behavior). Docs
+    * admitted WITHIN one batch are not checked against each other —
+    * run a batch dedup first if intra-batch duplicates matter;
+    * from the next batch on they block their near-dups either way. */
+  def dedupBatchAgainstStore(batch: DataFrame, bandStoreDir: String,
+      numHashes: Int = 16, bands: Int = 2, rowsPerBand: Int = 8,
+      shingleK: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.{minhashBands, minhashSignature}
+    val spark = batch.sparkSession
+    val docBands = batch.select(col("doc_id"),
+      explode(minhashBands(
+        minhashSignature(col("text"), numHashes, shingleK),
+        bands, rowsPerBand)).as("band"))
+      .persist()
+    val storePath = new org.apache.hadoop.fs.Path(bandStoreDir)
+    val fs = storePath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val store =
+      if (fs.exists(storePath)) spark.read.parquet(bandStoreDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("band", StringType))))
+    val dupIds = docBands.join(store, Seq("band"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val admitted = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    docBands.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("band")).distinct()
+      .write.mode("append").parquet(bandStoreDir)
+    docBands.unpersist()
+    admitted
+  }
+
+  /** [[dedupBatchAgainstStore]] per micro-batch over a document
+    * stream — incremental corpus construction with near-dup
+    * admission control. */
+  def incrementalNearDup(docStream: DataFrame, bandStoreDir: String)(
+      sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        sink(dedupBatchAgainstStore(batch, bandStoreDir), batchId)
+    }
+
   /** Continuous writer to parquet with checkpointing — the production
     * sink shape (exactly-once per file-sink semantics). */
   def parquetSink(stream: DataFrame, outDir: String,
