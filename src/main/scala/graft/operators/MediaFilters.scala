@@ -148,6 +148,73 @@ final case class PHashFilter(hashSize: Int = 8,
   }
 }
 
+/** Model-backed image scoring — the contract of the reference's
+  * aesthetic / NSFW filter family (DPF/filters/images/
+  * aesthetic_improved_filter.py:71-110, nsfw_filter.py:45-90:
+  * decode → featurize → linear head → score column, batched), with a
+  * DETERMINISTIC stand-in for the network so the operator is testable
+  * without model weights: pixel statistics (mean luminance, contrast,
+  * colorfulness, log-resolution) through a fixed linear head and the
+  * algebraic squash s(z) = 0.5·(1 + z/(1+|z|)) — the same
+  * featurize→head→squash shape as `TextFunctions.modelScoreRaw`, and
+  * exact IEEE arithmetic end to end (no libm exp). Production swaps
+  * an ONNX session behind this same `DataFilter` trait; the batching,
+  * null-on-undecodable semantics, and 1:1 merge are what this class
+  * pins. */
+final case class ImageScoreFilter(override val batchSize: Int = 64)
+    extends DataFilter {
+  override val modalities = Seq(Modality.Image)
+  override val resultSchema = StructType(Seq(
+    StructField("image_score", DoubleType)))
+
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+    batch.map { in =>
+      in.payloads.get(Modality.Image.name) match {
+        case None => Some(Seq(null))
+        case Some(bytes) =>
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) Some(Seq(null))
+            else Some(Seq(score(img)))
+          } catch { case _: Exception => Some(Seq(null)) }
+      }
+    }
+
+  /** One pass over the pixels: E[luma], E[luma²] (contrast via the
+    * variance), mean |r−g| + |g−b| (colorfulness proxy). */
+  private[operators] def score(img: BufferedImage): Double = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sumL = 0.0
+    var sumL2 = 0.0
+    var sumC = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sumL += l
+        sumL2 += l * l
+        sumC += math.abs(r - g) + math.abs(g - b)
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val meanL = sumL / n / 255.0
+    val contrast = math.sqrt(math.max(sumL2 / n - (sumL / n) * (sumL / n),
+      0.0)) / 255.0
+    val color = sumC / n / 510.0
+    val logRes = math.log1p(n) / 20.0
+    val z = -1.0 + 1.5 * meanL + 4.0 * contrast + 2.0 * color + 1.0 * logRes
+    (1.0 + z / (1.0 + math.abs(z))) * 0.5
+  }
+}
+
 /** Audio structural probe via javax.sound (WAV/AIFF/AU in a stock
   * JVM) — contract of the reference's AudioInfoFilter
   * (DPF/filters/audios/info_filter.py:21-43): duration = frames /
