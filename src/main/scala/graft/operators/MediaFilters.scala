@@ -276,7 +276,10 @@ final case class VideoInfoFilter(override val batchSize: Int = 64)
     batch.map { in =>
       in.payloads.get(Modality.Video.name) match {
         case None => Some(Seq(false, null, null, null, null, "payload missing"))
-        case Some(bytes) => Some(probeAvi(bytes))
+        case Some(bytes) =>
+          if (bytes.length >= 12 && fourcc(bytes, 4) == "ftyp")
+            Some(probeMp4(bytes))
+          else Some(probeAvi(bytes))
       }
     }
 
@@ -286,6 +289,114 @@ final case class VideoInfoFilter(override val batchSize: Int = 64)
 
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** Per-trak accumulator for the MP4 box walk. */
+  private final class Trak {
+    var w: Int = -1
+    var h: Int = -1
+    var video = false
+    var timescale: Long = -1
+    var dur: Long = -1
+    var samples: Long = -1
+  }
+
+  /** Minimal ISO-BMFF (MP4/MOV) box walk — pure byte parsing, no
+    * codec needed for STRUCTURAL info (the reference gets the same
+    * fields from ffprobe): width/height from the first video trak's
+    * `tkhd` (16.16 fixed), duration from `mvhd`
+    * (duration/timescale), fps from the video trak's `stts` sample
+    * count over its `mdhd` media duration. Handles version-0 and
+    * version-1 headers and 64-bit box sizes. */
+  private[graft] def probeMp4(b: Array[Byte]): Seq[Any] = {
+    try {
+      var movTimescale = -1L
+      var movDuration = -1L
+      var best: Trak = null
+      def walk(start: Int, end: Int, trak: Trak): Unit = {
+        var o = start
+        var continue = true
+        while (continue && o + 8 <= end) {
+          var size = be32(b, o)
+          val typ = fourcc(b, o + 4)
+          var body = o + 8
+          if (size == 1 && o + 16 <= end) {
+            size = be64(b, o + 8); body = o + 16
+          } else if (size == 0) size = end - o
+          if (size < 8 || o + size > end) continue = false
+          else {
+            val bEnd = (o + size).toInt
+            typ match {
+              case "moov" | "mdia" | "minf" | "stbl" =>
+                walk(body, bEnd, trak)
+              case "trak" =>
+                val t = new Trak
+                walk(body, bEnd, t)
+                if (t.video && best == null) best = t
+              case "mvhd" if body + 24 <= bEnd =>
+                if ((b(body) & 0xff) == 1) {
+                  movTimescale = be32(b, body + 20)
+                  movDuration = be64(b, body + 24)
+                } else {
+                  movTimescale = be32(b, body + 12)
+                  movDuration = be32(b, body + 16)
+                }
+              case "tkhd" if trak != null =>
+                val off = if ((b(body) & 0xff) == 1) 88 else 76
+                if (body + off + 8 <= bEnd) {
+                  trak.w = (be32(b, body + off) >> 16).toInt
+                  trak.h = (be32(b, body + off + 4) >> 16).toInt
+                }
+              case "mdhd" if trak != null && body + 24 <= bEnd =>
+                if ((b(body) & 0xff) == 1) {
+                  trak.timescale = be32(b, body + 20)
+                  trak.dur = be64(b, body + 24)
+                } else {
+                  trak.timescale = be32(b, body + 12)
+                  trak.dur = be32(b, body + 16)
+                }
+              case "hdlr" if trak != null && body + 12 <= bEnd =>
+                if (fourcc(b, body + 8) == "vide") trak.video = true
+              case "stts" if trak != null && body + 8 <= bEnd =>
+                val n = be32(b, body + 4).toInt
+                var s = 0L
+                var i = 0
+                while (i < n && body + 8 + 8 * i + 8 <= bEnd) {
+                  s += be32(b, body + 8 + 8 * i); i += 1
+                }
+                trak.samples = s
+              case _ =>
+            }
+            o = (o + size).toInt
+          }
+        }
+      }
+      walk(0, b.length, null)
+      if (best == null || best.w < 0)
+        Seq(false, null, null, null, null, "no video trak")
+      else {
+        val duration: Any =
+          if (movTimescale > 0 && movDuration >= 0)
+            movDuration.toDouble / movTimescale
+          else if (best.timescale > 0 && best.dur >= 0)
+            best.dur.toDouble / best.timescale
+          else null
+        val fps: Any =
+          if (best.samples > 0 && best.timescale > 0 && best.dur > 0)
+            best.samples.toDouble / (best.dur.toDouble / best.timescale)
+          else null
+        Seq(true, best.w, best.h, fps, duration, null)
+      }
+    } catch {
+      case e: Exception => Seq(false, null, null, null, null, e.toString)
+    }
+  }
 
   /** Minimal RIFF walk: find `avih` (frame count, width, height) and
     * the first `vids` `strh` (dwRate/dwScale → fps). */

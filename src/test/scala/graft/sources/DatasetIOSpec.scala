@@ -402,6 +402,44 @@ class DatasetIOSpec extends SparkSpec {
     assert(bad.head == false)
   }
 
+  test("VideoInfoFilter parses a minimal MP4 box tree") {
+    // hand-built ISO-BMFF: mvhd 5 s movie, one video trak 640x360,
+    // mdhd timescale 600 dur 3000 (5 s), stts 150 samples -> 30 fps
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(body.length + 8) ++ typ.getBytes("US-ASCII") ++ body
+    }
+    val ftyp = box("ftyp", "isom".getBytes, be32(0), "isom".getBytes)
+    val mvhd = box("mvhd", new Array[Byte](12), // v0 + creation + mod
+      be32(1000), be32(5000), new Array[Byte](80))
+    val tkhd = box("tkhd", new Array[Byte](76),
+      be32(640L << 16), be32(360L << 16))
+    val mdhd = box("mdhd", new Array[Byte](12),
+      be32(600), be32(3000), be32(0))
+    val hdlr = box("hdlr", new Array[Byte](8), "vide".getBytes,
+      new Array[Byte](12))
+    val stts = box("stts", be32(0), be32(1), be32(150), be32(20))
+    val stbl = box("stbl", stts)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    val mp4 = ftyp ++ moov
+    val res = VideoInfoFilter().processBatch(Seq(FilterInput("k",
+      Map(Modality.Video.name -> mp4), Map.empty))).head.get
+    assert(res == Seq(true, 640, 360, 30.0, 5.0, null), res)
+    // audio-only mp4 (no vide handler) is not a video
+    val soun = box("moov", mvhd, box("trak", tkhd,
+      box("mdia", mdhd, box("hdlr", new Array[Byte](8),
+        "soun".getBytes, new Array[Byte](12)))))
+    val bad = VideoInfoFilter().processBatch(Seq(FilterInput("k",
+      Map(Modality.Video.name -> (ftyp ++ soun)), Map.empty))).head.get
+    assert(bad.head == false && bad.last == "no video trak", bad)
+  }
+
   test("AudioInfoFilter probes a generated WAV") {
     import javax.sound.sampled._
     val fmt = new AudioFormat(16000f, 16, 1, true, false)
