@@ -53,6 +53,29 @@ class TextPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: word_gram_hashes and text_features match composable on messy unicode") {
+    GraftFunctions.register(spark)
+    val docs = Seq.fill(150)(messyDoc()) :+ "" :+ "\t\n " :+ "один два три"
+    val df = docs.toDF("t")
+      .withColumn("nw", GraftFunctions.wordGramHashes(col("t"), 3))
+      .withColumn("cw", shingleHashes(wordNgrams(col("t"), 3)))
+      .withColumn("f", GraftFunctions.textFeatures(col("t")))
+      .withColumn("q1", qualityScoreFromFeatures(col("f")))
+      .withColumn("q2", qualityScoreRaw(col("t")))
+      .withColumn("m1", modelScoreFromFeatures(col("f")))
+      .withColumn("m2", modelScoreRaw(col("t")))
+    val rows = df.select(col("nw"), col("cw"), col("q1"), col("q2"),
+      col("m1"), col("m2"), col("t")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"word_gram_hashes on '${r.getString(6).take(40)}'")
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"quality on '${r.getString(6).take(40)}'")
+      assert(r.getDouble(4) == r.getDouble(5),
+        s"model on '${r.getString(6).take(40)}'")
+    }
+  }
+
   test("property: shingle count is max(1, n-k+1) for non-empty docs") {
     val docs = Seq.fill(100)(randDoc())
     val rows = docs.toDF("t").select(
