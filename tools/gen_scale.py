@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Synthesize the training-pipeline tables (documents / events /
+embeddings) at an arbitrary multiple of sf0.1, structurally matching
+TESTDATA.md: 31-word vocabulary documents with a controlled near-dup
+replica rate, zipf-ish event users over a 30-day window (TIMESTAMP_NS),
+and 16-cluster 64-dim embeddings. Fully hash-deterministic — no RNG —
+so corpora regenerate bit-identically after /tmp is wiped.
+
+Usage: gen_scale.py OUTDIR MULT   (MULT=1000 -> 5M docs, 100M events,
+2M vectors; relational tables are NOT generated — the 100x relational
+results already pin those families).
+"""
+import sys
+
+import duckdb
+
+VOCAB = ("key agg row scan slow fast table value part hash merge batch "
+         "spark the line sort window join shard byte page cache disk "
+         "node task stage plan query index block codec").split()
+assert len(VOCAB) == 31
+
+def main(out: str, mult: int) -> None:
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 16")
+    vocab_sql = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+
+    n_docs = 5_000 * mult
+    # 10% of docs replicate the doc 5 ids earlier (same hash source =>
+    # identical base text): half as near-dups (one appended word), half
+    # as exact duplicates
+    con.execute(f"""
+      COPY (
+        WITH s AS (
+          SELECT r AS doc_id,
+                 CASE WHEN r % 10 = 9 THEN r - 5 ELSE r END AS src,
+                 {vocab_sql} AS vocab
+          FROM range({n_docs}) t(r)),
+        d AS (
+          SELECT doc_id,
+            array_to_string(list_transform(
+              range(CAST(20 + hash(src * 31 + 17) % 40 AS BIGINT)),
+              p -> vocab[CAST(1 + hash(src * 131071 + p) % 31 AS BIGINT)]), ' ')
+            || CASE WHEN doc_id % 20 = 9 THEN ' extra' ELSE '' END AS text,
+            ['en','de','fr','es','ru'][CAST(1 + hash(src + 7) % 5 AS BIGINT)] AS lang,
+            's' || (doc_id % 7) AS source
+          FROM s)
+        SELECT doc_id, text, lang, source, length(text)::BIGINT AS n_chars
+        FROM d
+      ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    print(f"documents: {n_docs}")
+
+    n_events = 100_000 * mult
+    n_users = 1_500 * mult
+    # duckdb 1.0's parquet writer downcasts TIMESTAMP_NS to micros, so
+    # ts leaves duckdb as raw epoch NANOS (BIGINT) and pyarrow applies
+    # the zero-copy int64 -> timestamp[ns] cast on the way out — the
+    # driver's events.parquet is TIMESTAMP(NANOS) and Tables.t reads
+    # it via nanosAsLong, so the unit must survive.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    res = con.execute(f"""
+        WITH e AS (SELECT r AS event_id,
+            CAST(hash(r * 13 + 5) % 1000000 AS BIGINT) / 1000000.0 AS u,
+            CAST(hash(r * 29 + 11) % 4611686018427387904 AS BIGINT) AS h2,
+            CAST(hash(r * 43 + 23) % 4611686018427387904 AS BIGINT) AS h3
+          FROM range({n_events}) t(r))
+        SELECT event_id,
+          1704067200000000000 + (h2 % 2592000) * 1000000000
+            + (h3 % 1000000000) AS ts,
+          CAST(u * u * u * {n_users} AS BIGINT) AS user_id,
+          ['view','click','purchase','signup','error']
+            [CAST(1 + hash(event_id * 3 + 1) % 5 AS BIGINT)] AS event_type,
+          (h3 % 10000) / 100.0 AS value,
+          '{{"k": ' || (h2 % 100) || '}}' AS props
+        FROM e""")
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("ns")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())])
+    writer = pq.ParquetWriter(f"{out}/events.parquet", schema)
+    reader = res.fetch_record_batch(4_000_000)
+    for b in reader:
+        writer.write_batch(pa.record_batch(
+            [b.column(0), b.column(1).cast(pa.timestamp("ns")),
+             b.column(2), b.column(3), b.column(4), b.column(5)],
+            schema=schema))
+    writer.close()
+    print(f"events: {n_events}, users~{n_users}")
+
+    n_vecs = 2_000 * mult
+    con.execute(f"""
+      COPY (
+        SELECT r AS vec_id,
+          list_transform(range(64), i ->
+            CAST((CAST(hash(CAST(hash(r * 7 + 3) % 16 AS BIGINT) * 64 + i) % 2000 AS BIGINT)
+                    / 1000.0 - 1.0)
+                 + (CAST(hash(r * 6151 + i) % 600 AS BIGINT) / 1000.0 - 0.3)
+              AS FLOAT)) AS embedding,
+          CAST(hash(r * 7 + 3) % 16 AS INTEGER) AS label
+        FROM range({n_vecs}) t(r)
+      ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    print(f"embeddings: {n_vecs}")
+
+if __name__ == "__main__":
+    import os
+    out, mult = sys.argv[1], int(sys.argv[2])
+    os.makedirs(out, exist_ok=True)
+    main(out, mult)
