@@ -3,8 +3,9 @@
 embeddings) at an arbitrary multiple of sf0.1, structurally matching
 TESTDATA.md: 31-word vocabulary documents with a controlled near-dup
 replica rate, zipf-ish event users over a 30-day window (TIMESTAMP_NS),
-and 16-cluster 64-dim embeddings. Fully hash-deterministic — no RNG —
-so corpora regenerate bit-identically after /tmp is wiped.
+and i.i.d. 64-dim embeddings with a near-duplicate replica tail.
+Fully hash-deterministic — no RNG — so corpora regenerate
+bit-identically after /tmp is wiped.
 
 Usage: gen_scale.py OUTDIR MULT   (MULT=1000 -> 5M docs, 100M events,
 2M vectors; relational tables are NOT generated — the 100x relational
@@ -88,16 +89,25 @@ def main(out: str, mult: int) -> None:
     print(f"events: {n_events}, users~{n_users}")
 
     n_vecs = 2_000 * mult
+    # matches the measured structure of the driver's embeddings: i.i.d.
+    # uniform vectors (pairwise cosine ~ 0 — labels carry NO cosine
+    # cluster, so sign-LSH buckets stay balanced) plus a 0.5% tail of
+    # explicit near-duplicate replicas (tiny perturbation of an
+    # earlier vector) for the near-dup family to find
     con.execute(f"""
       COPY (
-        SELECT r AS vec_id,
+        WITH s AS (SELECT r AS vec_id,
+            CASE WHEN r % 200 = 199 THEN r - 100 ELSE r END AS src,
+            CASE WHEN r % 200 = 199 THEN 1 ELSE 0 END AS rep
+          FROM range({n_vecs}) t(r))
+        SELECT vec_id,
           list_transform(range(64), i ->
-            CAST((CAST(hash(CAST(hash(r * 7 + 3) % 16 AS BIGINT) * 64 + i) % 2000 AS BIGINT)
-                    / 1000.0 - 1.0)
-                 + (CAST(hash(r * 6151 + i) % 600 AS BIGINT) / 1000.0 - 0.3)
+            CAST((CAST(hash(src * 8191 + i) % 2000 AS BIGINT) / 1000.0 - 1.0)
+                 + rep * (CAST(hash(vec_id * 524287 + i) % 100 AS BIGINT)
+                          / 1000.0 - 0.05)
               AS FLOAT)) AS embedding,
-          CAST(hash(r * 7 + 3) % 16 AS INTEGER) AS label
-        FROM range({n_vecs}) t(r)
+          CAST(hash(src * 11 + 1) % 16 AS INTEGER) AS label
+        FROM s
       ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
     print(f"embeddings: {n_vecs}")
 
