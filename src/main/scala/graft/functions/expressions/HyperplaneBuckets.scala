@@ -28,7 +28,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class HyperplaneBuckets(child: Expression, planes: Int,
     tables: Int, dim: Int) extends UnaryExpression {
 
-  require(planes > 0 && planes <= 16, "1..16 planes per table")
+  // bucket-space sizing rule (NOTES.md): 2^planes must scale with the
+  // corpus, so wide corpora need wide buckets — 30 planes (2^30
+  // buckets) covers ~10^9 vectors; tables·2^planes stays < 2^36,
+  // far inside the long key space
+  require(planes > 0 && planes <= 30, "1..30 planes per table")
   require(tables > 0 && tables <= 64, "1..64 tables")
 
   override def nullable: Boolean = true

@@ -267,7 +267,20 @@ object Similarity {
     * Ids ONLY ride the band join and the pair-distinct (the Dedup
     * lesson); vectors re-attach to the small candidate set by key
     * join for the verify. */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupAt(spark, dir, LshPlanes, LshTables)
+
+  /** [[embedNearDup]] with explicit LSH sizing — the knob the
+    * bucket-space rule turns: 2^planes must scale with the corpus
+    * (16 planes flooded at 2M vectors: ~30 vectors/bucket × 4 tables
+    * ≈ 10⁸ candidate pairs whose verify join shuffled the full
+    * vectors — 38 GB of spill before ENOSPC), and since per-table
+    * recall falls as planes grow, tables must grow WITH planes to
+    * hold the recall curve (the [[WidePlanes]]×[[WideTables]]
+    * configuration keeps ≈98% recall at cosine 0.98 while cutting
+    * candidates ~30×). */
+  def embedNearDupAt(spark: SparkSession, dir: String,
+      planes: Int, tables: Int): DataFrame = {
     GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
@@ -276,7 +289,7 @@ object Similarity {
     // planes×tables×dim (4096) expression nodes — minutes of
     // codegen/interpretation at 100× corpus scale
     val banded = e.withColumn("bk", explode(
-        GraftFunctions.hyperplaneBuckets(col("v"), LshPlanes, LshTables, Dim)))
+        GraftFunctions.hyperplaneBuckets(col("v"), planes, tables, Dim)))
       .select(col("vec_id"), col("bk"))
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -291,17 +304,36 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
-  val embedNearDupSql: String = {
+  /** Corpus-scaled LSH sizing for the wide twin: 2^22 buckets covers
+    * millions of vectors (log2(2M) ≈ 21 + margin), 16 tables restore
+    * the recall the narrower buckets cost. */
+  val WidePlanes = 22
+  val WideTables = 16
+
+  /** The bucket-space rule as a catalog entry: same operator, sized
+    * for a corpus 1000× the test scale — correctness pinned by the
+    * same oracle construction at sf0.01, runtime pinned by the 1000×
+    * stress run (the 16×4 sizing DIED there; this one completes).
+    * At sf0.01 this legitimately returns ZERO rows (oracle agrees):
+    * the test corpus's most similar pair is only cosine ~0.51, far
+    * below the sign-LSH recall curve — the narrow 16×4 config caught
+    * it only through a lucky bucket collision. True near-duplicates
+    * (cosine ≥ ~0.98, e.g. the 1000× corpus's replica tail) are what
+    * this sizing recalls at ≈98%. */
+  def embedNearDupWide(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupAt(spark, dir, WidePlanes, WideTables)
+
+  private def embedNearDupSqlAt(planes: Int, tables: Int): String = {
     // plane p component for dim i (1-based i in SQL):
     // md5_32("p|{i-1}") / 2^32 - 0.5  — mirrors planeComponent()
     def comp(p: Int) =
       s"(CAST(concat('0x', substring(md5('$p|' || (i - 1)::VARCHAR), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5)"
-    def bucket(table: Int) = (0 until LshPlanes).map { p =>
+    def bucket(table: Int) = (0 until planes).map { p =>
       s"""CASE WHEN coalesce(list_sum(list_transform(generate_series(1, $Dim),
-            i -> v[i] * ${comp(table * LshPlanes + p)})), 0) >= 0 THEN ${1 << p} ELSE 0 END"""
+            i -> v[i] * ${comp(table * planes + p)})), 0) >= 0 THEN ${1L << p} ELSE 0 END"""
     }.mkString(" + ")
-    val keys = (0 until LshTables)
-      .map(tb => s"(${bucket(tb)}) + ${tb.toLong * (1L << LshPlanes)}")
+    val keys = (0 until tables)
+      .map(tb => s"(${bucket(tb)}) + ${tb.toLong * (1L << planes)}")
       .mkString(", ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        banded AS (SELECT vec_id, unnest([$keys]) AS bk FROM e),
@@ -315,12 +347,17 @@ object Similarity {
        SELECT vec_a, vec_b, sim FROM p WHERE sim >= $MinCosine"""
   }
 
+  val embedNearDupSql: String = embedNearDupSqlAt(LshPlanes, LshTables)
+  val embedNearDupWideSql: String =
+    embedNearDupSqlAt(WidePlanes, WideTables)
+
   val queries: Map[String, Q] = Map(
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe2" -> (annIvfProbe2 _),
     "q_ivf_sizes" -> (ivfSizes _),
     "q_embed_neardup" -> (embedNearDup _),
+    "q_embed_neardup_wide" -> (embedNearDupWide _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,5 +366,6 @@ object Similarity {
     "q_ann_ivf_probe2" -> annIvfProbe2Sql,
     "q_ivf_sizes" -> ivfSizesSql,
     "q_embed_neardup" -> embedNearDupSql,
+    "q_embed_neardup_wide" -> embedNearDupWideSql,
   )
 }

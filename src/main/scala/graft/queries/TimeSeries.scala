@@ -368,14 +368,22 @@ object TimeSeries {
     * final aggregate. Day index = epoch days (integer division of the
     * ns timestamp; no float time math). */
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+    // distinct (user, day) FIRST: retention only consumes user-days,
+    // so the raw event mass (events/user/day can be huge) collapses
+    // map-side before anything joins — at the 1000× log this cut the
+    // join input from 100M events to ~30M user-days AND turns the
+    // final distinct-count into a plain count (pairs are unique by
+    // construction, so no expand in the last aggregate)
+    val ud = t(spark, dir, "events")
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))
-    val cohorts = ev.groupBy(col("user_id"))
+      .distinct()
+      .persist()
+    val cohorts = ud.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
-    ev.join(cohorts, Seq("user_id"))
+    ud.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_day"),
         (col("day") - col("cohort_day")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   val eventsRetentionSql: String =
