@@ -310,6 +310,27 @@ object Similarity {
   val WidePlanes = 22
   val WideTables = 16
 
+  /** Sign-LSH sizing from corpus size and a recall target: planes so
+    * the bucket space exceeds the corpus (expected bucket occupancy
+    * < 1 ⇒ candidate pairs stay ~linear), then enough tables that a
+    * pair at `minCosine` collides somewhere with probability ≥
+    * `recall` — per-plane agreement is p = 1 − acos(cos θ)/π, per
+    * table p^planes, so tables = ⌈ln(1−recall)/ln(1−p^planes)⌉.
+    * The planes↑ ⇒ tables↑ coupling is the fundamental sign-LSH
+    * trade; this helper is the sizing rule (NOTES.md) as code. */
+  def lshSizing(corpusSize: Long, minCosine: Double = 0.98,
+      recall: Double = 0.95): (Int, Int) = {
+    require(corpusSize > 0 && minCosine > 0 && minCosine < 1)
+    require(recall > 0 && recall < 1)
+    val planes = math.min(30, math.max(16,
+      64 - java.lang.Long.numberOfLeadingZeros(corpusSize - 1) + 1))
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    val perTable = math.pow(p, planes)
+    val tables = math.min(64, math.max(1,
+      math.ceil(math.log1p(-recall) / math.log1p(-perTable)).toInt))
+    (planes, tables)
+  }
+
   /** The bucket-space rule as a catalog entry: same operator, sized
     * for a corpus 1000× the test scale — correctness pinned by the
     * same oracle construction at sf0.01, runtime pinned by the 1000×
