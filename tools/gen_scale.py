@@ -7,9 +7,10 @@ and i.i.d. 64-dim embeddings with a near-duplicate replica tail.
 Fully hash-deterministic — no RNG — so corpora regenerate
 bit-identically after /tmp is wiped.
 
-Usage: gen_scale.py OUTDIR MULT   (MULT=1000 -> 5M docs, 100M events,
-2M vectors; relational tables are NOT generated — the 100x relational
-results already pin those families).
+Usage: gen_scale.py OUTDIR MULT [--relational]   (MULT=1000 -> 5M
+docs, 100M events, 2M vectors; --relational also synthesizes the
+TPC-H-ish tables at MULT x sf0.1 cardinalities — 600k·MULT lineitem —
+mirroring TESTDATA.md's schemas, value domains, and FK structure).
 """
 import sys
 
@@ -111,8 +112,85 @@ def main(out: str, mult: int) -> None:
       ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
     print(f"embeddings: {n_vecs}")
 
+def relational(out: str, mult: int) -> None:
+    """TPC-H-ish tables at MULT x sf0.1: same schemas, value domains,
+    and FK shape as the driver's testdata (fixed dims, ~4 lineitems
+    per order, dates 1995-2001)."""
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    n_cust = 15_000 * mult
+    n_supp = 1_000 * mult
+    n_part = 20_000 * mult
+    n_ord = 150_000 * mult
+    n_li = 600_000 * mult
+    con.execute(f"""COPY (SELECT r::INTEGER AS r_regionkey,
+        ['AFRICA','AMERICA','ASIA','EUROPE','MIDDLE EAST'][r + 1] AS r_name
+      FROM range(5) t(r)) TO '{out}/region.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT r::INTEGER AS n_nationkey,
+        'NATION_' || r AS n_name, (r % 5)::INTEGER AS n_regionkey
+      FROM range(25) t(r)) TO '{out}/nation.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT r AS c_custkey,
+        'Customer#' || r AS c_name,
+        CAST(hash(r * 3 + 1) % 25 AS INTEGER) AS c_nationkey,
+        round(CAST(hash(r * 5 + 2) % 1100000 AS BIGINT) / 100.0 - 1000, 2)
+          AS c_acctbal,
+        ['AUTOMOBILE','FURNITURE','HOUSEHOLD','MACHINERY','BUILDING']
+          [CAST(1 + hash(r * 7 + 3) % 5 AS BIGINT)] AS c_mktsegment
+      FROM range({n_cust}) t(r)) TO '{out}/customer.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT r AS s_suppkey,
+        'Supplier#' || r AS s_name,
+        CAST(hash(r * 3 + 4) % 25 AS INTEGER) AS s_nationkey,
+        round(CAST(hash(r * 5 + 5) % 1100000 AS BIGINT) / 100.0 - 1000, 2)
+          AS s_acctbal
+      FROM range({n_supp}) t(r)) TO '{out}/supplier.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT r AS p_partkey,
+        'part_' || r AS p_name,
+        'Brand#' || (1 + CAST(hash(r * 3 + 6) % 5 AS BIGINT)) ||
+          (1 + CAST(hash(r * 5 + 7) % 5 AS BIGINT)) AS p_brand,
+        ['STANDARD','SMALL','MEDIUM','LARGE','ECONOMY','PROMO']
+            [CAST(1 + hash(r * 7 + 8) % 6 AS BIGINT)] || ' ' ||
+          ['ANODIZED','BURNISHED','PLATED','POLISHED','BRUSHED']
+            [CAST(1 + hash(r * 11 + 9) % 5 AS BIGINT)] || ' ' ||
+          ['TIN','NICKEL','BRASS','STEEL','COPPER']
+            [CAST(1 + hash(r * 13 + 10) % 5 AS BIGINT)] AS p_type,
+        CAST(1 + hash(r * 17 + 11) % 50 AS INTEGER) AS p_size,
+        round(900 + CAST(hash(r * 19 + 12) % 110000 AS BIGINT) / 100.0, 2)
+          AS p_retailprice
+      FROM range({n_part}) t(r)) TO '{out}/part.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT r AS o_orderkey,
+        CAST(hash(r * 3 + 13) % {n_cust} AS BIGINT) AS o_custkey,
+        ['P','O','F'][CAST(1 + hash(r * 5 + 14) % 3 AS BIGINT)]
+          AS o_orderstatus,
+        round(1000 + CAST(hash(r * 7 + 15) % 49900000 AS BIGINT) / 100.0, 2)
+          AS o_totalprice,
+        TIMESTAMP '1995-01-01' + INTERVAL
+          (CAST(hash(r * 11 + 16) % 2400 AS BIGINT)) DAY AS o_orderdate,
+        ['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']
+          [CAST(1 + hash(r * 13 + 17) % 5 AS BIGINT)] AS o_orderpriority
+      FROM range({n_ord}) t(r)) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT
+        CAST(hash(r * 3 + 18) % {n_ord} AS BIGINT) AS l_orderkey,
+        CAST(hash(r * 5 + 19) % {n_part} AS BIGINT) AS l_partkey,
+        CAST(hash(r * 7 + 20) % {n_supp} AS BIGINT) AS l_suppkey,
+        CAST(1 + hash(r * 11 + 21) % 7 AS INTEGER) AS l_linenumber,
+        (1 + CAST(hash(r * 13 + 22) % 50 AS BIGINT))::DOUBLE AS l_quantity,
+        round(900 + CAST(hash(r * 17 + 23) % 10410000 AS BIGINT) / 100.0, 2)
+          AS l_extendedprice,
+        (CAST(hash(r * 19 + 24) % 11 AS BIGINT) / 100.0) AS l_discount,
+        (CAST(hash(r * 23 + 25) % 9 AS BIGINT) / 100.0) AS l_tax,
+        ['A','N','R'][CAST(1 + hash(r * 29 + 26) % 3 AS BIGINT)]
+          AS l_returnflag,
+        ['O','F'][CAST(1 + hash(r * 31 + 27) % 2 AS BIGINT)] AS l_linestatus,
+        TIMESTAMP '1995-01-02' + INTERVAL
+          (CAST(hash(r * 37 + 28) % 2490 AS BIGINT)) DAY AS l_shipdate
+      FROM range({n_li}) t(r)) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+    print(f"relational: lineitem {n_li}, orders {n_ord}, "
+          f"customer {n_cust}, supplier {n_supp}, part {n_part}")
+
 if __name__ == "__main__":
     import os
     out, mult = sys.argv[1], int(sys.argv[2])
     os.makedirs(out, exist_ok=True)
     main(out, mult)
+    if "--relational" in sys.argv[3:]:
+        relational(out, mult)
