@@ -1,9 +1,9 @@
 package graft.sources.tar
 
-import java.io.ByteArrayOutputStream
+import java.io.IOException
+import java.nio.charset.StandardCharsets
 import java.util
-import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -17,16 +17,35 @@ import graft.operators.SerializableHadoopConf
 
 /** DataSourceV2 reader for tar shard archives:
   * `spark.read.format("tar").load(dir)` yields one row per archive
-  * member — (archive, member, size, content) — with one input
-  * partition per tar file (a tar has no index, so the natural split
-  * is the archive: each task streams one archive once, the same
-  * shard-at-a-time discipline as the reference's IterableDataset,
-  * DPF/dataloaders/shards_dataset.py:86-131).
+  * member — (archive, member, size, content).
+  *
+  * Partition planning is two-tier:
+  *   - archives at or below `splitBytes` (default 128 MiB) get one
+  *     input partition each — the shard-at-a-time discipline of the
+  *     reference's IterableDataset (DPF/dataloaders/shards_dataset.py
+  *     :86-131);
+  *   - larger archives are split into byte ranges of ~`splitBytes`,
+  *     so ONE huge archive parallelizes across the cluster instead of
+  *     serializing on a single task. Tar has no central index, so a
+  *     range reader re-synchronizes to the first member header at or
+  *     after its range start (512-aligned block with a valid header
+  *     checksum AND the ustar magic), then walks headers with
+  *     positioned reads. A member belongs to the range that contains
+  *     its file-header offset; pax/long-name meta headers that
+  *     straddle a boundary are recovered by a bounded backward scan,
+  *     so names survive arbitrary split points.
   *
   * Column pruning is pushed into the reader: when `content` is not
   * projected (e.g. the validators' member-listing pass), the reader
-  * skips the byte copy entirely and streams headers only — listing a
-  * 100 TB shard corpus reads metadata, not payloads.
+  * seeks from header to header and never touches payload bytes —
+  * listing a 100 TB shard corpus reads ~512 bytes per member, not the
+  * payloads.
+  *
+  * Caveat (documented trade, same class as Hadoop's text-split line
+  * resync): a member whose CONTENT embeds a valid tar header at a
+  * 512-aligned offset (e.g. a `.tar` stored inside a shard tar) can
+  * defeat resync. For such corpora pass `.option("split", "false")`
+  * to fall back to partition-per-archive.
   *
   * This complements (not replaces) the mapPartitions payload path in
   * [[graft.sources.PayloadLoader]]: the DSv2 source is the right tool
@@ -54,8 +73,10 @@ object TarTable {
     StructField("size", LongType, nullable = false),
     StructField("content", BinaryType, nullable = true)))
 
-  /** Expand a path/glob/directory into concrete tar file paths. */
-  def resolvePaths(path: String): Seq[String] = {
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Expand a path/glob/directory into (path, fileSize) pairs. */
+  def resolvePaths(path: String): Seq[(String, Long)] = {
     val spark = SparkSession.active
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,7 +88,7 @@ object TarTable {
         case null => Array.empty[org.apache.hadoop.fs.FileStatus]
         case gs => gs.filter(_.isFile)
       }
-    statuses.map(_.getPath.toString).sorted.toSeq
+    statuses.map(s => s.getPath.toString -> s.getLen).sortBy(_._1).toSeq
   }
 }
 
@@ -78,28 +99,47 @@ class TarTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TarScanBuilder(path)
+    new TarScanBuilder(path, options)
 }
 
-class TarScanBuilder(path: String)
+class TarScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = TarTable.Schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new TarScan(path, required)
+  override def build(): Scan = {
+    val split = options.getBoolean("split", true)
+    val splitBytes = options.getLong("splitBytes", TarTable.DefaultSplitBytes)
+    require(splitBytes >= TarFormat.BlockSize,
+      s"splitBytes must be >= ${TarFormat.BlockSize}, got $splitBytes")
+    new TarScan(path, required, if (split) splitBytes else Long.MaxValue)
+  }
 }
 
-class TarScan(path: String, required: StructType) extends Scan with Batch {
+class TarScan(path: String, required: StructType, splitBytes: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"TarScan(path=$path, columns=${required.fieldNames.mkString(",")})"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    TarTable.resolvePaths(path).map(TarInputPartition(_): InputPartition)
-      .toArray
+    TarTable.resolvePaths(path).flatMap { case (file, len) =>
+      if (len <= splitBytes) Seq(TarInputPartition(file, 0L, len, len))
+      else {
+        // Even-sized ranges (last one absorbs the remainder's tail);
+        // range boundaries need no alignment — the reader aligns.
+        val n = math.max(1L, len / splitBytes)
+        val step = len / n
+        (0L until n).map { i =>
+          val start = i * step
+          val end = if (i == n - 1) len else (i + 1) * step
+          TarInputPartition(file, start, end, len)
+        }
+      }
+    }.map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
@@ -108,53 +148,282 @@ class TarScan(path: String, required: StructType) extends Scan with Batch {
   }
 }
 
-case class TarInputPartition(archivePath: String) extends InputPartition
+/** A byte range [start, end) of one archive. A member is owned by the
+  * range containing its file-header offset (meta headers may precede
+  * `start` and content may extend past `end`).
+  */
+case class TarInputPartition(archivePath: String, start: Long, end: Long,
+    fileSize: Long) extends InputPartition
 
 case class TarReaderFactory(required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
-    new TarPartitionReader(
-      partition.asInstanceOf[TarInputPartition].archivePath, required, conf)
+    new TarSplitReader(partition.asInstanceOf[TarInputPartition], required,
+      conf)
 }
 
-class TarPartitionReader(archivePath: String, required: StructType,
+/** Tar header-block arithmetic (POSIX ustar + GNU + pax), shared by
+  * the split reader. Field layout per the ustar spec: name(0,100),
+  * size(124,12), chksum(148,8), typeflag(156), magic(257,6),
+  * prefix(345,155).
+  */
+object TarFormat {
+  val BlockSize = 512
+
+  def padded(size: Long): Long =
+    ((size + BlockSize - 1) / BlockSize) * BlockSize
+
+  def isZeroBlock(buf: Array[Byte], off: Int): Boolean = {
+    var i = off
+    val end = off + BlockSize
+    while (i < end) { if (buf(i) != 0) return false; i += 1 }
+    true
+  }
+
+  /** Header checksum: unsigned byte sum with the chksum field treated
+    * as spaces; accept the (historical) signed-byte variant too.
+    */
+  def checksumOk(buf: Array[Byte], off: Int): Boolean = {
+    val stored = parseOctal(buf, off + 148, 8)
+    if (stored < 0) return false
+    var unsigned = 0L
+    var signed = 0L
+    var i = 0
+    while (i < BlockSize) {
+      val b = if (i >= 148 && i < 156) 0x20.toByte else buf(off + i)
+      unsigned += (b & 0xff)
+      signed += b
+      i += 1
+    }
+    stored == unsigned || stored == signed
+  }
+
+  /** "ustar" at offset 257 — covers POSIX ("ustar\0") and GNU
+    * ("ustar ") magics. Required for resync candidates; a header
+    * reached by chain-walking from a verified offset needs only the
+    * checksum.
+    */
+  def magicOk(buf: Array[Byte], off: Int): Boolean =
+    buf(off + 257) == 'u' && buf(off + 258) == 's' &&
+      buf(off + 259) == 't' && buf(off + 260) == 'a' &&
+      buf(off + 261) == 'r'
+
+  /** Octal field (NUL/space padded); GNU base-256 when the high bit
+    * of the first byte is set. Returns -1 on garbage.
+    */
+  def parseOctal(buf: Array[Byte], off: Int, len: Int): Long = {
+    if ((buf(off) & 0x80) != 0) { // GNU base-256 (big-endian)
+      var v = (buf(off) & 0x7f).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (buf(off + i) & 0xff); i += 1 }
+      return v
+    }
+    var i = off
+    val end = off + len
+    while (i < end && (buf(i) == ' ' || buf(i) == 0)) i += 1
+    var v = 0L
+    var any = false
+    while (i < end && buf(i) >= '0' && buf(i) <= '7') {
+      v = (v << 3) + (buf(i) - '0'); i += 1; any = true
+    }
+    if (!any) -1L else v
+  }
+
+  def parseString(buf: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    val max = off + len
+    while (end < max && buf(end) != 0) end += 1
+    new String(buf, off, end - off, StandardCharsets.UTF_8)
+  }
+
+  /** Member name per ustar: prefix + "/" + name when the POSIX prefix
+    * field is set.
+    */
+  def memberName(buf: Array[Byte], off: Int): String = {
+    val name = parseString(buf, off, 100)
+    val prefix =
+      if (buf(off + 263) == 0) parseString(buf, off + 345, 155) // "ustar\0"
+      else ""
+    if (prefix.isEmpty) name else s"$prefix/$name"
+  }
+
+  /** Extract the `path` record from a pax extended header payload
+    * (records are "len key=value\n" with len counting the whole
+    * record).
+    */
+  def paxPath(payload: Array[Byte]): Option[String] = {
+    val s = new String(payload, StandardCharsets.UTF_8)
+    var i = 0
+    while (i < s.length) {
+      val sp = s.indexOf(' ', i)
+      if (sp < 0) return None
+      val len = try s.substring(i, sp).toInt catch { case _: Exception => return None }
+      if (len <= 0 || i + len > s.length) return None
+      val rec = s.substring(sp + 1, i + len - 1) // strip trailing \n
+      val eq = rec.indexOf('=')
+      if (eq > 0 && rec.substring(0, eq) == "path")
+        return Some(rec.substring(eq + 1))
+      i += len
+    }
+    None
+  }
+
+  def isMetaType(flag: Byte): Boolean =
+    flag == 'x' || flag == 'g' || flag == 'L' || flag == 'K'
+
+  def isFileType(flag: Byte): Boolean = flag == '0' || flag == 0
+}
+
+/** Positioned-read walker over one byte range of a tar archive.
+  *
+  * All reads are preads (`FSDataInputStream.readFully(pos, ...)`):
+  * header blocks are 512-byte reads, payloads are read only when the
+  * `content` column survives pruning, and skipped members cost a seek
+  * (no byte transfer) — so a pruned listing of a huge archive is
+  * header-rate, not payload-rate.
+  */
+class TarSplitReader(part: TarInputPartition, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+  import TarFormat._
 
   private val needContent = required.fieldNames.contains("content")
   private val fieldOrder = required.fieldNames.toSeq
+  private val hdr = new Array[Byte](BlockSize)
 
-  private lazy val in: TarArchiveInputStream = {
-    val p = new Path(archivePath)
-    new TarArchiveInputStream(p.getFileSystem(conf.get()).open(p))
+  private var opened = false
+  private lazy val in: FSDataInputStream = {
+    val p = new Path(part.archivePath)
+    val s = p.getFileSystem(conf.get()).open(p)
+    opened = true
+    s
   }
+
+  private var pos: Long = -1L // next unread header offset; -1 = not started
+  private var finished = false
   private var current: InternalRow = _
 
-  override def next(): Boolean = {
-    var entry = in.getNextEntry
-    while (entry != null && entry.isDirectory) entry = in.getNextEntry
-    if (entry == null) { current = null; return false }
-    val content: Array[Byte] =
-      if (!needContent) null
-      else {
-        val out = new ByteArrayOutputStream(
-          math.max(entry.getSize.toInt, 64))
-        val buf = new Array[Byte](64 * 1024)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toByteArray
+  /** First 512-aligned offset >= from holding a plausible member
+    * header (checksum + magic). Scans in 1 MiB chunks.
+    */
+  private def resync(from: Long): Long = {
+    var off = ((from + BlockSize - 1) / BlockSize) * BlockSize
+    val chunk = new Array[Byte](1024 * 1024)
+    while (off + BlockSize <= part.fileSize) {
+      val want = math.min(chunk.length.toLong, part.fileSize - off).toInt
+      val len = want - want % BlockSize
+      in.readFully(off, chunk, 0, len)
+      var i = 0
+      while (i + BlockSize <= len) {
+        if (!isZeroBlock(chunk, i) && magicOk(chunk, i) &&
+            checksumOk(chunk, i))
+          return off + i
+        i += BlockSize
       }
-    val values = fieldOrder.map {
-      case "archive" => UTF8String.fromString(archivePath)
-      case "member" => UTF8String.fromString(entry.getName)
-      case "size" => entry.getSize
-      case "content" => content
+      off += len
     }
-    current = InternalRow.fromSeq(values)
-    true
+    part.fileSize
+  }
+
+  /** Walk backward from a resync'd file header to recover meta
+    * headers ('x'/'L'/...) of a chain that straddles the range start:
+    * a meta header at `candidate - k` blocks whose extent (header +
+    * padded payload) ends exactly at `candidate` belongs to the same
+    * chain. Bounded at 16 blocks — pax/long-name payloads are a block
+    * or two in practice.
+    */
+  private def chainStartBefore(candidate: Long): Long = {
+    var chainHead = candidate
+    var continue = true
+    while (continue) {
+      continue = false
+      var k = 1L
+      val maxBack = math.min(16L, chainHead / BlockSize)
+      while (k <= maxBack && !continue) {
+        val off = chainHead - k * BlockSize
+        in.readFully(off, hdr, 0, BlockSize)
+        if (!isZeroBlock(hdr, 0) && magicOk(hdr, 0) && checksumOk(hdr, 0) &&
+            isMetaType(hdr(156))) {
+          val size = parseOctal(hdr, 124, 12)
+          if (size >= 0 && BlockSize + padded(size) == k * BlockSize) {
+            chainHead = off
+            continue = true
+          }
+        }
+        k += 1
+      }
+    }
+    chainHead
+  }
+
+  private def readPayload(off: Long, size: Long): Array[Byte] = {
+    if (size > Int.MaxValue - 8)
+      throw new IOException(
+        s"tar member payload too large for one row: $size bytes " +
+          s"in ${part.archivePath}")
+    val out = new Array[Byte](size.toInt)
+    in.readFully(off, out, 0, size.toInt)
+    out
+  }
+
+  override def next(): Boolean = {
+    if (finished) return false
+    if (pos < 0) {
+      pos =
+        if (part.start == 0) 0L
+        else {
+          val sync = resync(part.start)
+          if (sync >= part.fileSize) { finished = true; return false }
+          chainStartBefore(sync)
+        }
+    }
+    var nameOverride: String = null
+    while (pos + BlockSize <= part.fileSize) {
+      in.readFully(pos, hdr, 0, BlockSize)
+      if (isZeroBlock(hdr, 0)) { finished = true; return false }
+      if (!checksumOk(hdr, 0))
+        throw new IOException(
+          s"corrupt tar header at offset $pos in ${part.archivePath}")
+      val size = math.max(0L, parseOctal(hdr, 124, 12))
+      val flag = hdr(156)
+      val contentOff = pos + BlockSize
+      val entryEnd = contentOff + padded(size)
+      if (isMetaType(flag)) {
+        if (flag == 'x')
+          nameOverride = paxPath(readPayload(contentOff, size))
+            .getOrElse(nameOverride)
+        else if (flag == 'L') { // GNU long name, NUL-terminated
+          val raw = readPayload(contentOff, size)
+          var n = raw.length
+          while (n > 0 && raw(n - 1) == 0) n -= 1
+          nameOverride = new String(raw, 0, n, StandardCharsets.UTF_8)
+        }
+        pos = entryEnd // 'g'/'K': skip payload, keep walking
+      } else if (isFileType(flag)) {
+        // Ownership: the range holding the file-header offset emits.
+        if (pos >= part.end) { finished = true; return false }
+        val name =
+          if (nameOverride != null) nameOverride else memberName(hdr, 0)
+        val content = if (needContent) readPayload(contentOff, size) else null
+        val values = fieldOrder.map {
+          case "archive" => UTF8String.fromString(part.archivePath)
+          case "member" => UTF8String.fromString(name)
+          case "size" => size
+          case "content" => content
+        }
+        current = InternalRow.fromSeq(values)
+        pos = entryEnd
+        return true
+      } else {
+        nameOverride = null // dir/link/other: not surfaced
+        pos = entryEnd
+      }
+    }
+    finished = true
+    false
   }
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (opened) in.close()
 }
