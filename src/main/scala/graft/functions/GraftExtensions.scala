@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
+import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, LoadBytes, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
+import graft.operators.SerializableHadoopConf
+import graft.plans.HoistPayloadLoad
 
 /** Engine extension wiring: registers graft's native Catalyst
   * expressions with a SparkSession, either through the standard
@@ -15,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectOptimizerRule(_ => HoistPayloadLoad)
   }
 }
 
@@ -110,7 +113,25 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 1, "compress_ratio takes exactly 1 argument")
         CompressRatio(args.head)
+      }),
+    (FunctionIdentifier("load_bytes"),
+      new ExpressionInfo(classOf[LoadBytes].getName, "load_bytes"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "load_bytes takes exactly 1 argument")
+        LoadBytes(args.head, activeHadoopConf(), lenient = false)
+      }),
+    (FunctionIdentifier("try_load_bytes"),
+      new ExpressionInfo(classOf[LoadBytes].getName, "try_load_bytes"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "try_load_bytes takes exactly 1 argument")
+        LoadBytes(args.head, activeHadoopConf(), lenient = true)
       }))
+
+  /** Builders run at analysis time on the driver — capture the
+    * active session's Hadoop conf for the executors. */
+  private def activeHadoopConf(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      SparkSession.active.sparkContext.hadoopConfiguration)
 
   /** Extract an integer from a foldable literal argument. */
   private def foldableInt(e: Expression, fn: String): Int = {
@@ -134,6 +155,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    if (!spark.experimental.extraOptimizations.contains(HoistPayloadLoad))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ HoistPayloadLoad
   }
 
   /** Codegen'd cosine similarity (see
@@ -224,4 +248,16 @@ object GraftFunctions {
     * no SQL engine mirrors zlib, so it is not oracle-checked. */
   def compressRatio(text: Column): Column =
     call_function("compress_ratio", text)
+
+  /** Declarative payload read (see
+    * [[graft.functions.expressions.LoadBytes]]); IO failure fails the
+    * task. [[graft.plans.HoistPayloadLoad]] re-plans it above
+    * joins/filters/limits so bytes never ride a shuffle. */
+  def loadBytes(path: Column): Column =
+    call_function("load_bytes", path)
+
+  /** [[loadBytes]] with null-on-IO-failure — the reference's
+    * drop-on-error discipline; follow with a null filter. */
+  def tryLoadBytes(path: Column): Column =
+    call_function("try_load_bytes", path)
 }

@@ -442,3 +442,118 @@ final case class VideoInfoFilter(override val batchSize: Int = 64)
     }
   }
 }
+
+/** Caption↔image agreement scoring — the contract of the reference's
+  * text2image family (DPF/filters/text2image/t2i_filter.py:7-27:
+  * image payload + caption metadata column; clip_filter.py:87-118:
+  * batched two-tower similarity, one score column per row), with
+  * DETERMINISTIC stand-ins for both towers so the operator is
+  * testable without model weights:
+  *
+  *  - image tower: one pixel pass → 8-dim vector (mean luminance,
+  *    contrast, colorfulness, log-resolution, per-quadrant luminance
+  *    means), exact IEEE arithmetic;
+  *  - text tower: hashed char-trigram bag → signed 8-dim buckets
+  *    (String.hashCode is JVM-spec-fixed, so the embedding is stable
+  *    across JVMs);
+  *  - score: cosine squashed to [0,1] via 0.5·(1+cos).
+  *
+  * Production swaps the two towers for an ONNX vision/text encoder
+  * pair behind this same `DataFilter` trait; the caption-metadata
+  * plumbing, batching, null semantics (undecodable image OR missing
+  * caption → null), and 1:1 merge are what this class pins.
+  */
+final case class Text2ImageScoreFilter(captionColumn: String = "caption",
+    override val batchSize: Int = 64) extends DataFilter {
+  override val modalities = Seq(Modality.Image)
+  override val metadataColumns = Seq(captionColumn)
+  override def name = s"Text2ImageScoreFilter($captionColumn)"
+  override val resultSchema = StructType(Seq(
+    StructField("t2i_score", DoubleType)))
+
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+    batch.map { in =>
+      val caption = in.metadata.get(captionColumn) match {
+        case Some(s: String) if s.nonEmpty => s
+        case _ => null
+      }
+      in.payloads.get(Modality.Image.name) match {
+        case Some(bytes) if caption != null =>
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) Some(Seq(null))
+            else Some(Seq(score(img, caption)))
+          } catch { case _: Exception => Some(Seq(null)) }
+        case _ => Some(Seq(null))
+      }
+    }
+
+  private[operators] def score(img: BufferedImage, caption: String): Double = {
+    val a = imageVec(img)
+    val b = textVec(caption)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < 8) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.5
+    else (1.0 + dot / (math.sqrt(na) * math.sqrt(nb))) * 0.5
+  }
+
+  /** One pixel pass: global luma/contrast/color/log-res + quadrant
+    * luminance means. */
+  private[operators] def imageVec(img: BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sumL = 0.0
+    var sumL2 = 0.0
+    var sumC = 0.0
+    val quad = new Array[Double](4)
+    val quadN = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sumL += l
+        sumL2 += l * l
+        sumC += math.abs(r - g) + math.abs(g - b)
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        quad(q) += l
+        quadN(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val mean = sumL / n
+    Array(
+      mean / 255.0,
+      math.sqrt(math.max(sumL2 / n - mean * mean, 0.0)) / 255.0,
+      sumC / n / 510.0,
+      math.log1p(n) / 20.0,
+      if (quadN(0) == 0) 0.0 else quad(0) / quadN(0) / 255.0,
+      if (quadN(1) == 0) 0.0 else quad(1) / quadN(1) / 255.0,
+      if (quadN(2) == 0) 0.0 else quad(2) / quadN(2) / 255.0,
+      if (quadN(3) == 0) 0.0 else quad(3) / quadN(3) / 255.0)
+  }
+
+  /** Signed hashed trigram bag, L1-style accumulation into 8 buckets. */
+  private[operators] def textVec(caption: String): Array[Double] = {
+    val s = caption.toLowerCase.trim
+    val v = new Array[Double](8)
+    if (s.length < 3) { v(java.lang.Math.floorMod(s.hashCode, 8)) = 1.0; return v }
+    var i = 0
+    while (i + 3 <= s.length) {
+      val hc = s.substring(i, i + 3).hashCode
+      val bucket = java.lang.Math.floorMod(hc, 8)
+      v(bucket) += (if ((hc & 8) == 0) 1.0 else -1.0)
+      i += 1
+    }
+    v
+  }
+}
