@@ -440,7 +440,60 @@ object TimeSeries {
        FROM events e JOIN b ON e.event_type = b.event_type
        GROUP BY 1, 2"""
 
+  /** Resample to a regular hourly grid with forward fill: per event
+    * type, every hour from that type's first to last event — gaps get
+    * `n_events = 0`, a null `sum_value`, and `ffill_value` carrying
+    * the last observed hourly sum forward (the standard
+    * time-series regularization before sequence models).
+    *
+    * Scale shape: the raw events collapse to the hourly grain FIRST
+    * (one shuffle, map-side partial agg); the per-type span explode
+    * and the forward-fill window then run on the RESAMPLED grain —
+    * rows per type = span hours (a decade ≈ 88k rows), so the
+    * per-type window reducer is bounded no matter how many raw events
+    * feed it. For multi-year spans × millions of types, partition the
+    * fill by (type, day) and carry the last value across day
+    * boundaries with a second tiny window over the per-day tails. */
+  def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hour = expr("((ts div 1000000000) div 3600) * 3600")
+    val hourly = t(spark, dir, "events")
+      .groupBy(col("event_type"), hour.as("hour"))
+      .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour"))
+    val fill = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value"),
+        last(col("sum_value"), ignoreNulls = true).over(fill)
+          .as("ffill_value"))
+  }
+
+  val eventsGapFillSql: String =
+    s"""WITH hourly AS (
+         SELECT event_type,
+           floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS hour,
+           count(*) AS n_events, ${sqlR("sum(value)", 2)} AS sum_value
+         FROM events GROUP BY 1, 2),
+       grid AS (
+         SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS hour
+         FROM (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+               FROM hourly GROUP BY 1))
+       SELECT g.event_type, g.hour,
+         coalesce(h.n_events, 0)::BIGINT AS n_events,
+         h.sum_value AS sum_value,
+         last_value(h.sum_value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+       FROM grid g LEFT JOIN hourly h
+         ON g.event_type = h.event_type AND g.hour = h.hour"""
+
   val queries: Map[String, Q] = Map(
+    "q_events_gapfill" -> (eventsGapFill _),
     "q_asof_join" -> (eventsAsofJoinOp _),
     "q_value_quantiles" -> (eventsValueQuantiles _),
     "q_events_value_buckets" -> (eventsValueBuckets _),
@@ -457,6 +510,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_gapfill" -> eventsGapFillSql,
     "q_asof_join" -> eventsAsofJoinOpSql,
     "q_value_quantiles" -> eventsValueQuantilesSql,
     "q_events_value_buckets" -> eventsValueBucketsSql,
