@@ -429,7 +429,38 @@ object Dedup {
        FROM n LEFT JOIN c USING (doc_id)"""
   }
 
+  /** Near-dup CLUSTERS from the verified MinHash pairs: transitive
+    * closure via [[graft.operators.ConnectedComponents]], one row per
+    * cluster with its size. Component id = min doc_id = the survivor
+    * key — pairwise keep-min under-deletes (a–b, b–c leaves both a
+    * and c) and this is the step that fixes it. The oracle mirrors
+    * the closure with a DuckDB recursive CTE over the same pair
+    * set. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.componentSizes(
+      minhashVerified(spark, dir), "doc_a", "doc_b")
+
+  val dedupComponentsSql: String = {
+    val cte = SqlMinhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$cte,
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM cand JOIN sig x ON x.doc_id = cand.doc_a
+                   JOIN sig y ON y.doc_id = cand.doc_b
+         WHERE length(list_filter(generate_series(1, $NumHashes),
+           i -> x.sg[i] = y.sg[i]))::DOUBLE / $NumHashes.0 >= $MinEstJaccard),
+       e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+       reach(node, comp) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         UNION
+         SELECT e.v, r.comp FROM e JOIN reach r ON e.u = r.node),
+       lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+       SELECT component, count(*) AS n_docs FROM lab GROUP BY 1"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_components" -> (dedupComponents _),
     "q_dup_gram_coverage" -> (dupGramCoverage _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -438,6 +469,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_components" -> dedupComponentsSql,
     "q_dup_gram_coverage" -> dupGramCoverageSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
