@@ -48,30 +48,61 @@ object ConnectedComponents {
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("u").as("node")).distinct()
+    var checkpointed = sym.select(col("u").as("node")).distinct()
       .withColumn("component", col("node"))
+      .withColumn("chg", lit(true)) // every node is frontier at start
       .localCheckpoint(true)
+    var labels = checkpointed.drop("chg")
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
+      // Delta iteration: only FRONTIER nodes (label changed last
+      // round) send their label to neighbors — min is monotone, so
+      // settled labels' influence was already applied in the round
+      // they changed. Message volume tracks the active frontier, not
+      // |V|: clique clusters settle in 2 rounds and drop out while
+      // long chains keep only their wavefront active.
+      val frontier = checkpointed.filter(col("chg")).drop("chg")
       val nbrMin = sym
-        .join(labels.withColumnRenamed("node", "v"), "v")
+        .join(frontier.withColumnRenamed("node", "v"), "v")
         .groupBy(col("u").as("node"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      // the change flag rides the checkpointed frame, so convergence
+      // costs one cheap filter-count over materialized rows instead
+      // of a second join against the previous labels; the previous
+      // round's checkpoint is dropped eagerly — leaking one cached
+      // label table per round starves executor memory on big graphs
+      // Pointer jumping: a node also adopts its LABEL's label —
+      // component ids are themselves node ids, so label chains halve
+      // every round and the round count is O(log diameter), not
+      // O(diameter) (the path-halving trick of the MapReduce CC
+      // literature). The self-join is id-only like everything else.
+      val jump = labels.select(col("node").as("jnode"),
+        col("component").as("jcomp"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .join(jump, col("component") === col("jnode"), "left")
         .select(col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+          least(
+            least(col("component"), coalesce(col("nbr_min"), col("component"))),
+            coalesce(col("jcomp"), col("component")))
+            .as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component") ||
+            coalesce(col("jcomp"), col("component")) < col("component"))
+            .as("chg"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("chg")).limit(1).count() == 0
+      checkpointed.unpersist()
+      checkpointed = next
+      labels = next.drop("chg")
       round += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a component's diameter exceeds the cap; raise maxIter or use " +
+          "star contraction for chain-shaped graphs")
     labels
   }
 
