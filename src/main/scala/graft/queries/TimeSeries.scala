@@ -456,9 +456,14 @@ object TimeSeries {
     * boundaries with a second tiny window over the per-day tails. */
   def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
     val hour = expr("((ts div 1000000000) div 3600) * 3600")
+    // persisted: the grid-span branch AND the join branch both read
+    // the hourly grain — without the persist each one re-scans and
+    // re-aggregates the RAW events (different shuffle keys, so AQE
+    // stage reuse cannot merge them)
     val hourly = t(spark, dir, "events")
       .groupBy(col("event_type"), hour.as("hour"))
       .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+      .persist()
     val grid = hourly.groupBy(col("event_type"))
       .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
       .select(col("event_type"),
