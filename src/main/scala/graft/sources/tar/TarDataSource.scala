@@ -248,22 +248,32 @@ object TarFormat {
     if (prefix.isEmpty) name else s"$prefix/$name"
   }
 
-  /** Extract the `path` record from a pax extended header payload
-    * (records are "len key=value\n" with len counting the whole
-    * record).
+  /** Extract the `path` record from a pax extended header payload.
+    * Records are "len key=value\n" where len counts BYTES of the
+    * whole record — so the walk must stay byte-oriented and decode
+    * UTF-8 only per record; indexing a decoded string breaks on
+    * multibyte names (UTF-16 char offsets drift from byte offsets).
     */
   def paxPath(payload: Array[Byte]): Option[String] = {
-    val s = new String(payload, StandardCharsets.UTF_8)
     var i = 0
-    while (i < s.length) {
-      val sp = s.indexOf(' ', i)
-      if (sp < 0) return None
-      val len = try s.substring(i, sp).toInt catch { case _: Exception => return None }
-      if (len <= 0 || i + len > s.length) return None
-      val rec = s.substring(sp + 1, i + len - 1) // strip trailing \n
-      val eq = rec.indexOf('=')
-      if (eq > 0 && rec.substring(0, eq) == "path")
-        return Some(rec.substring(eq + 1))
+    while (i < payload.length) {
+      var sp = i
+      while (sp < payload.length && payload(sp) != ' ') sp += 1
+      if (sp >= payload.length) return None
+      val len =
+        try new String(payload, i, sp - i,
+          StandardCharsets.US_ASCII).trim.toInt
+        catch { case _: NumberFormatException => return None }
+      if (len <= 0 || i + len > payload.length) return None
+      val recStart = sp + 1
+      val recEnd = i + len - 1 // strip trailing \n
+      if (recEnd > recStart) {
+        val rec = new String(payload, recStart, recEnd - recStart,
+          StandardCharsets.UTF_8)
+        val eq = rec.indexOf('=')
+        if (eq > 0 && rec.substring(0, eq) == "path")
+          return Some(rec.substring(eq + 1))
+      }
       i += len
     }
     None
