@@ -82,6 +82,16 @@ class PlanShapeSpec extends SparkSpec {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("q_events_gapfill reads raw events once; both branches reuse the cached grain") {
+    val df = TimeSeries.eventsGapFill(spark, dir)
+    val p = plan(df)
+    // the grid-span branch and the join branch must consume the
+    // persisted hourly aggregate (different shuffle keys defeat AQE
+    // stage reuse, so an uncached plan would scan raw events twice)
+    assert(countIn(p, "InMemoryTableScan") >= 2, p.take(2000))
+    df.sparkSession.catalog.clearCache()
+  }
+
   test("q_value_quantiles answers every quantile from one aggregation") {
     val p = plan(TimeSeries.eventsValueQuantiles(spark, dir))
     // one full-data shuffle (the histogram groupBy); the quantile
