@@ -198,7 +198,114 @@ object Curation {
        FROM s, t GROUP BY source, threshold"""
   }
 
+  /** Per-source char budget for [[tokenBudget]] — roughly half of
+    * each synthetic source's mass, so the boundary logic is
+    * exercised everywhere. */
+  val SourceBudgetChars = 4000L
+
+  /** Budget-constrained mixture selection: per source, keep the
+    * best-quality documents whose cumulative size fits
+    * [[SourceBudgetChars]] — the step that assembles a training
+    * mixture once quality scores exist ("take the best B tokens from
+    * each source").
+    *
+    * Scale shape (same bounded-histogram discipline as
+    * [[qualityThreshold]]): the corpus collapses to a per-(source,
+    * r4-score) histogram first, whole score buckets are admitted via
+    * a cumulative sum over that BOUNDED histogram, and only the ONE
+    * boundary bucket per source sees per-document work (ordered fill
+    * by doc_id until the budget). No per-document global sort, no
+    * single reducer over a source's full mass — the serial step is
+    * O(distinct rounded scores) + O(boundary bucket). Deterministic:
+    * score descending, doc_id ascending inside the boundary.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Num._
+    graft.functions.GraftFunctions.register(spark)
+    val scored = Tables.fanOut(t(spark, dir, "documents"))
+      .withColumn("f",
+        graft.functions.GraftFunctions.textFeatures(col("text")))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        r4(qualityScoreFromFeatures(col("f"))).as("score"))
+      .persist()
+    val hist = scored.groupBy(col("source"), col("score"))
+      .agg(sum(col("n_chars")).as("bch"), count(lit(1)).as("bn"))
+    val before = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val h = hist.withColumn("cum_before",
+      coalesce(sum(col("bch")).over(before), lit(0L)))
+    val full = h.filter(col("cum_before") + col("bch") <= SourceBudgetChars)
+      .groupBy(col("source"))
+      .agg(sum(col("bn")).cast("long").as("n_full"),
+        sum(col("bch")).cast("long").as("ch_full"),
+        min(col("score")).as("min_full_score"))
+    val boundary = h.filter(col("cum_before") < SourceBudgetChars &&
+        col("cum_before") + col("bch") > SourceBudgetChars)
+      .select(col("source"), col("score").as("bscore"),
+        col("cum_before"))
+    val fillW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryTaken = scored
+      .join(boundary,
+        scored("source") === boundary("source") &&
+          scored("score") === boundary("bscore"))
+      .drop(boundary("source"))
+      .withColumn("run", sum(col("n_chars")).over(fillW))
+      .filter(col("cum_before") + col("run") <= SourceBudgetChars)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_b"), sum(col("n_chars")).as("ch_b"))
+    full.join(boundary.select(col("source"), col("bscore")), Seq("source"),
+        "full_outer")
+      .join(boundaryTaken, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("bscore"), col("min_full_score")).as("threshold"),
+        (coalesce(col("n_full"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .cast("long").as("n_kept"),
+        (coalesce(col("ch_full"), lit(0L)) + coalesce(col("ch_b"), lit(0L)))
+          .cast("long").as("chars_kept"))
+  }
+
+  val tokenBudgetSql: String = {
+    import graft.queries.Num.sqlR
+    val B = SourceBudgetChars
+    s"""WITH f AS (${TextAnalysis.SqlFeatureSelect}),
+       sc AS (SELECT doc_id, source, n_chars,
+         ${sqlR(TextAnalysis.SqlQualityExpr, 4)} AS score FROM f),
+       hist AS (SELECT source, score, sum(n_chars) AS bch, count(*) AS bn
+                FROM sc GROUP BY 1, 2),
+       h AS (SELECT *, coalesce(sum(bch) OVER (PARTITION BY source
+           ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before FROM hist),
+       fullb AS (SELECT source, CAST(sum(bn) AS BIGINT) AS n_full,
+           CAST(sum(bch) AS BIGINT) AS ch_full,
+           min(score) AS min_full_score
+         FROM h WHERE cum_before + bch <= $B GROUP BY source),
+       bound AS (SELECT source, score AS bscore, cum_before FROM h
+         WHERE cum_before < $B AND cum_before + bch > $B),
+       btaken AS (SELECT source, CAST(count(*) AS BIGINT) AS n_b,
+           CAST(sum(n_chars) AS BIGINT) AS ch_b
+         FROM (SELECT sc.source, sc.n_chars, bound.cum_before,
+             sum(sc.n_chars) OVER (PARTITION BY sc.source
+               ORDER BY sc.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM sc JOIN bound
+             ON sc.source = bound.source AND sc.score = bound.bscore)
+         WHERE cum_before + run <= $B GROUP BY source)
+       SELECT coalesce(fullb.source, bound.source) AS source,
+         coalesce(bound.bscore, fullb.min_full_score) AS threshold,
+         CAST(coalesce(n_full, 0) + coalesce(n_b, 0) AS BIGINT) AS n_kept,
+         CAST(coalesce(ch_full, 0) + coalesce(ch_b, 0) AS BIGINT)
+           AS chars_kept
+       FROM fullb
+       FULL OUTER JOIN bound ON fullb.source = bound.source
+       FULL OUTER JOIN btaken ON coalesce(fullb.source, bound.source)
+         = btaken.source"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_token_budget" -> (tokenBudget _),
     "q_quality_threshold" -> (qualityThreshold _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_split_assign" -> (splitAssign _),
@@ -207,6 +314,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_token_budget" -> tokenBudgetSql,
     "q_quality_threshold" -> qualityThresholdSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_split_assign" -> splitAssignSql,

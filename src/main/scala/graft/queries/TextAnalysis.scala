@@ -84,7 +84,7 @@ object TextAnalysis {
     * keep in sync with TextFunctions. */
   private[queries] lazy val SqlFeatureSelect: String = {
     val stopList = sqlList(EnglishStopwords)
-    s"""SELECT doc_id, source,
+    s"""SELECT doc_id, source, n_chars,
          length($SqlToks)::DOUBLE AS ntok,
          CASE WHEN length($SqlToks) = 0 THEN 0.0
            ELSE coalesce(list_sum(list_transform($SqlToks, x -> length(x))), 0)::DOUBLE
