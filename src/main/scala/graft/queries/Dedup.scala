@@ -459,7 +459,48 @@ object Dedup {
        SELECT component, count(*) AS n_docs FROM lab GROUP BY 1"""
   }
 
+  /** The end-to-end dedup deliverable: the corpus AFTER near-dup
+    * cluster deletion — every doc that is not a non-minimum member of
+    * a near-dup cluster, audited per source. One anti-join of the
+    * (tiny) drop list against the corpus; at 100 TB the drop list is
+    * the only thing the closure ever materializes. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val drops = graft.operators.ConnectedComponents
+      .connectedComponents(minhashVerified(spark, dir), "doc_a", "doc_b")
+      .filter(col("component") =!= col("node"))
+      .select(col("node").as("doc_id"))
+    t(spark, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
+  val dedupSurvivorsSql: String = {
+    val cte = SqlMinhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$cte,
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM cand JOIN sig x ON x.doc_id = cand.doc_a
+                   JOIN sig y ON y.doc_id = cand.doc_b
+         WHERE length(list_filter(generate_series(1, $NumHashes),
+           i -> x.sg[i] = y.sg[i]))::DOUBLE / $NumHashes.0 >= $MinEstJaccard),
+       e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+       reach(node, comp) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         UNION
+         SELECT e.v, r.comp FROM e JOIN reach r ON e.u = r.node),
+       lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+       drops AS (SELECT node FROM lab WHERE node <> component)
+       SELECT source, count(*)::BIGINT AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+       GROUP BY source"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_components" -> (dedupComponents _),
     "q_dup_gram_coverage" -> (dupGramCoverage _),
     "q_dedup_exact" -> (dedupExact _),
@@ -469,6 +510,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_dup_gram_coverage" -> dupGramCoverageSql,
     "q_dedup_exact" -> dedupExactSql,
