@@ -233,8 +233,13 @@ object Curation {
     val before = Window.partitionBy(col("source"))
       .orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // persisted: three consumers (full buckets, boundary row, boundary
+    // fill join) would otherwise each re-aggregate the corpus-sized
+    // scored cache into the histogram; the histogram itself is bounded
+    // (distinct rounded scores per source), so caching it is free
     val h = hist.withColumn("cum_before",
       coalesce(sum(col("bch")).over(before), lit(0L)))
+      .persist()
     val full = h.filter(col("cum_before") + col("bch") <= SourceBudgetChars)
       .groupBy(col("source"))
       .agg(sum(col("bn")).cast("long").as("n_full"),
