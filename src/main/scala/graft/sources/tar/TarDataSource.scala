@@ -20,7 +20,8 @@ import graft.operators.SerializableHadoopConf
   * member — (archive, member, size, content).
   *
   * Partition planning is two-tier:
-  *   - archives at or below `splitBytes` (default 128 MiB) get one
+  *   - archives at or below `splitBytes` (defaults to the session's
+  *     `spark.sql.files.maxPartitionBytes`, i.e. 128 MiB) get one
   *     input partition each — the shard-at-a-time discipline of the
   *     reference's IterableDataset (DPF/dataloaders/shards_dataset.py
   *     :86-131);
@@ -73,8 +74,6 @@ object TarTable {
     StructField("size", LongType, nullable = false),
     StructField("content", BinaryType, nullable = true)))
 
-  val DefaultSplitBytes: Long = 128L * 1024 * 1024
-
   /** Expand a path/glob/directory into (path, fileSize) pairs. */
   def resolvePaths(path: String): Seq[(String, Long)] = {
     val spark = SparkSession.active
@@ -111,7 +110,11 @@ class TarScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
   override def build(): Scan = {
     val split = options.getBoolean("split", true)
-    val splitBytes = options.getLong("splitBytes", TarTable.DefaultSplitBytes)
+    // default follows the session's file-split convention so tar
+    // ranges size like any other file source's partitions
+    val sessionDefault = SparkSession.active.sessionState.conf
+      .filesMaxPartitionBytes
+    val splitBytes = options.getLong("splitBytes", sessionDefault)
     require(splitBytes >= TarFormat.BlockSize,
       s"splitBytes must be >= ${TarFormat.BlockSize}, got $splitBytes")
     new TarScan(path, required, if (split) splitBytes else Long.MaxValue)
