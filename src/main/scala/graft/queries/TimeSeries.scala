@@ -497,7 +497,30 @@ object TimeSeries {
        FROM grid g LEFT JOIN hourly h
          ON g.event_type = h.event_type AND g.hour = h.hour"""
 
+  /** Hourly unique users per event type — the distinct-aggregate
+    * shape: Spark rewrites `count(DISTINCT user_id)` into two
+    * aggregate levels (partial dedup on (hour, type, user) with
+    * map-side combine, then count on (hour, type)), so the distinct
+    * set never materializes per-group on one reducer; both shuffles
+    * carry pre-combined rows. At corpora where exact uniques stop
+    * being affordable, the drop-in relaxation is
+    * `approx_count_distinct` (HLL++, mergeable) — not
+    * oracle-checkable bit-for-bit, hence the exact form here. */
+  def eventsHourlyUsers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(expr("((ts div 1000000000) div 3600) * 3600").as("hour"),
+        col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  val eventsHourlyUsersSql: String =
+    """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT
+         AS hour, event_type,
+         count(DISTINCT user_id) AS n_users, count(*) AS n_events
+       FROM events GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "q_events_hourly_users" -> (eventsHourlyUsers _),
     "q_events_gapfill" -> (eventsGapFill _),
     "q_asof_join" -> (eventsAsofJoinOp _),
     "q_value_quantiles" -> (eventsValueQuantiles _),
@@ -515,6 +538,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_hourly_users" -> eventsHourlyUsersSql,
     "q_events_gapfill" -> eventsGapFillSql,
     "q_asof_join" -> eventsAsofJoinOpSql,
     "q_value_quantiles" -> eventsValueQuantilesSql,
