@@ -440,7 +440,11 @@ object Dedup {
     graft.operators.ConnectedComponents.componentSizes(
       minhashVerified(spark, dir), "doc_a", "doc_b")
 
-  val dedupComponentsSql: String = {
+  /** Recursive-CTE closure over the verified pair set, ending in
+    * `lab (node, component)` — shared by the components and survivors
+    * oracles. Starts with WITH RECURSIVE (DuckDB requires the marker
+    * at the head of the whole chain). */
+  private lazy val SqlClosureCte: String = {
     val cte = SqlMinhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$cte,
        pairs AS (
@@ -455,9 +459,12 @@ object Dedup {
          SELECT u, u FROM (SELECT DISTINCT u FROM e)
          UNION
          SELECT e.v, r.comp FROM e JOIN reach r ON e.u = r.node),
-       lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
-       SELECT component, count(*) AS n_docs FROM lab GROUP BY 1"""
+       lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)"""
   }
+
+  val dedupComponentsSql: String =
+    s"""$SqlClosureCte
+       SELECT component, count(*) AS n_docs FROM lab GROUP BY 1"""
 
   /** The end-to-end dedup deliverable: the corpus AFTER near-dup
     * cluster deletion — every doc that is not a non-minimum member of
@@ -476,28 +483,13 @@ object Dedup {
         sum(col("n_chars")).cast("long").as("sum_chars"))
   }
 
-  val dedupSurvivorsSql: String = {
-    val cte = SqlMinhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")
-    s"""$cte,
-       pairs AS (
-         SELECT doc_a, doc_b
-         FROM cand JOIN sig x ON x.doc_id = cand.doc_a
-                   JOIN sig y ON y.doc_id = cand.doc_b
-         WHERE length(list_filter(generate_series(1, $NumHashes),
-           i -> x.sg[i] = y.sg[i]))::DOUBLE / $NumHashes.0 >= $MinEstJaccard),
-       e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-             UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
-       reach(node, comp) AS (
-         SELECT u, u FROM (SELECT DISTINCT u FROM e)
-         UNION
-         SELECT e.v, r.comp FROM e JOIN reach r ON e.u = r.node),
-       lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+  val dedupSurvivorsSql: String =
+    s"""$SqlClosureCte,
        drops AS (SELECT node FROM lab WHERE node <> component)
        SELECT source, count(*)::BIGINT AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars
        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
        GROUP BY source"""
-  }
 
   val queries: Map[String, Q] = Map(
     "q_dedup_survivors" -> (dedupSurvivors _),
