@@ -41,7 +41,10 @@ object ConnectedComponents {
     * @param maxIter hard round cap (diameter bound); the loop stops
     *                earlier at the convergence fixpoint
     * @return (node, component): every node that appears in an edge,
-    *         labeled with the minimum id reachable from it
+    *         labeled with the minimum id reachable from it. The frame
+    *         is localCheckpoint-backed — callers should `unpersist()`
+    *         it once consumed, or its materialized blocks outlive the
+    *         query ([[componentSizes]] does this internally).
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 25): DataFrame = {
@@ -109,8 +112,14 @@ object ConnectedComponents {
   /** Cluster summary: one row per component with its size — the
     * "what would dedup delete" accounting view. Component id is the
     * surviving doc id (minimum of the cluster). */
-  def componentSizes(edges: DataFrame, src: String, dst: String): DataFrame =
-    connectedComponents(edges, src, dst)
-      .groupBy(col("component"))
+  def componentSizes(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val labels = connectedComponents(edges, src, dst)
+    // pin the (tiny) summary, release the node-sized label cache —
+    // otherwise every call leaks one materialized label table
+    val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    sizes
+  }
 }

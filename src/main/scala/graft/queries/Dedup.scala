@@ -472,10 +472,13 @@ object Dedup {
     * (tiny) drop list against the corpus; at 100 TB the drop list is
     * the only thing the closure ever materializes. */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val drops = graft.operators.ConnectedComponents
+    val labels = graft.operators.ConnectedComponents
       .connectedComponents(minhashVerified(spark, dir), "doc_a", "doc_b")
-      .filter(col("component") =!= col("node"))
+    // pin the (tiny) drop list, release the node-sized label cache
+    val drops = labels.filter(col("component") =!= col("node"))
       .select(col("node").as("doc_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
     t(spark, dir, "documents")
       .join(drops, Seq("doc_id"), "left_anti")
       .groupBy(col("source"))

@@ -246,7 +246,10 @@ object TarFormat {
   def memberName(buf: Array[Byte], off: Int): String = {
     val name = parseString(buf, off, 100)
     val prefix =
-      if (buf(off + 263) == 0) parseString(buf, off + 345, 155) // "ustar\0"
+      // POSIX ustar: magic "ustar" + NUL at byte 262 (bytes 263-264
+      // are the version "00"); GNU writes "ustar " + " \0" and has no
+      // prefix field
+      if (buf(off + 262) == 0) parseString(buf, off + 345, 155)
       else ""
     if (prefix.isEmpty) name else s"$prefix/$name"
   }
@@ -257,7 +260,7 @@ object TarFormat {
     * UTF-8 only per record; indexing a decoded string breaks on
     * multibyte names (UTF-16 char offsets drift from byte offsets).
     */
-  def paxPath(payload: Array[Byte]): Option[String] = {
+  def paxValue(payload: Array[Byte], key: String): Option[String] = {
     var i = 0
     while (i < payload.length) {
       var sp = i
@@ -274,7 +277,7 @@ object TarFormat {
         val rec = new String(payload, recStart, recEnd - recStart,
           StandardCharsets.UTF_8)
         val eq = rec.indexOf('=')
-        if (eq > 0 && rec.substring(0, eq) == "path")
+        if (eq > 0 && rec.substring(0, eq) == key)
           return Some(rec.substring(eq + 1))
       }
       i += len
@@ -282,10 +285,19 @@ object TarFormat {
     None
   }
 
+  def paxPath(payload: Array[Byte]): Option[String] =
+    paxValue(payload, "path")
+
   def isMetaType(flag: Byte): Boolean =
     flag == 'x' || flag == 'g' || flag == 'L' || flag == 'K'
 
-  def isFileType(flag: Byte): Boolean = flag == '0' || flag == 0
+  /** Regular ('0'/NUL) and contiguous ('7') files — read identically.
+    * Hard/symlink entries ('1'/'2') are NOT surfaced: their payload
+    * lives at the link target, and the shard writers never emit
+    * links. This diverges from commons-compress, which lists links
+    * as zero-size entries. */
+  def isFileType(flag: Byte): Boolean =
+    flag == '0' || flag == 0 || flag == '7' 
 }
 
 /** Positioned-read walker over one byte range of a tar archive.
@@ -322,7 +334,12 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
   private def resync(from: Long): Long = {
     var off = ((from + BlockSize - 1) / BlockSize) * BlockSize
     val chunk = new Array[Byte](1024 * 1024)
-    while (off + BlockSize <= part.fileSize) {
+    // scan no further than the range end: a file header at or past
+    // part.end belongs to the next range, and meta headers before it
+    // are recovered by THAT range's backscan — so when a member
+    // larger than splitBytes swallows this whole range, the scan is
+    // O(splitBytes), not O(member)
+    while (off + BlockSize <= part.fileSize && off < part.end) {
       val want = math.min(chunk.length.toLong, part.fileSize - off).toInt
       val len = want - want % BlockSize
       in.readFully(off, chunk, 0, len)
@@ -391,22 +408,33 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
         }
     }
     var nameOverride: String = null
+    var sizeOverride = -1L
     while (pos + BlockSize <= part.fileSize) {
       in.readFully(pos, hdr, 0, BlockSize)
       if (isZeroBlock(hdr, 0)) { finished = true; return false }
       if (!checksumOk(hdr, 0))
         throw new IOException(
           s"corrupt tar header at offset $pos in ${part.archivePath}")
-      val size = math.max(0L, parseOctal(hdr, 124, 12))
+      val headerSize = math.max(0L, parseOctal(hdr, 124, 12))
+      // a pax 'size' record overrides the 12-char octal field (pax
+      // archives with members past the octal limit store the real
+      // size here; missing it would desync the whole walk)
+      val size =
+        if (sizeOverride >= 0 && isFileType(hdr(156))) sizeOverride
+        else headerSize
       val flag = hdr(156)
       val contentOff = pos + BlockSize
       val entryEnd = contentOff + padded(size)
       if (isMetaType(flag)) {
-        if (flag == 'x')
-          nameOverride = paxPath(readPayload(contentOff, size))
-            .getOrElse(nameOverride)
+        if (flag == 'x') {
+          val payload = readPayload(contentOff, headerSize)
+          nameOverride = paxPath(payload).getOrElse(nameOverride)
+          sizeOverride = paxValue(payload, "size")
+            .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+            .getOrElse(sizeOverride)
+        }
         else if (flag == 'L') { // GNU long name, NUL-terminated
-          val raw = readPayload(contentOff, size)
+          val raw = readPayload(contentOff, headerSize)
           var n = raw.length
           while (n > 0 && raw(n - 1) == 0) n -= 1
           nameOverride = new String(raw, 0, n, StandardCharsets.UTF_8)
@@ -417,6 +445,8 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
         if (pos >= part.end) { finished = true; return false }
         val name =
           if (nameOverride != null) nameOverride else memberName(hdr, 0)
+        nameOverride = null
+        sizeOverride = -1L
         val content = if (needContent) readPayload(contentOff, size) else null
         val values = fieldOrder.map {
           case "archive" => UTF8String.fromString(part.archivePath)
@@ -429,6 +459,7 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
         return true
       } else {
         nameOverride = null // dir/link/other: not surfaced
+        sizeOverride = -1L
         pos = entryEnd
       }
     }

@@ -80,7 +80,6 @@ class TarSplitPropertySpec extends SparkSpec {
       buildArchive(f, 120)
       val truth = commonsTruth(f)
       assert(truth.size == 120, s"archive $a ground truth")
-      Seq("false" -> "0").foreach { _ => () }
       val unsplit = spark.read.format("tar").option("split", "false")
         .load(f.getPath).collect().map { r =>
           (r.getAs[String]("member"), r.getAs[Long]("size"),
