@@ -74,6 +74,14 @@ object TarTable {
     StructField("size", LongType, nullable = false),
     StructField("content", BinaryType, nullable = true)))
 
+  /** Plain or gzip-compressed shard archives. */
+  def hasTarExtension(name: String): Boolean =
+    name.endsWith(".tar") || name.endsWith(".tar.gz") ||
+      name.endsWith(".tgz")
+
+  def isCompressed(name: String): Boolean =
+    name.endsWith(".tar.gz") || name.endsWith(".tgz")
+
   /** Expand a path/glob/directory into (path, fileSize) pairs. */
   def resolvePaths(path: String): Seq[(String, Long)] = {
     val spark = SparkSession.active
@@ -82,7 +90,7 @@ object TarTable {
     val statuses =
       if (fs.isDirectory(p))
         fs.listStatus(p).filter(s =>
-          s.isFile && s.getPath.getName.endsWith(".tar"))
+          s.isFile && hasTarExtension(s.getPath.getName))
       else fs.globStatus(p) match {
         case null => Array.empty[org.apache.hadoop.fs.FileStatus]
         case gs => gs.filter(_.isFile)
@@ -130,7 +138,10 @@ class TarScan(path: String, required: StructType, splitBytes: Long)
 
   override def planInputPartitions(): Array[InputPartition] =
     TarTable.resolvePaths(path).flatMap { case (file, len) =>
-      if (len <= splitBytes) Seq(TarInputPartition(file, 0L, len, len))
+      // gzip has no random access: compressed archives stream whole
+      // (re-shard or decompress corpora whose .tgz outgrow one task)
+      if (TarTable.isCompressed(file) || len <= splitBytes)
+        Seq(TarInputPartition(file, 0L, len, len))
       else {
         // Even-sized ranges (last one absorbs the remainder's tail);
         // range boundaries need no alignment — the reader aligns.
@@ -161,9 +172,12 @@ case class TarInputPartition(archivePath: String, start: Long, end: Long,
 case class TarReaderFactory(required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new TarSplitReader(partition.asInstanceOf[TarInputPartition], required,
-      conf)
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TarInputPartition]
+    if (TarTable.isCompressed(p.archivePath))
+      new TarStreamReader(p, required, conf)
+    else new TarSplitReader(p, required, conf)
+  }
 }
 
 /** Tar header-block arithmetic (POSIX ustar + GNU + pax), shared by
@@ -465,6 +479,58 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
     }
     finished = true
     false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = if (opened) in.close()
+}
+
+/** Streaming reader for gzip-compressed archives: no preads through
+  * gzip, so this is the classic one-pass commons-compress walk —
+  * partition-per-archive, content copy skipped when `content` is
+  * pruned (the decompressor still inflates the bytes; that is the
+  * price of .tgz shards, which is why the writers emit plain .tar).
+  */
+class TarStreamReader(part: TarInputPartition, required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+
+  private val needContent = required.fieldNames.contains("content")
+  private val fieldOrder = required.fieldNames.toSeq
+
+  private var opened = false
+  private lazy val in: org.apache.commons.compress.archivers.tar.TarArchiveInputStream = {
+    val p = new Path(part.archivePath)
+    val raw = p.getFileSystem(conf.get()).open(p)
+    val stream = new java.util.zip.GZIPInputStream(
+      new java.io.BufferedInputStream(raw, 1 << 20))
+    opened = true
+    new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(stream)
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var entry = in.getNextEntry
+    while (entry != null && !entry.isFile) entry = in.getNextEntry
+    if (entry == null) { current = null; return false }
+    val content: Array[Byte] =
+      if (!needContent) null
+      else {
+        val out = new java.io.ByteArrayOutputStream(
+          math.max(entry.getSize.toInt, 64))
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      }
+    val values = fieldOrder.map {
+      case "archive" => UTF8String.fromString(part.archivePath)
+      case "member" => UTF8String.fromString(entry.getName)
+      case "size" => entry.getSize
+      case "content" => content
+    }
+    current = InternalRow.fromSeq(values)
+    true
   }
 
   override def get(): InternalRow = current
