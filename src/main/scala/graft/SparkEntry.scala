@@ -26,5 +26,6 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TimeSeries.oracles ++ Curation.oracles
+      Similarity.oracles ++ TimeSeries.oracles ++ Curation.oracles ++
+      RoundTrip.oracles
 }

@@ -36,8 +36,9 @@ class SparkEntryContractSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // rows-only (no-oracle) queries must be deliberate, not an
-    // accidentally-dropped oracle entry
-    assert((q -- o) == Set("q_roundtrip_shards"), s"rows-only set: ${q -- o}")
+    // accidentally-dropped oracle entry; since the round-trip query
+    // gained its fingerprint oracle, every query is oracle-checked
+    assert((q -- o).isEmpty, s"rows-only set: ${q -- o}")
   }
 
   test("per-catalog oracle coverage is total") {

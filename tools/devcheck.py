@@ -42,7 +42,8 @@ def run_verify():
         opens += ["--add-opens", f"{p}=ALL-UNNAMED"]
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     cmd = ["java", *opens, "-Xmx8g", "-Dspark.ui.enabled=false",
-           "-cp", classpath(), "graft.Verify", SF, OUT]
+           "-cp", classpath(), "graft.Verify", SF, OUT,
+           *(sorted(ONLY) if ONLY else [])]
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for line in r.stderr.splitlines():
         if "[verify]" in line or "Exception" in line:
