@@ -35,11 +35,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Edge-count gate for the driver-side union-find fast path: the
+    * same size-vs-strategy call as a broadcast-join threshold. Under
+    * it, collecting the (id, id) pairs and running path-halving
+    * union-find on the driver beats ~5 Spark rounds of join+agg job
+    * overhead by an order of magnitude; above it, the distributed
+    * loop is the only shape that scales. 100k edge rows ≈ 1.6 MB of
+    * longs — trivially collectable, and real near-dup graphs at
+    * 100 TB blow straight past it so the gate self-selects. */
+  val FastPathMaxEdges = 100000L
+
   /** @param edges one row per undirected edge
     * @param src    source id column (numeric or string — any orderable)
     * @param dst    destination id column
     * @param maxIter hard round cap (diameter bound); the loop stops
     *                earlier at the convergence fixpoint
+    * @param fastPathMaxEdges gate for the driver union-find fast path
+    *                (tests pin it to 0 / MaxValue to force a path)
     * @return (node, component): every node that appears in an edge,
     *         labeled with the minimum id reachable from it. The frame
     *         is localCheckpoint-backed — callers should `unpersist()`
@@ -47,9 +59,65 @@ object ConnectedComponents {
     *         query ([[componentSizes]] does this internally).
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
-      .union(edges.select(col(dst).as("u"), col(src).as("v")))
+      maxIter: Int = 25,
+      fastPathMaxEdges: Long = FastPathMaxEdges): DataFrame = {
+    val e = edges.select(col(src).as("u"), col(dst).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // capped count: stops scanning the moment the gate is exceeded,
+    // and materializes the (tiny) edge cache both branches reuse
+    val small = e.limit(fastPathMaxEdges.toInt.max(0) + 1).count() <=
+      fastPathMaxEdges
+    val result =
+      if (small) driverUnionFind(e)
+      else distributedHashMin(e, maxIter)
+    e.unpersist()
+    result
+  }
+
+  /** Fast path: exact union-find with path halving + union-by-min on
+    * the collected edge list. Same output contract as the distributed
+    * loop (component id = minimum member id) — the cross-path
+    * equality is spec-pinned. */
+  private def driverUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    // ids are numeric-or-string; JVM boxes all of them as Comparable
+    def less(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) {
+        parent.put(r, parent.get(parent.get(r))) // path halving
+        r = parent.get(r)
+      }
+      r
+    }
+    e.collect().foreach { row =>
+      val (u, v) = (row.get(0), row.get(1))
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        // union by min keeps the invariant root = component minimum
+        if (less(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val idType = e.schema.fields(0).dataType
+    val rows = parent.keySet().asScala.toSeq
+      .map(n => org.apache.spark.sql.Row(n, find(n)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Distributed path: frontier hash-min label propagation with
+    * pointer jumping (see object scaladoc). */
+  private def distributedHashMin(e: DataFrame, maxIter: Int): DataFrame = {
+    val sym = e
+      .union(e.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var checkpointed = sym.select(col("u").as("node")).distinct()
       .withColumn("component", col("node"))
@@ -79,7 +147,11 @@ object ConnectedComponents {
       // component ids are themselves node ids, so label chains halve
       // every round and the round count is O(log diameter), not
       // O(diameter) (the path-halving trick of the MapReduce CC
-      // literature). The self-join is id-only like everything else.
+      // literature). NOTE: unlike the frontier-driven nbrMin above,
+      // this self-join scans the FULL |V|-row label table every
+      // round (every node must re-emit its row anyway to carry its
+      // label forward) — the frontier claim applies to edge-message
+      // volume only, the jump side is O(|V| · rounds) by design.
       val jump = labels.select(col("node").as("jnode"),
         col("component").as("jcomp"))
       val next = labels

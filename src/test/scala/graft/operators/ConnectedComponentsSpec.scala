@@ -4,34 +4,71 @@ import graft.SparkSpec
 
 /** Hash-min connected components: chains (multi-round propagation),
   * cliques, disjoint components, duplicate/self edges, and the
-  * cluster-size summary used by corpus dedup.
+  * cluster-size summary used by corpus dedup. Every shape runs
+  * through BOTH strategies — the size-gated driver union-find fast
+  * path and the distributed hash-min loop — and must agree exactly
+  * (the gate is a performance decision, never a semantic one).
   */
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+  /** gate=0 forces the distributed loop; gate=MaxValue the fast path */
+  private def comps(edges: Seq[(Long, Long)], gate: Long)
+      : Map[Long, Long] =
     ConnectedComponents
-      .connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .connectedComponents(edges.toDF("a", "b"), "a", "b",
+        fastPathMaxEdges = gate)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  private def bothPaths(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val fast = comps(edges, Long.MaxValue)
+    val dist = comps(edges, 0L)
+    assert(fast == dist,
+      s"fast-path/distributed disagreement: $fast vs $dist")
+    fast
+  }
+
   test("a chain collapses to its minimum — needs diameter rounds") {
-    val m = comps(Seq(5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L))
+    val m = bothPaths(Seq(5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L))
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
   test("disjoint cliques keep separate minima; bridge merges them") {
     val cliqueA = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)
     val cliqueB = Seq(10L -> 11L, 11L -> 12L, 10L -> 12L)
-    val m = comps(cliqueA ++ cliqueB)
+    val m = bothPaths(cliqueA ++ cliqueB)
     assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
     assert(m(10L) == 10L && m(11L) == 10L && m(12L) == 10L)
-    val bridged = comps(cliqueA ++ cliqueB :+ (3L -> 10L))
+    val bridged = bothPaths(cliqueA ++ cliqueB :+ (3L -> 10L))
     assert(bridged.values.toSet == Set(1L))
   }
 
   test("self-loops and duplicate edges are harmless") {
-    val m = comps(Seq(1L -> 1L, 1L -> 2L, 2L -> 1L, 1L -> 2L))
+    val m = bothPaths(Seq(1L -> 1L, 1L -> 2L, 2L -> 1L, 1L -> 2L))
     assert(m == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("string ids work on both paths (orderable, not numeric)") {
+    val edges = Seq("b" -> "a", "c" -> "b", "x" -> "y")
+    def run(gate: Long) = ConnectedComponents
+      .connectedComponents(edges.toDF("a", "b"), "a", "b",
+        fastPathMaxEdges = gate)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x")
+    assert(run(Long.MaxValue) == expected)
+    assert(run(0L) == expected)
+  }
+
+  test("random graph: both paths agree on 500 edges") {
+    // deterministic pseudo-random edges over 200 nodes: enough
+    // collisions for multi-node components AND singleton pairs
+    val edges = (0 until 500).map { i =>
+      val u = (i * 131) % 200
+      val v = (i * 77 + 13) % 200
+      (u.toLong, v.toLong)
+    }
+    bothPaths(edges)
   }
 
   test("componentSizes summarizes one row per cluster") {
