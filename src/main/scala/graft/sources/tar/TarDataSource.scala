@@ -48,6 +48,15 @@ import graft.operators.SerializableHadoopConf
   * defeat resync. For such corpora pass `.option("split", "false")`
   * to fall back to partition-per-archive.
   *
+  * Caveat: pax GLOBAL headers (typeflag 'g') are skipped, not
+  * applied. A 'g' record near the archive start would have to govern
+  * members in every later byte range, which a range reader cannot
+  * see without scanning from offset zero — honoring it only when it
+  * happens to fall in-range would give split-dependent results. The
+  * .tgz branch (commons-compress streaming) does honor globals, so
+  * the two readers can disagree on third-party archives that use
+  * them; shard writers never emit 'g'.
+  *
   * This complements (not replaces) the mapPartitions payload path in
   * [[graft.sources.PayloadLoader]]: the DSv2 source is the right tool
   * when the QUERY is over members themselves; the loader is right
@@ -358,7 +367,10 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
       val len = want - want % BlockSize
       in.readFully(off, chunk, 0, len)
       var i = 0
-      while (i + BlockSize <= len) {
+      // candidates at or past part.end belong to the next range (its
+      // own resync+backscan recovers them); without the clamp the
+      // walk would redundantly re-read headers it then disowns
+      while (i + BlockSize <= len && off + i < part.end) {
         if (!isZeroBlock(chunk, i) && magicOk(chunk, i) &&
             checksumOk(chunk, i))
           return off + i
@@ -373,8 +385,10 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
     * headers ('x'/'L'/...) of a chain that straddles the range start:
     * a meta header at `candidate - k` blocks whose extent (header +
     * padded payload) ends exactly at `candidate` belongs to the same
-    * chain. Bounded at 16 blocks — pax/long-name payloads are a block
-    * or two in practice.
+    * chain. Bounded at 64 blocks (32 KiB) — comfortably past
+    * PATH_MAX-sized pax path payloads (4 KiB), so a chain the bound
+    * misses implies a pathologically larger payload than any real
+    * name record.
     */
   private def chainStartBefore(candidate: Long): Long = {
     var chainHead = candidate
@@ -382,7 +396,7 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
     while (continue) {
       continue = false
       var k = 1L
-      val maxBack = math.min(16L, chainHead / BlockSize)
+      val maxBack = math.min(64L, chainHead / BlockSize)
       while (k <= maxBack && !continue) {
         val off = chainHead - k * BlockSize
         in.readFully(off, hdr, 0, BlockSize)
