@@ -64,9 +64,12 @@ object ConnectedComponents {
     val e = edges.select(col(src).as("u"), col(dst).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // capped count: stops scanning the moment the gate is exceeded,
-    // and materializes the (tiny) edge cache both branches reuse
-    val small = e.limit(fastPathMaxEdges.toInt.max(0) + 1).count() <=
-      fastPathMaxEdges
+    // and materializes the (tiny) edge cache both branches reuse.
+    // limit() takes an Int, so gates above Int.MaxValue must clamp —
+    // a raw .toInt would wrap negative and make the capped count
+    // trivially pass, collecting an unbounded edge list on the driver
+    val cap = math.min(math.max(fastPathMaxEdges, 0L), Int.MaxValue - 1L).toInt
+    val small = e.limit(cap + 1).count() <= fastPathMaxEdges
     val result =
       if (small) driverUnionFind(e)
       else distributedHashMin(e, maxIter)
@@ -80,9 +83,17 @@ object ConnectedComponents {
     * equality is spec-pinned. */
   private def driverUnionFind(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
-    // ids are numeric-or-string; JVM boxes all of them as Comparable
-    def less(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // ids are numeric-or-string; JVM boxes all of them as Comparable.
+    // Strings must compare in UTF-8 BYTE order to match Spark's min
+    // (UTF8String binary order) — Java String.compareTo is UTF-16
+    // code-unit order, which diverges for supplementary characters vs
+    // U+E000–U+FFFF, and the cross-path equality is spec-pinned.
+    def less(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
       var r = x

@@ -61,6 +61,58 @@ object Quantiles {
     one.select(expr(stackExpr))
   }
 
+  /** Histogram-row → ntile-tile overlap table: each (partition,
+    * value) histogram row, exploded to the tiles its cumulative rank
+    * interval [cum−cnt+1, cum] overlaps, with `ov` = how many of its
+    * rows land in that tile. Exact ntile semantics without sorting
+    * any data row: ntile tile i covers ranks
+    * ((i−1)·q + min(i−1, m) + 1) .. (i·q + min(i, m)) where
+    * q = N div n, m = N mod n — tile sizes differ by ≤1 and
+    * within-value tie-breaks only choose WHICH equal-valued rows
+    * cross a tile edge, never which VALUE does, so every per-tile
+    * aggregate over (value, weight) is recoverable from this table.
+    * Serial step is O(distinct values) per partition (same
+    * quantized-value license as [[exactQuantiles]]); the full-data
+    * work is one map-side-combined groupBy that shrinks to the
+    * histogram. Measured vs the textbook
+    * `ntile(n) OVER (PARTITION BY …)` single-reducer-per-partition
+    * window: 27.2s vs 119.9s at 100M rows (NOTES.md). */
+  def tileOverlaps(df: DataFrame, valueCol: String, n: Int,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(n > 0, s"ntile bucket count must be positive, got $n")
+    val parts = partitionCols.map(col)
+    val w = if (parts.isEmpty) Window.orderBy(col("v"))
+            else Window.partitionBy(parts: _*).orderBy(col("v"))
+    df.groupBy(parts :+ col(valueCol).as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("*"), explode(expr(s"sequence(1, $n)")).as("tile"))
+      .withColumn("rlo", expr(
+        s"(tile - 1) * (total div $n) + least(tile - 1, total % $n) + 1"))
+      .withColumn("rhi", expr(
+        s"tile * (total div $n) + least(tile, total % $n)"))
+      .withColumn("ov",
+        expr("least(cum, rhi) - greatest(cum - cnt + 1, rlo) + 1"))
+      .filter(col("ov") > 0)
+  }
+
+  /** Aggregated ntile buckets: one row per (partition, tile) with
+    * exact row count and value range — `ntile(n)` + per-tile
+    * count/min/max without the per-partition sort
+    * (`TimeSeries.eventsQuartiles` is this with n = 4 over events;
+    * its DuckDB oracle keeps the literal ntile window, so the hash
+    * gate proves the rank arithmetic reproduces ntile exactly). */
+  def ntileBuckets(df: DataFrame, valueCol: String, n: Int,
+      partitionCols: Seq[String] = Nil): DataFrame =
+    tileOverlaps(df, valueCol, n, partitionCols)
+      .groupBy(partitionCols.map(col) :+ col("tile"): _*)
+      .agg(sum(col("ov")).cast("long").as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+
   /** The threshold form: keep-mass audit against the q-quantile —
     * rows at/above the quantile value of `valueCol`, counted per
     * `groupCol`. (`Curation.qualityThreshold` is this shape with

@@ -78,37 +78,43 @@ object Curation {
     * depends ONLY on the per-source running total, the cumsum
     * composes across doc_id-range buckets exactly: (1) a window
     * partitioned by (source, bucket) computes local cumsums on many
-    * reducers, (2) per-bucket totals (= max local cumsum, read off
-    * the same pass) prefix-sum over the tiny bucket table, (3) the
+    * reducers, (2) per-bucket totals (plain sum(toks) per bucket — no
+    * window needed) prefix-sum over the tiny bucket table, (3) the
     * offsets broadcast back and `cum = offset + local`. The only
     * per-source serial step is the O(#buckets) offset window; the
     * DuckDB oracle keeps the single-window formulation, so the hash
-    * gate doubles as the equivalence proof. */
+    * gate doubles as the equivalence proof.
+    *
+    * The offsets branch recomputes the narrow scan instead of caching
+    * it: bucket totals need only a map-side partial aggregation (no
+    * corpus-row shuffle), while persisting the (doc_id, source, toks,
+    * bucket, lcum) projection to share one pass is a multi-TB
+    * MEMORY_AND_DISK cache at 100 TB. Scan + tokenize twice is the
+    * cheaper trade (NOTES.md, 5M-doc measurement). */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val local = Window
       .partitionBy(col("source"), col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // adaptive width from the id span: a doc_id-only columnar scan
-    // (driver-side scalar, same license as SkewJoin's key profile)
-    val maxId = t(spark, dir, "documents").agg(max(col("doc_id")))
-      .head().getLong(0)
+    // (driver-side scalar, same license as SkewJoin's key profile);
+    // coalesce guards the empty-table null (max of zero rows)
+    val maxId = t(spark, dir, "documents")
+      .agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
     val width = math.max(1L, maxId / TargetPackBuckets + 1)
-    // toks+bucket only — the text column is dropped before the shuffle
-    val withLocal = t(spark, dir, "documents")
+    // toks+bucket only — the text column is dropped before any shuffle
+    def narrow = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).cast("long").as("toks"))
       .withColumn("bucket", expr(s"doc_id div $width"))
-      .withColumn("lcum", sum(col("toks")).over(local))
-      .persist()
-    // bucket totals read off the SAME windowed pass (max local cumsum)
     val offW = Window.partitionBy(col("source")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withLocal
+    val offsets = narrow
       .groupBy(col("source"), col("bucket"))
-      .agg(max(col("lcum")).as("btoks"))
+      .agg(sum(col("toks")).as("btoks"))
       .withColumn("off", coalesce(sum(col("btoks")).over(offW), lit(0L)))
       .select(col("source"), col("bucket"), col("off"))
-    withLocal
+    narrow
+      .withColumn("lcum", sum(col("toks")).over(local))
       .join(broadcast(offsets), Seq("source", "bucket"))
       .withColumn("cum", col("off") + col("lcum"))
       // pack index of the pack this doc CLOSES into: floor-division

@@ -201,35 +201,16 @@ object TimeSeries {
     * license as [[graft.operators.Quantiles]]), so the plan is one
     * map-side-combined groupBy that SHRINKS to the histogram, a
     * cumsum window over the bounded histogram, and a 4-way explode —
-    * no full-data sort anywhere. The oracle keeps the literal ntile
-    * window, so the hash gate proves the arithmetic reproduces ntile
-    * exactly. */
-  def eventsQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val byV = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    val hist = t(spark, dir, "events")
-      .groupBy(col("event_type"), col("value"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        byV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("cnt")).over(
-        byV.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-    hist
-      .select(col("*"), explode(expr("array(1, 2, 3, 4)")).as("quartile"))
-      // ntile tile i covers ranks ((i−1)·n + min(i−1, m) + 1) to
-      // (i·n + min(i, m)) where n = N div 4, m = N mod 4
-      .withColumn("rlo", expr(
-        "(quartile - 1) * (total div 4) + least(quartile - 1, total % 4) + 1"))
-      .withColumn("rhi", expr(
-        "quartile * (total div 4) + least(quartile, total % 4)"))
-      .withColumn("ov",
-        expr("least(cum, rhi) - greatest(cum - cnt + 1, rlo) + 1"))
-      .filter(col("ov") > 0)
-      .groupBy(col("event_type"), col("quartile"))
-      .agg(sum(col("ov")).cast("long").as("n"),
-        r2(min(col("value"))).as("lo"),
-        r2(max(col("value"))).as("hi"))
-  }
+    * no full-data sort anywhere. The rank arithmetic lives in the
+    * reusable [[graft.operators.Quantiles.ntileBuckets]]; the oracle
+    * keeps the literal ntile window, so the hash gate proves the
+    * arithmetic reproduces ntile exactly. */
+  def eventsQuartiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles
+      .ntileBuckets(t(spark, dir, "events"), "value", 4, Seq("event_type"))
+      .select(col("event_type"), col("tile").as("quartile"),
+        col("n_rows").as("n"), r2(col("lo")).as("lo"),
+        r2(col("hi")).as("hi"))
 
   val eventsQuartilesSql: String =
     s"""SELECT event_type, quartile, count(*) AS n,

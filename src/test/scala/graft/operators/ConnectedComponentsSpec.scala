@@ -60,6 +60,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(run(0L) == expected)
   }
 
+  test("supplementary-plane string ids: fast path matches Spark's UTF-8 order") {
+    // U+10000 (surrogate pair, UTF-16 code units D800 DC00) sorts
+    // BELOW U+E000 in Java's String.compareTo but ABOVE it in UTF-8
+    // byte order — Spark's min uses the latter, so the union-find
+    // path must too or the two strategies emit different component ids
+    val lo = "𐀀" // U+10000
+    val hi = ""
+    assert(lo.compareTo(hi) < 0, "UTF-16 order premise")
+    val edges = Seq(lo -> hi)
+    def run(gate: Long) = ConnectedComponents
+      .connectedComponents(edges.toDF("a", "b"), "a", "b",
+        fastPathMaxEdges = gate)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = run(0L)
+    assert(run(Long.MaxValue) == dist,
+      "fast-path component id diverges from Spark's UTF-8 min")
+    // UTF-8 byte order: U+E000 (EE 80 80) < U+10000 (F0 90 80 80)
+    assert(dist.values.toSet == Set(hi))
+  }
+
+  test("gate above Int.MaxValue clamps instead of wrapping negative") {
+    // a wrapped gate made limit(negative) → limit(1), trivially
+    // passing the capped count; the clamp keeps the fast path usable
+    val m = comps(Seq(1L -> 2L, 2L -> 3L), Long.MaxValue - 1)
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("random graph: both paths agree on 500 edges") {
     // deterministic pseudo-random edges over 200 nodes: enough
     // collisions for multi-node components AND singleton pairs

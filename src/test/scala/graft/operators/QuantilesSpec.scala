@@ -33,6 +33,45 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  // reference ntile: stable sort by value, tile i covers ranks
+  // ((i−1)·q + min(i−1, m) + 1) .. (i·q + min(i, m)), q = N div n,
+  // m = N mod n — the definition ntile() implements
+  private def refNtile(vs: Seq[Long], n: Int): Map[Int, (Long, Long, Long)] = {
+    val sorted = vs.sorted
+    val (q, m) = (sorted.length / n, sorted.length % n)
+    (1 to n).flatMap { i =>
+      val rlo = (i - 1) * q + math.min(i - 1, m) + 1
+      val rhi = i * q + math.min(i, m)
+      if (rhi < rlo) None
+      else Some(i -> ((rhi - rlo + 1).toLong, sorted(rlo - 1), sorted(rhi - 1)))
+    }.toMap
+  }
+
+  test("ntileBuckets reproduces exact ntile counts and value ranges per group") {
+    val got = Quantiles.ntileBuckets(df, "v", 4, Seq("grp")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val byGrp = values.zipWithIndex.groupBy { case (_, i) => s"g${i % 3}" }
+    byGrp.foreach { case (g, vi) =>
+      val want = refNtile(vi.map(_._1), 4)
+      want.foreach { case (tile, w) =>
+        assert(got((g, tile)) == w, s"grp=$g tile=$tile: ${got((g, tile))} != $w")
+      }
+    }
+    assert(got.size == byGrp.size * 4)
+  }
+
+  test("ntileBuckets global (no partition) and more tiles than rows") {
+    val tiny = Seq(5L, 1L, 3L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Quantiles.ntileBuckets(tiny, "v", 10).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // ntile(10) over 3 rows: tiles 1..3 get one row each, 4..10 empty
+    assert(got == Map(1 -> ((1L, 1L, 1L)), 2 -> ((1L, 3L, 3L)),
+      3 -> ((1L, 5L, 5L))))
+  }
+
   test("keepAboveQuantile audit: kept mass >= 1 - q, groups partition N") {
     val audit = Quantiles.keepAboveQuantile(df, "v", "grp", 1, 10).collect()
     val total = audit.map(_.getLong(2)).sum
