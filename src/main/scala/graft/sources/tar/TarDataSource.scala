@@ -61,6 +61,15 @@ import graft.operators.SerializableHadoopConf
   * [[graft.sources.PayloadLoader]]: the DSv2 source is the right tool
   * when the QUERY is over members themselves; the loader is right
   * when enriching an existing metadata table.
+  *
+  * One member is still one row here, so a multi-GB member's bytes
+  * flow through the one task that owns its header (and anything past
+  * 2 GiB cannot fit a row at all). The scale path for such corpora is
+  * [[graft.sources.TarChunks.chunkedContent]]: the pruned (header-
+  * rate) listing of this source — which carries each payload's
+  * `offset` — explodes into fixed-size content-range descriptors,
+  * shuffles those tiny rows, and preads each chunk post-shuffle, so
+  * one huge member's bytes land on many tasks.
   */
 class TarDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "tar"
@@ -81,6 +90,11 @@ object TarTable {
     StructField("archive", StringType, nullable = false),
     StructField("member", StringType, nullable = false),
     StructField("size", LongType, nullable = false),
+    // payload start offset within the archive (uncompressed stream
+    // offset for .tgz) — the key that lets [[graft.sources.TarChunks]]
+    // pread huge members in distributed chunks without re-walking
+    // headers
+    StructField("offset", LongType, nullable = false),
     StructField("content", BinaryType, nullable = true)))
 
   /** Plain or gzip-compressed shard archives. */
@@ -350,6 +364,7 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
   private var pos: Long = -1L // next unread header offset; -1 = not started
   private var finished = false
   private var current: InternalRow = _
+  private var warnedPaxGlobal = false
 
   /** First 512-aligned offset >= from holding a plausible member
     * header (checksum + magic). Scans in 1 MiB chunks.
@@ -418,7 +433,9 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
     if (size > Int.MaxValue - 8)
       throw new IOException(
         s"tar member payload too large for one row: $size bytes " +
-          s"in ${part.archivePath}")
+          s"in ${part.archivePath} — read the pruned listing and use " +
+          "graft.sources.TarChunks.chunkedContent to fetch it as " +
+          "distributed content-range rows")
     val out = new Array[Byte](size.toInt)
     in.readFully(off, out, 0, size.toInt)
     out
@@ -467,6 +484,17 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
           while (n > 0 && raw(n - 1) == 0) n -= 1
           nameOverride = new String(raw, 0, n, StandardCharsets.UTF_8)
         }
+        else if (flag == 'g' && !warnedPaxGlobal) {
+          // skipped by design (split determinism — see object scaladoc)
+          // but loudly: the .tgz streaming branch DOES apply globals,
+          // so a third-party archive relying on one reads differently
+          warnedPaxGlobal = true
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"pax GLOBAL header (typeflag 'g') at offset $pos in " +
+              s"${part.archivePath} is skipped by the splittable tar " +
+              "reader; its records are NOT applied to later members " +
+              "(the streaming .tgz path honors them)")
+        }
         pos = entryEnd // 'g'/'K': skip payload, keep walking
       } else if (isFileType(flag)) {
         // Ownership: the range holding the file-header offset emits.
@@ -480,6 +508,7 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
           case "archive" => UTF8String.fromString(part.archivePath)
           case "member" => UTF8String.fromString(name)
           case "size" => size
+          case "offset" => contentOff
           case "content" => content
         }
         current = InternalRow.fromSeq(values)
@@ -527,6 +556,10 @@ class TarStreamReader(part: TarInputPartition, required: StructType,
     var entry = in.getNextEntry
     while (entry != null && !entry.isFile) entry = in.getNextEntry
     if (entry == null) { current = null; return false }
+    // bytes consumed so far in the DECOMPRESSED tar stream = this
+    // entry's data start (header just finished); informational only —
+    // gzip allows no pread, so TarChunks rejects compressed archives
+    val dataOff = in.getBytesRead
     val content: Array[Byte] =
       if (!needContent) null
       else {
@@ -541,6 +574,7 @@ class TarStreamReader(part: TarInputPartition, required: StructType,
       case "archive" => UTF8String.fromString(part.archivePath)
       case "member" => UTF8String.fromString(entry.getName)
       case "size" => entry.getSize
+      case "offset" => dataOff
       case "content" => content
     }
     current = InternalRow.fromSeq(values)

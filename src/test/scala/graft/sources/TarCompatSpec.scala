@@ -89,6 +89,25 @@ class TarCompatSpec extends SparkSpec {
       rows.toString)
   }
 
+  test("pax GLOBAL header is skipped (not applied) and the walk stays in sync") {
+    // a 'g' record carrying a path= default must NOT rename later
+    // members on the splittable reader (documented divergence from
+    // the .tgz streaming branch, which applies globals); the payload
+    // must still be stepped over so following members read correctly
+    val globalPayload = "21 path=ignored/dir/\n".getBytes(UTF_8)
+    val content = "body".getBytes(UTF_8)
+    val path = writeArchive("paxglobal.tar",
+      ustarHeader("pax_global_header", "", globalPayload.length.toLong, 'g'),
+      padTo512(globalPayload),
+      ustarHeader("real.bin", "", content.length.toLong, '0'),
+      padTo512(content))
+    val rows = spark.read.format("tar").load(path).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("member") == "real.bin")
+    assert(new String(rows.head.getAs[Array[Byte]]("content"), UTF_8)
+      == "body")
+  }
+
   test("contiguous-file entries (typeflag 7) surface like regular files") {
     val content = "contig".getBytes(UTF_8)
     val path = writeArchive("contig.tar",

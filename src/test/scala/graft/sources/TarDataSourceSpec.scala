@@ -34,7 +34,7 @@ class TarDataSourceSpec extends SparkSpec {
   test("reads one row per member across archives") {
     val df = spark.read.format("tar").load(dir)
     assert(df.schema.fieldNames.toSeq ==
-      Seq("archive", "member", "size", "content"))
+      Seq("archive", "member", "size", "offset", "content"))
     val rows = df.collect()
     assert(rows.length == 3)
     val byMember = rows.map(r =>
