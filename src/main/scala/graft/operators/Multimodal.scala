@@ -114,7 +114,10 @@ object Multimodal {
     * per-frame pixel decode is the stubbed step, returning md5-tagged
     * placeholders where production plugs an ffmpeg/JNI decoder.
     * Mirrors the fractional-position frame pick of the reference's
-    * ImageFilterAdapter (videos/image_filter_adapter.py:55-74). */
+    * ImageFilterAdapter (videos/image_filter_adapter.py:55-74).
+    * For MJPEG-in-AVI sources the decode is NOT a stub anymore —
+    * [[VideoFrames]] / [[VideoFrameExtractFilter]] extract real,
+    * javax.imageio-decodable JPEG frames. */
   def sampleFrames(df: DataFrame, bytesCol: String, durationCol: String,
       n: Int, outCol: String = "frames"): DataFrame = {
     require(n > 0)
