@@ -1,0 +1,480 @@
+package graft.onnx
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal pure-JVM ONNX model loader + interpreter for the
+  * MLP-class graphs the image/text scoring filters ship (a few Gemm/
+  * activation layers over a feature vector). This container has no
+  * onnxruntime and the build adds no dependencies, so the engine
+  * reads the (public, stable) ONNX protobuf wire format directly and
+  * interprets the op subset those heads need — real model files run
+  * unmodified; anything outside the subset fails loudly with the op
+  * name so production can swap a full runtime behind the same
+  * [[OnnxModel.run]] signature.
+  *
+  * Format references (all public): protobuf encoding spec
+  * (developers.google.com/protocol-buffers/docs/encoding) and
+  * onnx/onnx.proto3 field numbers — ModelProto.graph=7,
+  * GraphProto.{node=1, initializer=5, input=11, output=12},
+  * NodeProto.{input=1, output=2, op_type=4, attribute=5},
+  * AttributeProto.{name=1, f=2, i=3, t=5, floats=7, ints=8},
+  * TensorProto.{dims=1, data_type=2, float_data=4, name=8,
+  * raw_data=9}.
+  *
+  * Reference scope: the DPF filters this backs load ONNX sessions in
+  * aesthetic_improved_filter.py:22-71 and nsfw_filter.py:45-90.
+  */
+object Onnx {
+
+  /** Row-major float tensor. */
+  final case class Tensor(dims: Seq[Int], data: Array[Float]) {
+    require(dims.product == data.length,
+      s"tensor shape ${dims.mkString("x")} != ${data.length} values")
+    def rows: Int = dims.head
+    def cols: Int = if (dims.length < 2) 1 else dims.drop(1).product
+  }
+
+  sealed trait Attr
+  final case class AttrFloat(v: Float) extends Attr
+  final case class AttrInt(v: Long) extends Attr
+  final case class AttrInts(v: Seq[Long]) extends Attr
+  final case class AttrFloats(v: Seq[Float]) extends Attr
+  final case class AttrTensor(v: Tensor) extends Attr
+
+  final case class Node(opType: String, inputs: Seq[String],
+      outputs: Seq[String], attrs: Map[String, Attr])
+
+  final case class Graph(nodes: Seq[Node],
+      initializers: Map[String, Tensor],
+      inputs: Seq[String], outputs: Seq[String])
+
+  // ---------------- protobuf wire-format reader ----------------
+
+  private final class Pb(val b: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def readVarint(): Long = {
+      var shift = 0
+      var out = 0L
+      var more = true
+      while (more) {
+        val x = b(pos) & 0xff
+        pos += 1
+        out |= (x & 0x7fL) << shift
+        shift += 7
+        more = (x & 0x80) != 0
+      }
+      out
+    }
+    /** returns (fieldNumber, wireType) */
+    def readTag(): (Int, Int) = {
+      val t = readVarint()
+      ((t >>> 3).toInt, (t & 7).toInt)
+    }
+    def readFixed32(): Int = {
+      val v = ((b(pos) & 0xff)) | ((b(pos + 1) & 0xff) << 8) |
+        ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
+      pos += 4
+      v
+    }
+    def readFloat(): Float = java.lang.Float.intBitsToFloat(readFixed32())
+    /** returns a sub-reader over a length-delimited field */
+    def sub(): Pb = {
+      val len = readVarint().toInt
+      val r = new Pb(b, pos, pos + len)
+      pos += len
+      r
+    }
+    def readBytes(): Array[Byte] = {
+      val len = readVarint().toInt
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + len)
+      pos += len
+      out
+    }
+    def readString(): String = new String(readBytes(), "UTF-8")
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => readVarint()
+      case 1 => pos += 8
+      case 2 =>
+        // two statements: `pos += readVarint()` reads the OLD pos
+        // before readVarint advances it (left-to-right evaluation)
+        val len = readVarint().toInt
+        pos += len
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"wire type $w")
+    }
+  }
+
+  // ---------------- ONNX message parsers ----------------
+
+  /** Parse ModelProto bytes into its graph. */
+  def parse(model: Array[Byte]): Graph = {
+    val pb = new Pb(model, 0, model.length)
+    var graph: Graph = null
+    while (pb.hasMore) {
+      val (f, w) = pb.readTag()
+      if (f == 7 && w == 2) graph = parseGraph(pb.sub())
+      else pb.skip(w)
+    }
+    require(graph != null, "no graph in ONNX model")
+    graph
+  }
+
+  private def parseGraph(pb: Pb): Graph = {
+    val nodes = Seq.newBuilder[Node]
+    val inits = Map.newBuilder[String, Tensor]
+    val ins = Seq.newBuilder[String]
+    val outs = Seq.newBuilder[String]
+    while (pb.hasMore) {
+      val (f, w) = pb.readTag()
+      (f, w) match {
+        case (1, 2) => nodes += parseNode(pb.sub())
+        case (5, 2) =>
+          val t = parseTensor(pb.sub())
+          inits += t._1 -> t._2
+        case (11, 2) => ins += parseValueInfoName(pb.sub())
+        case (12, 2) => outs += parseValueInfoName(pb.sub())
+        case _ => pb.skip(w)
+      }
+    }
+    val initMap = inits.result()
+    // graph inputs include initializers in many exporters; model
+    // inputs = declared inputs minus initializer names
+    Graph(nodes.result(), initMap,
+      ins.result().filterNot(initMap.contains), outs.result())
+  }
+
+  private def parseValueInfoName(pb: Pb): String = {
+    var name = ""
+    while (pb.hasMore) {
+      val (f, w) = pb.readTag()
+      if (f == 1 && w == 2) name = pb.readString()
+      else pb.skip(w)
+    }
+    name
+  }
+
+  private def parseNode(pb: Pb): Node = {
+    val ins = Seq.newBuilder[String]
+    val outs = Seq.newBuilder[String]
+    var op = ""
+    val attrs = Map.newBuilder[String, Attr]
+    while (pb.hasMore) {
+      val (f, w) = pb.readTag()
+      (f, w) match {
+        case (1, 2) => ins += pb.readString()
+        case (2, 2) => outs += pb.readString()
+        case (4, 2) => op = pb.readString()
+        case (5, 2) =>
+          val a = parseAttr(pb.sub())
+          if (a != null) attrs += a
+        case _ => pb.skip(w)
+      }
+    }
+    Node(op, ins.result(), outs.result(), attrs.result())
+  }
+
+  private def parseAttr(pb: Pb): (String, Attr) = {
+    var name = ""
+    var attr: Attr = null
+    val ints = Seq.newBuilder[Long]
+    val floats = Seq.newBuilder[Float]
+    var sawInts = false
+    var sawFloats = false
+    while (pb.hasMore) {
+      val (f, w) = pb.readTag()
+      (f, w) match {
+        case (1, 2) => name = pb.readString()
+        case (2, 5) => attr = AttrFloat(pb.readFloat())
+        case (3, 0) => attr = AttrInt(pb.readVarint())
+        case (5, 2) => attr = AttrTensor(parseTensor(pb.sub())._2)
+        case (7, 2) => // packed floats
+          val s = pb.sub(); sawFloats = true
+          while (s.hasMore) floats += s.readFloat()
+        case (7, 5) => sawFloats = true; floats += pb.readFloat()
+        case (8, 2) => // packed ints
+          val s = pb.sub(); sawInts = true
+          while (s.hasMore) ints += s.readVarint()
+        case (8, 0) => sawInts = true; ints += pb.readVarint()
+        case _ => pb.skip(w)
+      }
+    }
+    if (attr == null && sawInts) attr = AttrInts(ints.result())
+    if (attr == null && sawFloats) attr = AttrFloats(floats.result())
+    if (attr == null) null else name -> attr
+  }
+
+  /** TensorProto → (name, tensor); FLOAT (1) via float_data or
+    * raw_data (little-endian), INT64 (7) via int64_data or raw_data
+    * (cast to float — shape/axis tensors). */
+  private def parseTensor(pb: Pb): (String, Tensor) = {
+    val dims = Seq.newBuilder[Int]
+    var dataType = 1L
+    var name = ""
+    val floats = Seq.newBuilder[Float]
+    var raw: Array[Byte] = null
+    while (pb.hasMore) {
+      val (f, w) = pb.readTag()
+      (f, w) match {
+        case (1, 2) =>
+          val s = pb.sub()
+          while (s.hasMore) dims += s.readVarint().toInt
+        case (1, 0) => dims += pb.readVarint().toInt
+        case (2, 0) => dataType = pb.readVarint()
+        case (4, 2) =>
+          val s = pb.sub()
+          while (s.hasMore) floats += s.readFloat()
+        case (4, 5) => floats += pb.readFloat()
+        case (7, 2) =>
+          val s = pb.sub()
+          while (s.hasMore) floats += s.readVarint().toFloat
+        case (7, 0) => floats += pb.readVarint().toFloat
+        case (8, 2) => name = pb.readString()
+        case (9, 2) => raw = pb.readBytes()
+        case _ => pb.skip(w)
+      }
+    }
+    var data = floats.result().toArray
+    if (data.isEmpty && raw != null) {
+      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      data =
+        if (dataType == 7L) { // INT64
+          val out = new Array[Float](raw.length / 8)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getLong(i * 8).toFloat; i += 1 }
+          out
+        } else {
+          val out = new Array[Float](raw.length / 4)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getFloat(i * 4); i += 1 }
+          out
+        }
+    }
+    val d = dims.result()
+    name -> Tensor(if (d.isEmpty) Seq(data.length) else d, data)
+  }
+}
+
+/** Interpreter over a parsed graph. ONNX requires nodes in
+  * topological order, so evaluation is a single fold. Supported ops:
+  * Gemm, MatMul, Add, Sub, Mul, Div, Relu, LeakyRelu, Sigmoid, Tanh,
+  * Softmax, Flatten, Identity, Constant, Reshape — the closed set an
+  * MLP scoring head uses. */
+final class OnnxModel(val graph: Onnx.Graph) {
+  import Onnx._
+
+  def run(inputs: Map[String, Tensor]): Map[String, Tensor] = {
+    val env = scala.collection.mutable.HashMap[String, Tensor]()
+    env ++= graph.initializers
+    env ++= inputs
+    graph.nodes.foreach { n =>
+      val out = eval(n, n.inputs.map(i => env.getOrElse(i,
+        throw new IllegalArgumentException(
+          s"${n.opType}: missing input $i — graph not topological?"))))
+      env += n.outputs.head -> out
+    }
+    graph.outputs.map(o => o -> env(o)).toMap
+  }
+
+  /** Single-output forward pass over a [N, D] batch. */
+  def forward(batch: Tensor): Tensor = {
+    require(graph.inputs.length == 1,
+      s"expected one model input, got ${graph.inputs}")
+    run(Map(graph.inputs.head -> batch))(graph.outputs.head)
+  }
+
+  private def attrF(n: Node, k: String, d: Float): Float =
+    n.attrs.get(k) match {
+      case Some(AttrFloat(v)) => v
+      case Some(AttrInt(v)) => v.toFloat
+      case _ => d
+    }
+  private def attrI(n: Node, k: String, d: Long): Long =
+    n.attrs.get(k) match {
+      case Some(AttrInt(v)) => v
+      case _ => d
+    }
+
+  private def eval(n: Node, ins: Seq[Tensor]): Tensor = n.opType match {
+    case "Gemm" =>
+      val alpha = attrF(n, "alpha", 1f)
+      val beta = attrF(n, "beta", 1f)
+      val a = if (attrI(n, "transA", 0) == 1) transpose(ins(0)) else ins(0)
+      val b = if (attrI(n, "transB", 0) == 1) transpose(ins(1)) else ins(1)
+      val y = matmul(a, b, alpha)
+      if (ins.length > 2) addBroadcast(y, ins(2), beta) else y
+    case "MatMul" => matmul(ins(0), ins(1), 1f)
+    case "Add" => addBroadcast(ins(0), ins(1), 1f)
+    case "Sub" => zip(ins(0), ins(1), _ - _)
+    case "Mul" => zip(ins(0), ins(1), _ * _)
+    case "Div" => zip(ins(0), ins(1), _ / _)
+    case "Relu" => map1(ins(0), v => math.max(v, 0f))
+    case "LeakyRelu" =>
+      val a = attrF(n, "alpha", 0.01f)
+      map1(ins(0), v => if (v >= 0f) v else a * v)
+    case "Sigmoid" =>
+      map1(ins(0), v => (1.0 / (1.0 + math.exp(-v.toDouble))).toFloat)
+    case "Tanh" => map1(ins(0), v => math.tanh(v.toDouble).toFloat)
+    case "Softmax" => softmax(ins(0))
+    case "Flatten" =>
+      val t = ins(0)
+      Tensor(Seq(t.rows, t.cols), t.data)
+    case "Identity" => ins(0)
+    case "Constant" => n.attrs("value") match {
+      case AttrTensor(t) => t
+      case a => throw new IllegalArgumentException(s"Constant attr $a")
+    }
+    case "Reshape" =>
+      val t = ins(0)
+      val want = ins(1).data.map(_.toLong)
+      val known = want.filter(_ > 0).product
+      val dims = want.map {
+        case -1L => (t.data.length / math.max(known, 1L)).toInt
+        case 0L => throw new IllegalArgumentException(
+          "Reshape dim 0 (copy) unsupported")
+        case d => d.toInt
+      }
+      Tensor(dims.toSeq, t.data)
+    case op => throw new UnsupportedOperationException(
+      s"ONNX op $op outside the MLP interpreter subset — plug a full " +
+        "runtime behind OnnxModel.run for this model")
+  }
+
+  private def transpose(t: Tensor): Tensor = {
+    require(t.dims.length == 2, s"transpose needs 2-D, got ${t.dims}")
+    val (r, c) = (t.dims(0), t.dims(1))
+    val out = new Array[Float](t.data.length)
+    var i = 0
+    while (i < r) {
+      var j = 0
+      while (j < c) { out(j * r + i) = t.data(i * c + j); j += 1 }
+      i += 1
+    }
+    Tensor(Seq(c, r), out)
+  }
+
+  private def matmul(a: Tensor, b: Tensor, alpha: Float): Tensor = {
+    require(a.dims.length == 2 && b.dims.length == 2,
+      s"matmul needs 2-D, got ${a.dims} x ${b.dims}")
+    val (m, k) = (a.dims(0), a.dims(1))
+    val (k2, n) = (b.dims(0), b.dims(1))
+    require(k == k2, s"matmul shape mismatch: ${a.dims} x ${b.dims}")
+    val out = new Array[Float](m * n)
+    var i = 0
+    while (i < m) {
+      var p = 0
+      while (p < k) {
+        val av = a.data(i * k + p) * alpha
+        if (av != 0f) {
+          var j = 0
+          while (j < n) {
+            out(i * n + j) += av * b.data(p * n + j)
+            j += 1
+          }
+        }
+        p += 1
+      }
+      i += 1
+    }
+    Tensor(Seq(m, n), out)
+  }
+
+  /** y + beta·c where c is same-shape or a [cols] row vector
+    * (unidirectional broadcast — the Gemm bias case). */
+  private def addBroadcast(y: Tensor, c: Tensor, beta: Float): Tensor = {
+    val out = new Array[Float](y.data.length)
+    val cols = y.cols
+    if (c.data.length == y.data.length) {
+      var i = 0
+      while (i < out.length) { out(i) = y.data(i) + beta * c.data(i); i += 1 }
+    } else {
+      require(c.data.length == cols,
+        s"bias ${c.dims} does not broadcast to ${y.dims}")
+      var i = 0
+      while (i < out.length) {
+        out(i) = y.data(i) + beta * c.data(i % cols)
+        i += 1
+      }
+    }
+    Tensor(y.dims, out)
+  }
+
+  private def zip(a: Tensor, b: Tensor, f: (Float, Float) => Float): Tensor = {
+    if (a.data.length == b.data.length) {
+      val out = new Array[Float](a.data.length)
+      var i = 0
+      while (i < out.length) { out(i) = f(a.data(i), b.data(i)); i += 1 }
+      Tensor(a.dims, out)
+    } else {
+      require(b.data.length == a.cols,
+        s"elementwise ${b.dims} does not broadcast to ${a.dims}")
+      val out = new Array[Float](a.data.length)
+      val cols = a.cols
+      var i = 0
+      while (i < out.length) { out(i) = f(a.data(i), b.data(i % cols)); i += 1 }
+      Tensor(a.dims, out)
+    }
+  }
+
+  private def map1(t: Tensor, f: Float => Float): Tensor = {
+    val out = new Array[Float](t.data.length)
+    var i = 0
+    while (i < out.length) { out(i) = f(t.data(i)); i += 1 }
+    Tensor(t.dims, out)
+  }
+
+  /** last-axis softmax with the max-subtraction stabilization */
+  private def softmax(t: Tensor): Tensor = {
+    val cols = t.dims.last
+    val out = new Array[Float](t.data.length)
+    var row = 0
+    while (row < t.data.length / cols) {
+      val o = row * cols
+      var mx = Float.NegativeInfinity
+      var j = 0
+      while (j < cols) { mx = math.max(mx, t.data(o + j)); j += 1 }
+      var sum = 0.0
+      j = 0
+      while (j < cols) {
+        val e = math.exp((t.data(o + j) - mx).toDouble)
+        out(o + j) = e.toFloat
+        sum += e
+        j += 1
+      }
+      j = 0
+      while (j < cols) { out(o + j) = (out(o + j) / sum).toFloat; j += 1 }
+      row += 1
+    }
+    Tensor(t.dims, out)
+  }
+}
+
+object OnnxModel {
+  import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.atomic.AtomicLong
+
+  private val cache = new ConcurrentHashMap[String, OnnxModel]()
+  /** number of cold loads — observable session-per-executor reuse */
+  val loads = new AtomicLong(0)
+
+  def parseBytes(bytes: Array[Byte]): OnnxModel =
+    new OnnxModel(Onnx.parse(bytes))
+
+  /** Per-JVM (= per-executor) session cache: the model file is read
+    * and parsed once per executor regardless of task/batch count —
+    * the session-reuse discipline of the reference's ONNX filters
+    * (one session per worker, aesthetic_improved_filter.py:22-46). */
+  def forPath(path: String,
+      conf: org.apache.hadoop.conf.Configuration): OnnxModel =
+    cache.computeIfAbsent(path, { p =>
+      loads.incrementAndGet()
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val in = fs.open(hp)
+      try {
+        val len = fs.getFileStatus(hp).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        parseBytes(buf)
+      } finally in.close()
+    })
+}

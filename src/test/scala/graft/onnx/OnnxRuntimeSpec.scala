@@ -1,0 +1,214 @@
+package graft.onnx
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Test-side ONNX protobuf WRITER: emits real wire-format ModelProto
+  * bytes (the same encoding torch.onnx.export produces) so the specs
+  * exercise the parser on genuine serialized models rather than
+  * hand-mocked structures. */
+object TestOnnx {
+  private def varint(out: ByteArrayOutputStream, v: Long): Unit = {
+    var x = v
+    while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+    out.write(x.toInt)
+  }
+  private def tag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
+    varint(out, (field.toLong << 3) | wire)
+  private def lenDelim(out: ByteArrayOutputStream, field: Int,
+      body: Array[Byte]): Unit = {
+    tag(out, field, 2); varint(out, body.length.toLong); out.write(body)
+  }
+  private def str(out: ByteArrayOutputStream, field: Int, s: String): Unit =
+    lenDelim(out, field, s.getBytes("UTF-8"))
+  private def msg(f: ByteArrayOutputStream => Unit): Array[Byte] = {
+    val out = new ByteArrayOutputStream(); f(out); out.toByteArray
+  }
+
+  /** TensorProto: dims packed (field 1), data_type=1 float (field 2),
+    * values either packed float_data (field 4) or raw_data (field 9,
+    * little-endian) — both encodings appear in the wild. */
+  def tensor(name: String, dims: Seq[Int], data: Seq[Float],
+      useRaw: Boolean = false): Array[Byte] = msg { out =>
+    lenDelim(out, 1, msg(o => dims.foreach(d => varint(o, d.toLong))))
+    tag(out, 2, 0); varint(out, 1L) // FLOAT
+    if (useRaw) {
+      val bb = ByteBuffer.allocate(data.length * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      data.foreach(bb.putFloat)
+      lenDelim(out, 9, bb.array())
+    } else {
+      val bb = ByteBuffer.allocate(data.length * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      data.foreach(bb.putFloat)
+      lenDelim(out, 4, bb.array()) // packed floats
+    }
+    str(out, 8, name)
+  }
+
+  def attrInt(name: String, v: Long): Array[Byte] = msg { out =>
+    str(out, 1, name)
+    tag(out, 3, 0); varint(out, v)
+    tag(out, 20, 0); varint(out, 2L) // type = INT
+  }
+
+  def attrFloat(name: String, v: Float): Array[Byte] = msg { out =>
+    str(out, 1, name)
+    tag(out, 2, 5)
+    val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putFloat(v)
+    // fixed32 little-endian bytes
+    out.write(bb.array())
+    tag(out, 20, 0); varint(out, 1L) // type = FLOAT
+  }
+
+  def node(op: String, ins: Seq[String], outs: Seq[String],
+      attrs: Seq[Array[Byte]] = Nil): Array[Byte] = msg { out =>
+    ins.foreach(i => str(out, 1, i))
+    outs.foreach(o => str(out, 2, o))
+    str(out, 4, op)
+    attrs.foreach(a => lenDelim(out, 5, a))
+  }
+
+  private def valueInfo(name: String): Array[Byte] = msg(o => str(o, 1, name))
+
+  def model(nodes: Seq[Array[Byte]], inits: Seq[Array[Byte]],
+      inputs: Seq[String], outputs: Seq[String]): Array[Byte] = msg { out =>
+    tag(out, 1, 0); varint(out, 7L) // ir_version
+    str(out, 2, "graft-test")
+    val graph = msg { g =>
+      nodes.foreach(n => lenDelim(g, 1, n))
+      str(g, 2, "mlp")
+      inits.foreach(i => lenDelim(g, 5, i))
+      inputs.foreach(i => lenDelim(g, 11, valueInfo(i)))
+      outputs.foreach(o => lenDelim(g, 12, valueInfo(o)))
+    }
+    lenDelim(out, 7, graph)
+    // opset_import { domain="", version=17 }
+    lenDelim(out, 8, msg { o => str(o, 1, ""); tag(o, 2, 0); varint(o, 17L) })
+  }
+
+  // deterministic 4→8→1 MLP weights shared by the specs
+  val W1: Seq[Float] = (0 until 32).map(i => ((i % 7) - 3) * 0.25f)      // [8,4] (transB)
+  val B1: Seq[Float] = (0 until 8).map(i => 0.1f * (i - 4))
+  val W2: Seq[Float] = (0 until 8).map(i => if (i % 2 == 0) 0.4f else -0.3f) // [8,1]
+  val B2: Seq[Float] = Seq(0.05f)
+
+  /** x[N,4] → Gemm(W1ᵀ)+b1 → Relu → Gemm(W2)+b2 → Sigmoid → y.
+    * W1 is stored [8,4] with transB=1 to exercise the transpose path;
+    * W2 is serialized via raw_data to exercise that decode path. */
+  def mlpBytes: Array[Byte] = model(
+    nodes = Seq(
+      node("Gemm", Seq("x", "w1", "b1"), Seq("h0"),
+        Seq(attrInt("transB", 1L), attrFloat("alpha", 1f))),
+      node("Relu", Seq("h0"), Seq("h1")),
+      node("Gemm", Seq("h1", "w2", "b2"), Seq("z")),
+      node("Sigmoid", Seq("z"), Seq("y"))),
+    inits = Seq(
+      tensor("w1", Seq(8, 4), W1),
+      tensor("b1", Seq(8), B1),
+      tensor("w2", Seq(8, 1), W2, useRaw = true),
+      tensor("b2", Seq(1), B2)),
+    inputs = Seq("x"), outputs = Seq("y"))
+
+  /** Reference forward pass in double math for value assertions. */
+  def expectedScore(x: Seq[Float]): Double = {
+    val h = (0 until 8).map { i =>
+      val z = (0 until 4).map(j => W1(i * 4 + j).toDouble * x(j)).sum +
+        B1(i)
+      math.max(z, 0.0)
+    }
+    val z = (0 until 8).map(i => h(i) * W2(i).toDouble).sum + B2.head
+    1.0 / (1.0 + math.exp(-z))
+  }
+}
+
+class OnnxRuntimeSpec extends AnyFunSuite {
+  import TestOnnx._
+
+  test("parser reads the serialized model structure") {
+    val g = Onnx.parse(mlpBytes)
+    assert(g.nodes.map(_.opType) == Seq("Gemm", "Relu", "Gemm", "Sigmoid"))
+    assert(g.inputs == Seq("x"))
+    assert(g.outputs == Seq("y"))
+    assert(g.initializers.keySet == Set("w1", "b1", "w2", "b2"))
+    assert(g.initializers("w1").dims == Seq(8, 4))
+    // raw_data path decoded identically to float_data
+    assert(g.initializers("w2").data.toSeq == W2)
+  }
+
+  test("forward pass matches the reference MLP within float tolerance") {
+    val m = OnnxModel.parseBytes(mlpBytes)
+    val xs = Seq(
+      Seq(0.5f, 0.2f, 0.7f, 0.4f),
+      Seq(0.0f, 0.0f, 0.0f, 0.0f),
+      Seq(1.0f, -1.0f, 0.3f, 2.0f))
+    val out = m.forward(Onnx.Tensor(Seq(3, 4), xs.flatten.toArray))
+    assert(out.data.length == 3)
+    xs.zip(out.data).foreach { case (x, got) =>
+      val want = expectedScore(x)
+      assert(math.abs(got - want) < 1e-5, s"x=$x got=$got want=$want")
+    }
+  }
+
+  test("batch of one equals the same row inside a larger batch") {
+    val m = OnnxModel.parseBytes(mlpBytes)
+    val x = Seq(0.9f, 0.1f, 0.5f, 0.25f)
+    val alone = m.forward(Onnx.Tensor(Seq(1, 4), x.toArray)).data(0)
+    val batched = m.forward(Onnx.Tensor(Seq(2, 4),
+      (x ++ Seq(0.1f, 0.2f, 0.3f, 0.4f)).toArray)).data(0)
+    assert(alone == batched)
+  }
+
+  test("softmax + broadcast add graph") {
+    val g = model(
+      nodes = Seq(
+        node("Add", Seq("x", "bias"), Seq("s")),
+        node("Softmax", Seq("s"), Seq("p"))),
+      inits = Seq(tensor("bias", Seq(3), Seq(0.5f, 0f, -0.5f))),
+      inputs = Seq("x"), outputs = Seq("p"))
+    val m = OnnxModel.parseBytes(g)
+    val out = m.forward(Onnx.Tensor(Seq(2, 3),
+      Array(1f, 2f, 3f, 10f, 10f, 10f)))
+    // rows sum to 1, higher logit → higher mass
+    val rows = out.data.grouped(3).toSeq
+    rows.foreach(r => assert(math.abs(r.sum - 1f) < 1e-5))
+    assert(rows(0)(2) > rows(0)(0))
+    // second row: equal logits + bias tilts mass toward index 0
+    assert(rows(1)(0) > rows(1)(2))
+  }
+
+  test("unsupported op fails loudly with the op name") {
+    val g = model(
+      nodes = Seq(node("Conv", Seq("x"), Seq("y"))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val m = OnnxModel.parseBytes(g)
+    val e = intercept[UnsupportedOperationException] {
+      m.forward(Onnx.Tensor(Seq(1, 4), Array(1f, 2f, 3f, 4f)))
+    }
+    assert(e.getMessage.contains("Conv"))
+  }
+
+  test("Reshape with -1 and Constant nodes") {
+    val g = model(
+      nodes = Seq(
+        node("Constant", Nil, Seq("shape"),
+          Seq(msg2("value", tensor("", Seq(2), Seq(2f, -1f))))),
+        node("Reshape", Seq("x", "shape"), Seq("y"))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val m = OnnxModel.parseBytes(g)
+    val out = m.forward(Onnx.Tensor(Seq(1, 6), Array(1f, 2f, 3f, 4f, 5f, 6f)))
+    assert(out.dims == Seq(2, 3))
+  }
+
+  /** AttributeProto with a tensor payload (field 5). */
+  private def msg2(name: String, t: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val nb = name.getBytes("UTF-8")
+    out.write(((1 << 3) | 2)); out.write(nb.length); out.write(nb)
+    out.write(((5 << 3) | 2)); out.write(t.length); out.write(t)
+    out.write((20 << 3) | 0); out.write(4) // type = TENSOR
+    out.toByteArray
+  }
+}
