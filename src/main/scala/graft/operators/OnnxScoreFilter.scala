@@ -32,7 +32,9 @@ import graft.onnx.OnnxModel
   */
 final case class OnnxScoreFilter(modelPath: Option[String] = None,
     scoreColumn: String = "image_score",
+    outputIndex: Int = 0,
     override val batchSize: Int = 64) extends DataFilter {
+  require(outputIndex >= 0)
   override val modalities = Seq(Modality.Image)
   override def name = s"OnnxScoreFilter(${modelPath.getOrElse("standin")})"
   override val resultSchema = StructType(Seq(
@@ -56,10 +58,17 @@ final case class OnnxScoreFilter(modelPath: Option[String] = None,
         val out = model.forward(
           graft.onnx.Onnx.Tensor(Seq(feats.length, FeatureDim),
             feats.flatten.toArray))
-        require(out.data.length == feats.length,
+        // [N, 1] scalar heads and [N, K] class heads (e.g. an NSFW
+        // softmax pair, nsfw_filter.py:67-80) both work: the score is
+        // column `outputIndex` of each row
+        require(out.data.length % feats.length == 0,
           s"model emitted ${out.dims} for a ${feats.length}-row batch — " +
-            "expected one score per row")
-        out.data.map(_.toDouble).toSeq
+            "expected N rows")
+        val k = out.data.length / feats.length
+        require(outputIndex < k,
+          s"outputIndex $outputIndex out of range for $k model outputs")
+        (0 until feats.length)
+          .map(i => out.data(i * k + outputIndex).toDouble)
       case Some(_) => Nil
       case None => feats.map(standinHead)
     }
@@ -113,4 +122,29 @@ final case class OnnxScoreFilter(modelPath: Option[String] = None,
     val z = -1.0 + 1.5 * f(0) + 4.0 * f(1) + 2.0 * f(2) + 1.0 * f(3)
     (1.0 + z / (1.0 + math.abs(z))) * 0.5
   }
+}
+
+/** The reference's named model-backed image filters, each a thin
+  * configuration of [[OnnxScoreFilter]] with the reference's score
+  * column name — pass the `.onnx` head trained for each task and the
+  * session/batching/null plumbing is shared:
+  *
+  *  - aesthetic: DPF/filters/images/aesthetic_filter.py (score col
+  *    `aesthetic_score_<model>` simplified to `aesthetic_score`);
+  *  - improved aesthetic: aesthetic_improved_filter.py:22-110
+  *    (LAION aesthetic-predictor head over CLIP features);
+  *  - NSFW: nsfw_filter.py:45-90 — a 2-class softmax head, scored by
+  *    the NSFW class probability (outputIndex 1);
+  *  - watermark: watermarks_filter.py:65-104 — 2-class
+  *    (watermark/clean), scored by the watermark class.
+  */
+object ScoreFilters {
+  def aesthetic(modelPath: Option[String] = None): OnnxScoreFilter =
+    OnnxScoreFilter(modelPath, "aesthetic_score")
+  def improvedAesthetic(modelPath: Option[String] = None): OnnxScoreFilter =
+    OnnxScoreFilter(modelPath, "improved_aesthetic_score")
+  def nsfw(modelPath: Option[String] = None): OnnxScoreFilter =
+    OnnxScoreFilter(modelPath, "nsfw_score", outputIndex = 1)
+  def watermark(modelPath: Option[String] = None): OnnxScoreFilter =
+    OnnxScoreFilter(modelPath, "watermark_score", outputIndex = 1)
 }

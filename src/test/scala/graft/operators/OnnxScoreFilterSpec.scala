@@ -102,6 +102,46 @@ class OnnxScoreFilterSpec extends SparkSpec {
     }
   }
 
+  test("2-class softmax head: nsfw-style filter scores class-1 probability") {
+    // x[N,4] → Gemm(W[4,2]) → Softmax → p; class-1 prob is the score
+    val w = TestOnnx.tensor("w", Seq(2, 4),
+      Seq(0.5f, -0.25f, 1f, 0f, -0.5f, 0.25f, -1f, 0f))
+    val m = TestOnnx.model(
+      nodes = Seq(
+        TestOnnx.node("Gemm", Seq("x", "w"), Seq("z"),
+          Seq(TestOnnx.attrInt("transB", 1L))),
+        TestOnnx.node("Softmax", Seq("z"), Seq("p"))),
+      inits = Seq(w), inputs = Seq("x"), outputs = Seq("p"))
+    val f2 = new File(dir, "nsfw.onnx")
+    val o = new FileOutputStream(f2)
+    try o.write(m) finally o.close()
+    val filter = ScoreFilters.nsfw(Some(f2.getAbsolutePath))
+    assert(filter.resultSchema.fieldNames.toSeq == Seq("nsfw_score"))
+    val rows = processor.applyDataFilter(filter).df
+      .select(col("nsfw_score")).collect().map(r => Option(r.get(0)))
+    val scored = rows.flatten.map(_.asInstanceOf[Double])
+    assert(scored.length == 5)
+    // softmax pair probabilities: each in (0,1); p0 + p1 = 1 means
+    // class-1 score is 1 - class-0 score — check via outputIndex 0
+    val p0 = processor.applyDataFilter(
+      OnnxScoreFilter(Some(f2.getAbsolutePath), "p0", outputIndex = 0))
+      .df.select(col("p0")).collect().flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Double])
+    scored.sorted.zip(p0.sorted.reverse).foreach { case (p1, q0) =>
+      assert(math.abs(p1 + q0 - 1.0) < 1e-6)
+    }
+  }
+
+  test("named family: reference column names and shared plumbing") {
+    assert(ScoreFilters.aesthetic(None).resultSchema.fieldNames.toSeq ==
+      Seq("aesthetic_score"))
+    assert(ScoreFilters.improvedAesthetic(None)
+      .resultSchema.fieldNames.toSeq == Seq("improved_aesthetic_score"))
+    assert(ScoreFilters.watermark(None).resultSchema.fieldNames.toSeq ==
+      Seq("watermark_score"))
+    assert(ScoreFilters.nsfw(None).outputIndex == 1)
+  }
+
   test("determinism: identical runs produce identical scores") {
     val f = OnnxScoreFilter(Some(modelFile))
     def run() = processor.applyDataFilter(f).df
