@@ -1,0 +1,310 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import org.apache.spark.sql.types._
+import graft.core.Modality
+
+/** Dense optical flow via polynomial expansion — Farnebäck's
+  * two-frame algorithm ("Two-Frame Motion Estimation Based on
+  * Polynomial Expansion", SCIA 2003), the classical method behind
+  * the reference's FarnebackFilter
+  * (DPF/filters/videos/farneback_filter.py:35: cv2
+  * .calcOpticalFlowFarneback → mean flow magnitude column). Pure
+  * JVM, no OpenCV: each neighborhood is approximated as a quadratic
+  * f(x) ≈ xᵀAx + bᵀx + c fit under a separable Gaussian
+  * applicability; for a displacement d between two expansions,
+  * A d = Δb with Ā = (A₁+A₂)/2 and Δb = −(b₂−b₁)/2, solved per
+  * pixel over a Gaussian-weighted window and refined by warped
+  * iterations (single scale — the training-data use case scores
+  * small inter-frame motion, not long-range tracking).
+  *
+  * All moment matrices are constant across pixels (constant
+  * certainty), so the expansion is two separable correlations plus a
+  * constant 3×3 solve folded into precomputed coefficients — the
+  * same structure OpenCV's FarnebackPolyExp uses.
+  */
+object Farneback {
+
+  /** Quadratic expansion coefficients per pixel:
+    * (b1, b2) = ∇f and A = [[a11, a12], [a12, a22]]. */
+  final case class Expansion(w: Int, h: Int,
+      b1: Array[Double], b2: Array[Double],
+      a11: Array[Double], a12: Array[Double], a22: Array[Double])
+
+  private def gaussian(radius: Int, sigma: Double): Array[Double] = {
+    val g = (-radius to radius)
+      .map(i => math.exp(-i * i / (2 * sigma * sigma))).toArray
+    val s = g.sum
+    g.map(_ / s)
+  }
+
+  /** Separable correlation of `img` with row kernel kx·x^px and
+    * column kernel ky·y^py (clamped borders). */
+  private def sepCorrelate(img: Array[Double], w: Int, h: Int,
+      kx: Array[Double], px: Int, ky: Array[Double], py: Int,
+      radius: Int): Array[Double] = {
+    val tmp = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0
+        var i = -radius
+        while (i <= radius) {
+          val xx = math.min(math.max(x + i, 0), w - 1)
+          val k = kx(i + radius) * (if (px == 0) 1.0 else if (px == 1) i
+            else i * i)
+          s += k * img(y * w + xx)
+          i += 1
+        }
+        tmp(y * w + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](w * h)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0
+        var j = -radius
+        while (j <= radius) {
+          val yy = math.min(math.max(y + j, 0), h - 1)
+          val k = ky(j + radius) * (if (py == 0) 1.0 else if (py == 1) j
+            else j * j)
+          s += k * tmp(yy * w + x)
+          j += 1
+        }
+        out(y * w + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Polynomial expansion of a grayscale image (row-major doubles). */
+  def polyExpansion(img: Array[Double], w: Int, h: Int,
+      radius: Int = 5, sigma: Double = 1.5): Expansion = {
+    val g = gaussian(radius, sigma)
+    // 1-D Gaussian moments (normalized): m2 = Σ g·x², m4 = Σ g·x⁴
+    val m2 = (-radius to radius).map(i => g(i + radius) * i * i).sum
+    val m4 = (-radius to radius).map(i => g(i + radius) * i * i * i * i).sum
+    // constant 3×3 system for (c, x², y²): [[1,m2,m2],[m2,m4,m2²],
+    // [m2,m2²,m4]] — inverted once; rows 1 and 2 give the x²/y²
+    // coefficients as fixed linear combinations of (S1, Sxx, Syy)
+    val inv3 = invert3(Array(
+      Array(1.0, m2, m2),
+      Array(m2, m4, m2 * m2),
+      Array(m2, m2 * m2, m4)))
+    val s1 = sepCorrelate(img, w, h, g, 0, g, 0, radius)
+    val sx = sepCorrelate(img, w, h, g, 1, g, 0, radius)
+    val sy = sepCorrelate(img, w, h, g, 0, g, 1, radius)
+    val sxx = sepCorrelate(img, w, h, g, 2, g, 0, radius)
+    val syy = sepCorrelate(img, w, h, g, 0, g, 2, radius)
+    val sxy = sepCorrelate(img, w, h, g, 1, g, 1, radius)
+    val n = w * h
+    val b1 = new Array[Double](n)
+    val b2 = new Array[Double](n)
+    val a11 = new Array[Double](n)
+    val a12 = new Array[Double](n)
+    val a22 = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      b1(i) = sx(i) / m2
+      b2(i) = sy(i) / m2
+      a11(i) = inv3(1)(0) * s1(i) + inv3(1)(1) * sxx(i) + inv3(1)(2) * syy(i)
+      a22(i) = inv3(2)(0) * s1(i) + inv3(2)(1) * sxx(i) + inv3(2)(2) * syy(i)
+      a12(i) = sxy(i) / (m2 * m2) / 2.0
+      i += 1
+    }
+    Expansion(w, h, b1, b2, a11, a12, a22)
+  }
+
+  private def invert3(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val a = m.map(_.clone())
+    val inv = Array.tabulate(3, 3)((i, j) => if (i == j) 1.0 else 0.0)
+    var col = 0
+    while (col < 3) {
+      var piv = col
+      var r = col + 1
+      while (r < 3) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      val t = a(col); a(col) = a(piv); a(piv) = t
+      val ti = inv(col); inv(col) = inv(piv); inv(piv) = ti
+      val p = a(col)(col)
+      require(math.abs(p) > 1e-12, "singular moment matrix")
+      var j = 0
+      while (j < 3) { a(col)(j) /= p; inv(col)(j) /= p; j += 1 }
+      r = 0
+      while (r < 3) {
+        if (r != col) {
+          val f = a(r)(col)
+          j = 0
+          while (j < 3) {
+            a(r)(j) -= f * a(col)(j); inv(r)(j) -= f * inv(col)(j); j += 1
+          }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    inv
+  }
+
+  /** Dense flow frame1 → frame2. Returns (u, v) row-major arrays:
+    * pixel (x, y) of frame1 moves to (x + u, y + v) in frame2. */
+  def flow(f1: Array[Double], f2: Array[Double], w: Int, h: Int,
+      iterations: Int = 3, winRadius: Int = 7, winSigma: Double = 3.0,
+      polyRadius: Int = 5, polySigma: Double = 1.5)
+      : (Array[Double], Array[Double]) = {
+    val e1 = polyExpansion(f1, w, h, polyRadius, polySigma)
+    val e2 = polyExpansion(f2, w, h, polyRadius, polySigma)
+    val n = w * h
+    var u = new Array[Double](n)
+    var v = new Array[Double](n)
+    val wg = gaussian(winRadius, winSigma)
+    var iter = 0
+    while (iter < iterations) {
+      // per-pixel Ā and Δb using the warped a-priori flow
+      val m11 = new Array[Double](n)
+      val m12 = new Array[Double](n)
+      val m22 = new Array[Double](n)
+      val h1 = new Array[Double](n)
+      val h2 = new Array[Double](n)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          // nearest-pixel warp (OpenCV rounds the same way)
+          val wx = math.min(math.max(math.round(x + u(i)).toInt, 0), w - 1)
+          val wy = math.min(math.max(math.round(y + v(i)).toInt, 0), h - 1)
+          val j = wy * w + wx
+          val fa11 = 0.5 * (e1.a11(i) + e2.a11(j))
+          val fa12 = 0.5 * (e1.a12(i) + e2.a12(j))
+          val fa22 = 0.5 * (e1.a22(i) + e2.a22(j))
+          // Δb = −½(b₂−b₁) + Ā·d_prior
+          val du = u(i)
+          val dv = v(i)
+          val db1 = -0.5 * (e2.b1(j) - e1.b1(i)) + fa11 * du + fa12 * dv
+          val db2 = -0.5 * (e2.b2(j) - e1.b2(i)) + fa12 * du + fa22 * dv
+          // accumulate AᵀA and AᵀΔb contributions (A symmetric)
+          m11(i) = fa11 * fa11 + fa12 * fa12
+          m12(i) = fa11 * fa12 + fa12 * fa22
+          m22(i) = fa12 * fa12 + fa22 * fa22
+          h1(i) = fa11 * db1 + fa12 * db2
+          h2(i) = fa12 * db1 + fa22 * db2
+          x += 1
+        }
+        y += 1
+      }
+      // Gaussian window smoothing of the normal equations, then the
+      // 2×2 solve per pixel
+      def smooth(a: Array[Double]): Array[Double] =
+        sepCorrelate(a, w, h, wg, 0, wg, 0, winRadius)
+      val g11 = smooth(m11)
+      val g12 = smooth(m12)
+      val g22 = smooth(m22)
+      val gh1 = smooth(h1)
+      val gh2 = smooth(h2)
+      val nu = new Array[Double](n)
+      val nv = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val det = g11(i) * g22(i) - g12(i) * g12(i)
+        if (math.abs(det) > 1e-9) {
+          nu(i) = (g22(i) * gh1(i) - g12(i) * gh2(i)) / det
+          nv(i) = (g11(i) * gh2(i) - g12(i) * gh1(i)) / det
+        } else { nu(i) = u(i); nv(i) = v(i) }
+        i += 1
+      }
+      u = nu
+      v = nv
+      iter += 1
+    }
+    (u, v)
+  }
+
+  /** Grayscale plane of an image as row-major doubles in [0, 255]. */
+  def gray(img: BufferedImage): (Array[Double], Int, Int) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(y * w + x) = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (out, w, h)
+  }
+}
+
+/** The reference's FarnebackFilter contract
+  * (DPF/filters/videos/farneback_filter.py:35-77: sample frame
+  * pairs, dense flow, emit `mean_optical_flow`): MJPEG frames come
+  * from [[VideoFrames]] (real decode), flow from [[Farneback]]
+  * (real algorithm), so the score is a genuine motion magnitude —
+  * no stand-in anywhere in this path. */
+final case class FarnebackFilter(nFrames: Int = 4,
+    override val batchSize: Int = 8) extends DataFilter {
+  require(nFrames >= 2, "flow needs at least two sampled frames")
+  override val modalities = Seq(Modality.Video)
+  override def name = s"FarnebackFilter($nFrames)"
+  override val resultSchema = StructType(Seq(
+    StructField("is_correct", BooleanType),
+    StructField("mean_optical_flow", DoubleType),
+    StructField("error", StringType)))
+
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+    batch.map { in =>
+      in.payloads.get(Modality.Video.name) match {
+        case None => Some(Seq(false, null, "payload missing"))
+        case Some(bytes) =>
+          VideoFrames.extractSampled(bytes, nFrames) match {
+            case Left(err) => Some(Seq(false, null, err))
+            case Right((_, _, frames)) =>
+              try {
+                val grays = frames.flatMap { fb =>
+                  Option(javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(fb)))
+                    .map(Farneback.gray)
+                }
+                if (grays.length < 2)
+                  Some(Seq(false, null, "fewer than 2 decodable frames"))
+                else {
+                  // mean |flow| over consecutive sampled pairs
+                  var total = 0.0
+                  var count = 0L
+                  grays.sliding(2).foreach {
+                    case Seq((a, w, h), (b, w2, h2))
+                        if w == w2 && h == h2 =>
+                      val (u, v) = Farneback.flow(a, b, w, h)
+                      var i = 0
+                      while (i < u.length) {
+                        total += math.sqrt(u(i) * u(i) + v(i) * v(i))
+                        i += 1
+                      }
+                      count += u.length
+                    case _ => // size change between frames: skip pair
+                  }
+                  if (count == 0)
+                    Some(Seq(false, null, "no comparable frame pairs"))
+                  else Some(Seq(true, total / count, null))
+                }
+              } catch {
+                case e: Exception => Some(Seq(false, null, e.toString))
+              }
+          }
+      }
+    }
+}
