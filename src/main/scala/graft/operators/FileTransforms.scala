@@ -111,4 +111,60 @@ object FileTransforms {
     merged.transform(_.withColumn(key,
         coalesce(col("__new_path"), col(key))).drop("__new_path"))
   }
+
+  /** Video payload rewrite — the ffmpeg-free MJPEG subset of the
+    * reference's VideoFFMPEGTransforms (resize / fps-reduce / cut,
+    * DPF/transforms/video_ffmpeg_transforms.py:30-143) via
+    * [[Mjpeg.transform]]. Same copy-on-write discipline as
+    * [[resizeImages]]: `outDir/<basename>` + updated `video_path`,
+    * untransformable payloads keep their path and report
+    * `transform_error`. */
+  def transformVideos(p: Processor, outDir: String,
+      op: Mjpeg.Op): Processor = {
+    val spark = p.df.sparkSession
+    val key = Modality.Video.pathColumn
+    require(p.columns.contains(key), s"dataset has no $key column")
+    val hadoopConf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(new Path(outDir))
+    val outSchema = StructType(Seq(
+      StructField(key, StringType, nullable = false),
+      StructField("__new_path", StringType),
+      StructField("transform_error", StringType)))
+    val results = p.df.select(col(key)).na.drop()
+      .mapPartitions { it =>
+        val conf = hadoopConf.get()
+        val loader = new PayloadLoader(conf)
+        val fs = new Path(outDir).getFileSystem(conf)
+        it.map { r =>
+          val src = r.getString(0)
+          val basename = src.substring(src.lastIndexOf('/').max(
+            src.lastIndexOf('!')) + 1)
+          val out =
+            try {
+              val bytes = PayloadLoader.splitTarPath(src) match {
+                case Some((a, m)) =>
+                  loader.loadTarMembers(a, Set(m)).getOrElse(m,
+                    throw new java.io.FileNotFoundException(src))
+                case None => loader.loadFile(src)
+              }
+              Mjpeg.transform(bytes, op) match {
+                case Left(err) => Seq(null, err)
+                case Right(outBytes) =>
+                  val dest = new Path(outDir, basename)
+                  val os = fs.create(dest, true)
+                  try os.write(outBytes) finally os.close()
+                  Seq(dest.toString, null)
+              }
+            } catch {
+              case e: Exception => Seq(null, e.toString)
+            }
+          Row.fromSeq(src +: out)
+        }
+      }(Encoders.row(outSchema))
+    val merged = p.mergeResult(results, key)
+    merged.transform(_.withColumn(key,
+      coalesce(col("__new_path"), col(key))).drop("__new_path"))
+  }
 }
