@@ -557,3 +557,73 @@ final case class Text2ImageScoreFilter(captionColumn: String = "caption",
     v
   }
 }
+
+/** Zero-shot label scoring — the contract of the reference's
+  * CLIPLabelsFilter (DPF/filters/images/cliplabels_filter.py:18:
+  * templated text embeds per label averaged, one score column per
+  * label named via label2column `:74-76`). Towers are the same
+  * deterministic stand-ins as [[Text2ImageScoreFilter]] (pixel-stat
+  * image vec, hashed-trigram text vec); each label's templated
+  * prompts ("a photo of a {label}", …) embed separately and average,
+  * as the reference does. Production swaps ONNX towers behind the
+  * same trait; the per-label column fan-out, templating, batching
+  * and null semantics are what this pins. */
+final case class ClipLabelsFilter(labels: Seq[String],
+    templates: Seq[String] = Seq("a photo of a {label}", "{label}"),
+    override val batchSize: Int = 64) extends DataFilter {
+  require(labels.nonEmpty, "need at least one label")
+  require(templates.nonEmpty, "need at least one template")
+  override val modalities = Seq(Modality.Image)
+  override def name = s"ClipLabelsFilter(${labels.mkString(",")})"
+
+  /** label2column, cliplabels_filter.py:74-76 */
+  def columnFor(label: String): String = s"""clip score "$label""""
+
+  override val resultSchema = StructType(
+    labels.map(l => StructField(columnFor(l), DoubleType)))
+
+  private val t2i = Text2ImageScoreFilter()
+
+  // label text embeddings: templated prompts embedded and AVERAGED
+  // once per filter instance (the reference caches these per session)
+  @transient private lazy val labelVecs: Seq[Array[Double]] =
+    labels.map { l =>
+      val sum = new Array[Double](8)
+      templates.foreach { t =>
+        val v = t2i.textVec(t.replace("{label}", l))
+        var i = 0
+        while (i < 8) { sum(i) += v(i); i += 1 }
+      }
+      sum.map(_ / templates.length)
+    }
+
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+    batch.map { in =>
+      in.payloads.get(Modality.Image.name) match {
+        case None => Some(Seq.fill[Any](labels.length)(null))
+        case Some(bytes) =>
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) Some(Seq.fill[Any](labels.length)(null))
+            else {
+              val iv = t2i.imageVec(img)
+              Some(labelVecs.map(lv => Double.box(cosine01(iv, lv))))
+            }
+          } catch {
+            case _: Exception => Some(Seq.fill[Any](labels.length)(null))
+          }
+      }
+    }
+
+  private def cosine01(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < 8) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.5
+    else (1.0 + dot / (math.sqrt(na) * math.sqrt(nb))) * 0.5
+  }
+}
