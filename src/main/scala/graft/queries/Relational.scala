@@ -376,7 +376,53 @@ object Relational {
     building.intersect(highValue)
   }
 
+  /** Salted skew join ([[graft.operators.SkewJoin.saltedJoin]]): the
+    * hash gate proves salting is semantics-neutral — the salted plan
+    * must produce EXACTLY the plain join's rows. Aggregated by nation
+    * so the output stays small; at scale the operator spreads one hot
+    * supplier key across `factor` reducers where AQE's skew split
+    * cannot reach (cached inputs, LSH self-joins). */
+  def skewJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_extendedprice").as("price"))
+    val s = t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.SkewJoin.saltedJoin(li, s, "suppkey", factor = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), r2(sum(col("price"))).as("revenue"))
+  }
+
+  /** Quantile-threshold keep-mass audit
+    * ([[graft.operators.Quantiles.keepAboveQuantile]]): rows at/above
+    * the global 10th-percentile value band, counted per priority.
+    * The value is pre-quantized to 1000-unit bands (the operator's
+    * bounded-histogram license). */
+  def keepAboveQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val v = t(spark, dir, "orders")
+      .select(floor(col("o_totalprice") / 1000).cast("long").as("band"),
+        col("o_orderpriority"))
+    graft.operators.Quantiles
+      .keepAboveQuantile(v, "band", "o_orderpriority", 1, 10)
+  }
+
+  /** Exact decile buckets without a per-partition sort
+    * ([[graft.operators.Quantiles.ntileBuckets]]) — quantity has a
+    * ~50-value domain, so the histogram plan's serial step is O(50)
+    * regardless of corpus size; the oracle keeps the literal ntile
+    * window. */
+  def ntileDeciles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles
+      .ntileBuckets(t(spark, dir, "lineitem"), "l_quantity", 10,
+        Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("tile"), col("n_rows"),
+        r2(col("lo")).as("lo"), r2(col("hi")).as("hi"))
+
   val queries: Map[String, Q] = Map(
+    "q_skew_join" -> (skewJoinAgg _),
+    "q_keep_above_quantile" -> (keepAboveQuantile _),
+    "q_ntile_deciles" -> (ntileDeciles _),
     "q_grouping_sets" -> (groupingSetsAgg _),
     "q_range_join" -> (rangeJoinBands _),
     "q_intersect" -> (intersectSegments _),
@@ -560,5 +606,31 @@ object Relational {
       """SELECT CAST(o_orderkey % 8 AS INT) AS shard_id,
          count(*) AS n_rows, round((sum(o_totalprice)) + 1e-9, 2) AS shard_price
          FROM orders GROUP BY 1""",
+    // plain join — salting must be invisible in the result
+    "q_skew_join" ->
+      """SELECT s.s_nationkey, count(*) AS n_items,
+         round((sum(l.l_extendedprice)) + 1e-9, 2) AS revenue
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE l.l_quantity > 45
+         GROUP BY s.s_nationkey""",
+    // threshold = smallest band whose cumulative count reaches
+    // ceil(N/10) — the operator's discrete-quantile definition
+    "q_keep_above_quantile" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice / 1000) AS BIGINT)
+           AS band, o_orderpriority FROM orders),
+         t AS (SELECT band AS threshold FROM v ORDER BY band
+           LIMIT 1 OFFSET (SELECT (count(*) + 9) // 10 - 1 FROM v))
+         SELECT o_orderpriority, threshold, count(*) AS n_rows,
+           CAST(sum(CASE WHEN band >= threshold THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept
+         FROM v, t GROUP BY o_orderpriority, threshold""",
+    "q_ntile_deciles" ->
+      """SELECT l_returnflag, tile, count(*) AS n_rows,
+         round((min(v)) + 1e-9, 2) AS lo, round((max(v)) + 1e-9, 2) AS hi
+         FROM (SELECT l_returnflag, l_quantity AS v,
+                 ntile(10) OVER (PARTITION BY l_returnflag
+                   ORDER BY l_quantity) AS tile
+               FROM lineitem)
+         GROUP BY l_returnflag, tile""",
   )
 }
