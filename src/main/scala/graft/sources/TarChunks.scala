@@ -83,9 +83,19 @@ object TarChunks {
     val enc = Encoders.row(ChunkSchema)
     specs.mapPartitions { rows =>
       val hconf = conf.get()
-      // one open stream per archive per task — preads share the handle
+      // one open stream per archive per task — preads share the handle.
+      // Closed via the task-completion listener (fires on success AND
+      // failure), not just on iterator exhaustion — a task that dies
+      // mid-read must not leak executor file descriptors
       val open = scala.collection.mutable.HashMap
         .empty[String, org.apache.hadoop.fs.FSDataInputStream]
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          open.values.foreach(s => try s.close() catch {
+            case _: Exception =>
+          })
+          open.clear()
+        })
       val it = rows.map { r =>
         val archive = r.getString(0)
         val member = r.getString(1)
@@ -107,15 +117,7 @@ object TarChunks {
         }
         Row(archive, member, size, chunkOffset, buf)
       }
-      // close handles after the last row is produced
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h) { open.values.foreach(_.close()); open.clear() }
-          h
-        }
-        def next(): Row = it.next()
-      }
+      it
     }(enc)
   }
 
