@@ -125,6 +125,33 @@ class VideoFramesSpec extends SparkSpec {
     assert(bad(0) == false && bad.last != null)
   }
 
+  test("adapter composes with the real ONNX scorer: per-frame model scores") {
+    // video → frames → real ONNX forward pass per frame batch
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-video-onnx").toFile
+    val mf = new java.io.File(dir, "head.onnx")
+    val os = new java.io.FileOutputStream(mf)
+    try os.write(graft.onnx.TestOnnx.mlpBytes) finally os.close()
+    val adapter = ImageFilterAdapter(
+      OnnxScoreFilter(Some(mf.getAbsolutePath)), nFrames = 3)
+    val res = adapter.processBatch(Seq(
+      FilterInput("v", Map(Modality.Video.name -> avi), Map.empty)))
+    val ok = res.head.get
+    assert(ok(0) == true)
+    val scores = ok(3).asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double])
+    assert(scores.length == 3)
+    // each score equals the independent forward pass on that frame
+    val Right((_, idx, frames)) = VideoFrames.extractSampled(avi, 3)
+    val filter = OnnxScoreFilter(None)
+    frames.zip(scores).foreach { case (fb, got) =>
+      val img = ImageIO.read(new ByteArrayInputStream(fb))
+      val want = graft.onnx.TestOnnx.expectedScore(
+        filter.featurize(img).toSeq)
+      assert(math.abs(got - want) < 1e-5, s"got $got want $want")
+    }
+    assert(idx == Seq(0, 2, 4))
+  }
+
   test("adapter schema: inner fields become frame_<name> arrays") {
     val adapter = ImageFilterAdapter(PHashFilter(8), nFrames = 2)
     assert(adapter.resultSchema.fieldNames.toSeq == Seq(
