@@ -45,33 +45,12 @@ final case class CaptionFilter(captionColumn: String = "blip_caption",
   private[operators] def caption(img: BufferedImage): String = {
     val w = img.getWidth
     val h = img.getHeight
-    var sumL = 0.0
-    var sumL2 = 0.0
-    var sumC = 0.0
-    var sr = 0.0
-    var sg = 0.0
-    var sb = 0.0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val r = (rgb >> 16) & 0xff
-        val g = (rgb >> 8) & 0xff
-        val b = rgb & 0xff
-        val l = 0.299 * r + 0.587 * g + 0.114 * b
-        sumL += l
-        sumL2 += l * l
-        sumC += math.abs(r - g) + math.abs(g - b)
-        sr += r; sg += g; sb += b
-        x += 1
-      }
-      y += 1
-    }
-    val n = (w.toLong * h).toDouble
-    val meanL = sumL / n
-    val contrast = math.sqrt(math.max(sumL2 / n - meanL * meanL, 0.0))
-    val color = sumC / n
+    val s = PixelStats.of(img)
+    val n = s.n
+    val meanL = s.sumL / n
+    val contrast = math.sqrt(math.max(s.sumL2 / n - meanL * meanL, 0.0))
+    val color = s.sumC / n
+    val (sr, sg, sb) = (s.sumR, s.sumG, s.sumB)
     val tone =
       if (meanL < 64) "dark" else if (meanL < 160) "midtone" else "bright"
     val texture = if (contrast < 24) "flat" else "detailed"

@@ -137,7 +137,17 @@ object FileTransforms {
         val conf = hadoopConf.get()
         val loader = new PayloadLoader(conf)
         val fs = new Path(outDir).getFileSystem(conf)
-        it.map { r =>
+        val rows = it.toSeq
+        // one pass per tar archive for ALL its requested members —
+        // per-row loads would re-scan the archive once per member
+        // (O(N²) bytes on an N-member shard)
+        val tarWants = rows.iterator.map(_.getString(0))
+          .flatMap(PayloadLoader.splitTarPath)
+          .toSeq.groupBy(_._1).map { case (a, m) => a -> m.map(_._2).toSet }
+        val tarBytes = tarWants.flatMap { case (a, ms) =>
+          loader.loadTarMembers(a, ms).map { case (m, b) => (a, m) -> b }
+        }
+        rows.iterator.map { r =>
           val src = r.getString(0)
           val basename = src.substring(src.lastIndexOf('/').max(
             src.lastIndexOf('!')) + 1)
@@ -145,7 +155,7 @@ object FileTransforms {
             try {
               val bytes = PayloadLoader.splitTarPath(src) match {
                 case Some((a, m)) =>
-                  loader.loadTarMembers(a, Set(m)).getOrElse(m,
+                  tarBytes.getOrElse((a, m),
                     throw new java.io.FileNotFoundException(src))
                 case None => loader.loadFile(src)
               }

@@ -180,35 +180,16 @@ final case class ImageScoreFilter(override val batchSize: Int = 64)
       }
     }
 
-  /** One pass over the pixels: E[luma], E[luma²] (contrast via the
-    * variance), mean |r−g| + |g−b| (colorfulness proxy). */
+  /** One pass over the pixels ([[PixelStats]]): E[luma], E[luma²]
+    * (contrast via the variance), mean |r−g| + |g−b| (colorfulness
+    * proxy). */
   private[operators] def score(img: BufferedImage): Double = {
-    val w = img.getWidth
-    val h = img.getHeight
-    var sumL = 0.0
-    var sumL2 = 0.0
-    var sumC = 0.0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val r = (rgb >> 16) & 0xff
-        val g = (rgb >> 8) & 0xff
-        val b = rgb & 0xff
-        val l = 0.299 * r + 0.587 * g + 0.114 * b
-        sumL += l
-        sumL2 += l * l
-        sumC += math.abs(r - g) + math.abs(g - b)
-        x += 1
-      }
-      y += 1
-    }
-    val n = (w.toLong * h).toDouble
-    val meanL = sumL / n / 255.0
-    val contrast = math.sqrt(math.max(sumL2 / n - (sumL / n) * (sumL / n),
-      0.0)) / 255.0
-    val color = sumC / n / 510.0
+    val s = PixelStats.of(img)
+    val n = s.n
+    val meanL = s.sumL / n / 255.0
+    val contrast = math.sqrt(math.max(
+      s.sumL2 / n - (s.sumL / n) * (s.sumL / n), 0.0)) / 255.0
+    val color = s.sumC / n / 510.0
     val logRes = math.log1p(n) / 20.0
     val z = -1.0 + 1.5 * meanL + 4.0 * contrast + 2.0 * color + 1.0 * logRes
     (1.0 + z / (1.0 + math.abs(z))) * 0.5
@@ -408,28 +389,30 @@ final case class VideoInfoFilter(override val batchSize: Int = 64)
       var width = -1L
       var height = -1L
       var fps = -1.0
-      def walk(start: Int, end: Int): Unit = {
+      // Long size arithmetic: a >= 2^31 size field .toInt'd negative
+      // stalls the cursor — infinite loop on corrupt input
+      def walk(start: Long, end: Long): Unit = {
         var o = start
         while (o + 8 <= end) {
-          val id = fourcc(b, o)
-          val size = u32(b, o + 4).toInt
+          val id = fourcc(b, o.toInt)
+          val size = u32(b, o.toInt + 4)
           val body = o + 8
           if (id == "LIST" && body + 4 <= end) {
             walk(body + 4, math.min(body + size, end))
           } else if (id == "avih" && body + 40 <= end) {
-            totalFrames = u32(b, body + 16)
-            width = u32(b, body + 32)
-            height = u32(b, body + 36)
+            totalFrames = u32(b, body.toInt + 16)
+            width = u32(b, body.toInt + 32)
+            height = u32(b, body.toInt + 36)
           } else if (id == "strh" && body + 32 <= end &&
-            fourcc(b, body) == "vids") {
-            val scale = u32(b, body + 20)
-            val rate = u32(b, body + 24)
+            fourcc(b, body.toInt) == "vids") {
+            val scale = u32(b, body.toInt + 20)
+            val rate = u32(b, body.toInt + 24)
             if (scale > 0) fps = rate.toDouble / scale
           }
           o = body + size + (size & 1) // chunks are word-aligned
         }
       }
-      walk(12, b.length)
+      walk(12L, b.length.toLong)
       if (width < 0 || height < 0)
         Seq(false, null, null, null, null, "no avih header")
       else {

@@ -80,24 +80,25 @@ object Mjpeg {
       (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
-    var o = 12
     var found: Option[Double] = None
-    def walk(start: Int, end: Int): Unit = {
+    // Long size arithmetic: a >= 2^31 size field .toInt'd negative
+    // would stall the cursor (infinite loop on corrupt input)
+    def walk(start: Long, end: Long): Unit = {
       var p = start
       while (p + 8 <= end && found.isEmpty) {
-        val id = fourcc(p)
-        val size = u32(p + 4).toInt
+        val id = fourcc(p.toInt)
+        val size = u32(p.toInt + 4)
         val body = p + 8
         if (id == "LIST" && body + 4 <= end)
           walk(body + 4, math.min(body + size, end))
         else if (id == "avih" && body + 4 <= end) {
-          val usec = u32(body)
+          val usec = u32(body.toInt)
           if (usec > 0) found = Some(1e6 / usec)
         }
         p = body + size + (size & 1)
       }
     }
-    walk(o, bytes.length)
+    walk(12L, bytes.length.toLong)
     found
   }
 
@@ -124,6 +125,10 @@ object Mjpeg {
       }
       op match {
         case Resize(mode, downOnly) =>
+          // ffmpeg-scale semantics: ONE output geometry for the whole
+          // stream, derived from the first frame — MJPEG legally
+          // allows per-frame dims, but the AVI header declares a
+          // single size, so every frame is forced to the same target
           val out = Seq.newBuilder[Array[Byte]]
           var dims: (Int, Int) = null
           var err: String = null
@@ -132,9 +137,10 @@ object Mjpeg {
               val img = ImageIO.read(new ByteArrayInputStream(f))
               if (img == null) err = "undecodable frame"
               else {
-                val (tw, th) = Resizer.targetSize(
-                  img.getWidth, img.getHeight, mode, downOnly)
-                dims = (tw, th)
+                if (dims == null)
+                  dims = Resizer.targetSize(
+                    img.getWidth, img.getHeight, mode, downOnly)
+                val (tw, th) = dims
                 if (tw == img.getWidth && th == img.getHeight) out += f
                 else {
                   val dst = new BufferedImage(tw, th,

@@ -40,8 +40,16 @@ final case class OnnxScoreFilter(modelPath: Option[String] = None,
   override val resultSchema = StructType(Seq(
     StructField(scoreColumn, DoubleType)))
 
-  @transient private lazy val hadoopConf =
-    new org.apache.hadoop.conf.Configuration()
+  // captured DRIVER-side at construction so spark.hadoop.* settings
+  // (s3a credentials, endpoints, custom fs impls) reach the executor
+  // that opens the model file; a bare executor-side Configuration
+  // would see only classpath defaults. Falls back when the filter is
+  // constructed outside a session (plain unit tests).
+  private val hadoopConf: SerializableHadoopConf =
+    new SerializableHadoopConf(
+      scala.util.Try(org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
 
   override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] = {
     val decoded: Seq[Option[BufferedImage]] = batch.map { in =>
@@ -53,7 +61,7 @@ final case class OnnxScoreFilter(modelPath: Option[String] = None,
     val feats = decoded.flatMap(_.map(featurize))
     val scores: Seq[Double] = modelPath match {
       case Some(path) if feats.nonEmpty =>
-        val model = OnnxModel.forPath(path, hadoopConf)
+        val model = OnnxModel.forPath(path, hadoopConf.get())
         // ONE forward pass for the whole batch — the batching boundary
         val out = model.forward(
           graft.onnx.Onnx.Tensor(Seq(feats.length, FeatureDim),
@@ -83,35 +91,16 @@ final case class OnnxScoreFilter(modelPath: Option[String] = None,
 
   val FeatureDim = 4
 
-  /** Same one-pass pixel statistics as [[ImageScoreFilter.score]],
-    * exposed as the model input vector. */
+  /** Same one-pass pixel statistics as [[ImageScoreFilter.score]] —
+    * shared via [[PixelStats]], so the model's input features cannot
+    * drift from the stand-in head's. */
   private[operators] def featurize(img: BufferedImage): Array[Float] = {
-    val w = img.getWidth
-    val h = img.getHeight
-    var sumL = 0.0
-    var sumL2 = 0.0
-    var sumC = 0.0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val r = (rgb >> 16) & 0xff
-        val g = (rgb >> 8) & 0xff
-        val b = rgb & 0xff
-        val l = 0.299 * r + 0.587 * g + 0.114 * b
-        sumL += l
-        sumL2 += l * l
-        sumC += math.abs(r - g) + math.abs(g - b)
-        x += 1
-      }
-      y += 1
-    }
-    val n = (w.toLong * h).toDouble
-    val meanL = sumL / n / 255.0
+    val s = PixelStats.of(img)
+    val n = s.n
+    val meanL = s.sumL / n / 255.0
     val contrast = math.sqrt(
-      math.max(sumL2 / n - (sumL / n) * (sumL / n), 0.0)) / 255.0
-    val color = sumC / n / 510.0
+      math.max(s.sumL2 / n - (s.sumL / n) * (s.sumL / n), 0.0)) / 255.0
+    val color = s.sumC / n / 510.0
     val logRes = math.log1p(n) / 20.0
     Array(meanL.toFloat, contrast.toFloat, color.toFloat, logRes.toFloat)
   }

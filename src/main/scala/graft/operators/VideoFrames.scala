@@ -47,24 +47,26 @@ object VideoFrames {
     def isFrameId(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.endsWith("dc") || id.endsWith("db"))
-    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+    def walk(start: Long, end: Long, inMovi: Boolean): Unit = {
       var o = start
       while (o + 8 <= end) {
-        val id = fourcc(b, o)
-        val size = u32(b, o + 4).toInt
+        val id = fourcc(b, o.toInt)
+        // size stays Long: a size field >= 2^31 .toInt'd negative
+        // would stall the cursor — infinite loop on corrupt input
+        val size = u32(b, o.toInt + 4)
         val body = o + 8
         if (id == "LIST" && body + 4 <= end) {
-          val listType = fourcc(b, body)
+          val listType = fourcc(b, body.toInt)
           walk(body + 4, math.min(body + size, end),
             inMovi || listType == "movi" || listType == "rec ")
         } else if (inMovi && isFrameId(id) && body + size <= end) {
-          frames += ((body, size))
+          frames += ((body.toInt, size.toInt))
         }
         o = body + size + (size & 1) // chunks are word-aligned
       }
     }
     try {
-      walk(12, b.length, inMovi = false)
+      walk(12L, b.length.toLong, inMovi = false)
       Right(frames.result())
     } catch {
       case e: Exception => Left(e.toString)

@@ -91,6 +91,28 @@ class VideoFramesSpec extends SparkSpec {
     assert(framePh != otherPh)
   }
 
+  test("a chunk size >= 2^31 terminates instead of stalling the walk") {
+    // size field 0xFFFFFFF8 .toInt'd to -8 used to freeze the cursor
+    // (infinite loop) — must now terminate with no frames
+    val bos = new ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); w32(0); tag("AVI ")
+    tag("LIST"); w32(0xFFFFFFF8L); tag("movi")
+    tag("00dc"); w32(0xFFFFFFF8L)
+    bos.write(new Array[Byte](64))
+    val corrupt = bos.toByteArray
+    val res = VideoFrames.extractSampled(corrupt, 2)
+    assert(res.isLeft, res.toString)
+    assert(Mjpeg.fps(corrupt).isEmpty)
+    val probe = VideoInfoFilter().processBatch(Seq(FilterInput("k",
+      Map(Modality.Video.name -> corrupt), Map.empty))).head.get
+    assert(probe.head == false)
+  }
+
   test("VideoFrameExtractFilter: frames column + error paths") {
     val f = VideoFrameExtractFilter(nFrames = 3)
     val res = f.processBatch(Seq(
