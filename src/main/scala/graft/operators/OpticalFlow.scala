@@ -156,16 +156,21 @@ object Farneback {
   }
 
   /** Dense flow frame1 → frame2. Returns (u, v) row-major arrays:
-    * pixel (x, y) of frame1 moves to (x + u, y + v) in frame2. */
+    * pixel (x, y) of frame1 moves to (x + u, y + v) in frame2.
+    * `init` seeds the a-priori displacement (the pyramid's
+    * coarse-level estimate); zero otherwise. Single-scale recovery
+    * is bounded by the polynomial window (~polyRadius px) — use
+    * [[flowPyramid]] for larger motions. */
   def flow(f1: Array[Double], f2: Array[Double], w: Int, h: Int,
       iterations: Int = 3, winRadius: Int = 7, winSigma: Double = 3.0,
-      polyRadius: Int = 5, polySigma: Double = 1.5)
+      polyRadius: Int = 5, polySigma: Double = 1.5,
+      init: Option[(Array[Double], Array[Double])] = None)
       : (Array[Double], Array[Double]) = {
     val e1 = polyExpansion(f1, w, h, polyRadius, polySigma)
     val e2 = polyExpansion(f2, w, h, polyRadius, polySigma)
     val n = w * h
-    var u = new Array[Double](n)
-    var v = new Array[Double](n)
+    var u = init.map(_._1.clone()).getOrElse(new Array[Double](n))
+    var v = init.map(_._2.clone()).getOrElse(new Array[Double](n))
     val wg = gaussian(winRadius, winSigma)
     var iter = 0
     while (iter < iterations) {
@@ -229,6 +234,78 @@ object Farneback {
     (u, v)
   }
 
+  /** 2×2 box-average downsample (floor halving). */
+  private[operators] def downsample2(img: Array[Double], w: Int, h: Int)
+      : (Array[Double], Int, Int) = {
+    val dw = math.max(1, w / 2)
+    val dh = math.max(1, h / 2)
+    val out = new Array[Double](dw * dh)
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        val x0 = x * 2
+        val y0 = y * 2
+        val x1 = math.min(x0 + 1, w - 1)
+        val y1 = math.min(y0 + 1, h - 1)
+        out(y * dw + x) = 0.25 * (img(y0 * w + x0) + img(y0 * w + x1) +
+          img(y1 * w + x0) + img(y1 * w + x1))
+        x += 1
+      }
+      y += 1
+    }
+    (out, dw, dh)
+  }
+
+  /** Coarse-to-fine pyramid flow (the shape of OpenCV's
+    * calcOpticalFlowFarneback `levels` parameter): flow estimated at
+    * the coarsest level seeds the next finer level (upsampled ×2,
+    * values doubled — a displacement of d at level k is 2d at
+    * k−1), so recoverable motion grows to ~polyRadius · 2^levels
+    * pixels instead of ~polyRadius. */
+  def flowPyramid(f1: Array[Double], f2: Array[Double], w: Int, h: Int,
+      levels: Int = 3, iterations: Int = 3)
+      : (Array[Double], Array[Double]) = {
+    require(levels >= 1, s"need at least one pyramid level, got $levels")
+    // build pyramids down to the coarsest usable size
+    var pyr1 = List((f1, w, h))
+    var pyr2 = List((f2, w, h))
+    var lvl = 1
+    while (lvl < levels && pyr1.head._2 >= 32 && pyr1.head._3 >= 32) {
+      val (a, aw, ah) = pyr1.head
+      val (b, _, _) = pyr2.head
+      pyr1 ::= downsample2(a, aw, ah)
+      pyr2 ::= downsample2(b, aw, ah)
+      lvl += 1
+    }
+    // coarsest first; upsample each estimate into the next level
+    var prior: Option[(Array[Double], Array[Double])] = None
+    var prevDims: (Int, Int) = null
+    pyr1.zip(pyr2).foreach { case ((a, aw, ah), (b, _, _)) =>
+      val init = prior.map { case (pu, pv) =>
+        val (pw, ph) = prevDims
+        val up = new Array[Double](aw * ah)
+        val vp = new Array[Double](aw * ah)
+        var y = 0
+        while (y < ah) {
+          val sy = math.min(y * ph / ah, ph - 1)
+          var x = 0
+          while (x < aw) {
+            val sx = math.min(x * pw / aw, pw - 1)
+            up(y * aw + x) = pu(sy * pw + sx) * 2.0
+            vp(y * aw + x) = pv(sy * pw + sx) * 2.0
+            x += 1
+          }
+          y += 1
+        }
+        (up, vp)
+      }
+      prior = Some(flow(a, b, aw, ah, iterations, init = init))
+      prevDims = (aw, ah)
+    }
+    prior.get
+  }
+
   /** Grayscale plane of an image as row-major doubles in [0, 255]. */
   def gray(img: BufferedImage): (Array[Double], Int, Int) = {
     val w = img.getWidth
@@ -288,7 +365,10 @@ final case class FarnebackFilter(nFrames: Int = 4,
                   grays.sliding(2).foreach {
                     case Seq((a, w, h), (b, w2, h2))
                         if w == w2 && h == h2 =>
-                      val (u, v) = Farneback.flow(a, b, w, h)
+                      // pyramid: sampled frames are seconds apart, so
+                      // inter-frame motion routinely exceeds the
+                      // single-scale window
+                      val (u, v) = Farneback.flowPyramid(a, b, w, h)
                       var i = 0
                       while (i < u.length) {
                         total += math.sqrt(u(i) * u(i) + v(i) * v(i))

@@ -60,6 +60,29 @@ class OpticalFlowSpec extends AnyFunSuite {
     assert(mv < -0.25 && mv > -0.75, s"v mean $mv, want ~-0.5")
   }
 
+  test("pyramid recovers large motion the single scale cannot") {
+    val W2 = 96
+    val H2 = 96
+    def frame2(dx: Double): Array[Double] =
+      Array.tabulate(W2 * H2)(i => pattern(i % W2 - dx, i / W2))
+    def mean(u: Array[Double], v: Array[Double]): (Double, Double) = {
+      var su = 0.0; var sv = 0.0; var n = 0
+      for (y <- 24 until H2 - 24; x <- 24 until W2 - 24) {
+        su += u(y * W2 + x); sv += v(y * W2 + x); n += 1
+      }
+      (su / n, sv / n)
+    }
+    val (f1, f2) = (frame2(0), frame2(8.0)) // 8 px — past the 5 px window
+    val (su, _) = { val (u, v) = Farneback.flow(f1, f2, W2, H2); mean(u, v) }
+    val (pu, pv) = {
+      val (u, v) = Farneback.flowPyramid(f1, f2, W2, H2); mean(u, v)
+    }
+    assert(math.abs(pu - 8.0) < 0.75, s"pyramid u mean $pu, want ~8")
+    assert(math.abs(pv) < 0.5, s"pyramid v mean $pv, want ~0")
+    assert(math.abs(pu - 8.0) < math.abs(su - 8.0),
+      s"pyramid ($pu) must beat single-scale ($su) on large motion")
+  }
+
   // --- end-to-end: MJPEG AVI → frames → flow score ---
 
   private def jpegOf(shift: Int): Array[Byte] = {
