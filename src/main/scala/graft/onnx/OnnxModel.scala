@@ -256,9 +256,11 @@ object Onnx {
 
 /** Interpreter over a parsed graph. ONNX requires nodes in
   * topological order, so evaluation is a single fold. Supported ops:
-  * Gemm, MatMul, Add, Sub, Mul, Div, Relu, LeakyRelu, Sigmoid, Tanh,
-  * Softmax, Flatten, Identity, Constant, Reshape — the closed set an
-  * MLP scoring head uses. */
+  * Gemm, MatMul, Add, Sub, Mul, Div, Pow, Relu, LeakyRelu, Sigmoid,
+  * Tanh, Softmax, Gelu/Erf, Exp, Log, Sqrt, Neg, Abs, Clip,
+  * BatchNormalization (eval), Dropout/Cast (no-ops), ReduceMean
+  * (last axis), Flatten, Identity, Constant, Reshape — the closed
+  * set MLP scoring heads export to (torch.onnx / sklearn-onnx). */
 final class OnnxModel(val graph: Onnx.Graph) {
   import Onnx._
 
@@ -315,6 +317,68 @@ final class OnnxModel(val graph: Onnx.Graph) {
       map1(ins(0), v => (1.0 / (1.0 + math.exp(-v.toDouble))).toFloat)
     case "Tanh" => map1(ins(0), v => math.tanh(v.toDouble).toFloat)
     case "Softmax" => softmax(ins(0))
+    case "Exp" => map1(ins(0), v => math.exp(v.toDouble).toFloat)
+    case "Log" => map1(ins(0), v => math.log(v.toDouble).toFloat)
+    case "Sqrt" => map1(ins(0), v => math.sqrt(v.toDouble).toFloat)
+    case "Neg" => map1(ins(0), v => -v)
+    case "Abs" => map1(ins(0), v => math.abs(v))
+    case "Erf" => map1(ins(0), v => erf(v.toDouble).toFloat)
+    case "Gelu" => // exact (erf) form, the torch.nn.GELU default
+      map1(ins(0), v =>
+        (0.5 * v * (1.0 + erf(v / math.sqrt(2.0)))).toFloat)
+    case "Pow" => zip(ins(0), ins(1),
+      (a, b) => math.pow(a.toDouble, b.toDouble).toFloat)
+    case "Clip" =>
+      // opset 11+: min/max as optional inputs; opset 6: attributes
+      val lo = if (ins.length > 1 && ins(1).data.nonEmpty) ins(1).data(0)
+        else attrF(n, "min", Float.NegativeInfinity)
+      val hi = if (ins.length > 2 && ins(2).data.nonEmpty) ins(2).data(0)
+        else attrF(n, "max", Float.PositiveInfinity)
+      map1(ins(0), v => math.min(math.max(v, lo), hi))
+    case "Dropout" | "Cast" => ins(0) // eval-mode no-op / float-only
+    case "BatchNormalization" =>
+      // eval mode over [N, C]: y = scale·(x−mean)/√(var+ε) + bias,
+      // per channel (the last axis)
+      val eps = attrF(n, "epsilon", 1e-5f)
+      val Seq(x, scale, bias, mean, variance) = ins.take(5)
+      val c = x.cols
+      require(scale.data.length == c && mean.data.length == c &&
+        variance.data.length == c && bias.data.length == c,
+        s"BatchNormalization param length != $c channels")
+      val out = new Array[Float](x.data.length)
+      var i = 0
+      while (i < out.length) {
+        val ch = i % c
+        out(i) = ((x.data(i) - mean.data(ch)) /
+          math.sqrt((variance.data(ch) + eps).toDouble).toFloat) *
+          scale.data(ch) + bias.data(ch)
+        i += 1
+      }
+      Tensor(x.dims, out)
+    case "ReduceMean" =>
+      // last-axis (or all-axes) mean, keepdims semantics folded into
+      // the returned shape's trailing 1
+      val x = ins(0)
+      val axes = n.attrs.get("axes") match {
+        case Some(AttrInts(a)) => a
+        case _ => Seq(-1L)
+      }
+      val lastAxis = Seq(-1L, (x.dims.length - 1).toLong)
+      require(axes.length == 1 && lastAxis.contains(axes.head),
+        s"ReduceMean supports the last axis only, got $axes")
+      val c = x.dims.last
+      val rows = x.data.length / c
+      val out = new Array[Float](rows)
+      var r = 0
+      while (r < rows) {
+        var s = 0.0
+        var j = 0
+        while (j < c) { s += x.data(r * c + j); j += 1 }
+        out(r) = (s / c).toFloat
+        r += 1
+      }
+      val keep = attrI(n, "keepdims", 1L) == 1L
+      Tensor(if (keep) x.dims.init :+ 1 else x.dims.init, out)
     case "Flatten" =>
       val t = ins(0)
       Tensor(Seq(t.rows, t.cols), t.data)
@@ -337,6 +401,18 @@ final class OnnxModel(val graph: Onnx.Graph) {
     case op => throw new UnsupportedOperationException(
       s"ONNX op $op outside the MLP interpreter subset — plug a full " +
         "runtime behind OnnxModel.run for this model")
+  }
+
+  /** Abramowitz & Stegun 7.1.26 rational approximation (|ε| < 1.5e-7
+    * — far under float32 resolution over the useful range). */
+  private def erf(x: Double): Double = {
+    val s = if (x < 0) -1.0 else 1.0
+    val ax = math.abs(x)
+    val t = 1.0 / (1.0 + 0.3275911 * ax)
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) +
+      1.421413741) * t - 0.284496736) * t + 0.254829592) * t *
+      math.exp(-ax * ax)
+    s * y
   }
 
   private def transpose(t: Tensor): Tensor = {

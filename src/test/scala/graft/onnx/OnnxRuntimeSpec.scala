@@ -179,6 +179,78 @@ class OnnxRuntimeSpec extends AnyFunSuite {
     assert(rows(1)(0) > rows(1)(2))
   }
 
+  test("torch-style export: BatchNorm + Gelu + Dropout graph") {
+    // x[N,3] → BatchNormalization → Gelu → Dropout → y — the shape a
+    // torch MLP with nn.BatchNorm1d + nn.GELU exports in eval mode
+    val g = model(
+      nodes = Seq(
+        node("BatchNormalization",
+          Seq("x", "scale", "bias", "mean", "var"), Seq("b"),
+          Seq(attrFloat("epsilon", 1e-5f))),
+        node("Gelu", Seq("b"), Seq("h")),
+        node("Dropout", Seq("h"), Seq("y"))),
+      inits = Seq(
+        tensor("scale", Seq(3), Seq(1.5f, 1.0f, 0.5f)),
+        tensor("bias", Seq(3), Seq(0.1f, 0.0f, -0.1f)),
+        tensor("mean", Seq(3), Seq(0.5f, 0.0f, -0.5f)),
+        tensor("var", Seq(3), Seq(1.0f, 4.0f, 0.25f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val m = OnnxModel.parseBytes(g)
+    val x = Seq(1.0f, 2.0f, 0.0f)
+    val out = m.forward(Onnx.Tensor(Seq(1, 3), x.toArray))
+    def gelu(v: Double): Double = { // via the same A&S erf approx class
+      def erf(z: Double): Double = {
+        val s = if (z < 0) -1.0 else 1.0
+        val t = 1.0 / (1.0 + 0.3275911 * math.abs(z))
+        s * (1.0 - (((((1.061405429 * t - 1.453152027) * t) +
+          1.421413741) * t - 0.284496736) * t + 0.254829592) * t *
+          math.exp(-z * z))
+      }
+      0.5 * v * (1.0 + erf(v / math.sqrt(2.0)))
+    }
+    val scale = Seq(1.5, 1.0, 0.5)
+    val bias = Seq(0.1, 0.0, -0.1)
+    val mean = Seq(0.5, 0.0, -0.5)
+    val vari = Seq(1.0, 4.0, 0.25)
+    (0 until 3).foreach { c =>
+      val bn = (x(c) - mean(c)) / math.sqrt(vari(c) + 1e-5) *
+        scale(c) + bias(c)
+      val want = gelu(bn)
+      assert(math.abs(out.data(c) - want) < 1e-5,
+        s"c=$c got ${out.data(c)} want $want")
+    }
+  }
+
+  test("Clip via inputs (opset 11+) and via attributes (opset 6)") {
+    val byInputs = model(
+      nodes = Seq(node("Clip", Seq("x", "lo", "hi"), Seq("y"))),
+      inits = Seq(tensor("lo", Seq(1), Seq(0f)),
+        tensor("hi", Seq(1), Seq(1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val got1 = OnnxModel.parseBytes(byInputs)
+      .forward(Onnx.Tensor(Seq(1, 3), Array(-2f, 0.5f, 7f)))
+    assert(got1.data.toSeq == Seq(0f, 0.5f, 1f))
+    val byAttrs = model(
+      nodes = Seq(node("Clip", Seq("x"), Seq("y"),
+        Seq(attrFloat("min", -1f), attrFloat("max", 2f)))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val got2 = OnnxModel.parseBytes(byAttrs)
+      .forward(Onnx.Tensor(Seq(1, 3), Array(-2f, 0.5f, 7f)))
+    assert(got2.data.toSeq == Seq(-1f, 0.5f, 2f))
+  }
+
+  test("ReduceMean over the last axis, keepdims on and off") {
+    def g(keep: Long) = model(
+      nodes = Seq(node("ReduceMean", Seq("x"), Seq("y"),
+        Seq(attrInt("keepdims", keep)))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val x = Onnx.Tensor(Seq(2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f))
+    val kept = OnnxModel.parseBytes(g(1L)).forward(x)
+    assert(kept.dims == Seq(2, 1) && kept.data.toSeq == Seq(2f, 5f))
+    val dropped = OnnxModel.parseBytes(g(0L)).forward(x)
+    assert(dropped.dims == Seq(2) && dropped.data.toSeq == Seq(2f, 5f))
+  }
+
   test("unsupported op fails loudly with the op name") {
     val g = model(
       nodes = Seq(node("Conv", Seq("x"), Seq("y"))),
