@@ -167,6 +167,168 @@ object Curation {
        FROM (${Dedup.dedupMinhashSql})
        WHERE (doc_a % 20 = 0) <> (doc_b % 20 = 0)"""
 
+  /** Word n-gram width for passage-overlap decontamination (the GPT-3
+    * appendix uses 13-gram windows; 5 matches the corpus's short
+    * synthetic docs and [[Dedup.CoverN]]). */
+  val DecontamN = 5
+
+  /** Train/eval decontamination, PASSAGE-OVERLAP flavor: flag every
+    * train document sharing at least one word [[DecontamN]]-gram with
+    * any eval document (eval = doc_id % 20 = 0, the same held-out
+    * slice [[decontaminate]] uses), with the count of distinct leaked
+    * grams. Complements the MinHash form: document-level similarity
+    * dilutes away a single verbatim benchmark passage inside a long
+    * train doc; the n-gram test cannot miss it.
+    *
+    * Scale shape: gram strings never leave the map side — the fused
+    * [[graft.functions.GraftFunctions.wordGramHashes]] expression
+    * emits 60-bit longs. The eval gram set is a benchmark suite,
+    * tiny next to a 100 TB train corpus, so it is deduped and
+    * BROADCAST: the probe is a map-side hash lookup, and the only
+    * shuffle is the per-doc distinct-gram count on flagged docs (a
+    * vanishing fraction of the corpus). If an eval suite ever
+    * outgrew the broadcast threshold, the same plan takes a bloom
+    * pre-filter in front of an exact shuffled semi-join — exactness
+    * comes from the join either way, never from the sketch. */
+  def decontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val grams = Tables.fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .wordGramHashes(col("text"), DecontamN)).as("gh"))
+    val evalGrams = grams.filter(col("doc_id") % 20 === 0)
+      .select(col("gh")).distinct()
+    grams.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(evalGrams), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_shared_grams"))
+  }
+
+  val decontaminateNgramSql: String = {
+    import TextAnalysis.SqlToksLower
+    s"""WITH w AS (SELECT doc_id, $SqlToksLower AS ts FROM documents),
+       o AS (SELECT doc_id, ts AS ws,
+         unnest(range(0, greatest(length(ts) - ${DecontamN - 1}, 0))) AS i
+       FROM w),
+       g AS (SELECT doc_id,
+         CAST(concat('0x', substring(md5(
+           array_to_string(ws[i+1:i+$DecontamN], ' ')), 1, 15)) AS BIGINT) AS gh
+       FROM o),
+       ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0)
+       SELECT doc_id, count(DISTINCT gh)::BIGINT AS n_shared_grams
+       FROM g JOIN ev USING (gh)
+       WHERE doc_id % 20 <> 0
+       GROUP BY doc_id"""
+  }
+
+  // ---- Gopher-style document-quality rule audit ----
+
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  /** The 8 required stopwords of the Gopher rules; a document must
+    * contain at least [[GopherMinStops]] of them. */
+  val GopherRequiredStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStops = 2
+
+  /** Gopher-rules quality audit (Rae et al. 2021, §A1.1): per source,
+    * how many documents fail each document-level rule — word count in
+    * [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    * ('#' and '...' occurrences) ≤ 0.1, ≥ 80% of words containing a
+    * letter, and ≥ 2 of the 8 required stopwords — plus the count
+    * passing all five. The line-level Gopher rules (bullet/ellipsis
+    * line fractions) need line structure this corpus lacks and are
+    * deliberately out of scope. Distinct from [[TextAnalysis
+    * .textQuality]]'s soft score: these are the hard REJECT rules a
+    * pipeline applies before any scoring.
+    *
+    * Scale shape: a pure per-row map into a tiny per-source
+    * map-side-combined aggregate — no shuffle beyond the audit rows.
+    * The per-token predicates (letter check, stopword intersection)
+    * use HOF lambdas: fine for an audit pass, and the one-pass
+    * [[graft.functions.expressions.TextFeatures]] expression is the
+    * template if this ever sits in a per-row hot path. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val f = graft.functions.GraftFunctions.textFeatures(col("text"))
+    val ts = tokens(col("text"))
+    val tsl = tokens(lower(col("text")))
+    val ntok = col("f.ntok")
+    val nHash = length(col("text")) -
+      length(translate(col("text"), "#", ""))
+    val nEllipsis = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symRatio = when(ntok === 0, lit(0.0))
+      .otherwise((nHash + nEllipsis).cast("double") / ntok.cast("double"))
+    val nAlpha = size(filter(ts, t => t.rlike("\\p{L}")))
+    val alphaFrac = when(ntok === 0, lit(0.0))
+      .otherwise(nAlpha.cast("double") / ntok.cast("double"))
+    val nStops = size(array_intersect(tsl,
+      array(GopherRequiredStops.map(lit): _*)))
+    val failWords = ntok < GopherMinWords || ntok > GopherMaxWords
+    val failLen = col("f.meanlen") < GopherMinMeanLen ||
+      col("f.meanlen") > GopherMaxMeanLen
+    val failSym = symRatio > GopherMaxSymbolRatio
+    val failAlpha = alphaFrac < GopherMinAlphaFrac
+    val failStop = nStops < GopherMinStops
+    Tables.fanOut(t(spark, dir, "documents"))
+      .withColumn("f", f)
+      .select(col("source"),
+        failWords.as("fw"), failLen.as("fl"), failSym.as("fs"),
+        failAlpha.as("fa"), failStop.as("fp"),
+        (!failWords && !failLen && !failSym && !failAlpha && !failStop)
+          .as("ok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fw").cast("long")).as("n_fail_words"),
+        sum(col("fl").cast("long")).as("n_fail_wordlen"),
+        sum(col("fs").cast("long")).as("n_fail_symbol"),
+        sum(col("fa").cast("long")).as("n_fail_alpha"),
+        sum(col("fp").cast("long")).as("n_fail_stop"),
+        sum(col("ok").cast("long")).as("n_pass"))
+  }
+
+  val gopherRulesSql: String = {
+    import TextAnalysis.{SqlToks, SqlToksLower}
+    val stops = GopherRequiredStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT source, text, $SqlToks AS ts,
+         $SqlToksLower AS tsl FROM documents),
+       m AS (SELECT source,
+         length(ts) AS ntok,
+         CASE WHEN length(ts) = 0 THEN 0.0
+           ELSE coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::DOUBLE
+                / length(ts) END AS meanlen,
+         CASE WHEN length(ts) = 0 THEN 0.0
+           ELSE ((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3)::DOUBLE
+             / length(ts) END AS symr,
+         CASE WHEN length(ts) = 0 THEN 0.0
+           ELSE length(list_filter(ts, x -> regexp_matches(x, '\\p{L}')))::DOUBLE
+                / length(ts) END AS alphaf,
+         length(list_intersect(tsl, $stops)) AS nstops
+       FROM w),
+       r AS (SELECT source,
+         (ntok < $GopherMinWords OR ntok > $GopherMaxWords) AS fw,
+         (meanlen < $GopherMinMeanLen OR meanlen > $GopherMaxMeanLen) AS fl,
+         (symr > $GopherMaxSymbolRatio) AS fs,
+         (alphaf < $GopherMinAlphaFrac) AS fa,
+         (nstops < $GopherMinStops) AS fp
+       FROM m)
+       SELECT source, count(*)::BIGINT AS n_docs,
+         CAST(sum(CASE WHEN fw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+         CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+         CAST(sum(CASE WHEN fs THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+         CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+         CAST(sum(CASE WHEN fp THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+         CAST(sum(CASE WHEN NOT fw AND NOT fl AND NOT fs AND NOT fa
+           AND NOT fp THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       FROM r GROUP BY source"""
+  }
+
   /** Per-class deterministic downsampling rates (1-in-N per lang) —
     * class rebalancing with the same hash-stable property as
     * [[splitAssign]]: growth never resamples a kept doc away. */
@@ -366,6 +528,8 @@ object Curation {
     "q_split_assign" -> (splitAssign _),
     "q_pack_sequences" -> (packSequences _),
     "q_decontaminate" -> (decontaminate _),
+    "q_decontaminate_ngram" -> (decontaminateNgram _),
+    "q_gopher_rules" -> (gopherRules _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,5 +539,7 @@ object Curation {
     "q_split_assign" -> splitAssignSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_decontaminate_ngram" -> decontaminateNgramSql,
+    "q_gopher_rules" -> gopherRulesSql,
   )
 }

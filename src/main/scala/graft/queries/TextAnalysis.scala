@@ -304,7 +304,86 @@ object TextAnalysis {
          ${sqlR("CASE WHEN length(g3) = 0 THEN 0.0 ELSE list_max(c3)::DOUBLE / length(g3) END", 4)} AS top_trigram_share
        FROM c"""
 
+  // ---- PII redaction ----
+
+  /** Dialect-portable PII patterns: the subset of regex syntax Java's
+    * engine and DuckDB's RE2 evaluate identically (no lookaround, no
+    * backreferences; \b and \p{L} are in both). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII-redaction audit — the scrubbing pass (emails, phone numbers,
+    * IPv4 addresses → typed placeholder tokens) every released corpus
+    * runs before training. The corpus text itself is synthetic word
+    * soup with no PII, so the query plants deterministic PII spans
+    * derived from doc_id (the oracle plants the SAME spans), then
+    * redacts: the md5 fingerprint of the redacted text pins the two
+    * engines to byte-identical redaction — pattern semantics, match
+    * boundaries, and replacement order all checked, and the planted
+    * variation (docs with 0 or 1 of each kind) checks that clean text
+    * passes through untouched.
+    *
+    * Redaction order is email → phone → IP so a dotted-quad inside a
+    * hostname is consumed by the email rule first. Scale shape: pure
+    * per-row map, no shuffle, all codegen'd regexp_replace. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@mail"),
+          col("doc_id") % 7, lit(".example.com")))
+        .otherwise(lit(" no-email")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" srv 10."), col("doc_id") % 250, lit(".0."),
+          col("doc_id") % 100)).otherwise(lit("")),
+      when(col("doc_id") % 5 < 2,
+        concat(lit(" tel +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(aug, lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(aug, lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(aug, lit(IpRe), lit(0)))
+        .cast("long").as("n_ips"),
+      length(redacted).cast("long").as("redacted_len"),
+      md5(redacted.cast("binary")).as("fp"))
+  }
+
+  val textPiiRedactSql: String =
+    s"""WITH a AS (SELECT doc_id, text
+         || (CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || doc_id
+               || '@mail' || (doc_id % 7) || '.example.com'
+             ELSE ' no-email' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN ' srv 10.' || (doc_id % 250)
+               || '.0.' || (doc_id % 100) ELSE '' END)
+         || (CASE WHEN doc_id % 5 < 2 THEN ' tel +1-555-'
+               || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE '' END) AS aug
+       FROM documents),
+       r AS (SELECT doc_id, aug,
+         regexp_replace(regexp_replace(regexp_replace(aug,
+           '$EmailRe', '<EMAIL>', 'g'),
+           '$PhoneRe', '<PHONE>', 'g'),
+           '$IpRe', '<IP>', 'g') AS red
+       FROM a)
+       SELECT doc_id,
+         length(regexp_extract_all(aug, '$EmailRe', 0))::BIGINT AS n_emails,
+         length(regexp_extract_all(aug, '$PhoneRe', 0))::BIGINT AS n_phones,
+         length(regexp_extract_all(aug, '$IpRe', 0))::BIGINT AS n_ips,
+         length(red)::BIGINT AS redacted_len,
+         md5(red) AS fp
+       FROM r"""
+
   val queries: Map[String, Q] = Map(
+    "q_text_pii_redact" -> (piiRedact _),
     "q_text_topgram" -> (textTopgram _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_wordcount" -> (textWordcount _),
@@ -318,6 +397,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_pii_redact" -> textPiiRedactSql,
     "q_text_topgram" -> textTopgramSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_text_wordcount" -> textWordcountSql,
