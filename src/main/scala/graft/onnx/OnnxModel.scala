@@ -40,6 +40,7 @@ object Onnx {
   final case class AttrInts(v: Seq[Long]) extends Attr
   final case class AttrFloats(v: Seq[Float]) extends Attr
   final case class AttrTensor(v: Tensor) extends Attr
+  final case class AttrString(v: String) extends Attr
 
   final case class Node(opType: String, inputs: Seq[String],
       outputs: Seq[String], attrs: Map[String, Attr])
@@ -186,6 +187,7 @@ object Onnx {
         case (1, 2) => name = pb.readString()
         case (2, 5) => attr = AttrFloat(pb.readFloat())
         case (3, 0) => attr = AttrInt(pb.readVarint())
+        case (4, 2) => attr = AttrString(pb.readString())
         case (5, 2) => attr = AttrTensor(parseTensor(pb.sub())._2)
         case (7, 2) => // packed floats
           val s = pb.sub(); sawFloats = true
@@ -260,7 +262,11 @@ object Onnx {
   * Tanh, Softmax, Gelu/Erf, Exp, Log, Sqrt, Neg, Abs, Clip,
   * BatchNormalization (eval), Dropout/Cast (no-ops), ReduceMean
   * (last axis), Flatten, Identity, Constant, Reshape — the closed
-  * set MLP scoring heads export to (torch.onnx / sklearn-onnx). */
+  * set MLP scoring heads export to (torch.onnx / sklearn-onnx) —
+  * plus the small-CNN tier: Conv (groups/strides/pads/dilations),
+  * MaxPool, AveragePool, GlobalAveragePool, Transpose (any perm),
+  * Concat. Attention-scale models stay out of scope; a full runtime
+  * slots in behind [[OnnxModel.run]]. */
 final class OnnxModel(val graph: Onnx.Graph) {
   import Onnx._
 
@@ -295,6 +301,148 @@ final class OnnxModel(val graph: Onnx.Graph) {
       case Some(AttrInt(v)) => v
       case _ => d
     }
+  private def attrInts(n: Node, k: String, d: Seq[Long]): Seq[Long] =
+    n.attrs.get(k) match {
+      case Some(AttrInts(v)) => v
+      case _ => d
+    }
+  private def attrS(n: Node, k: String, d: String): String =
+    n.attrs.get(k) match {
+      case Some(AttrString(v)) => v
+      case _ => d
+    }
+
+  /** row-major strides for a dim vector */
+  private def strides(dims: Seq[Int]): Array[Int] = {
+    val s = new Array[Int](dims.length)
+    var acc = 1
+    var i = dims.length - 1
+    while (i >= 0) { s(i) = acc; acc *= dims(i); i -= 1 }
+    s
+  }
+
+  /** Direct 2-D convolution over [N,C,H,W] with [M,C/g,kH,kW]
+    * weights — explicit pads (t,l,b,r), strides, dilations, groups.
+    * A direct loop, not im2col: the heads this backs are a few
+    * thousand MACs per output, far below where blocking would pay. */
+  private def conv2d(x: Tensor, w: Tensor, bias: Option[Tensor],
+      group: Int, strides: Seq[Long], pads: Seq[Long],
+      dils: Seq[Long]): Tensor = {
+    require(x.dims.length == 4 && w.dims.length == 4,
+      s"Conv needs [N,C,H,W] x [M,C/g,kH,kW], got ${x.dims} x ${w.dims}")
+    val Seq(nN, c, h, wd) = x.dims.map(identity)
+    val Seq(m, cg, kh, kw) = w.dims.map(identity)
+    require(c == cg * group && m % group == 0,
+      s"Conv group mismatch: C=$c, weight C/g=$cg, g=$group, M=$m")
+    val sh = strides(0).toInt; val sw = strides(1).toInt
+    val ph0 = pads(0).toInt; val pw0 = pads(1).toInt
+    val ph1 = pads(2).toInt; val pw1 = pads(3).toInt
+    val dh = dils(0).toInt; val dw = dils(1).toInt
+    val oh = (h + ph0 + ph1 - dh * (kh - 1) - 1) / sh + 1
+    val ow = (wd + pw0 + pw1 - dw * (kw - 1) - 1) / sw + 1
+    require(oh > 0 && ow > 0, s"Conv output ${oh}x$ow empty")
+    bias.foreach(b => require(b.data.length == m,
+      s"Conv bias ${b.dims} != M=$m"))
+    val mg = m / group
+    val out = new Array[Float](nN * m * oh * ow)
+    var n0 = 0
+    while (n0 < nN) {
+      var om = 0
+      while (om < m) {
+        val g = om / mg
+        val b0 = bias.map(_.data(om)).getOrElse(0f)
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var acc = b0.toDouble
+            var ic = 0
+            while (ic < cg) {
+              val xc = g * cg + ic
+              var ky = 0
+              while (ky < kh) {
+                val iy = oy * sh - ph0 + ky * dh
+                if (iy >= 0 && iy < h) {
+                  var kx = 0
+                  while (kx < kw) {
+                    val ix = ox * sw - pw0 + kx * dw
+                    if (ix >= 0 && ix < wd) {
+                      acc += x.data(((n0 * c + xc) * h + iy) * wd + ix) *
+                        w.data(((om * cg + ic) * kh + ky) * kw + kx)
+                    }
+                    kx += 1
+                  }
+                }
+                ky += 1
+              }
+              ic += 1
+            }
+            out(((n0 * m + om) * oh + oy) * ow + ox) = acc.toFloat
+            ox += 1
+          }
+          oy += 1
+        }
+        om += 1
+      }
+      n0 += 1
+    }
+    Tensor(Seq(nN, m, oh, ow), out)
+  }
+
+  /** 2-D max/average pooling over [N,C,H,W]. Padding contributes
+    * nothing to max; for average it is excluded unless
+    * count_include_pad=1 (the ONNX default semantics). */
+  private def pool2d(x: Tensor, kh: Int, kw: Int, strides: Seq[Long],
+      pads: Seq[Long], isMax: Boolean, includePad: Boolean): Tensor = {
+    require(x.dims.length == 4,
+      s"pooling needs [N,C,H,W], got ${x.dims}")
+    val Seq(nN, c, h, wd) = x.dims.map(identity)
+    val sh = strides(0).toInt; val sw = strides(1).toInt
+    val ph0 = pads(0).toInt; val pw0 = pads(1).toInt
+    val ph1 = pads(2).toInt; val pw1 = pads(3).toInt
+    val oh = (h + ph0 + ph1 - kh) / sh + 1
+    val ow = (wd + pw0 + pw1 - kw) / sw + 1
+    require(oh > 0 && ow > 0, s"pool output ${oh}x$ow empty")
+    val out = new Array[Float](nN * c * oh * ow)
+    var nc = 0
+    while (nc < nN * c) {
+      val in0 = nc * h * wd
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var mx = Float.NegativeInfinity
+          var sum = 0.0
+          var cnt = 0
+          var ky = 0
+          while (ky < kh) {
+            val iy = oy * sh - ph0 + ky
+            if (iy >= 0 && iy < h) {
+              var kx = 0
+              while (kx < kw) {
+                val ix = ox * sw - pw0 + kx
+                if (ix >= 0 && ix < wd) {
+                  val v = x.data(in0 + iy * wd + ix)
+                  if (v > mx) mx = v
+                  sum += v
+                  cnt += 1
+                }
+                kx += 1
+              }
+            }
+            ky += 1
+          }
+          val denom = if (includePad) kh * kw else cnt
+          out(nc * oh * ow + oy * ow + ox) =
+            if (isMax) mx else (sum / denom).toFloat
+          ox += 1
+        }
+        oy += 1
+      }
+      nc += 1
+    }
+    Tensor(Seq(nN, c, oh, ow), out)
+  }
 
   private def eval(n: Node, ins: Seq[Tensor]): Tensor = n.opType match {
     case "Gemm" =>
@@ -379,6 +527,95 @@ final class OnnxModel(val graph: Onnx.Graph) {
       }
       val keep = attrI(n, "keepdims", 1L) == 1L
       Tensor(if (keep) x.dims.init :+ 1 else x.dims.init, out)
+    case "Conv" =>
+      require(attrS(n, "auto_pad", "NOTSET") == "NOTSET",
+        "Conv auto_pad unsupported — export with explicit pads")
+      conv2d(ins(0), ins(1),
+        if (ins.length > 2) Some(ins(2)) else None,
+        attrI(n, "group", 1L).toInt,
+        attrInts(n, "strides", Seq(1L, 1L)),
+        attrInts(n, "pads", Seq(0L, 0L, 0L, 0L)),
+        attrInts(n, "dilations", Seq(1L, 1L)))
+    case "MaxPool" | "AveragePool" =>
+      require(attrS(n, "auto_pad", "NOTSET") == "NOTSET",
+        s"${n.opType} auto_pad unsupported — export with explicit pads")
+      val k = attrInts(n, "kernel_shape", Seq.empty)
+      require(k.length == 2, s"${n.opType} needs 2-D kernel_shape, got $k")
+      pool2d(ins(0), k(0).toInt, k(1).toInt,
+        attrInts(n, "strides", Seq(1L, 1L)),
+        attrInts(n, "pads", Seq(0L, 0L, 0L, 0L)),
+        isMax = n.opType == "MaxPool",
+        includePad = attrI(n, "count_include_pad", 0L) == 1L)
+    case "GlobalAveragePool" =>
+      val x = ins(0)
+      require(x.dims.length == 4,
+        s"GlobalAveragePool needs [N,C,H,W], got ${x.dims}")
+      val Seq(nN, c, h, w) = x.dims.map(identity)
+      val hw = h * w
+      val out = new Array[Float](nN * c)
+      var i = 0
+      while (i < nN * c) {
+        var s = 0.0
+        var j = 0
+        while (j < hw) { s += x.data(i * hw + j); j += 1 }
+        out(i) = (s / hw).toFloat
+        i += 1
+      }
+      Tensor(Seq(nN, c, 1, 1), out)
+    case "Transpose" =>
+      val x = ins(0)
+      val perm = attrInts(n, "perm",
+        x.dims.indices.reverse.map(_.toLong)).map(_.toInt)
+      require(perm.sorted == x.dims.indices.toSeq,
+        s"Transpose perm $perm invalid for ${x.dims}")
+      if (x.dims.length == 2 && perm == Seq(1, 0)) transpose(x)
+      else {
+        val inStride = strides(x.dims)
+        val outDims = perm.map(x.dims)
+        val outStride = strides(outDims)
+        val out = new Array[Float](x.data.length)
+        var i = 0
+        while (i < out.length) {
+          // decompose output offset into out coords, map back via perm
+          var rem = i
+          var inOff = 0
+          var d = 0
+          while (d < perm.length) {
+            val coord = rem / outStride(d)
+            rem %= outStride(d)
+            inOff += coord * inStride(perm(d))
+            d += 1
+          }
+          out(i) = x.data(inOff)
+          i += 1
+        }
+        Tensor(outDims, out)
+      }
+    case "Concat" =>
+      val axRaw = attrI(n, "axis", 0L).toInt
+      val nd = ins(0).dims.length
+      val ax = if (axRaw < 0) axRaw + nd else axRaw
+      require(ins.forall(t => t.dims.length == nd &&
+        t.dims.zipWithIndex.forall { case (d, i) =>
+          i == ax || d == ins(0).dims(i) }),
+        s"Concat shapes disagree off axis $ax: ${ins.map(_.dims)}")
+      val outDims = ins(0).dims.updated(ax, ins.map(_.dims(ax)).sum)
+      val inner = ins(0).dims.drop(ax + 1).product
+      val outer = ins(0).dims.take(ax).product
+      val out = new Array[Float](outDims.product)
+      var o = 0
+      var b = 0
+      while (b < outer) {
+        var t = 0
+        while (t < ins.length) {
+          val chunk = ins(t).dims(ax) * inner
+          System.arraycopy(ins(t).data, b * chunk, out, o, chunk)
+          o += chunk
+          t += 1
+        }
+        b += 1
+      }
+      Tensor(outDims, out)
     case "Flatten" =>
       val t = ins(0)
       Tensor(Seq(t.rows, t.cols), t.data)

@@ -61,22 +61,10 @@ final case class OnnxScoreFilter(modelPath: Option[String] = None,
     val feats = decoded.flatMap(_.map(featurize))
     val scores: Seq[Double] = modelPath match {
       case Some(path) if feats.nonEmpty =>
-        val model = OnnxModel.forPath(path, hadoopConf.get())
         // ONE forward pass for the whole batch — the batching boundary
-        val out = model.forward(
+        OnnxHeads.scores(OnnxModel.forPath(path, hadoopConf.get()),
           graft.onnx.Onnx.Tensor(Seq(feats.length, FeatureDim),
-            feats.flatten.toArray))
-        // [N, 1] scalar heads and [N, K] class heads (e.g. an NSFW
-        // softmax pair, nsfw_filter.py:67-80) both work: the score is
-        // column `outputIndex` of each row
-        require(out.data.length % feats.length == 0,
-          s"model emitted ${out.dims} for a ${feats.length}-row batch — " +
-            "expected N rows")
-        val k = out.data.length / feats.length
-        require(outputIndex < k,
-          s"outputIndex $outputIndex out of range for $k model outputs")
-        (0 until feats.length)
-          .map(i => out.data(i * k + outputIndex).toDouble)
+            feats.flatten.toArray), outputIndex)
       case Some(_) => Nil
       case None => feats.map(standinHead)
     }
@@ -109,6 +97,124 @@ final case class OnnxScoreFilter(modelPath: Option[String] = None,
     * + algebraic squash over the same features. */
   private def standinHead(f: Array[Float]): Double = {
     val z = -1.0 + 1.5 * f(0) + 4.0 * f(1) + 2.0 * f(2) + 1.0 * f(3)
+    (1.0 + z / (1.0 + math.abs(z))) * 0.5
+  }
+}
+
+/** Shared batch→head plumbing for the ONNX score filters: run the
+  * batch tensor through the model once and read each row's score at
+  * `outputIndex` — [N, 1] scalar heads and [N, K] class heads (e.g.
+  * an NSFW softmax pair, nsfw_filter.py:67-80) both work. */
+private[operators] object OnnxHeads {
+  def scores(model: OnnxModel, batch: graft.onnx.Onnx.Tensor,
+      outputIndex: Int): Seq[Double] = {
+    val rows = batch.dims.head
+    val out = model.forward(batch)
+    require(out.data.length % rows == 0,
+      s"model emitted ${out.dims} for a $rows-row batch — expected N rows")
+    val k = out.data.length / rows
+    require(outputIndex < k,
+      s"outputIndex $outputIndex out of range for $k model outputs")
+    (0 until rows).map(i => out.data(i * k + outputIndex).toDouble)
+  }
+}
+
+/** Raw-pixel CNN scoring — the input mode the reference's real
+  * detector models use (a watermark / NSFW conv net consumes the
+  * image itself, not summary statistics; watermarks_filter.py:65-104
+  * resizes to a fixed square and normalizes before the session run).
+  * Decode → bilinear-resize to `inputSize`² → normalized [0,1] CHW
+  * float tensor → ONE [N, C, H, W] forward pass per batch through
+  * the interpreter's conv tier. Same session / batching / null
+  * discipline as [[OnnxScoreFilter]]; `modelPath = None` falls back
+  * to a deterministic mean-pixel head so the plumbing runs and tests
+  * without a model file. */
+final case class OnnxPixelScoreFilter(modelPath: Option[String] = None,
+    scoreColumn: String = "image_cnn_score",
+    inputSize: Int = 32,
+    grayscale: Boolean = false,
+    outputIndex: Int = 0,
+    override val batchSize: Int = 16) extends DataFilter {
+  require(inputSize > 0 && outputIndex >= 0)
+  override val modalities = Seq(Modality.Image)
+  override def name = s"OnnxPixelScoreFilter(${modelPath.getOrElse("standin")})"
+  override val resultSchema = StructType(Seq(
+    StructField(scoreColumn, DoubleType)))
+  private val channels = if (grayscale) 1 else 3
+
+  private val hadoopConf: SerializableHadoopConf =
+    new SerializableHadoopConf(
+      scala.util.Try(org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] = {
+    val decoded: Seq[Option[BufferedImage]] = batch.map { in =>
+      in.payloads.get(Modality.Image.name).flatMap { bytes =>
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      }
+    }
+    val tensors = decoded.flatMap(_.map(pixelTensor))
+    val scores: Seq[Double] = modelPath match {
+      case Some(path) if tensors.nonEmpty =>
+        OnnxHeads.scores(OnnxModel.forPath(path, hadoopConf.get()),
+          graft.onnx.Onnx.Tensor(
+            Seq(tensors.length, channels, inputSize, inputSize),
+            tensors.flatten.toArray), outputIndex)
+      case Some(_) => Nil
+      case None => tensors.map(standinHead)
+    }
+    val it = scores.iterator
+    decoded.map {
+      case Some(_) => Some(Seq(Double.box(it.next())))
+      case None => Some(Seq(null))
+    }
+  }
+
+  /** Decode-side preprocessing: bilinear resize to the model's fixed
+    * square, then channel-planar (CHW) floats in [0, 1] — RGB planes,
+    * or one ITU-R 601 luminance plane when `grayscale`. */
+  private[operators] def pixelTensor(img: BufferedImage): Array[Float] = {
+    val scaled = new BufferedImage(inputSize, inputSize,
+      BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, inputSize, inputSize, null)
+    g.dispose()
+    val hw = inputSize * inputSize
+    val out = new Array[Float](channels * hw)
+    var y = 0
+    while (y < inputSize) {
+      var x = 0
+      while (x < inputSize) {
+        val rgb = scaled.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val gg = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val p = y * inputSize + x
+        if (grayscale) {
+          out(p) = ((r * 299 + gg * 587 + b * 114) / 1000) / 255f
+        } else {
+          out(p) = r / 255f
+          out(hw + p) = gg / 255f
+          out(2 * hw + p) = b / 255f
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** No-model fallback: mean pixel value through the same algebraic
+    * squash the feature-head stand-in uses. */
+  private def standinHead(t: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < t.length) { s += t(i); i += 1 }
+    val z = -1.0 + 2.0 * (s / t.length)
     (1.0 + z / (1.0 + math.abs(z))) * 0.5
   }
 }

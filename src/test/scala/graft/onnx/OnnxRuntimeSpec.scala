@@ -53,6 +53,18 @@ object TestOnnx {
     tag(out, 20, 0); varint(out, 2L) // type = INT
   }
 
+  def attrInts(name: String, vs: Seq[Long]): Array[Byte] = msg { out =>
+    str(out, 1, name)
+    vs.foreach { v => tag(out, 8, 0); varint(out, v) }
+    tag(out, 20, 0); varint(out, 7L) // type = INTS
+  }
+
+  def attrString(name: String, v: String): Array[Byte] = msg { out =>
+    str(out, 1, name)
+    str(out, 4, v)
+    tag(out, 20, 0); varint(out, 3L) // type = STRING
+  }
+
   def attrFloat(name: String, v: Float): Array[Byte] = msg { out =>
     str(out, 1, name)
     tag(out, 2, 5)
@@ -251,15 +263,184 @@ class OnnxRuntimeSpec extends AnyFunSuite {
     assert(dropped.dims == Seq(2) && dropped.data.toSeq == Seq(2f, 5f))
   }
 
+  test("Conv: basic 2x2 kernel with bias, hand-computed") {
+    val g = model(
+      nodes = Seq(node("Conv", Seq("x", "w", "b"), Seq("y"),
+        Seq(attrInts("kernel_shape", Seq(2L, 2L))))),
+      inits = Seq(
+        tensor("w", Seq(1, 1, 2, 2), Seq(1f, 2f, 3f, 4f)),
+        tensor("b", Seq(1), Seq(0.5f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val out = OnnxModel.parseBytes(g).forward(
+      Onnx.Tensor(Seq(1, 1, 3, 3), (1 to 9).map(_.toFloat).toArray))
+    assert(out.dims == Seq(1, 1, 2, 2))
+    assert(out.data.toSeq == Seq(37.5f, 47.5f, 67.5f, 77.5f))
+  }
+
+  test("Conv: stride 2 with pads, window clipping at edges") {
+    val g = model(
+      nodes = Seq(node("Conv", Seq("x", "w"), Seq("y"),
+        Seq(attrInts("kernel_shape", Seq(2L, 2L)),
+          attrInts("strides", Seq(2L, 2L)),
+          attrInts("pads", Seq(1L, 1L, 1L, 1L))))),
+      inits = Seq(tensor("w", Seq(1, 1, 2, 2), Seq(1f, 1f, 1f, 1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val out = OnnxModel.parseBytes(g).forward(
+      Onnx.Tensor(Seq(1, 1, 3, 3), (1 to 9).map(_.toFloat).toArray))
+    assert(out.dims == Seq(1, 1, 2, 2))
+    assert(out.data.toSeq == Seq(1f, 5f, 11f, 28f))
+  }
+
+  test("Conv: groups route each output channel to its input slice") {
+    val g = model(
+      nodes = Seq(node("Conv", Seq("x", "w"), Seq("y"),
+        Seq(attrInts("kernel_shape", Seq(1L, 1L)),
+          attrInt("group", 2L)))),
+      inits = Seq(tensor("w", Seq(2, 1, 1, 1), Seq(2f, 3f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val out = OnnxModel.parseBytes(g).forward(Onnx.Tensor(Seq(1, 2, 2, 2),
+      (1 to 8).map(_.toFloat).toArray))
+    assert(out.dims == Seq(1, 2, 2, 2))
+    assert(out.data.toSeq ==
+      Seq(2f, 4f, 6f, 8f, 15f, 18f, 21f, 24f))
+  }
+
+  test("MaxPool and AveragePool, including pad-exclusion semantics") {
+    def g(op: String, extra: Seq[Array[Byte]] = Nil) = model(
+      nodes = Seq(node(op, Seq("x"), Seq("y"),
+        Seq(attrInts("kernel_shape", Seq(2L, 2L)),
+          attrInts("strides", Seq(2L, 2L))) ++ extra)),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val x4 = Onnx.Tensor(Seq(1, 1, 4, 4), (1 to 16).map(_.toFloat).toArray)
+    val mx = OnnxModel.parseBytes(g("MaxPool")).forward(x4)
+    assert(mx.dims == Seq(1, 1, 2, 2) &&
+      mx.data.toSeq == Seq(6f, 8f, 14f, 16f))
+    val av = OnnxModel.parseBytes(g("AveragePool")).forward(x4)
+    assert(av.data.toSeq == Seq(3.5f, 5.5f, 11.5f, 13.5f))
+    // padded window: denominator excludes the pad by default,
+    // includes it with count_include_pad=1
+    val x2 = Onnx.Tensor(Seq(1, 1, 2, 2), Array(1f, 2f, 3f, 4f))
+    def gp(inc: Long) = model(
+      nodes = Seq(node("AveragePool", Seq("x"), Seq("y"),
+        Seq(attrInts("kernel_shape", Seq(2L, 2L)),
+          attrInts("strides", Seq(2L, 2L)),
+          attrInts("pads", Seq(1L, 1L, 1L, 1L)),
+          attrInt("count_include_pad", inc)))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val excl = OnnxModel.parseBytes(gp(0L)).forward(x2)
+    assert(excl.data.toSeq == Seq(1f, 2f, 3f, 4f))
+    val incl = OnnxModel.parseBytes(gp(1L)).forward(x2)
+    assert(incl.data.toSeq == Seq(0.25f, 0.5f, 0.75f, 1f))
+  }
+
+  test("GlobalAveragePool collapses H,W per channel") {
+    val g = model(
+      nodes = Seq(node("GlobalAveragePool", Seq("x"), Seq("y"))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val out = OnnxModel.parseBytes(g).forward(Onnx.Tensor(Seq(1, 2, 2, 2),
+      (1 to 8).map(_.toFloat).toArray))
+    assert(out.dims == Seq(1, 2, 1, 1))
+    assert(out.data.toSeq == Seq(2.5f, 6.5f))
+  }
+
+  test("Transpose with an explicit 3-D perm and the 2-D default") {
+    val g3 = model(
+      nodes = Seq(node("Transpose", Seq("x"), Seq("y"),
+        Seq(attrInts("perm", Seq(0L, 2L, 1L))))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val out3 = OnnxModel.parseBytes(g3).forward(
+      Onnx.Tensor(Seq(1, 2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f)))
+    assert(out3.dims == Seq(1, 3, 2))
+    assert(out3.data.toSeq == Seq(1f, 4f, 2f, 5f, 3f, 6f))
+    val g2 = model(
+      nodes = Seq(node("Transpose", Seq("x"), Seq("y"))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val out2 = OnnxModel.parseBytes(g2).forward(
+      Onnx.Tensor(Seq(2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f)))
+    assert(out2.dims == Seq(3, 2))
+    assert(out2.data.toSeq == Seq(1f, 4f, 2f, 5f, 3f, 6f))
+  }
+
+  test("Concat along axis 1 and a negative axis") {
+    def g(ax: Long) = model(
+      nodes = Seq(node("Concat", Seq("a", "b"), Seq("y"),
+        Seq(attrInt("axis", ax)))),
+      inits = Seq(tensor("b", Seq(2, 1), Seq(9f, 10f))),
+      inputs = Seq("a"), outputs = Seq("y"))
+    val a = Onnx.Tensor(Seq(2, 2), Array(1f, 2f, 3f, 4f))
+    val out = OnnxModel.parseBytes(g(1L)).forward(a)
+    assert(out.dims == Seq(2, 3))
+    assert(out.data.toSeq == Seq(1f, 2f, 9f, 3f, 4f, 10f))
+    val outNeg = OnnxModel.parseBytes(g(-1L)).forward(a)
+    assert(outNeg.data.toSeq == out.data.toSeq)
+  }
+
+  test("Conv auto_pad other than NOTSET is rejected loudly") {
+    val g = model(
+      nodes = Seq(node("Conv", Seq("x", "w"), Seq("y"),
+        Seq(attrInts("kernel_shape", Seq(2L, 2L)),
+          attrString("auto_pad", "SAME_UPPER")))),
+      inits = Seq(tensor("w", Seq(1, 1, 2, 2), Seq(1f, 1f, 1f, 1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val e = intercept[IllegalArgumentException] {
+      OnnxModel.parseBytes(g).forward(
+        Onnx.Tensor(Seq(1, 1, 3, 3), (1 to 9).map(_.toFloat).toArray))
+    }
+    assert(e.getMessage.contains("auto_pad"))
+  }
+
+  test("end-to-end tiny CNN head: Conv→Relu→MaxPool→Flatten→Gemm→Sigmoid") {
+    // 1×1×4×4 → Conv(2ch, 2×2, s1) → 2×3×3 → Relu → MaxPool(3×3) →
+    // 2×1×1 → Flatten → [1,2] → Gemm → [1,1] → Sigmoid
+    val convW = Seq(1f, 0f, 0f, 1f, /* ch1 */ 0f, 1f, -1f, 0f)
+    val convB = Seq(0f, 2f)
+    val fcW = Seq(0.1f, -0.2f) // [1,2] transB
+    val fcB = Seq(0.05f)
+    val g = model(
+      nodes = Seq(
+        node("Conv", Seq("x", "cw", "cb"), Seq("c"),
+          Seq(attrInts("kernel_shape", Seq(2L, 2L)))),
+        node("Relu", Seq("c"), Seq("r")),
+        node("MaxPool", Seq("r"), Seq("p"),
+          Seq(attrInts("kernel_shape", Seq(3L, 3L)))),
+        node("Flatten", Seq("p"), Seq("f")),
+        node("Gemm", Seq("f", "fw", "fb"), Seq("z"),
+          Seq(attrInt("transB", 1L))),
+        node("Sigmoid", Seq("z"), Seq("y"))),
+      inits = Seq(
+        tensor("cw", Seq(2, 1, 2, 2), convW),
+        tensor("cb", Seq(2), convB),
+        tensor("fw", Seq(1, 2), fcW),
+        tensor("fb", Seq(1), fcB)),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val xs = (1 to 16).map(_.toFloat).toArray
+    val out = OnnxModel.parseBytes(g)
+      .forward(Onnx.Tensor(Seq(1, 1, 4, 4), xs))
+    // reference computation with plain loops
+    def at(y: Int, x: Int) = xs(y * 4 + x)
+    val conv = Array.ofDim[Float](2, 3, 3)
+    for (ch <- 0 until 2; oy <- 0 until 3; ox <- 0 until 3) {
+      var a = convB(ch)
+      for (ky <- 0 until 2; kx <- 0 until 2)
+        a += at(oy + ky, ox + kx) * convW(ch * 4 + ky * 2 + kx)
+      conv(ch)(oy)(ox) = math.max(a, 0f)
+    }
+    val pooled = (0 until 2).map(ch => conv(ch).flatten.max)
+    val z = fcB(0) + pooled(0) * fcW(0) + pooled(1) * fcW(1)
+    val want = (1.0 / (1.0 + math.exp(-z.toDouble))).toFloat
+    assert(out.dims == Seq(1, 1))
+    assert(math.abs(out.data(0) - want) < 1e-6f)
+  }
+
   test("unsupported op fails loudly with the op name") {
     val g = model(
-      nodes = Seq(node("Conv", Seq("x"), Seq("y"))),
+      nodes = Seq(node("LSTM", Seq("x"), Seq("y"))),
       inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
     val m = OnnxModel.parseBytes(g)
     val e = intercept[UnsupportedOperationException] {
       m.forward(Onnx.Tensor(Seq(1, 4), Array(1f, 2f, 3f, 4f)))
     }
-    assert(e.getMessage.contains("Conv"))
+    assert(e.getMessage.contains("LSTM"))
   }
 
   test("Reshape with -1 and Constant nodes") {
