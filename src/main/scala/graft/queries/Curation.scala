@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
+import graft.queries.Num.{r6, sqlR}
 
 /** Dataset-curation operators over `documents` — the train-set
   * assembly steps of an LLM data pipeline (no analog in the
@@ -220,6 +221,61 @@ object Curation {
        WHERE doc_id % 20 <> 0
        GROUP BY doc_id"""
   }
+
+  /** Overall keep budget for temperature mixture sampling. */
+  val MixtureKeepFraction = 0.25
+
+  /** Temperature-flattened mixture sampling — the source-rebalancing
+    * step of LLM corpus assembly: target share of source s is
+    * sqrt(n_s)/Σ sqrt(n_t) (the p^(1/T) rule at T=2), so
+    * over-represented sources are downweighted and the tail is
+    * boosted; per-source keep rate = min(1, target·N·keep/n_s), and
+    * each doc keeps deterministically when its md5-fraction falls
+    * under the rate (the same hash-stable die as [[splitAssign]] —
+    * growth never resamples a kept doc away). sqrt, not pow: IEEE
+    * correctly-rounded in every engine, so the oracle cannot drift
+    * on libm ulps; the rate is epsilon-rounded ([[Num.r6]]) on both
+    * sides before the comparison.
+    *
+    * Scale shape: one map-side-combined count per source (tiny), a
+    * window over the #sources-row aggregate (bounded by source
+    * cardinality, not corpus size), rates broadcast back, then a
+    * pure per-row filter + audit agg. No corpus-sized shuffle. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("n_s"))
+    val w = Window.partitionBy()
+    val rates = counts
+      .withColumn("q", sqrt(col("n_s")) / sum(sqrt(col("n_s"))).over(w))
+      .withColumn("rate", r6(least(lit(1.0),
+        col("q") * sum(col("n_s")).over(w) * lit(MixtureKeepFraction)
+          / col("n_s"))))
+      .select(col("source"), col("n_s"), col("rate"))
+    val u = hash32(col("doc_id").cast("string")).cast("double") /
+      lit(4294967296.0)
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(u < col("rate"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_kept"),
+        max(col("rate")).as("rate"))
+  }
+
+  val mixtureSampleSql: String =
+    s"""WITH c AS (SELECT source, count(*)::DOUBLE AS n_s
+         FROM documents GROUP BY source),
+       r AS (SELECT source, n_s,
+         ${sqlR(s"least(1.0, (sqrt(n_s) / (SELECT sum(sqrt(n_s)) FROM c))" +
+      s" * (SELECT sum(n_s) FROM c) * $MixtureKeepFraction / n_s)", 6)}
+           AS rate FROM c),
+       k AS (SELECT d.source, r.n_s, r.rate FROM documents d
+         JOIN r USING (source)
+         WHERE CAST(concat('0x', substring(md5(d.doc_id::VARCHAR), 1, 8))
+           AS BIGINT)::DOUBLE / 4294967296.0 < r.rate)
+       SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+         count(*)::BIGINT AS n_kept, max(rate) AS rate
+       FROM k GROUP BY source"""
 
   // ---- Gopher-style document-quality rule audit ----
 
@@ -530,6 +586,7 @@ object Curation {
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_ngram" -> (decontaminateNgram _),
     "q_gopher_rules" -> (gopherRules _),
+    "q_mixture_sample" -> (mixtureSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -541,5 +598,6 @@ object Curation {
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_ngram" -> decontaminateNgramSql,
     "q_gopher_rules" -> gopherRulesSql,
+    "q_mixture_sample" -> mixtureSampleSql,
   )
 }
