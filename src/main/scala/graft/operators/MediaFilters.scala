@@ -230,6 +230,74 @@ final case class AudioInfoFilter(override val batchSize: Int = 64)
     }
 }
 
+/** Audio SIGNAL statistics over decoded PCM — the curation tier
+  * above [[AudioInfoFilter]]'s structural probe (no reference
+  * analog; its audio surface stops at info_filter.py): RMS level,
+  * peak amplitude, and clipped-sample fraction, the three signals a
+  * corpus pass uses to drop silent, dead-air, or hard-clipped clips.
+  * Pure JVM: javax.sound decodes WAV PCM (8/16-bit, any channel
+  * count); samples normalize to [-1, 1]; clipping = |sample| at the
+  * integer rails. Undecodable audio yields nulls, reference null
+  * discipline. */
+final case class AudioStatsFilter(clipThreshold: Double = 0.999,
+    override val batchSize: Int = 64) extends DataFilter {
+  override val modalities = Seq(Modality.Audio)
+  override val resultSchema = StructType(Seq(
+    StructField("rms", DoubleType),
+    StructField("peak", DoubleType),
+    StructField("clip_fraction", DoubleType),
+    StructField("n_samples", LongType)))
+
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+    batch.map { in =>
+      in.payloads.get(Modality.Audio.name) match {
+        case None => Some(Seq(null, null, null, null))
+        case Some(bytes) =>
+          try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val bits = fmt.getSampleSizeInBits
+            require(bits == 8 || bits == 16,
+              s"only 8/16-bit PCM handled, got $bits")
+            val data = ais.readAllBytes()
+            val bytesPer = bits / 8
+            val n = data.length / bytesPer
+            var sumSq = 0.0
+            var peak = 0.0
+            var clipped = 0L
+            var i = 0
+            while (i < n) {
+              // normalize to [-1, 1]: 16-bit signed (WAV little-
+              // endian), 8-bit unsigned biased at 128
+              val v =
+                if (bits == 16) {
+                  val lo = data(2 * i) & 0xff
+                  val hi = data(2 * i + 1).toInt
+                  val s = (hi << 8) | lo
+                  (if (fmt.isBigEndian)
+                    ((data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff))
+                  else s).toDouble / 32768.0
+                } else ((data(i) & 0xff) - 128).toDouble / 128.0
+              val a = math.abs(v)
+              sumSq += v * v
+              if (a > peak) peak = a
+              if (a >= clipThreshold) clipped += 1
+              i += 1
+            }
+            if (n == 0) Some(Seq(null, null, null, null))
+            else Some(Seq(
+              Double.box(math.sqrt(sumSq / n)),
+              Double.box(peak),
+              Double.box(clipped.toDouble / n),
+              Long.box(n.toLong)))
+          } catch {
+            case _: Exception => Some(Seq(null, null, null, null))
+          }
+      }
+    }
+}
+
 /** Video structural probe — contract of the reference's
   * VideoInfoFilter (DPF/filters/videos/info_filter.py:22-45:
   * is_correct, error, width, height, fps, duration).

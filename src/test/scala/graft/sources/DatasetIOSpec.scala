@@ -454,4 +454,42 @@ class DatasetIOSpec extends SparkSpec {
     assert(res(1).asInstanceOf[Double] == 1.0)
     assert(res(2) == 16000)
   }
+
+  test("AudioStatsFilter: RMS/peak/clipping on known PCM signals") {
+    import javax.sound.sampled._
+    def wav16(pcm: Array[Short]): Array[Byte] = {
+      val bytes = new Array[Byte](pcm.length * 2)
+      pcm.indices.foreach { i =>
+        bytes(2 * i) = (pcm(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, pcm.length)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def stats(bytes: Array[Byte]): Seq[Any] =
+      AudioStatsFilter().processBatch(Seq(FilterInput(
+        "k", Map("audio" -> bytes), Map.empty))).head.get
+    // half-scale square wave: rms = peak = 0.5, nothing clipped
+    val half = stats(wav16(Array.fill(1000)(16384.toShort)
+      .zipWithIndex.map { case (v, i) =>
+        (if (i % 2 == 0) v else (-v).toShort): Short }))
+    assert(math.abs(half(0).asInstanceOf[Double] - 0.5) < 1e-9)
+    assert(math.abs(half(1).asInstanceOf[Double] - 0.5) < 1e-9)
+    assert(half(2).asInstanceOf[Double] == 0.0)
+    assert(half(3) == 1000L)
+    // rail-pinned signal: |−32768|/32768 = 1.0 → fully clipped
+    val rail = stats(wav16(Array.fill(100)(Short.MinValue)))
+    assert(rail(0).asInstanceOf[Double] == 1.0)
+    assert(rail(1).asInstanceOf[Double] == 1.0)
+    assert(rail(2).asInstanceOf[Double] == 1.0)
+    // silence: all zeros
+    val silent = stats(wav16(new Array[Short](500)))
+    assert(silent(0) == 0.0 && silent(1) == 0.0 && silent(2) == 0.0)
+    // undecodable bytes → all-null row, not a task failure
+    assert(stats(Array[Byte](1, 2, 3)).forall(_ == null))
+  }
 }
