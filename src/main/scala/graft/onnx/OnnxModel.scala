@@ -265,8 +265,13 @@ object Onnx {
   * set MLP scoring heads export to (torch.onnx / sklearn-onnx) —
   * plus the small-CNN tier: Conv (groups/strides/pads/dilations),
   * MaxPool, AveragePool, GlobalAveragePool, Transpose (any perm),
-  * Concat. Attention-scale models stay out of scope; a full runtime
-  * slots in behind [[OnnxModel.run]]. */
+  * Concat — plus the attention tier: batched N-D MatMul with numpy
+  * broadcasting, full multidirectional broadcasting on the
+  * elementwise ops, LayerNormalization, Slice (step 1), Split
+  * (multi-output), Gather (any axis), Unsqueeze, Squeeze — enough to
+  * run a small transformer encoder block end-to-end. Dynamic-shape
+  * export chains (Shape/Expand/Where) stay out of scope: export with
+  * fixed shapes, or slot a full runtime behind [[OnnxModel.run]]. */
 final class OnnxModel(val graph: Onnx.Graph) {
   import Onnx._
 
@@ -275,10 +280,15 @@ final class OnnxModel(val graph: Onnx.Graph) {
     env ++= graph.initializers
     env ++= inputs
     graph.nodes.foreach { n =>
-      val out = eval(n, n.inputs.map(i => env.getOrElse(i,
+      val ins = n.inputs.map(i => env.getOrElse(i,
         throw new IllegalArgumentException(
-          s"${n.opType}: missing input $i — graph not topological?"))))
-      env += n.outputs.head -> out
+          s"${n.opType}: missing input $i — graph not topological?")))
+      if (n.opType == "Split") {
+        // the one multi-output op in the subset
+        n.outputs.zip(evalSplit(n, ins)).foreach {
+          case (name, t) => env += name -> t
+        }
+      } else env += n.outputs.head -> eval(n, ins)
     }
     graph.outputs.map(o => o -> env(o)).toMap
   }
@@ -452,11 +462,11 @@ final class OnnxModel(val graph: Onnx.Graph) {
       val b = if (attrI(n, "transB", 0) == 1) transpose(ins(1)) else ins(1)
       val y = matmul(a, b, alpha)
       if (ins.length > 2) addBroadcast(y, ins(2), beta) else y
-    case "MatMul" => matmul(ins(0), ins(1), 1f)
-    case "Add" => addBroadcast(ins(0), ins(1), 1f)
-    case "Sub" => zip(ins(0), ins(1), _ - _)
-    case "Mul" => zip(ins(0), ins(1), _ * _)
-    case "Div" => zip(ins(0), ins(1), _ / _)
+    case "MatMul" => matmulND(ins(0), ins(1))
+    case "Add" => broadcastZip(ins(0), ins(1), _ + _)
+    case "Sub" => broadcastZip(ins(0), ins(1), _ - _)
+    case "Mul" => broadcastZip(ins(0), ins(1), _ * _)
+    case "Div" => broadcastZip(ins(0), ins(1), _ / _)
     case "Relu" => map1(ins(0), v => math.max(v, 0f))
     case "LeakyRelu" =>
       val a = attrF(n, "alpha", 0.01f)
@@ -474,7 +484,7 @@ final class OnnxModel(val graph: Onnx.Graph) {
     case "Gelu" => // exact (erf) form, the torch.nn.GELU default
       map1(ins(0), v =>
         (0.5 * v * (1.0 + erf(v / math.sqrt(2.0)))).toFloat)
-    case "Pow" => zip(ins(0), ins(1),
+    case "Pow" => broadcastZip(ins(0), ins(1),
       (a, b) => math.pow(a.toDouble, b.toDouble).toFloat)
     case "Clip" =>
       // opset 11+: min/max as optional inputs; opset 6: attributes
@@ -616,6 +626,148 @@ final class OnnxModel(val graph: Onnx.Graph) {
         b += 1
       }
       Tensor(outDims, out)
+    case "LayerNormalization" =>
+      // normalize over dims [axis, rank): y = (x−μ)/√(σ²+ε)·scale+bias
+      val x = ins(0)
+      val rank = x.dims.length
+      val axRaw = attrI(n, "axis", -1L).toInt
+      val ax = if (axRaw < 0) axRaw + rank else axRaw
+      require(ax >= 0 && ax < rank,
+        s"LayerNormalization axis $axRaw invalid for ${x.dims}")
+      val block = x.dims.drop(ax).product
+      val scale = ins(1)
+      val bias = if (ins.length > 2) Some(ins(2)) else None
+      require(scale.data.length == block &&
+        bias.forall(_.data.length == block),
+        s"LayerNormalization scale/bias != normalized block $block")
+      val eps = attrF(n, "epsilon", 1e-5f)
+      val out = new Array[Float](x.data.length)
+      var r = 0
+      while (r < x.data.length / block) {
+        val o = r * block
+        var s = 0.0
+        var j = 0
+        while (j < block) { s += x.data(o + j); j += 1 }
+        val mean = s / block
+        var v = 0.0
+        j = 0
+        while (j < block) {
+          val d = x.data(o + j) - mean
+          v += d * d
+          j += 1
+        }
+        val inv = 1.0 / math.sqrt(v / block + eps)
+        j = 0
+        while (j < block) {
+          out(o + j) = (((x.data(o + j) - mean) * inv) *
+            scale.data(j)).toFloat + bias.map(_.data(j)).getOrElse(0f)
+          j += 1
+        }
+        r += 1
+      }
+      Tensor(x.dims, out)
+    case "Slice" =>
+      val x = ins(0)
+      val rank = x.dims.length
+      // opset 10+: starts/ends/axes/steps as inputs; opset 1: attrs
+      def longs(i: Int, attr: String): Option[Seq[Long]] =
+        if (ins.length > i) Some(ins(i).data.map(_.toLong).toSeq)
+        else n.attrs.get(attr) match {
+          case Some(AttrInts(v)) => Some(v)
+          case _ => None
+        }
+      val starts = longs(1, "starts").getOrElse(
+        throw new IllegalArgumentException("Slice needs starts"))
+      val ends = longs(2, "ends").getOrElse(
+        throw new IllegalArgumentException("Slice needs ends"))
+      val axes = longs(3, "axes")
+        .getOrElse(starts.indices.map(_.toLong))
+        .map(a => if (a < 0) (a + rank).toInt else a.toInt)
+      val steps = longs(4, "steps")
+        .getOrElse(Seq.fill(starts.length)(1L))
+      require(steps.forall(_ == 1L),
+        s"Slice steps other than 1 unsupported, got $steps")
+      val lo = Array.fill(rank)(0)
+      val hi = x.dims.toArray
+      axes.zipWithIndex.foreach { case (a, i) =>
+        val d = x.dims(a)
+        def clamp(v: Long): Int =
+          math.min(math.max(if (v < 0) v + d else v, 0), d).toInt
+        lo(a) = clamp(starts(i))
+        hi(a) = clamp(ends(i))
+      }
+      val outDims = (0 until rank).map(d => math.max(hi(d) - lo(d), 0))
+      val out = new Array[Float](outDims.product)
+      if (out.length > 0) {
+        val inStride = strides(x.dims)
+        val outStride = strides(outDims)
+        var i = 0
+        while (i < out.length) {
+          var rem = i
+          var src = 0
+          var d = 0
+          while (d < rank) {
+            val c = rem / outStride(d)
+            rem %= outStride(d)
+            src += (c + lo(d)) * inStride(d)
+            d += 1
+          }
+          out(i) = x.data(src)
+          i += 1
+        }
+      }
+      Tensor(outDims, out)
+    case "Gather" =>
+      val x = ins(0)
+      val idx = ins(1)
+      val rank = x.dims.length
+      val axRaw = attrI(n, "axis", 0L).toInt
+      val ax = if (axRaw < 0) axRaw + rank else axRaw
+      require(ax >= 0 && ax < rank, s"Gather axis $axRaw for ${x.dims}")
+      val d = x.dims(ax)
+      val outer = x.dims.take(ax).product
+      val inner = x.dims.drop(ax + 1).product
+      val nIdx = idx.data.length
+      val out = new Array[Float](outer * nIdx * inner)
+      var o = 0
+      while (o < outer) {
+        var k = 0
+        while (k < nIdx) {
+          val raw = math.round(idx.data(k)).toInt
+          val j = if (raw < 0) raw + d else raw
+          require(j >= 0 && j < d, s"Gather index $raw out of [0,$d)")
+          System.arraycopy(x.data, (o * d + j) * inner,
+            out, (o * nIdx + k) * inner, inner)
+          k += 1
+        }
+        o += 1
+      }
+      Tensor(x.dims.take(ax) ++ idx.dims ++ x.dims.drop(ax + 1), out)
+    case "Unsqueeze" =>
+      val x = ins(0)
+      val axes = (if (ins.length > 1) ins(1).data.map(_.toLong).toSeq
+        else attrInts(n, "axes", Seq.empty))
+      require(axes.nonEmpty, "Unsqueeze needs axes")
+      val outRank = x.dims.length + axes.length
+      val norm = axes.map(a => if (a < 0) (a + outRank).toInt else a.toInt)
+      val dims = scala.collection.mutable.ArrayBuffer(x.dims: _*)
+      norm.sorted.foreach(a => dims.insert(a, 1))
+      Tensor(dims.toSeq, x.data)
+    case "Squeeze" =>
+      val x = ins(0)
+      val axes = (if (ins.length > 1) ins(1).data.map(_.toLong).toSeq
+        else attrInts(n, "axes", Seq.empty))
+        .map(a => if (a < 0) (a + x.dims.length).toInt else a.toInt)
+      val dims =
+        if (axes.isEmpty) x.dims.filter(_ != 1)
+        else {
+          axes.foreach(a => require(x.dims(a) == 1,
+            s"Squeeze axis $a is ${x.dims(a)}, not 1"))
+          x.dims.zipWithIndex.collect {
+            case (v, i) if !axes.contains(i) => v
+          }
+        }
+      Tensor(dims, x.data)
     case "Flatten" =>
       val t = ins(0)
       Tensor(Seq(t.rows, t.cols), t.data)
@@ -711,20 +863,147 @@ final class OnnxModel(val graph: Onnx.Graph) {
     Tensor(y.dims, out)
   }
 
-  private def zip(a: Tensor, b: Tensor, f: (Float, Float) => Float): Tensor = {
-    if (a.data.length == b.data.length) {
+  /** numpy-style multidirectional broadcasting for the elementwise
+    * ops: shapes align from the right; size-1 dims stretch (stride 0
+    * on the stretched side). */
+  private def broadcastZip(a: Tensor, b: Tensor,
+      f: (Float, Float) => Float): Tensor = {
+    if (a.dims == b.dims) {
       val out = new Array[Float](a.data.length)
       var i = 0
       while (i < out.length) { out(i) = f(a.data(i), b.data(i)); i += 1 }
-      Tensor(a.dims, out)
-    } else {
-      require(b.data.length == a.cols,
-        s"elementwise ${b.dims} does not broadcast to ${a.dims}")
-      val out = new Array[Float](a.data.length)
-      val cols = a.cols
+      return Tensor(a.dims, out)
+    }
+    val rank = math.max(a.dims.length, b.dims.length)
+    val ad = Seq.fill(rank - a.dims.length)(1) ++ a.dims
+    val bd = Seq.fill(rank - b.dims.length)(1) ++ b.dims
+    val od = ad.zip(bd).map { case (x, y) =>
+      require(x == y || x == 1 || y == 1,
+        s"shapes ${a.dims} and ${b.dims} do not broadcast")
+      math.max(x, y)
+    }
+    val as = strides(ad).zip(ad).map { case (s, d) => if (d == 1) 0 else s }
+    val bs = strides(bd).zip(bd).map { case (s, d) => if (d == 1) 0 else s }
+    val os = strides(od)
+    val out = new Array[Float](od.product)
+    var i = 0
+    while (i < out.length) {
+      var rem = i
+      var ai = 0
+      var bi = 0
+      var d = 0
+      while (d < rank) {
+        val c = rem / os(d)
+        rem %= os(d)
+        ai += c * as(d)
+        bi += c * bs(d)
+        d += 1
+      }
+      out(i) = f(a.data(ai), b.data(bi))
+      i += 1
+    }
+    Tensor(od, out)
+  }
+
+  /** N-D batched matmul with numpy semantics: leading (batch) dims
+    * broadcast, the trailing two multiply. A 2-D side broadcasts
+    * across every batch (the projection-weight case). */
+  private def matmulND(a: Tensor, b: Tensor): Tensor = {
+    if (a.dims.length == 2 && b.dims.length == 2) return matmul(a, b, 1f)
+    require(a.dims.length >= 2 && b.dims.length >= 2,
+      s"MatMul needs rank >= 2, got ${a.dims} x ${b.dims}")
+    val (m, k) = (a.dims(a.dims.length - 2), a.dims.last)
+    val (k2, nc) = (b.dims(b.dims.length - 2), b.dims.last)
+    require(k == k2, s"MatMul shape mismatch: ${a.dims} x ${b.dims}")
+    val abatch = a.dims.dropRight(2)
+    val bbatch = b.dims.dropRight(2)
+    val rank = math.max(abatch.length, bbatch.length)
+    val ad = Seq.fill(rank - abatch.length)(1) ++ abatch
+    val bd = Seq.fill(rank - bbatch.length)(1) ++ bbatch
+    val od = ad.zip(bd).map { case (x, y) =>
+      require(x == y || x == 1 || y == 1,
+        s"MatMul batch dims ${a.dims} x ${b.dims} do not broadcast")
+      math.max(x, y)
+    }
+    val aStep = m * k
+    val bStep = k2 * nc
+    val as = strides(ad).zip(ad).map { case (s, d) =>
+      if (d == 1) 0 else s * aStep }
+    val bs = strides(bd).zip(bd).map { case (s, d) =>
+      if (d == 1) 0 else s * bStep }
+    val os = strides(od)
+    val nBatch = od.product
+    val out = new Array[Float](nBatch * m * nc)
+    var bi = 0
+    while (bi < nBatch) {
+      var rem = bi
+      var ao = 0
+      var bo = 0
+      var d = 0
+      while (d < rank) {
+        val c = rem / os(d)
+        rem %= os(d)
+        ao += c * as(d)
+        bo += c * bs(d)
+        d += 1
+      }
+      val oo = bi * m * nc
       var i = 0
-      while (i < out.length) { out(i) = f(a.data(i), b.data(i % cols)); i += 1 }
-      Tensor(a.dims, out)
+      while (i < m) {
+        var p = 0
+        while (p < k) {
+          val av = a.data(ao + i * k + p)
+          if (av != 0f) {
+            var j = 0
+            while (j < nc) {
+              out(oo + i * nc + j) += av * b.data(bo + p * nc + j)
+              j += 1
+            }
+          }
+          p += 1
+        }
+        i += 1
+      }
+      bi += 1
+    }
+    Tensor(od ++ Seq(m, nc), out)
+  }
+
+  /** Split along an axis into this node's output count (equal parts)
+    * or the explicit sizes from the `split` attr (opset 11) / second
+    * input (opset 13). */
+  private def evalSplit(n: Node, ins: Seq[Tensor]): Seq[Tensor] = {
+    val x = ins(0)
+    val rank = x.dims.length
+    val axRaw = attrI(n, "axis", 0L).toInt
+    val ax = if (axRaw < 0) axRaw + rank else axRaw
+    require(ax >= 0 && ax < rank, s"Split axis $axRaw for ${x.dims}")
+    val d = x.dims(ax)
+    val sizes: Seq[Int] =
+      (if (ins.length > 1) ins(1).data.map(_.toInt).toSeq
+      else attrInts(n, "split", Seq.empty).map(_.toInt)) match {
+        case Seq() =>
+          val parts = n.outputs.length
+          require(parts > 0 && d % parts == 0,
+            s"Split: $d not divisible into $parts outputs")
+          Seq.fill(parts)(d / parts)
+        case s =>
+          require(s.sum == d, s"Split sizes $s != axis dim $d")
+          s
+      }
+    val outer = x.dims.take(ax).product
+    val inner = x.dims.drop(ax + 1).product
+    var off = 0
+    sizes.map { sz =>
+      val out = new Array[Float](outer * sz * inner)
+      var o = 0
+      while (o < outer) {
+        System.arraycopy(x.data, (o * d + off) * inner,
+          out, o * sz * inner, sz * inner)
+        o += 1
+      }
+      off += sz
+      Tensor(x.dims.updated(ax, sz), out)
     }
   }
 

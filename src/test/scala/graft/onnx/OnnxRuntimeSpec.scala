@@ -432,6 +432,212 @@ class OnnxRuntimeSpec extends AnyFunSuite {
     assert(math.abs(out.data(0) - want) < 1e-6f)
   }
 
+  test("batched MatMul: per-batch product, 2-D weight broadcast") {
+    // [2,2,2] @ [2,2,2]: identity and doubling batches
+    val g = model(
+      nodes = Seq(node("MatMul", Seq("x", "w"), Seq("y"))),
+      inits = Seq(tensor("w", Seq(2, 2, 2),
+        Seq(1f, 0f, 0f, 1f, 2f, 0f, 0f, 2f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val x = Onnx.Tensor(Seq(2, 2, 2),
+      Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
+    val out = OnnxModel.parseBytes(g).forward(x)
+    assert(out.dims == Seq(2, 2, 2))
+    assert(out.data.toSeq ==
+      Seq(1f, 2f, 3f, 4f, 10f, 12f, 14f, 16f))
+    // [2,2,3] @ [3,2]: the projection-weight case (rhs broadcasts)
+    val g2 = model(
+      nodes = Seq(node("MatMul", Seq("x", "w"), Seq("y"))),
+      inits = Seq(tensor("w", Seq(3, 2),
+        Seq(1f, 0f, 0f, 1f, 1f, 1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val x2 = Onnx.Tensor(Seq(2, 2, 3), (1 to 12).map(_.toFloat).toArray)
+    val out2 = OnnxModel.parseBytes(g2).forward(x2)
+    assert(out2.dims == Seq(2, 2, 3 - 1))
+    // row [a,b,c] -> [a+c, b+c]
+    assert(out2.data.toSeq == Seq(4f, 5f, 10f, 11f, 16f, 17f, 22f, 23f))
+  }
+
+  test("elementwise broadcasting: trailing, middle-1, and scalar") {
+    def g(op: String) = model(
+      nodes = Seq(node(op, Seq("a", "b"), Seq("y"))),
+      inits = Seq(tensor("b", Seq(2, 1, 3),
+        Seq(10f, 20f, 30f, 40f, 50f, 60f))),
+      inputs = Seq("a"), outputs = Seq("y"))
+    // [2,2,3] + [2,1,3]: b's middle dim stretches
+    val a = Onnx.Tensor(Seq(2, 2, 3), (1 to 12).map(_.toFloat).toArray)
+    val out = OnnxModel.parseBytes(g("Add")).forward(a)
+    assert(out.dims == Seq(2, 2, 3))
+    assert(out.data.toSeq == Seq(11f, 22f, 33f, 14f, 25f, 36f,
+      47f, 58f, 69f, 50f, 61f, 72f))
+    // scalar rhs
+    val gs = model(
+      nodes = Seq(node("Mul", Seq("a", "s"), Seq("y"))),
+      inits = Seq(tensor("s", Seq(1), Seq(0.5f))),
+      inputs = Seq("a"), outputs = Seq("y"))
+    val half = OnnxModel.parseBytes(gs).forward(a)
+    assert(half.data.toSeq == a.data.map(_ * 0.5f).toSeq)
+  }
+
+  test("LayerNormalization: last-axis mean/var with scale and bias") {
+    val g = model(
+      nodes = Seq(node("LayerNormalization",
+        Seq("x", "scale", "bias"), Seq("y"))),
+      inits = Seq(
+        tensor("scale", Seq(4), Seq(1f, 2f, 1f, 2f)),
+        tensor("bias", Seq(4), Seq(0f, 0.5f, 0f, -0.5f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val x = Array(1f, 2f, 3f, 4f, -2f, 0f, 2f, 8f)
+    val out = OnnxModel.parseBytes(g)
+      .forward(Onnx.Tensor(Seq(2, 4), x))
+    val scale = Seq(1f, 2f, 1f, 2f)
+    val bias = Seq(0f, 0.5f, 0f, -0.5f)
+    (0 until 2).foreach { r =>
+      val row = x.slice(r * 4, r * 4 + 4).map(_.toDouble)
+      val m = row.sum / 4
+      val v = row.map(d => (d - m) * (d - m)).sum / 4
+      (0 until 4).foreach { j =>
+        val want = (row(j) - m) / math.sqrt(v + 1e-5) * scale(j) + bias(j)
+        assert(math.abs(out.data(r * 4 + j) - want) < 1e-5,
+          s"($r,$j): ${out.data(r * 4 + j)} vs $want")
+      }
+    }
+  }
+
+  test("Slice: input form with negative ends and an axes subset") {
+    val g = model(
+      nodes = Seq(node("Slice",
+        Seq("x", "starts", "ends", "axes"), Seq("y"))),
+      inits = Seq(
+        tensor("starts", Seq(1), Seq(1f)),
+        tensor("ends", Seq(1), Seq(-1f)),
+        tensor("axes", Seq(1), Seq(1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val x = Onnx.Tensor(Seq(2, 4), (1 to 8).map(_.toFloat).toArray)
+    val out = OnnxModel.parseBytes(g).forward(x)
+    assert(out.dims == Seq(2, 2))
+    assert(out.data.toSeq == Seq(2f, 3f, 6f, 7f)) // cols 1..-1
+  }
+
+  test("Split: equal parts along the last axis, both outputs live") {
+    val g = model(
+      nodes = Seq(
+        node("Split", Seq("x"), Seq("a", "b"),
+          Seq(attrInt("axis", -1L))),
+        node("Sub", Seq("a", "b"), Seq("y"))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val x = Onnx.Tensor(Seq(2, 4), (1 to 8).map(_.toFloat).toArray)
+    val out = OnnxModel.parseBytes(g).forward(x)
+    assert(out.dims == Seq(2, 2))
+    // [1,2]-[3,4] and [5,6]-[7,8]
+    assert(out.data.toSeq == Seq(-2f, -2f, -2f, -2f))
+  }
+
+  test("Gather: axis-0 embedding lookup keeps index shape") {
+    val g = model(
+      nodes = Seq(node("Gather", Seq("emb", "x"), Seq("y"))),
+      inits = Seq(tensor("emb", Seq(3, 2),
+        Seq(10f, 11f, 20f, 21f, 30f, 31f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val idx = Onnx.Tensor(Seq(2, 2), Array(2f, 0f, 1f, 2f))
+    val out = OnnxModel.parseBytes(g).forward(idx)
+    assert(out.dims == Seq(2, 2, 2))
+    assert(out.data.toSeq ==
+      Seq(30f, 31f, 10f, 11f, 20f, 21f, 30f, 31f))
+  }
+
+  test("Unsqueeze then Squeeze round-trips shape and data") {
+    val g = model(
+      nodes = Seq(
+        node("Unsqueeze", Seq("x"), Seq("u"),
+          Seq(attrInts("axes", Seq(0L, 2L)))),
+        node("Squeeze", Seq("u"), Seq("y"),
+          Seq(attrInts("axes", Seq(0L))))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val x = Onnx.Tensor(Seq(2, 3), (1 to 6).map(_.toFloat).toArray)
+    val out = OnnxModel.parseBytes(g).forward(x)
+    assert(out.dims == Seq(2, 1, 3))
+    assert(out.data.toSeq == x.data.toSeq)
+  }
+
+  test("end-to-end transformer encoder block matches a plain-Scala reference") {
+    // x[1,S,D] → LayerNorm → qkv proj → Split → scaled-dot attention
+    // (single head) → out proj → +residual — the torch
+    // TransformerEncoderLayer core, S=2, D=4
+    val S = 2
+    val D = 4
+    def seeded(n: Int, salt: Int): Seq[Float] =
+      (0 until n).map(i => (((i * 2654435761L + salt * 40503L) % 17) - 8)
+        * 0.07f)
+    val wqkv = seeded(D * 3 * D, 1) // [D, 3D]
+    val bqkv = seeded(3 * D, 2)
+    val wout = seeded(D * D, 3)
+    val lnS = (0 until D).map(i => 1f + 0.1f * i)
+    val lnB = (0 until D).map(i => 0.05f * (i - 2))
+    val g = model(
+      nodes = Seq(
+        node("LayerNormalization", Seq("x", "lns", "lnb"), Seq("h")),
+        node("MatMul", Seq("h", "wqkv"), Seq("p0")),
+        node("Add", Seq("p0", "bqkv"), Seq("p")),
+        node("Split", Seq("p"), Seq("q", "k", "v"),
+          Seq(attrInt("axis", -1L))),
+        node("Transpose", Seq("k"), Seq("kt"),
+          Seq(attrInts("perm", Seq(0L, 2L, 1L)))),
+        node("MatMul", Seq("q", "kt"), Seq("sc0")),
+        node("Mul", Seq("sc0", "inv"), Seq("sc")),
+        node("Softmax", Seq("sc"), Seq("at")),
+        node("MatMul", Seq("at", "v"), Seq("ctx")),
+        node("MatMul", Seq("ctx", "wout"), Seq("proj")),
+        node("Add", Seq("proj", "x"), Seq("y"))),
+      inits = Seq(
+        tensor("lns", Seq(D), lnS),
+        tensor("lnb", Seq(D), lnB),
+        tensor("wqkv", Seq(D, 3 * D), wqkv),
+        tensor("bqkv", Seq(3 * D), bqkv),
+        tensor("wout", Seq(D, D), wout),
+        tensor("inv", Seq(1), Seq((1.0 / math.sqrt(D)).toFloat))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val xs = seeded(S * D, 9)
+    val out = OnnxModel.parseBytes(g)
+      .forward(Onnx.Tensor(Seq(1, S, D), xs.toArray))
+
+    // ---- reference in plain doubles ----
+    val x2 = Array.tabulate(S, D)((s, d) => xs(s * D + d).toDouble)
+    val h = x2.map { row =>
+      val m = row.sum / D
+      val v = row.map(d => (d - m) * (d - m)).sum / D
+      Array.tabulate(D)(j =>
+        (row(j) - m) / math.sqrt(v + 1e-5f) * lnS(j) + lnB(j))
+    }
+    def mm(a: Array[Array[Double]], w: Seq[Float], n: Int) =
+      a.map(row => Array.tabulate(n)(j =>
+        row.indices.map(i => row(i) * w(i * n + j)).sum))
+    val p = mm(h, wqkv, 3 * D).map(r =>
+      r.zipWithIndex.map { case (v, i) => v + bqkv(i) })
+    val q = p.map(_.slice(0, D))
+    val k = p.map(_.slice(D, 2 * D))
+    val v = p.map(_.slice(2 * D, 3 * D))
+    val scores = Array.tabulate(S, S)((i, j) =>
+      (0 until D).map(d => q(i)(d) * k(j)(d)).sum *
+        (1.0 / math.sqrt(D)).toFloat)
+    val att = scores.map { row =>
+      val mx = row.max
+      val es = row.map(s => math.exp(s - mx))
+      es.map(_ / es.sum)
+    }
+    val ctx = Array.tabulate(S, D)((i, d) =>
+      (0 until S).map(j => att(i)(j) * v(j)(d)).sum)
+    val proj = mm(ctx, wout, D)
+    (0 until S).foreach { s =>
+      (0 until D).foreach { d =>
+        val want = proj(s)(d) + x2(s)(d)
+        val got = out.data(s * D + d)
+        assert(math.abs(got - want) < 1e-4,
+          s"($s,$d): $got vs $want")
+      }
+    }
+  }
+
   test("unsupported op fails loudly with the op name") {
     val g = model(
       nodes = Seq(node("LSTM", Seq("x"), Seq("y"))),
