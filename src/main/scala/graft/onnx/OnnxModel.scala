@@ -280,9 +280,16 @@ final class OnnxModel(val graph: Onnx.Graph) {
     env ++= graph.initializers
     env ++= inputs
     graph.nodes.foreach { n =>
-      val ins = n.inputs.map(i => env.getOrElse(i,
-        throw new IllegalArgumentException(
-          s"${n.opType}: missing input $i — graph not topological?")))
+      // an empty input name is ONNX's "optional input omitted" marker
+      // (e.g. torch.clamp(x, max=c) → Clip["x", "", "max"]): keep the
+      // POSITION with an empty tensor so ins(i) indexing holds, and
+      // let each op's data.nonEmpty/length checks treat it as absent
+      val ins = n.inputs.map {
+        case "" => Tensor(Seq(0), Array.empty[Float])
+        case i => env.getOrElse(i,
+          throw new IllegalArgumentException(
+            s"${n.opType}: missing input $i — graph not topological?"))
+      }
       if (n.opType == "Split") {
         // the one multi-output op in the subset
         n.outputs.zip(evalSplit(n, ins)).foreach {
@@ -474,7 +481,14 @@ final class OnnxModel(val graph: Onnx.Graph) {
     case "Sigmoid" =>
       map1(ins(0), v => (1.0 / (1.0 + math.exp(-v.toDouble))).toFloat)
     case "Tanh" => map1(ins(0), v => math.tanh(v.toDouble).toFloat)
-    case "Softmax" => softmax(ins(0))
+    case "Softmax" =>
+      val x = ins(0)
+      // opset 13 default is -1; the interpreter only implements the
+      // last axis, so any other explicit axis must fail loudly
+      val ax = attrI(n, "axis", -1L)
+      require(ax == -1L || ax == x.dims.length - 1,
+        s"Softmax axis $ax unsupported — last axis only")
+      softmax(x)
     case "Exp" => map1(ins(0), v => math.exp(v.toDouble).toFloat)
     case "Log" => map1(ins(0), v => math.log(v.toDouble).toFloat)
     case "Sqrt" => map1(ins(0), v => math.sqrt(v.toDouble).toFloat)
@@ -515,12 +529,16 @@ final class OnnxModel(val graph: Onnx.Graph) {
       Tensor(x.dims, out)
     case "ReduceMean" =>
       // last-axis (or all-axes) mean, keepdims semantics folded into
-      // the returned shape's trailing 1
+      // the returned shape's trailing 1; axes arrive as an attribute
+      // (opset <= 13) or as a second input (opset 18+ torch exports)
       val x = ins(0)
-      val axes = n.attrs.get("axes") match {
-        case Some(AttrInts(a)) => a
-        case _ => Seq(-1L)
-      }
+      val axes =
+        if (ins.length > 1 && ins(1).data.nonEmpty)
+          ins(1).data.map(_.toLong).toSeq
+        else n.attrs.get("axes") match {
+          case Some(AttrInts(a)) => a
+          case _ => Seq(-1L)
+        }
       val lastAxis = Seq(-1L, (x.dims.length - 1).toLong)
       require(axes.length == 1 && lastAxis.contains(axes.head),
         s"ReduceMean supports the last axis only, got $axes")
@@ -549,6 +567,11 @@ final class OnnxModel(val graph: Onnx.Graph) {
     case "MaxPool" | "AveragePool" =>
       require(attrS(n, "auto_pad", "NOTSET") == "NOTSET",
         s"${n.opType} auto_pad unsupported — export with explicit pads")
+      // deviating silently would change output shapes/values — reject
+      require(attrI(n, "ceil_mode", 0L) == 0L,
+        s"${n.opType} ceil_mode=1 unsupported — floor semantics only")
+      require(attrInts(n, "dilations", Seq(1L, 1L)).forall(_ == 1L),
+        s"${n.opType} dilations unsupported")
       val k = attrInts(n, "kernel_shape", Seq.empty)
       require(k.length == 2, s"${n.opType} needs 2-D kernel_shape, got $k")
       pool2d(ins(0), k(0).toInt, k(1).toInt,
@@ -770,6 +793,8 @@ final class OnnxModel(val graph: Onnx.Graph) {
       Tensor(dims, x.data)
     case "Flatten" =>
       val t = ins(0)
+      require(attrI(n, "axis", 1L) == 1L,
+        "Flatten axis other than 1 unsupported")
       Tensor(Seq(t.rows, t.cols), t.data)
     case "Identity" => ins(0)
     case "Constant" => n.attrs("value") match {

@@ -3,7 +3,7 @@ package graft.operators
 import java.awt.image.BufferedImage
 import java.io.ByteArrayInputStream
 import javax.imageio.ImageIO
-import javax.sound.sampled.AudioSystem
+import javax.sound.sampled.{AudioFormat, AudioSystem}
 import org.apache.spark.sql.types._
 import graft.core.Modality
 
@@ -258,31 +258,44 @@ final case class AudioStatsFilter(clipThreshold: Double = 0.999,
               new ByteArrayInputStream(bytes))
             val fmt = ais.getFormat
             val bits = fmt.getSampleSizeInBits
+            val enc = fmt.getEncoding
+            val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+            require(signed || enc == AudioFormat.Encoding.PCM_UNSIGNED,
+              s"only PCM handled, got $enc")
             require(bits == 8 || bits == 16,
               s"only 8/16-bit PCM handled, got $bits")
             val data = ais.readAllBytes()
             val bytesPer = bits / 8
             val n = data.length / bytesPer
+            // integer rails of the sample domain: clipping detection
+            // must work at the RAW extremes (255 for unsigned 8-bit
+            // normalizes to only 127/128 ≈ 0.992, under any sane
+            // threshold), so a rail hit always counts as clipped
+            val railLo = if (bits == 16) -32768 else -128
+            val railHi = if (bits == 16) 32767 else 127
             var sumSq = 0.0
             var peak = 0.0
             var clipped = 0L
             var i = 0
             while (i < n) {
-              // normalize to [-1, 1]: 16-bit signed (WAV little-
-              // endian), 8-bit unsigned biased at 128
-              val v =
+              // centered integer sample, per width/endianness/sign
+              val s: Int =
                 if (bits == 16) {
-                  val lo = data(2 * i) & 0xff
-                  val hi = data(2 * i + 1).toInt
-                  val s = (hi << 8) | lo
-                  (if (fmt.isBigEndian)
-                    ((data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff))
-                  else s).toDouble / 32768.0
-                } else ((data(i) & 0xff) - 128).toDouble / 128.0
+                  val raw =
+                    if (fmt.isBigEndian)
+                      (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+                    else
+                      (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+                  if (signed) raw else (raw & 0xffff) - 32768
+                } else {
+                  if (signed) data(i).toInt else (data(i) & 0xff) - 128
+                }
+              val v = s.toDouble / (if (bits == 16) 32768.0 else 128.0)
               val a = math.abs(v)
               sumSq += v * v
               if (a > peak) peak = a
-              if (a >= clipThreshold) clipped += 1
+              if (s <= railLo || s >= railHi || a >= clipThreshold)
+                clipped += 1
               i += 1
             }
             if (n == 0) Some(Seq(null, null, null, null))
@@ -331,10 +344,6 @@ final case class VideoInfoFilter(override val batchSize: Int = 64)
           else Some(probeAvi(bytes))
       }
     }
-
-  private def u32(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
@@ -451,36 +460,25 @@ final case class VideoInfoFilter(override val batchSize: Int = 64)
     * the first `vids` `strh` (dwRate/dwScale → fps). */
   private[graft] def probeAvi(b: Array[Byte]): Seq[Any] = {
     try {
-      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
-        return Seq(false, null, null, null, null, "not an AVI file")
       var totalFrames = -1L
       var width = -1L
       var height = -1L
       var fps = -1.0
-      // Long size arithmetic: a >= 2^31 size field .toInt'd negative
-      // stalls the cursor — infinite loop on corrupt input
-      def walk(start: Long, end: Long): Unit = {
-        var o = start
-        while (o + 8 <= end) {
-          val id = fourcc(b, o.toInt)
-          val size = u32(b, o.toInt + 4)
-          val body = o + 8
-          if (id == "LIST" && body + 4 <= end) {
-            walk(body + 4, math.min(body + size, end))
-          } else if (id == "avih" && body + 40 <= end) {
-            totalFrames = u32(b, body.toInt + 16)
-            width = u32(b, body.toInt + 32)
-            height = u32(b, body.toInt + 36)
-          } else if (id == "strh" && body + 32 <= end &&
-            fourcc(b, body.toInt) == "vids") {
-            val scale = u32(b, body.toInt + 20)
-            val rate = u32(b, body.toInt + 24)
-            if (scale > 0) fps = rate.toDouble / scale
-          }
-          o = body + size + (size & 1) // chunks are word-aligned
+      val isAvi = Riff.walkAvi(b) { (id, bodyL, _, _) =>
+        val body = bodyL
+        if (id == "avih" && body + 40 <= b.length) {
+          totalFrames = Riff.u32(b, body.toInt + 16)
+          width = Riff.u32(b, body.toInt + 32)
+          height = Riff.u32(b, body.toInt + 36)
+        } else if (id == "strh" && body + 32 <= b.length &&
+          Riff.fourcc(b, body.toInt) == "vids") {
+          val scale = Riff.u32(b, body.toInt + 20)
+          val rate = Riff.u32(b, body.toInt + 24)
+          if (scale > 0) fps = rate.toDouble / scale
         }
       }
-      walk(12L, b.length.toLong)
+      if (!isAvi)
+        return Seq(false, null, null, null, null, "not an AVI file")
       if (width < 0 || height < 0)
         Seq(false, null, null, null, null, "no avih header")
       else {

@@ -74,31 +74,13 @@ object Mjpeg {
   /** fps from the avih usec-per-frame field (our own writer and any
     * standard AVI carry it); None when absent/unparseable. */
   def fps(bytes: Array[Byte]): Option[Double] = {
-    if (bytes.length < 12) return None
-    def fourcc(o: Int) = new String(bytes, o, 4, "US-ASCII")
-    def u32(o: Int): Long =
-      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
     var found: Option[Double] = None
-    // Long size arithmetic: a >= 2^31 size field .toInt'd negative
-    // would stall the cursor (infinite loop on corrupt input)
-    def walk(start: Long, end: Long): Unit = {
-      var p = start
-      while (p + 8 <= end && found.isEmpty) {
-        val id = fourcc(p.toInt)
-        val size = u32(p.toInt + 4)
-        val body = p + 8
-        if (id == "LIST" && body + 4 <= end)
-          walk(body + 4, math.min(body + size, end))
-        else if (id == "avih" && body + 4 <= end) {
-          val usec = u32(body.toInt)
-          if (usec > 0) found = Some(1e6 / usec)
-        }
-        p = body + size + (size & 1)
+    Riff.walkAvi(bytes) { (id, body, _, _) =>
+      if (found.isEmpty && id == "avih" && body + 4 <= bytes.length) {
+        val usec = Riff.u32(bytes, body.toInt)
+        if (usec > 0) found = Some(1e6 / usec)
       }
     }
-    walk(12L, bytes.length.toLong)
     found
   }
 

@@ -58,24 +58,34 @@ final case class OnnxCaptionFilter(
   private val pixels = OnnxPixelScoreFilter(inputSize = inputSize)
   private val standin = CaptionFilter(captionColumn)
 
-  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] = {
+    // model load/misconfiguration stays OUTSIDE the per-row try: a
+    // wrong path or unsupported graph must fail the task loudly, not
+    // silently caption the whole corpus null (the OnnxScoreFilter
+    // contract). Per-row nulls are for bad DATA only.
+    val models = (visionModelPath, decoderModelPath) match {
+      case (Some(vp), Some(dp)) =>
+        val conf = hadoopConf.get()
+        Some((OnnxModel.forPath(vp, conf), OnnxModel.forPath(dp, conf)))
+      case _ => None
+    }
     batch.map { in =>
       in.payloads.get(Modality.Image.name) match {
         case None => Some(Seq(null))
         case Some(bytes) =>
-          try {
-            val img = ImageIO.read(new ByteArrayInputStream(bytes))
-            if (img == null) Some(Seq(null))
-            else (visionModelPath, decoderModelPath) match {
-              case (Some(vp), Some(dp)) =>
-                val conf = hadoopConf.get()
-                Some(Seq(decode(OnnxModel.forPath(vp, conf),
-                  OnnxModel.forPath(dp, conf), img)))
-              case _ => Some(Seq(standin.caption(img)))
+          val img =
+            try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case None => Some(Seq(null))
+            case Some(i) => models match {
+              case Some((vm, dm)) => Some(Seq(decode(vm, dm, i)))
+              case None => Some(Seq(standin.caption(i)))
             }
-          } catch { case _: Exception => Some(Seq(null)) }
+          }
       }
     }
+  }
 
   private val Pad = 0f
   private val Bos = 1f

@@ -40,7 +40,9 @@ final case class OnnxTwoTowerFilter(
     vocabSize: Int = 4096,
     maxTokens: Int = 16,
     override val batchSize: Int = 16) extends DataFilter {
-  require(inputSize > 0 && vocabSize > 0 && maxTokens > 0)
+  // vocabSize >= 2: id 0 is reserved for padding, word ids land in
+  // [1, vocabSize) via floorMod(hash, vocabSize - 1) + 1
+  require(inputSize > 0 && vocabSize >= 2 && maxTokens > 0)
   require(imageModelPath.isDefined == textModelPath.isDefined,
     "provide both tower models or neither")
   override val modalities = Seq(Modality.Image)

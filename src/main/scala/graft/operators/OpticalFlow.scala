@@ -165,9 +165,19 @@ object Farneback {
       iterations: Int = 3, winRadius: Int = 7, winSigma: Double = 3.0,
       polyRadius: Int = 5, polySigma: Double = 1.5,
       init: Option[(Array[Double], Array[Double])] = None)
+      : (Array[Double], Array[Double]) =
+    flowExpanded(polyExpansion(f1, w, h, polyRadius, polySigma),
+      polyExpansion(f2, w, h, polyRadius, polySigma),
+      w, h, iterations, winRadius, winSigma, init)
+
+  /** [[flow]] over PRECOMPUTED polynomial expansions — the per-frame
+    * half of the work is the dominant cost, and in a sliding window
+    * over sampled frames each interior frame's expansion serves two
+    * pairs; compute it once via [[framePyramid]]. */
+  def flowExpanded(e1: Expansion, e2: Expansion, w: Int, h: Int,
+      iterations: Int = 3, winRadius: Int = 7, winSigma: Double = 3.0,
+      init: Option[(Array[Double], Array[Double])] = None)
       : (Array[Double], Array[Double]) = {
-    val e1 = polyExpansion(f1, w, h, polyRadius, polySigma)
-    val e2 = polyExpansion(f2, w, h, polyRadius, polySigma)
     val n = w * h
     var u = init.map(_._1.clone()).getOrElse(new Array[Double](n))
     var v = init.map(_._2.clone()).getOrElse(new Array[Double](n))
@@ -265,23 +275,42 @@ object Farneback {
     * pixels instead of ~polyRadius. */
   def flowPyramid(f1: Array[Double], f2: Array[Double], w: Int, h: Int,
       levels: Int = 3, iterations: Int = 3)
-      : (Array[Double], Array[Double]) = {
+      : (Array[Double], Array[Double]) =
+    flowPyramid(framePyramid(f1, w, h, levels),
+      framePyramid(f2, w, h, levels), iterations)
+
+  /** Per-frame precomputed pyramid: the grayscale levels' polynomial
+    * expansions, coarsest first. This is the per-frame half of
+    * [[flowPyramid]] — in a sliding window over sampled frames each
+    * interior frame serves two pairs, so building it once halves the
+    * dominant (expansion) cost. */
+  final case class FramePyramid(
+      levels: List[(Expansion, Int, Int)])
+
+  def framePyramid(f: Array[Double], w: Int, h: Int, levels: Int = 3,
+      polyRadius: Int = 5, polySigma: Double = 1.5): FramePyramid = {
     require(levels >= 1, s"need at least one pyramid level, got $levels")
-    // build pyramids down to the coarsest usable size
-    var pyr1 = List((f1, w, h))
-    var pyr2 = List((f2, w, h))
+    var pyr = List((f, w, h))
     var lvl = 1
-    while (lvl < levels && pyr1.head._2 >= 32 && pyr1.head._3 >= 32) {
-      val (a, aw, ah) = pyr1.head
-      val (b, _, _) = pyr2.head
-      pyr1 ::= downsample2(a, aw, ah)
-      pyr2 ::= downsample2(b, aw, ah)
+    while (lvl < levels && pyr.head._2 >= 32 && pyr.head._3 >= 32) {
+      val (a, aw, ah) = pyr.head
+      pyr ::= downsample2(a, aw, ah)
       lvl += 1
     }
+    FramePyramid(pyr.map { case (img, iw, ih) =>
+      (polyExpansion(img, iw, ih, polyRadius, polySigma), iw, ih) })
+  }
+
+  /** Coarse-to-fine flow over two precomputed [[FramePyramid]]s. */
+  def flowPyramid(p1: FramePyramid, p2: FramePyramid, iterations: Int)
+      : (Array[Double], Array[Double]) = {
+    require(p1.levels.map(l => (l._2, l._3)) ==
+      p2.levels.map(l => (l._2, l._3)),
+      "frame pyramids have different level geometry")
     // coarsest first; upsample each estimate into the next level
     var prior: Option[(Array[Double], Array[Double])] = None
     var prevDims: (Int, Int) = null
-    pyr1.zip(pyr2).foreach { case ((a, aw, ah), (b, _, _)) =>
+    p1.levels.zip(p2.levels).foreach { case ((e1, aw, ah), (e2, _, _)) =>
       val init = prior.map { case (pu, pv) =>
         val (pw, ph) = prevDims
         val up = new Array[Double](aw * ah)
@@ -300,7 +329,7 @@ object Farneback {
         }
         (up, vp)
       }
-      prior = Some(flow(a, b, aw, ah, iterations, init = init))
+      prior = Some(flowExpanded(e1, e2, aw, ah, iterations, init = init))
       prevDims = (aw, ah)
     }
     prior.get
@@ -359,16 +388,21 @@ final case class FarnebackFilter(nFrames: Int = 4,
                 if (grays.length < 2)
                   Some(Seq(false, null, "fewer than 2 decodable frames"))
                 else {
-                  // mean |flow| over consecutive sampled pairs
+                  // mean |flow| over consecutive sampled pairs; each
+                  // frame's pyramid+expansions build ONCE and serve
+                  // both pairs it appears in
                   var total = 0.0
                   var count = 0L
-                  grays.sliding(2).foreach {
-                    case Seq((a, w, h), (b, w2, h2))
+                  val pyrs = grays.map { case (g, w, h) =>
+                    (Farneback.framePyramid(g, w, h), w, h)
+                  }
+                  pyrs.sliding(2).foreach {
+                    case Seq((pa, w, h), (pb, w2, h2))
                         if w == w2 && h == h2 =>
                       // pyramid: sampled frames are seconds apart, so
                       // inter-frame motion routinely exceeds the
                       // single-scale window
-                      val (u, v) = Farneback.flowPyramid(a, b, w, h)
+                      val (u, v) = Farneback.flowPyramid(pa, pb, 3)
                       var i = 0
                       while (i < u.length) {
                         total += math.sqrt(u(i) * u(i) + v(i) * v(i))

@@ -29,45 +29,22 @@ object VideoFrames {
       .map(math.min(_, total - 1)).distinct
   }
 
-  private def fourcc(b: Array[Byte], o: Int): String =
-    new String(b, o, 4, "US-ASCII")
-
-  private def u32(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-
-  /** Walk the RIFF tree and return every video frame chunk's
-    * (offset, length) in stream order — `##dc`/`##db` chunks inside
-    * the `movi` list (including `rec ` groupings). Left(reason) when
-    * the container isn't a parseable AVI. */
+  /** Walk the RIFF tree ([[Riff.walkAvi]]) and return every video
+    * frame chunk's (offset, length) in stream order — `##dc`/`##db`
+    * chunks inside the `movi` list (including `rec ` groupings).
+    * Left(reason) when the container isn't a parseable AVI. */
   def frameChunks(b: Array[Byte]): Either[String, IndexedSeq[(Int, Int)]] = {
-    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
-      return Left("not an AVI file")
     val frames = IndexedSeq.newBuilder[(Int, Int)]
     def isFrameId(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.endsWith("dc") || id.endsWith("db"))
-    def walk(start: Long, end: Long, inMovi: Boolean): Unit = {
-      var o = start
-      while (o + 8 <= end) {
-        val id = fourcc(b, o.toInt)
-        // size stays Long: a size field >= 2^31 .toInt'd negative
-        // would stall the cursor — infinite loop on corrupt input
-        val size = u32(b, o.toInt + 4)
-        val body = o + 8
-        if (id == "LIST" && body + 4 <= end) {
-          val listType = fourcc(b, body.toInt)
-          walk(body + 4, math.min(body + size, end),
-            inMovi || listType == "movi" || listType == "rec ")
-        } else if (inMovi && isFrameId(id) && body + size <= end) {
-          frames += ((body.toInt, size.toInt))
-        }
-        o = body + size + (size & 1) // chunks are word-aligned
-      }
-    }
     try {
-      walk(12L, b.length.toLong, inMovi = false)
-      Right(frames.result())
+      val isAvi = Riff.walkAvi(b) { (id, body, size, path) =>
+        val inMovi = path.contains("movi") || path.contains("rec ")
+        if (inMovi && isFrameId(id) && body + size <= b.length)
+          frames += ((body.toInt, size.toInt))
+      }
+      if (!isAvi) Left("not an AVI file") else Right(frames.result())
     } catch {
       case e: Exception => Left(e.toString)
     }

@@ -638,6 +638,50 @@ class OnnxRuntimeSpec extends AnyFunSuite {
     }
   }
 
+  test("empty input name = omitted optional input (torch clamp max-only)") {
+    // Clip["x", "", "max"]: lower bound omitted positionally
+    val g = model(
+      nodes = Seq(node("Clip", Seq("x", "", "hi"), Seq("y"))),
+      inits = Seq(tensor("hi", Seq(1), Seq(1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val out = OnnxModel.parseBytes(g)
+      .forward(Onnx.Tensor(Seq(1, 3), Array(-5f, 0.5f, 5f)))
+    assert(out.data.toSeq == Seq(-5f, 0.5f, 1f))
+  }
+
+  test("ReduceMean takes axes as a second input (opset 18 form)") {
+    val g = model(
+      nodes = Seq(node("ReduceMean", Seq("x", "ax"), Seq("y"),
+        Seq(attrInt("keepdims", 0L)))),
+      inits = Seq(tensor("ax", Seq(1), Seq(1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val out = OnnxModel.parseBytes(g)
+      .forward(Onnx.Tensor(Seq(2, 2), Array(1f, 3f, 5f, 7f)))
+    assert(out.dims == Seq(2) && out.data.toSeq == Seq(2f, 6f))
+  }
+
+  test("silently-unimplementable attributes are rejected loudly") {
+    val pool = model(
+      nodes = Seq(node("MaxPool", Seq("x"), Seq("y"),
+        Seq(attrInts("kernel_shape", Seq(2L, 2L)),
+          attrInt("ceil_mode", 1L)))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val e1 = intercept[IllegalArgumentException] {
+      OnnxModel.parseBytes(pool).forward(
+        Onnx.Tensor(Seq(1, 1, 3, 3), (1 to 9).map(_.toFloat).toArray))
+    }
+    assert(e1.getMessage.contains("ceil_mode"))
+    val sm = model(
+      nodes = Seq(node("Softmax", Seq("x"), Seq("y"),
+        Seq(attrInt("axis", 0L)))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val e2 = intercept[IllegalArgumentException] {
+      OnnxModel.parseBytes(sm).forward(
+        Onnx.Tensor(Seq(2, 2), Array(1f, 2f, 3f, 4f)))
+    }
+    assert(e2.getMessage.contains("axis"))
+  }
+
   test("unsupported op fails loudly with the op name") {
     val g = model(
       nodes = Seq(node("LSTM", Seq("x"), Seq("y"))),

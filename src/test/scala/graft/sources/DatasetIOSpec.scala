@@ -491,5 +491,22 @@ class DatasetIOSpec extends SparkSpec {
     assert(silent(0) == 0.0 && silent(1) == 0.0 && silent(2) == 0.0)
     // undecodable bytes → all-null row, not a task failure
     assert(stats(Array[Byte](1, 2, 3)).forall(_ == null))
+    // 8-bit unsigned at the positive rail: 255 normalizes to only
+    // 127/128 ≈ 0.992, so clipping must key on the integer rail
+    def wav8(pcm: Array[Int]): Array[Byte] = {
+      val bytes = pcm.map(_.toByte)
+      val fmt = new AudioFormat(8000f, 8, 1, false, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, pcm.length)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val hot8 = stats(wav8(Array.fill(64)(255)))
+    assert(hot8(2).asInstanceOf[Double] == 1.0, s"8-bit rail: $hot8")
+    assert(math.abs(hot8(1).asInstanceOf[Double] - 127.0 / 128) < 1e-12)
+    val mid8 = stats(wav8(Array.fill(64)(192))) // +0.5, no rail
+    assert(mid8(2).asInstanceOf[Double] == 0.0)
+    assert(math.abs(mid8(0).asInstanceOf[Double] - 0.5) < 1e-12)
   }
 }
