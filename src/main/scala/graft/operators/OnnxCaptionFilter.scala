@@ -37,12 +37,27 @@ final case class OnnxCaptionFilter(
     decoderModelPath: Option[String] = None,
     vocab: Seq[String] = OnnxCaptionFilter.DefaultVocab,
     captionColumn: String = "blip_caption",
+    prompt: Option[String] = None,
     inputSize: Int = 16,
     maxTokens: Int = 12,
     override val batchSize: Int = 16) extends DataFilter {
   require(visionModelPath.isDefined == decoderModelPath.isDefined,
     "provide both the vision and decoder models or neither")
   require(maxTokens >= 2 && vocab.nonEmpty)
+  /** Prompt tokens prefix the id buffer (the LLaVA conditioning
+    * shape, llava_captioning_filter.py:88: the prompt is part of the
+    * model context); they hash into the word-id space [3, 3+|vocab|)
+    * and must leave at least BOS + one generation slot. */
+  private val promptIds: Array[Float] = prompt match {
+    case None => Array.empty
+    case Some(p) =>
+      val ids = p.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(w => (3 + java.lang.Math.floorMod(w.hashCode,
+          vocab.length)).toFloat)
+      require(ids.length + 2 <= maxTokens,
+        s"prompt '$p' leaves no room to generate in $maxTokens tokens")
+      ids
+  }
   override val modalities = Seq(Modality.Image)
   override def name =
     s"OnnxCaptionFilter(${visionModelPath.getOrElse("standin")})"
@@ -102,9 +117,10 @@ final case class OnnxCaptionFilter(
       s"decoder needs (img, ids) inputs, got ${decoder.graph.inputs}")
     val Seq(imgIn, idsIn) = decoder.graph.inputs
     val ids = Array.fill(maxTokens)(Pad)
-    ids(0) = Bos
+    System.arraycopy(promptIds, 0, ids, 0, promptIds.length)
+    ids(promptIds.length) = Bos
     val words = Seq.newBuilder[String]
-    var t = 1
+    var t = promptIds.length + 1
     var done = false
     while (t < maxTokens && !done) {
       val out = decoder.run(Map(
@@ -139,4 +155,15 @@ object OnnxCaptionFilter {
     "a", "the", "bright", "dark", "photo", "image", "of", "scene",
     "red", "green", "blue", "wide", "tall", "detailed", "flat",
     "outdoor", "indoor", "object", "pattern", "texture")
+
+  /** LLaVA-style prompted captioning over the same decoder loop:
+    * reference column naming (`caption {model} prompt {p}`,
+    * llava_captioning_filter.py:88) with the prompt tokens in the
+    * decode context. */
+  def llava(visionModelPath: Option[String], decoderModelPath: Option[String],
+      prompt: String = "short", vocab: Seq[String] = DefaultVocab,
+      maxTokens: Int = 12): OnnxCaptionFilter =
+    OnnxCaptionFilter(visionModelPath, decoderModelPath, vocab,
+      s"caption llava prompt $prompt", Some(prompt),
+      maxTokens = maxTokens)
 }

@@ -53,9 +53,14 @@ class OnnxCaptionFilterSpec extends SparkSpec {
     d
   }
 
+  // quadratic term matters: a LINEAR generator mod m makes any two
+  // embedding rows differ by a constant vector, which downstream
+  // heads can map to an argmax-invariant logit shift — the prompt
+  // test would pass or fail by accident of that structure
   private def seeded(n: Int, salt: Int): Seq[Float] =
     (0 until n).map(i =>
-      (((i * 2654435761L + salt * 7919L) % 11) - 5) * 0.23f)
+      (((i.toLong * i * 40503L + i * 2654435761L + salt * 7919L) % 13)
+        - 6) * 0.21f)
 
   private lazy val visionTower: Array[Byte] = TestOnnx.model(
     nodes = Seq(
@@ -70,19 +75,34 @@ class OnnxCaptionFilterSpec extends SparkSpec {
       TestOnnx.tensor("w", Seq(E, 2), seeded(2 * E, 2))),
     inputs = Seq("x"), outputs = Seq("y"))
 
-  /** ids→Gather→+pos→+img (broadcast over L)→Gelu→MatMul→[1,L,V]. */
+  /** ids→Gather→+pos→+img→+mean-of-all-token-embeddings (a
+    * non-causal context mix so every position SEES the prompt
+    * tokens — real decoders mix causally via attention, which the
+    * interpreter also runs; the mean keeps the reference computation
+    * in the test tractable)→Gelu→MatMul→[1,L,V]. */
   private lazy val decoder: Array[Byte] = TestOnnx.model(
     nodes = Seq(
       TestOnnx.node("Gather", Seq("temb", "ids"), Seq("g")),
+      TestOnnx.node("Transpose", Seq("g"), Seq("gt"),
+        Seq(TestOnnx.attrInts("perm", Seq(0L, 2L, 1L)))),
+      TestOnnx.node("ReduceMean", Seq("gt"), Seq("cm"),
+        Seq(TestOnnx.attrInt("keepdims", 1L))),
+      TestOnnx.node("Transpose", Seq("cm"), Seq("ctx0"),
+        Seq(TestOnnx.attrInts("perm", Seq(0L, 2L, 1L)))),
+      // amplified so a one-token prompt difference (1/L of the mean)
+      // reliably crosses argmax gaps in the toy logit space
+      TestOnnx.node("Mul", Seq("ctx0", "cscale"), Seq("ctx")),
       TestOnnx.node("Add", Seq("g", "pos"), Seq("gp")),
+      TestOnnx.node("Add", Seq("gp", "ctx"), Seq("gc")),
       TestOnnx.node("Unsqueeze", Seq("img", "one"), Seq("iu")),
-      TestOnnx.node("Add", Seq("gp", "iu"), Seq("h")),
+      TestOnnx.node("Add", Seq("gc", "iu"), Seq("h")),
       TestOnnx.node("Gelu", Seq("h"), Seq("a")),
       TestOnnx.node("MatMul", Seq("a", "wout"), Seq("y"))),
     inits = Seq(
       TestOnnx.tensor("temb", Seq(V, E), seeded(V * E, 3)),
       TestOnnx.tensor("pos", Seq(L, E), seeded(L * E, 4)),
       TestOnnx.tensor("one", Seq(1), Seq(1f)),
+      TestOnnx.tensor("cscale", Seq(1), Seq(9f)),
       TestOnnx.tensor("wout", Seq(E, V), seeded(E * V, 5))),
     inputs = Seq("img", "ids"), outputs = Seq("y"))
 
@@ -148,6 +168,32 @@ class OnnxCaptionFilterSpec extends SparkSpec {
   test("mismatched single-model configuration is rejected") {
     intercept[IllegalArgumentException] {
       OnnxCaptionFilter(visionModelPath = Some("v.onnx"))
+    }
+  }
+
+  test("llava prompting: reference column name, prompt in the context") {
+    val f1 = OnnxCaptionFilter.llava(Some(vPath), Some(dPath),
+      prompt = "short", vocab = vocab, maxTokens = L)
+    assert(f1.resultSchema.fieldNames.toSeq ==
+      Seq("caption llava prompt short"))
+    val f2 = OnnxCaptionFilter.llava(Some(vPath), Some(dPath),
+      prompt = "colors", vocab = vocab, maxTokens = L)
+    val vm = OnnxModel.parseBytes(visionTower)
+    val dm = OnnxModel.parseBytes(decoder)
+    // the prompt is part of the decode context: different prompts
+    // must be able to steer generation (position embeddings shift)
+    val img = ImageIO.read(new ByteArrayInputStream(png(3)))
+    val c1 = f1.decode(vm, dm, img)
+    val c2 = f2.decode(vm, dm, img)
+    assert(c1 != c2, s"prompt had no effect: '$c1'")
+    // and the loop is still deterministic per prompt
+    assert(f1.decode(vm, dm, img) == c1)
+  }
+
+  test("a prompt longer than the token budget is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      OnnxCaptionFilter.llava(Some(vPath), Some(dPath),
+        prompt = Seq.fill(L)("word").mkString(" "), maxTokens = L)
     }
   }
 }
