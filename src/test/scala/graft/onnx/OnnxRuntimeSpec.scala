@@ -101,6 +101,51 @@ object TestOnnx {
     lenDelim(out, 8, msg { o => str(o, 1, ""); tag(o, 2, 0); varint(o, 17L) })
   }
 
+  /** Tiny REAL conv encoder `[N,3,s,s] → [N, e]` for composition
+    * specs (video → frame → model paths). */
+  def tinyCnnEncoder(e: Int, salt: Int): Array[Byte] = {
+    def seeded(n: Int, s: Int): Seq[Float] =
+      (0 until n).map(i =>
+        (((i.toLong * i * 40503L + i * 2654435761L + s * 7919L) % 13)
+          - 6) * 0.21f)
+    model(
+      nodes = Seq(
+        node("Conv", Seq("x", "cw"), Seq("c"),
+          Seq(attrInts("kernel_shape", Seq(1L, 1L)))),
+        node("GlobalAveragePool", Seq("c"), Seq("p")),
+        node("Flatten", Seq("p"), Seq("f")),
+        node("Gemm", Seq("f", "w"), Seq("y"),
+          Seq(attrInt("transB", 1L)))),
+      inits = Seq(
+        tensor("cw", Seq(2, 3, 1, 1), seeded(6, salt)),
+        tensor("w", Seq(e, 2), seeded(2 * e, salt + 1))),
+      inputs = Seq("x"), outputs = Seq("y"))
+  }
+
+  /** Tiny REAL caption decoder `(img [1,e], ids [1,l]) → [1,l,v]`
+    * logits: token embedding + position embedding + image
+    * conditioning through Gelu into a vocab projection. */
+  def tinyCaptionDecoder(v: Int, e: Int, l: Int, salt: Int): Array[Byte] = {
+    def seeded(n: Int, s: Int): Seq[Float] =
+      (0 until n).map(i =>
+        (((i.toLong * i * 40503L + i * 2654435761L + s * 7919L) % 13)
+          - 6) * 0.21f)
+    model(
+      nodes = Seq(
+        node("Gather", Seq("temb", "ids"), Seq("g")),
+        node("Add", Seq("g", "pos"), Seq("gp")),
+        node("Unsqueeze", Seq("img", "one"), Seq("iu")),
+        node("Add", Seq("gp", "iu"), Seq("h")),
+        node("Gelu", Seq("h"), Seq("a")),
+        node("MatMul", Seq("a", "wout"), Seq("y"))),
+      inits = Seq(
+        tensor("temb", Seq(v, e), seeded(v * e, salt)),
+        tensor("pos", Seq(l, e), seeded(l * e, salt + 1)),
+        tensor("one", Seq(1), Seq(1f)),
+        tensor("wout", Seq(e, v), seeded(e * v, salt + 2))),
+      inputs = Seq("img", "ids"), outputs = Seq("y"))
+  }
+
   // deterministic 4→8→1 MLP weights shared by the specs
   val W1: Seq[Float] = (0 until 32).map(i => ((i % 7) - 3) * 0.25f)      // [8,4] (transB)
   val B1: Seq[Float] = (0 until 8).map(i => 0.1f * (i - 4))

@@ -174,6 +174,44 @@ class VideoFramesSpec extends SparkSpec {
     assert(idx == Seq(0, 2, 4))
   }
 
+  test("adapter composes with the real captioner: per-frame decoded captions") {
+    // the VideoLLaVA shape with a REAL (toy-scale) model: video →
+    // decoded frames → vision encode → greedy decode per frame
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-video-caption").toFile
+    def write(name: String, bytes: Array[Byte]): String = {
+      val f = new java.io.File(dir, name)
+      val os = new java.io.FileOutputStream(f)
+      try os.write(bytes) finally os.close()
+      f.getAbsolutePath
+    }
+    val E = 4
+    val vocab = OnnxCaptionFilter.DefaultVocab
+    val vPath = write("v.onnx", graft.onnx.TestOnnx.tinyCnnEncoder(E, 21))
+    val dPath = write("d.onnx", graft.onnx.TestOnnx.tinyCaptionDecoder(
+      3 + vocab.length, E, 8, 31))
+    val captioner = OnnxCaptionFilter(Some(vPath), Some(dPath),
+      vocab, maxTokens = 8)
+    val adapter = ImageFilterAdapter(captioner, nFrames = 3)
+    val res = adapter.processBatch(Seq(
+      FilterInput("v", Map(Modality.Video.name -> avi), Map.empty)))
+    val ok = res.head.get
+    assert(ok(0) == true)
+    val caps = ok(3).asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
+    assert(caps.length == 3)
+    caps.foreach(c => c.split(" ").filter(_.nonEmpty)
+      .foreach(w => assert(vocab.contains(w), s"$w not in vocab")))
+    // per-frame captions equal direct decode of the extracted frames
+    val Right((_, _, frames)) = VideoFrames.extractSampled(avi, 3)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val vm = graft.onnx.OnnxModel.forPath(vPath, conf)
+    val dm = graft.onnx.OnnxModel.forPath(dPath, conf)
+    frames.zip(caps).foreach { case (fb, got) =>
+      val img = ImageIO.read(new ByteArrayInputStream(fb))
+      assert(captioner.decode(vm, dm, img) == got)
+    }
+  }
+
   test("adapter schema: inner fields become frame_<name> arrays") {
     val adapter = ImageFilterAdapter(PHashFilter(8), nFrames = 2)
     assert(adapter.resultSchema.fieldNames.toSeq == Seq(
