@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import java.nio.file.Files
+import javax.imageio.ImageIO
+import graft.core.Modality
+import graft.SparkSpec
+import graft.onnx.{OnnxModel, TestOnnx}
+
+/** OnnxFlowFilter: a real (toy) flow net over stacked frame pairs —
+  * the RAFT execution shape on the interpreter's conv tier — plus
+  * the Farneback fallback when no model is given. */
+class OnnxFlowFilterSpec extends SparkSpec {
+
+  private def frame(shift: Int): Array[Byte] = {
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = ((x + shift) * 8) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** [1,6,S,S] → Conv(6→2, 1×1) → [1,2,S,S]: u = R(a) − R(b),
+    * v = G(a) − G(b) — a hand-checkable differencing "flow net". */
+  private lazy val flowNet: Array[Byte] = TestOnnx.model(
+    nodes = Seq(TestOnnx.node("Conv", Seq("x", "w"), Seq("y"),
+      Seq(TestOnnx.attrInts("kernel_shape", Seq(1L, 1L))))),
+    inits = Seq(TestOnnx.tensor("w", Seq(2, 6, 1, 1),
+      Seq(1f, 0f, 0f, -1f, 0f, 0f,
+        0f, 1f, 0f, 0f, -1f, 0f))),
+    inputs = Seq("x"), outputs = Seq("y"))
+
+  private lazy val dir: File =
+    Files.createTempDirectory("graft-flow-filter").toFile
+  private lazy val modelFile: String = {
+    val f = new File(dir, "flow.onnx")
+    val o = new FileOutputStream(f)
+    try o.write(flowNet) finally o.close()
+    f.getAbsolutePath
+  }
+
+  private def in(avi: Array[Byte]) =
+    FilterInput("k", Map(Modality.Video.name -> avi), Map.empty)
+
+  test("identical frames produce zero model flow; motion produces some") {
+    val still = Mjpeg.write(Seq(frame(0), frame(0), frame(0)), 64, 64, 10)
+    val filter = OnnxFlowFilter(Some(modelFile), nFrames = 3,
+      inputSize = 16)
+    val zero = filter.processBatch(Seq(in(still))).head.get
+    assert(zero(0) == true, zero)
+    assert(zero(1).asInstanceOf[Double] == 0.0)
+    val moving = Mjpeg.write(Seq(frame(0), frame(6), frame(12)), 64, 64, 10)
+    val some = filter.processBatch(Seq(in(moving))).head.get
+    assert(some(0) == true)
+    assert(some(1).asInstanceOf[Double] > 0.0)
+  }
+
+  test("the Spark-side mean equals driver-side pair sums") {
+    val avi = Mjpeg.write(Seq(frame(0), frame(4), frame(9)), 64, 64, 10)
+    val filter = OnnxFlowFilter(Some(modelFile), nFrames = 3,
+      inputSize = 16)
+    val got = filter.processBatch(Seq(in(avi))).head.get(1)
+      .asInstanceOf[Double]
+    val m = OnnxModel.parseBytes(flowNet)
+    val imgs = VideoFrames.extractSampled(avi, 3).toOption.get._3
+      .map(b => ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    var total = 0.0
+    var count = 0L
+    imgs.sliding(2).foreach { case Seq(a, b) =>
+      val (mag, n) = filter.modelFlow(m, a, b)
+      total += mag
+      count += n
+    }
+    assert(math.abs(got - total / count) < 1e-9)
+  }
+
+  test("a model with the wrong output shape reports a row error") {
+    // scoring head [N,E], not a flow field: require inside the pair
+    // loop surfaces as (false, null, message)
+    val bad = new File(dir, "bad.onnx")
+    val o = new FileOutputStream(bad)
+    try o.write(TestOnnx.tinyCnnEncoder(4, 3)) finally o.close()
+    val avi = Mjpeg.write(Seq(frame(0), frame(3)), 64, 64, 10)
+    val res = OnnxFlowFilter(Some(bad.getAbsolutePath), nFrames = 2,
+      inputSize = 16).processBatch(Seq(in(avi))).head.get
+    assert(res(0) == false)
+    // the row carries the real cause (here a channel mismatch before
+    // the [1,2,H,W] check can even run), never a silent zero
+    assert(res(1) == null && res(2) != null, res)
+  }
+
+  test("no model falls back to the Farneback computation") {
+    val avi = Mjpeg.write(Seq(frame(0), frame(2), frame(5)), 64, 64, 10)
+    val got = OnnxFlowFilter(None, nFrames = 3)
+      .processBatch(Seq(in(avi))).head.get
+    val want = FarnebackFilter(nFrames = 3)
+      .processBatch(Seq(in(avi))).head.get
+    assert(got == want)
+  }
+}
