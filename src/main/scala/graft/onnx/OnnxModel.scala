@@ -468,7 +468,9 @@ final class OnnxModel(val graph: Onnx.Graph) {
       val a = if (attrI(n, "transA", 0) == 1) transpose(ins(0)) else ins(0)
       val b = if (attrI(n, "transB", 0) == 1) transpose(ins(1)) else ins(1)
       val y = matmul(a, b, alpha)
-      if (ins.length > 2) addBroadcast(y, ins(2), beta) else y
+      if (ins.length > 2 && ins(2).data.nonEmpty)
+        addBroadcast(y, ins(2), beta)
+      else y
     case "MatMul" => matmulND(ins(0), ins(1))
     case "Add" => broadcastZip(ins(0), ins(1), _ + _)
     case "Sub" => broadcastZip(ins(0), ins(1), _ - _)
@@ -559,7 +561,7 @@ final class OnnxModel(val graph: Onnx.Graph) {
       require(attrS(n, "auto_pad", "NOTSET") == "NOTSET",
         "Conv auto_pad unsupported — export with explicit pads")
       conv2d(ins(0), ins(1),
-        if (ins.length > 2) Some(ins(2)) else None,
+        if (ins.length > 2 && ins(2).data.nonEmpty) Some(ins(2)) else None,
         attrI(n, "group", 1L).toInt,
         attrInts(n, "strides", Seq(1L, 1L)),
         attrInts(n, "pads", Seq(0L, 0L, 0L, 0L)),
@@ -659,11 +661,15 @@ final class OnnxModel(val graph: Onnx.Graph) {
         s"LayerNormalization axis $axRaw invalid for ${x.dims}")
       val block = x.dims.drop(ax).product
       val scale = ins(1)
-      val bias = if (ins.length > 2) Some(ins(2)) else None
+      val bias =
+        if (ins.length > 2 && ins(2).data.nonEmpty) Some(ins(2)) else None
       require(scale.data.length == block &&
         bias.forall(_.data.length == block),
         s"LayerNormalization scale/bias != normalized block $block")
       val eps = attrF(n, "epsilon", 1e-5f)
+      // hoisted out of the per-element loop: no Option dispatch in
+      // the hot path (runs B·S·D times per encoder LayerNorm)
+      val biasArr = bias.map(_.data).getOrElse(new Array[Float](block))
       val out = new Array[Float](x.data.length)
       var r = 0
       while (r < x.data.length / block) {
@@ -683,7 +689,7 @@ final class OnnxModel(val graph: Onnx.Graph) {
         j = 0
         while (j < block) {
           out(o + j) = (((x.data(o + j) - mean) * inv) *
-            scale.data(j)).toFloat + bias.map(_.data(j)).getOrElse(0f)
+            scale.data(j)).toFloat + biasArr(j)
           j += 1
         }
         r += 1
@@ -693,8 +699,12 @@ final class OnnxModel(val graph: Onnx.Graph) {
       val x = ins(0)
       val rank = x.dims.length
       // opset 10+: starts/ends/axes/steps as inputs; opset 1: attrs
+      // nonEmpty: an empty-string optional input arrives as an empty
+      // tensor and must fall through to the attribute/default, not
+      // read as "zero constraints"
       def longs(i: Int, attr: String): Option[Seq[Long]] =
-        if (ins.length > i) Some(ins(i).data.map(_.toLong).toSeq)
+        if (ins.length > i && ins(i).data.nonEmpty)
+          Some(ins(i).data.map(_.toLong).toSeq)
         else n.attrs.get(attr) match {
           case Some(AttrInts(v)) => Some(v)
           case _ => None

@@ -476,6 +476,8 @@ final case class VideoInfoFilter(override val batchSize: Int = 64)
           val rate = Riff.u32(b, body.toInt + 24)
           if (scale > 0) fps = rate.toDouble / scale
         }
+        // header probe: stop once both avih and a video strh are read
+        width < 0 || fps < 0
       }
       if (!isAvi)
         return Seq(false, null, null, null, null, "not an AVI file")

@@ -76,10 +76,11 @@ object Mjpeg {
   def fps(bytes: Array[Byte]): Option[Double] = {
     var found: Option[Double] = None
     Riff.walkAvi(bytes) { (id, body, _, _) =>
-      if (found.isEmpty && id == "avih" && body + 4 <= bytes.length) {
+      if (id == "avih" && body + 4 <= bytes.length) {
         val usec = Riff.u32(bytes, body.toInt)
         if (usec > 0) found = Some(1e6 / usec)
       }
+      found.isEmpty // stop at the first header hit
     }
     found
   }

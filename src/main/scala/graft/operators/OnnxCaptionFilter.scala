@@ -65,10 +65,7 @@ final case class OnnxCaptionFilter(
     StructField(captionColumn, StringType)))
 
   private val hadoopConf: SerializableHadoopConf =
-    new SerializableHadoopConf(
-      scala.util.Try(org.apache.spark.sql.SparkSession.active
-          .sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    SerializableHadoopConf.capture()
 
   private val pixels = OnnxPixelScoreFilter(inputSize = inputSize)
   private val standin = CaptionFilter(captionColumn)

@@ -46,10 +46,7 @@ final case class OnnxScoreFilter(modelPath: Option[String] = None,
   // would see only classpath defaults. Falls back when the filter is
   // constructed outside a session (plain unit tests).
   private val hadoopConf: SerializableHadoopConf =
-    new SerializableHadoopConf(
-      scala.util.Try(org.apache.spark.sql.SparkSession.active
-          .sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    SerializableHadoopConf.capture()
 
   override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] = {
     val decoded: Seq[Option[BufferedImage]] = batch.map { in =>
@@ -143,10 +140,7 @@ final case class OnnxPixelScoreFilter(modelPath: Option[String] = None,
   private val channels = if (grayscale) 1 else 3
 
   private val hadoopConf: SerializableHadoopConf =
-    new SerializableHadoopConf(
-      scala.util.Try(org.apache.spark.sql.SparkSession.active
-          .sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    SerializableHadoopConf.capture()
 
   override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] = {
     val decoded: Seq[Option[BufferedImage]] = batch.map { in =>

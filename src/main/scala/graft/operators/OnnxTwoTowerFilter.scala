@@ -53,10 +53,7 @@ final case class OnnxTwoTowerFilter(
     StructField(scoreColumn, DoubleType)))
 
   private val hadoopConf: SerializableHadoopConf =
-    new SerializableHadoopConf(
-      scala.util.Try(org.apache.spark.sql.SparkSession.active
-          .sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    SerializableHadoopConf.capture()
 
   private val pixels = OnnxPixelScoreFilter(inputSize = inputSize)
   private val standin = Text2ImageScoreFilter(captionColumn)
@@ -83,6 +80,13 @@ final case class OnnxTwoTowerFilter(
         val txtEmb = OnnxModel.forPath(tp, conf).forward(Onnx.Tensor(
           Seq(live.length, maxTokens),
           live.toArray.flatMap(p => tokenIds(p._2))))
+        // guard before dividing: a tower emitting a non-N first dim
+        // would otherwise floor to a bogus width and every row would
+        // silently score garbage (the OnnxHeads '% rows' contract)
+        require(imgEmb.data.length % live.length == 0,
+          s"image tower emitted ${imgEmb.dims} for ${live.length} rows")
+        require(txtEmb.data.length % live.length == 0,
+          s"text tower emitted ${txtEmb.dims} for ${live.length} rows")
         val e1 = imgEmb.data.length / live.length
         val e2 = txtEmb.data.length / live.length
         require(e1 == e2, s"tower widths differ: $e1 vs $e2")

@@ -392,33 +392,36 @@ final case class OnnxFlowFilter(modelPath: Option[String] = None,
     StructField("error", StringType)))
 
   private val hadoopConf: SerializableHadoopConf =
-    new SerializableHadoopConf(
-      scala.util.Try(org.apache.spark.sql.SparkSession.active
-          .sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    SerializableHadoopConf.capture()
 
   private val pixels = OnnxPixelScoreFilter(inputSize = inputSize)
 
-  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] = {
-    // model errors fail the task loudly; per-row null is for bad data
-    val model = modelPath.map(p =>
-      graft.onnx.OnnxModel.forPath(p, hadoopConf.get()))
-    batch.map { in =>
-      in.payloads.get(Modality.Video.name) match {
-        case None => Some(Seq(false, null, "payload missing"))
-        case Some(bytes) =>
-          VideoFrames.extractSampled(bytes, nFrames) match {
-            case Left(err) => Some(Seq(false, null, err))
-            case Right((_, _, frames)) =>
-              try {
-                val imgs = frames.flatMap { fb =>
-                  Option(javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(fb)))
-                }
-                if (imgs.length < 2)
-                  Some(Seq(false, null, "fewer than 2 decodable frames"))
-                else model match {
-                  case Some(m) =>
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
+    modelPath match {
+      // no model: delegate the WHOLE batch before any decode — the
+      // classical path does its own extract+decode, and doing it
+      // here first would decode every frame twice (decode dominates
+      // this path per NOTES.md's throughput numbers)
+      case None => FarnebackFilter(nFrames, batchSize).processBatch(batch)
+      case Some(p) =>
+        // model load and inference errors fail the task loudly (the
+        // OnnxScoreFilter contract); per-row errors are for bad DATA
+        val m = graft.onnx.OnnxModel.forPath(p, hadoopConf.get())
+        batch.map { in =>
+          in.payloads.get(Modality.Video.name) match {
+            case None => Some(Seq(false, null, "payload missing"))
+            case Some(bytes) =>
+              VideoFrames.extractSampled(bytes, nFrames) match {
+                case Left(err) => Some(Seq(false, null, err))
+                case Right((_, _, frames)) =>
+                  val imgs = frames.flatMap { fb =>
+                    try Option(javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(fb)))
+                    catch { case _: Exception => None }
+                  }
+                  if (imgs.length < 2)
+                    Some(Seq(false, null, "fewer than 2 decodable frames"))
+                  else {
                     var total = 0.0
                     var count = 0L
                     imgs.sliding(2).foreach { case Seq(a, b) =>
@@ -429,20 +432,11 @@ final case class OnnxFlowFilter(modelPath: Option[String] = None,
                     if (count == 0)
                       Some(Seq(false, null, "empty flow field"))
                     else Some(Seq(true, total / count, null))
-                  case None =>
-                    FarnebackFilter(nFrames).processBatch(Seq(in)).head
-                      .map { r =>
-                        // same computation, this filter's column name
-                        Seq(r(0), r(1), r(2))
-                      }
-                }
-              } catch {
-                case e: Exception => Some(Seq(false, null, e.toString))
+                  }
               }
           }
-      }
+        }
     }
-  }
 
   /** One frame pair through the flow net: sum |flow| and the field
     * size, with displacements scaled from model resolution back to

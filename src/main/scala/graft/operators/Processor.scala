@@ -222,3 +222,17 @@ final class SerializableHadoopConf(@transient private var conf: Configuration)
     conf.readFields(in)
   }
 }
+
+object SerializableHadoopConf {
+  /** Capture the active session's Hadoop conf DRIVER-side at filter
+    * construction so spark.hadoop.* settings (s3a credentials,
+    * endpoints, custom fs impls) reach the executor that opens model
+    * files; a bare executor-side Configuration would see only
+    * classpath defaults. Falls back when constructed outside a
+    * session (plain unit tests). */
+  def capture(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      scala.util.Try(org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration)
+        .getOrElse(new Configuration()))
+}

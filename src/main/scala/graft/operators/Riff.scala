@@ -22,26 +22,30 @@ private[operators] object Riff {
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
   /** Depth-first walk over every non-LIST chunk of a RIFF AVI.
-    * `visit(id, bodyOffset, size, path)` — `size` may exceed the
-    * remaining bytes on truncated input; callers bounds-check reads.
-    * Returns false (without visiting) when the RIFF/AVI magic is
-    * absent. */
+    * `visit(id, bodyOffset, size, path)` returns whether to CONTINUE
+    * — header-only readers (fps, info probes) stop without paying
+    * O(every movi frame chunk). `size` may exceed the remaining
+    * bytes on truncated input; callers bounds-check reads. Returns
+    * false (without visiting) when the RIFF/AVI magic is absent. */
   def walkAvi(b: Array[Byte])(
-      visit: (String, Long, Long, List[String]) => Unit): Boolean = {
+      visit: (String, Long, Long, List[String]) => Boolean): Boolean = {
     if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
       return false
-    def go(start: Long, end: Long, path: List[String]): Unit = {
+    def go(start: Long, end: Long, path: List[String]): Boolean = {
       var o = start
-      while (o + 8 <= end) {
+      var continue = true
+      while (continue && o + 8 <= end) {
         val id = fourcc(b, o.toInt)
         val size = u32(b, o.toInt + 4)
         val body = o + 8
-        if (id == "LIST" && body + 4 <= end)
-          go(body + 4, math.min(body + size, end),
-            fourcc(b, body.toInt) :: path)
-        else visit(id, body, size, path)
+        continue =
+          if (id == "LIST" && body + 4 <= end)
+            go(body + 4, math.min(body + size, end),
+              fourcc(b, body.toInt) :: path)
+          else visit(id, body, size, path)
         o = body + size + (size & 1)
       }
+      continue
     }
     go(12L, b.length.toLong, Nil)
     true

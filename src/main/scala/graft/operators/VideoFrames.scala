@@ -43,6 +43,7 @@ object VideoFrames {
         val inMovi = path.contains("movi") || path.contains("rec ")
         if (inMovi && isFrameId(id) && body + size <= b.length)
           frames += ((body.toInt, size.toInt))
+        true // frame listing wants the whole tree
       }
       if (!isAvi) Left("not an AVI file") else Right(frames.result())
     } catch {

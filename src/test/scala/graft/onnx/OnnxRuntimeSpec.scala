@@ -727,6 +727,31 @@ class OnnxRuntimeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("axis"))
   }
 
+  test("empty optional inputs: Gemm without C, Slice with omitted axes") {
+    // Gemm["a","b",""] — bias omitted positionally: y = a·b
+    val gemm = model(
+      nodes = Seq(node("Gemm", Seq("a", "b", ""), Seq("y"))),
+      inits = Seq(tensor("b", Seq(2, 2), Seq(1f, 0f, 0f, 2f))),
+      inputs = Seq("a"), outputs = Seq("y"))
+    val og = OnnxModel.parseBytes(gemm)
+      .forward(Onnx.Tensor(Seq(1, 2), Array(3f, 4f)))
+    assert(og.data.toSeq == Seq(3f, 8f))
+    // Slice["x","starts","ends","","steps"] — axes omitted so steps
+    // can be passed: starts/ends MUST still constrain (axis default
+    // = positional), not silently no-op
+    val slice = model(
+      nodes = Seq(node("Slice",
+        Seq("x", "starts", "ends", "", "steps"), Seq("y"))),
+      inits = Seq(
+        tensor("starts", Seq(1), Seq(1f)),
+        tensor("ends", Seq(1), Seq(3f)),
+        tensor("steps", Seq(1), Seq(1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val os = OnnxModel.parseBytes(slice)
+      .forward(Onnx.Tensor(Seq(4), Array(10f, 11f, 12f, 13f)))
+    assert(os.dims == Seq(2) && os.data.toSeq == Seq(11f, 12f))
+  }
+
   test("unsupported op fails loudly with the op name") {
     val g = model(
       nodes = Seq(node("LSTM", Seq("x"), Seq("y"))),

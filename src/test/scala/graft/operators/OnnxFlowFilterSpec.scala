@@ -78,19 +78,21 @@ class OnnxFlowFilterSpec extends SparkSpec {
     assert(math.abs(got - total / count) < 1e-9)
   }
 
-  test("a model with the wrong output shape reports a row error") {
-    // scoring head [N,E], not a flow field: require inside the pair
-    // loop surfaces as (false, null, message)
+  test("a mis-shaped model fails the task loudly, not as silent row errors") {
+    // scoring head [N,E], not a flow net: model misconfiguration
+    // must not be swallowed into per-row nulls (the OnnxScoreFilter
+    // contract — per-row errors are for bad data only)
     val bad = new File(dir, "bad.onnx")
     val o = new FileOutputStream(bad)
     try o.write(TestOnnx.tinyCnnEncoder(4, 3)) finally o.close()
     val avi = Mjpeg.write(Seq(frame(0), frame(3)), 64, 64, 10)
-    val res = OnnxFlowFilter(Some(bad.getAbsolutePath), nFrames = 2,
-      inputSize = 16).processBatch(Seq(in(avi))).head.get
-    assert(res(0) == false)
-    // the row carries the real cause (here a channel mismatch before
-    // the [1,2,H,W] check can even run), never a silent zero
-    assert(res(1) == null && res(2) != null, res)
+    val e = intercept[IllegalArgumentException] {
+      OnnxFlowFilter(Some(bad.getAbsolutePath), nFrames = 2,
+        inputSize = 16).processBatch(Seq(in(avi)))
+    }
+    // here the 6-channel input trips Conv before the [1,2,H,W] check
+    assert(e.getMessage.contains("Conv") ||
+      e.getMessage.contains("flow model"))
   }
 
   test("no model falls back to the Farneback computation") {
