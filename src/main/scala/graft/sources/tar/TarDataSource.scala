@@ -43,10 +43,13 @@ import graft.operators.SerializableHadoopConf
   * payloads.
   *
   * Caveat (documented trade, same class as Hadoop's text-split line
-  * resync): a member whose CONTENT embeds a valid tar header at a
-  * 512-aligned offset (e.g. a `.tar` stored inside a shard tar) can
-  * defeat resync. For such corpora pass `.option("split", "false")`
-  * to fall back to partition-per-archive.
+  * resync): a member whose CONTENT embeds valid tar headers at
+  * 512-aligned offsets can defeat resync. Lookahead confirmation
+  * narrows this to CHAINS of forgeries — a single embedded header is
+  * rejected because its size field must land a second valid header
+  * (spec-pinned); a `.tar` stored INSIDE a shard tar still defeats it,
+  * since its genuine header chain confirms itself. For such corpora
+  * pass `.option("split", "false")` for partition-per-archive.
   *
   * Caveat: pax GLOBAL headers (typeflag 'g') are skipped, not
   * applied. A 'g' record near the archive start would have to govern
@@ -367,7 +370,8 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
   private var warnedPaxGlobal = false
 
   /** First 512-aligned offset >= from holding a plausible member
-    * header (checksum + magic). Scans in 1 MiB chunks.
+    * header (checksum + magic, CONFIRMED by lookahead). Scans in
+    * 1 MiB chunks.
     */
   private def resync(from: Long): Long = {
     var off = ((from + BlockSize - 1) / BlockSize) * BlockSize
@@ -387,13 +391,36 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
       // walk would redundantly re-read headers it then disowns
       while (i + BlockSize <= len && off + i < part.end) {
         if (!isZeroBlock(chunk, i) && magicOk(chunk, i) &&
-            checksumOk(chunk, i))
+            checksumOk(chunk, i) && lookaheadOk(chunk, i, off + i))
           return off + i
         i += BlockSize
       }
       off += len
     }
     part.fileSize
+  }
+
+  /** Lookahead confirmation of a resync candidate: the size field
+    * must land the NEXT header at a position that is end-of-archive
+    * (zero block / file end) or itself checksum+magic-valid. A
+    * member whose CONTENT embeds one valid-looking tar header (the
+    * documented resync caveat) now also needs that fake header's
+    * size field to point at a SECOND valid header — two aligned
+    * forgeries in a row instead of one. Costs one 512-byte pread per
+    * candidate; candidates are rare (checksum+magic already held).
+    */
+  private def lookaheadOk(buf: Array[Byte], bo: Int, abs: Long): Boolean = {
+    val size = parseOctal(buf, bo + 124, 12)
+    if (size < 0) return false // garbage size field: not a header
+    val next = abs + BlockSize +
+      ((size + BlockSize - 1) / BlockSize) * BlockSize
+    if (next < 0 || next > part.fileSize - BlockSize)
+      // last member (next lands at/after EOF): plausible iff the
+      // payload actually fits in the file
+      return next <= part.fileSize
+    val hdr = new Array[Byte](BlockSize)
+    in.readFully(next, hdr, 0, BlockSize)
+    isZeroBlock(hdr, 0) || (magicOk(hdr, 0) && checksumOk(hdr, 0))
   }
 
   /** Walk backward from a resync'd file header to recover meta
