@@ -612,18 +612,30 @@ final case class Text2ImageScoreFilter(captionColumn: String = "caption",
 /** Zero-shot label scoring — the contract of the reference's
   * CLIPLabelsFilter (DPF/filters/images/cliplabels_filter.py:18:
   * templated text embeds per label averaged, one score column per
-  * label named via label2column `:74-76`). Towers are the same
-  * deterministic stand-ins as [[Text2ImageScoreFilter]] (pixel-stat
-  * image vec, hashed-trigram text vec); each label's templated
-  * prompts ("a photo of a {label}", …) embed separately and average,
-  * as the reference does. Production swaps ONNX towers behind the
-  * same trait; the per-label column fan-out, templating, batching
-  * and null semantics are what this pins. */
+  * label named via label2column `:74-76`). With `imageModelPath` /
+  * `textModelPath` set, REAL two-tower `.onnx` models run on the
+  * in-repo interpreter exactly as [[OnnxTwoTowerFilter]] does —
+  * label embeddings are computed ONCE per executor (every label ×
+  * template prompt in one text-tower forward, then averaged per
+  * label, the reference's per-session cache), and each batch costs
+  * one [N,3,S,S] image-tower pass plus N·L cosines. Without model
+  * paths the deterministic [[Text2ImageScoreFilter]] stand-in towers
+  * take over (pixel-stat image vec, hashed-trigram text vec), so the
+  * per-label column fan-out, templating, batching and null semantics
+  * run and test without weights. */
 final case class ClipLabelsFilter(labels: Seq[String],
     templates: Seq[String] = Seq("a photo of a {label}", "{label}"),
+    imageModelPath: Option[String] = None,
+    textModelPath: Option[String] = None,
+    inputSize: Int = 32,
+    vocabSize: Int = 4096,
+    maxTokens: Int = 16,
     override val batchSize: Int = 64) extends DataFilter {
   require(labels.nonEmpty, "need at least one label")
   require(templates.nonEmpty, "need at least one template")
+  require(imageModelPath.isDefined == textModelPath.isDefined,
+    "provide both tower models or neither")
+  require(inputSize > 0 && vocabSize >= 2 && maxTokens > 0)
   override val modalities = Seq(Modality.Image)
   override def name = s"ClipLabelsFilter(${labels.mkString(",")})"
 
@@ -634,9 +646,43 @@ final case class ClipLabelsFilter(labels: Seq[String],
     labels.map(l => StructField(columnFor(l), DoubleType)))
 
   private val t2i = Text2ImageScoreFilter()
+  private val pixels = OnnxPixelScoreFilter(inputSize = inputSize)
+  private val hadoopConf: SerializableHadoopConf =
+    SerializableHadoopConf.capture()
 
-  // label text embeddings: templated prompts embedded and AVERAGED
-  // once per filter instance (the reference caches these per session)
+  /** Every label's templated prompts as the text tower's token-id
+    * rows, label-major: row l·T+t is template t of label l. */
+  private def promptIds: Array[Float] =
+    labels.toArray.flatMap(l => templates.toArray.flatMap(t =>
+      graft.operators.Towers.tokenIds(
+        t.replace("{label}", l), vocabSize, maxTokens)))
+
+  // ONNX label embeddings: ONE text-tower forward over all
+  // labels × templates, rows averaged per label — computed lazily per
+  // executor (the session-cache discipline of OnnxModel.forPath)
+  @transient private lazy val onnxLabelVecs: Array[Array[Float]] = {
+    val model = graft.onnx.OnnxModel.forPath(
+      textModelPath.get, hadoopConf.get())
+    val nRows = labels.length * templates.length
+    val emb = model.forward(graft.onnx.Onnx.Tensor(
+      Seq(nRows, maxTokens), promptIds))
+    require(emb.data.length % nRows == 0,
+      s"text tower emitted ${emb.dims} for $nRows prompts")
+    val e = emb.data.length / nRows
+    labels.indices.toArray.map { l =>
+      val sum = new Array[Float](e)
+      templates.indices.foreach { t =>
+        val o = (l * templates.length + t) * e
+        var i = 0
+        while (i < e) { sum(i) += emb.data(o + i); i += 1 }
+      }
+      sum.map(_ / templates.length)
+    }
+  }
+
+  // stand-in label embeddings: templated prompts embedded and
+  // AVERAGED once per filter instance, same shape as the reference's
+  // per-session cache
   @transient private lazy val labelVecs: Seq[Array[Double]] =
     labels.map { l =>
       val sum = new Array[Double](8)
@@ -648,23 +694,41 @@ final case class ClipLabelsFilter(labels: Seq[String],
       sum.map(_ / templates.length)
     }
 
-  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
-    batch.map { in =>
-      in.payloads.get(Modality.Image.name) match {
-        case None => Some(Seq.fill[Any](labels.length)(null))
-        case Some(bytes) =>
-          try {
-            val img = ImageIO.read(new ByteArrayInputStream(bytes))
-            if (img == null) Some(Seq.fill[Any](labels.length)(null))
-            else {
-              val iv = t2i.imageVec(img)
-              Some(labelVecs.map(lv => Double.box(cosine01(iv, lv))))
-            }
-          } catch {
-            case _: Exception => Some(Seq.fill[Any](labels.length)(null))
-          }
+  override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] = {
+    val decoded: Seq[Option[BufferedImage]] = batch.map { in =>
+      in.payloads.get(Modality.Image.name).flatMap { bytes =>
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
       }
     }
+    val live = decoded.flatten
+    val scored: Seq[Seq[Any]] = imageModelPath match {
+      case Some(ip) if live.nonEmpty =>
+        val imgEmb = graft.onnx.OnnxModel.forPath(ip, hadoopConf.get())
+          .forward(graft.onnx.Onnx.Tensor(
+            Seq(live.length, 3, inputSize, inputSize),
+            live.toArray.flatMap(pixels.pixelTensor)))
+        require(imgEmb.data.length % live.length == 0,
+          s"image tower emitted ${imgEmb.dims} for ${live.length} rows")
+        val e = imgEmb.data.length / live.length
+        val lv = onnxLabelVecs
+        lv.foreach(v => require(v.length == e,
+          s"tower widths differ: image $e vs text ${v.length}"))
+        live.indices.map(i => lv.toSeq.map(v => Double.box(
+          graft.operators.Towers.cosine01(imgEmb.data, i * e, v, 0, e))))
+      case Some(_) => Nil
+      case None =>
+        live.map { img =>
+          val iv = t2i.imageVec(img)
+          labelVecs.map(lv => Double.box(cosine01(iv, lv)))
+        }
+    }
+    val it = scored.iterator
+    decoded.map {
+      case Some(_) => Some(it.next())
+      case None => Some(Seq.fill[Any](labels.length)(null))
+    }
+  }
 
   private def cosine01(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0

@@ -106,10 +106,26 @@ final case class OnnxTwoTowerFilter(
   private[operators] def pixelProbe(img: BufferedImage): Array[Float] =
     pixels.pixelTensor(img)
 
+  /** Deterministic hashing tokenizer (see [[Towers.tokenIds]]). */
+  private[operators] def tokenIds(caption: String): Array[Float] =
+    Towers.tokenIds(caption, vocabSize, maxTokens)
+
+  private def cosineScore(a: Array[Float], ao: Int,
+      b: Array[Float], bo: Int, e: Int): Double =
+    Towers.cosine01(a, ao, b, bo, e)
+}
+
+/** Tower math shared by the CLIP-family filters
+  * ([[OnnxTwoTowerFilter]], [[ClipLabelsFilter]]): the hashing
+  * tokenizer that feeds text-tower id tensors and the [0, 1]-squashed
+  * cosine both towers' embeddings score with. */
+private[operators] object Towers {
+
   /** Deterministic hashing tokenizer: id 0 is the pad token; word
     * ids land in [1, vocabSize). String.hashCode is JVM-spec-fixed,
     * so ids are stable across executors and runs. */
-  private[operators] def tokenIds(caption: String): Array[Float] = {
+  def tokenIds(caption: String, vocabSize: Int,
+      maxTokens: Int): Array[Float] = {
     val out = new Array[Float](maxTokens)
     val words = caption.toLowerCase.split("\\s+").filter(_.nonEmpty)
     var i = 0
@@ -121,7 +137,9 @@ final case class OnnxTwoTowerFilter(
     out
   }
 
-  private def cosineScore(a: Array[Float], ao: Int,
+  /** cosine of a[ao, ao+e) and b[bo, bo+e) squashed to [0, 1] by
+    * 0.5·(1+cos); 0.5 for a zero vector on either side. */
+  def cosine01(a: Array[Float], ao: Int,
       b: Array[Float], bo: Int, e: Int): Double = {
     var dot = 0.0
     var na = 0.0
