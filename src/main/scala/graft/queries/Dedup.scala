@@ -494,6 +494,42 @@ object Dedup {
        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
        GROUP BY source"""
 
+  /** Cross-source duplicate matrix: for every source pair, how many
+    * bag-of-words fingerprints they share — the corpus forensics a
+    * mixing decision needs before weighting sources (is src A a
+    * re-crawl of src B? how much would admitting both double-count?).
+    * The fingerprint is order-insensitive (sorted distinct lowercase
+    * words), so shuffled re-renders of the same content count as
+    * shared; exact-dup analysis is [[dedupExact]].
+    *
+    * Scale shape: distinct on (source, fingerprint) is one shuffle of
+    * narrow rows; the self-join key is the fingerprint, whose fan-out
+    * per key is bounded by the SOURCE COUNT (each side keeps at most
+    * one row per (source, fp)), so no hot keys exist at any corpus
+    * size; the pair aggregate is ≤ S² rows with map-side combine. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(t(spark, dir, "documents"))
+      .select(col("source"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower(col("text")), " ")))))
+          .as("fp"))
+      .distinct()
+    d.as("a").join(d.as("b"), Seq("fp"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH d AS (SELECT DISTINCT source,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(text), ' '))), ' ')) AS fp
+       FROM documents)
+       SELECT a.source AS src_a, b.source AS src_b,
+         count(*) AS n_shared
+       FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+       GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_components" -> (dedupComponents _),
@@ -502,6 +538,7 @@ object Dedup {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram" -> (dedupNgram _),
+    "q_source_overlap" -> (sourceOverlap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -512,5 +549,6 @@ object Dedup {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_ngram" -> dedupNgramSql,
+    "q_source_overlap" -> sourceOverlapSql,
   )
 }

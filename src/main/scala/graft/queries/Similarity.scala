@@ -344,6 +344,33 @@ object Similarity {
   def embedNearDupWide(spark: SparkSession, dir: String): DataFrame =
     embedNearDupAt(spark, dir, WidePlanes, WideTables)
 
+  /** One k-means (Lloyd) update step over the IVF assignment — the
+    * clustering pass semantic-dedup pipelines run before per-cluster
+    * near-dup pruning (SemDeDup, Abbas et al. 2023, arXiv:2303.09540:
+    * cluster the corpus embeddings, then dedup within clusters):
+    * every vector keeps its nearest centroid ([[ivfAssign]]), and the
+    * updated centroid is the per-dimension mean of its members,
+    * emitted as (cluster, dim, c_val) rows.
+    *
+    * Scale shape: the explode is narrow (cluster, dim, x) and partial
+    * aggregation combines map-side down to ≤ C·D cells per task, so
+    * the shuffle carries ~C·D rows per partition regardless of corpus
+    * size — one Lloyd iteration is one corpus pass. Iterating =
+    * re-assigning against these centroids; the loop driver stays
+    * outside the catalog like [[buildIvfIndex]]'s writer. */
+  def kmeansUpdate(spark: SparkSession, dir: String): DataFrame =
+    ivfAssign(spark, dir)
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+      .agg(r6(avg(col("x"))).as("c_val"))
+
+  val kmeansUpdateSql: String =
+    s"""$sqlIvfAssignCte
+       SELECT cluster, (i - 1)::BIGINT AS dim,
+         ${sqlR("avg(v[i])", 6)} AS c_val
+       FROM assign CROSS JOIN generate_series(1, $Dim) AS g(i)
+       GROUP BY cluster, i"""
+
   private def embedNearDupSqlAt(planes: Int, tables: Int): String = {
     // plane p component for dim i (1-based i in SQL):
     // md5_32("p|{i-1}") / 2^32 - 0.5  — mirrors planeComponent()
@@ -379,6 +406,7 @@ object Similarity {
     "q_ivf_sizes" -> (ivfSizes _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_wide" -> (embedNearDupWide _),
+    "q_kmeans_update" -> (kmeansUpdate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -388,5 +416,6 @@ object Similarity {
     "q_ivf_sizes" -> ivfSizesSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_wide" -> embedNearDupWideSql,
+    "q_kmeans_update" -> kmeansUpdateSql,
   )
 }

@@ -99,4 +99,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(countIn(p, "Exchange hashpartitioning") == 1, p.take(2000))
     assert(countIn(p, "Window") <= 2, p.take(2000))
   }
+
+  test("q_kmeans_update combines map-side before the (cluster, dim) shuffle") {
+    val df = Similarity.kmeansUpdate(spark, dir)
+    val p = plan(df)
+    // the per-dimension explode must feed a partial HashAggregate so
+    // the exchange carries ≤ C·D cells per task, not N·D rows
+    assert(p.contains("Generate"), p.take(2000))
+    assert(countIn(p, "HashAggregate") >= 2, p.take(2000))
+    assert(p.contains("Exchange hashpartitioning(cluster"), p.take(2000))
+    df.sparkSession.catalog.clearCache()
+  }
+
+  test("q_source_overlap joins on the fingerprint — no pair blow-up") {
+    val p = plan(Dedup.sourceOverlap(spark, dir))
+    // the self-join key is fp (bounded fan-out per key); a planner
+    // fallback to a cartesian/nested-loop pairing would be quadratic
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // distinct + pair-count both partial-aggregate before shuffling
+    assert(countIn(p, "HashAggregate") >= 4, p.take(2000))
+  }
 }
