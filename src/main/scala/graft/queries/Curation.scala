@@ -577,6 +577,75 @@ object Curation {
          = btaken.source"""
   }
 
+  /** Importance-weighting target domain for [[dsirWeights]]. */
+  val DsirTarget = "src0"
+
+  /** Data-selection importance weights — the DSIR shape (Xie et al.
+    * 2023, arXiv:2302.03169: score every corpus document by how much
+    * its hashed-n-gram distribution resembles a target domain vs the
+    * raw corpus, then sample by weight). Unigram counts with Laplace
+    * smoothing give per-word ratios r = p_target(w)/p_corpus(w); a
+    * document's weight is the sum of (r−1)/(r+1) over its words —
+    * that surrogate equals tanh(½·ln r), monotone in the true
+    * log-likelihood ratio, and keeps the arithmetic algebraic
+    * (+,−,×,÷ only) so the DuckDB oracle reproduces it bit-for-bit
+    * (the libm-avoidance rule of TextFunctions.modelScoreRaw —
+    * ln/exp differ across engines in the last ulp).
+    *
+    * Scale shape: the ratio table is vocab-sized (hashed buckets cap
+    * it at ~10⁴ in a production config) and BROADCASTS; the word
+    * explode never regroups across the cluster — explode preserves
+    * row locality, so the per-doc sum partial-aggregates each
+    * document back to one row map-side and the only corpus-wide
+    * shuffle carries ~one narrow row per document. Counting passes
+    * are map-side-combined groupBys; the three scalars (token totals
+    * + vocab size) are a bounded head() like the broadcast-threshold
+    * collects elsewhere. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .persist() // consumed by both count passes, the totals, the score join
+    val corpus = words.groupBy("w").agg(count(lit(1)).as("n_c"))
+    val target = words.filter(col("source") === DsirTarget)
+      .groupBy("w").agg(count(lit(1)).as("n_t"))
+    val tot = words.agg(
+      count(lit(1)).as("tc"),
+      count(when(col("source") === DsirTarget, 1)).as("tt"),
+      countDistinct(col("w")).as("v")).head()
+    val (totC, totT, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val ratios = corpus.join(target, Seq("w"), "left")
+      .select(col("w"),
+        (((coalesce(col("n_t"), lit(0L)) + lit(1L)) / lit(totT + v)) /
+          ((col("n_c") + lit(1L)) / lit(totC + v))).as("r"))
+      .select(col("w"), ((col("r") - lit(1.0)) / (col("r") + lit(1.0)))
+        .as("wscore"))
+    words.join(broadcast(ratios), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(r6(sum(col("wscore"))).as("dsir_score"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH wds AS (SELECT doc_id, source, w FROM (
+           SELECT doc_id, source,
+             unnest(string_split(lower(text), ' ')) AS w
+           FROM documents) WHERE w <> ''),
+       c AS (SELECT w, count(*) AS n_c FROM wds GROUP BY w),
+       tg AS (SELECT w, count(*) AS n_t FROM wds
+              WHERE source = '$DsirTarget' GROUP BY w),
+       tot AS (SELECT (SELECT count(*) FROM wds) AS tc,
+                 (SELECT count(*) FROM wds
+                  WHERE source = '$DsirTarget') AS tt,
+                 (SELECT count(*) FROM c) AS v),
+       lr AS (SELECT c.w,
+                ((coalesce(n_t, 0) + 1) / (tt + v)) /
+                  ((n_c + 1) / (tc + v)) AS r
+              FROM c LEFT JOIN tg USING (w) CROSS JOIN tot),
+       ws AS (SELECT w, (r - 1.0) / (r + 1.0) AS wscore FROM lr)
+       SELECT doc_id, ${sqlR("sum(wscore)", 6)} AS dsir_score
+       FROM wds JOIN ws USING (w) GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q_token_budget" -> (tokenBudget _),
     "q_quality_threshold" -> (qualityThreshold _),
@@ -587,6 +656,7 @@ object Curation {
     "q_decontaminate_ngram" -> (decontaminateNgram _),
     "q_gopher_rules" -> (gopherRules _),
     "q_mixture_sample" -> (mixtureSample _),
+    "q_dsir_weights" -> (dsirWeights _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -599,5 +669,6 @@ object Curation {
     "q_decontaminate_ngram" -> decontaminateNgramSql,
     "q_gopher_rules" -> gopherRulesSql,
     "q_mixture_sample" -> mixtureSampleSql,
+    "q_dsir_weights" -> dsirWeightsSql,
   )
 }
