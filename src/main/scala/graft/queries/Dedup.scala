@@ -530,6 +530,69 @@ object Dedup {
        FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
        GROUP BY 1, 2"""
 
+  /** Chunk width (words) for [[paragraphDedup]] — the "paragraph"
+    * granule of a corpus whose documents carry no layout breaks. */
+  val ChunkWords = 20
+
+  /** Paragraph-granularity exact dedup — the C4 recipe (Raffel et al.
+    * 2020, arXiv:1910.10683 §2.2 dedups three-sentence spans across
+    * the whole corpus, keeping first occurrence): documents split
+    * into fixed [[ChunkWords]]-word chunks (this corpus has no
+    * newline structure, so the granule is positional), every chunk
+    * deduped GLOBALLY keep-first in (doc_id, chunk_idx) order, and
+    * each document re-assembled from its surviving chunks.
+    *
+    * Scale shape: same single-shuffle cost class as [[dedupExact]],
+    * just at chunk granularity — the explode is narrow (doc_id, idx,
+    * chunk) and the one corpus-wide shuffle partitions on the chunk
+    * text (which must ride the shuffle anyway for re-assembly); the
+    * re-assembly group-by shuffles the SURVIVING chunks back on
+    * doc_id. No pair space exists anywhere — this is the exact-match
+    * complement of the sketch families above, and the first pass a
+    * C4-style pipeline runs before near-dup sketching. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("ws"))
+      .filter(size(col("ws")) > 0)
+    val chunks = toks.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, (size(ws) - 1) div $ChunkWords),
+            i -> array_join(slice(ws, i * $ChunkWords + 1, $ChunkWords), ' '))"""))
+      .as(Seq("cidx", "chunk")))
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("cidx"))
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          """transform(array_sort(collect_list(
+               CASE WHEN rn = 1 THEN struct(cidx, chunk) END)),
+             s -> s.chunk)"""), " ").as("kept_text"))
+  }
+
+  val paragraphDedupSql: String =
+    s"""WITH tk AS (SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+         FROM documents),
+       ne AS (SELECT * FROM tk WHERE len(ws) > 0),
+       cl AS (SELECT doc_id,
+                list_transform(generate_series(0, (len(ws) - 1) // $ChunkWords),
+                  i -> {'cidx': i, 'chunk': array_to_string(
+                    list_slice(ws, i * $ChunkWords + 1,
+                      i * $ChunkWords + $ChunkWords), ' ')}) AS cs
+              FROM ne),
+       ch AS (SELECT doc_id, u.cidx AS cidx, u.chunk AS chunk
+              FROM (SELECT doc_id, unnest(cs) AS u FROM cl)),
+       k AS (SELECT doc_id, cidx, chunk,
+               row_number() OVER (PARTITION BY chunk
+                 ORDER BY doc_id, cidx) AS rn FROM ch)
+       SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         coalesce(string_agg(chunk, ' ' ORDER BY cidx)
+           FILTER (WHERE rn = 1), '') AS kept_text
+       FROM k GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_components" -> (dedupComponents _),
@@ -539,6 +602,7 @@ object Dedup {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_source_overlap" -> (sourceOverlap _),
+    "q_paragraph_dedup" -> (paragraphDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -550,5 +614,6 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_source_overlap" -> sourceOverlapSql,
+    "q_paragraph_dedup" -> paragraphDedupSql,
   )
 }

@@ -371,6 +371,55 @@ object Similarity {
        FROM assign CROSS JOIN generate_series(1, $Dim) AS g(i)
        GROUP BY cluster, i"""
 
+  /** Within-cluster cosine floor for [[semDedup]] — reuses the
+    * near-dup verify floor so the two dedup families agree on what
+    * "semantic duplicate" means at this corpus. */
+  val SemDedupCos: Double = MinCosine
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * corpus embeddings, then drop near-duplicates WITHIN each cluster
+    * — pairwise cosine is confined to cluster blocks, never the full
+    * corpus. Reuses [[ivfAssign]] as the clustering pass (one Lloyd
+    * step = [[kmeansUpdate]]); a pair at/above [[SemDedupCos]] drops
+    * the larger vec_id, so survivors are the ids never out-ranked
+    * within their cluster (keep-min — chains collapse toward the
+    * smallest id exactly like the keep-first dedup family; a dropped
+    * row's `kept_id` is its smallest above-threshold partner, which
+    * may itself be dropped — the transitive-closure view is
+    * [[Dedup]]'s `q_dedup_components`).
+    *
+    * Scale shape: total pair work is Σ|cluster|² ≈ N²/C, so the
+    * centroid count C is the corpus-scaled knob (hold N/C at ~10³–10⁴
+    * members and the per-cluster block stays a constant-sized local
+    * problem; SemDeDup itself runs 50k–100k clusters over LAION).
+    * The only corpus-wide shuffle is the equi-join on the cluster id;
+    * [[ivfSizes]] is the skew monitor — a hot cluster is re-split by
+    * further k-means iterations, not salted, because the block cost
+    * is quadratic in its size. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val assign = ivfAssign(spark, dir)
+    val a = assign.select(col("vec_id").as("ka"), col("cluster"),
+      col("v").as("va"))
+    val b = assign.select(col("vec_id").as("kb"), col("cluster"),
+      col("v").as("vb"))
+    a.join(b, Seq("cluster")).filter(col("ka") < col("kb"))
+      .withColumn("sim", r6(GraftFunctions.cosineSim(col("va"), col("vb"))))
+      .filter(col("sim") >= SemDedupCos)
+      .groupBy(col("cluster"), col("kb").as("dropped_id"))
+      .agg(min(col("ka")).as("kept_id"), max(col("sim")).as("max_sim"))
+  }
+
+  val semDedupSql: String =
+    s"""$sqlIvfAssignCte,
+       p AS (SELECT a.cluster, a.vec_id AS ka, b.vec_id AS kb,
+               ${sqlR(sqlCos("a.v", "b.v"), 6)} AS sim
+             FROM assign a JOIN assign b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       SELECT cluster, kb AS dropped_id, min(ka) AS kept_id,
+         max(sim) AS max_sim
+       FROM p WHERE sim >= $SemDedupCos GROUP BY cluster, kb"""
+
   private def embedNearDupSqlAt(planes: Int, tables: Int): String = {
     // plane p component for dim i (1-based i in SQL):
     // md5_32("p|{i-1}") / 2^32 - 0.5  — mirrors planeComponent()
@@ -407,6 +456,7 @@ object Similarity {
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_wide" -> (embedNearDupWide _),
     "q_kmeans_update" -> (kmeansUpdate _),
+    "q_semdedup" -> (semDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -417,5 +467,6 @@ object Similarity {
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_wide" -> embedNearDupWideSql,
     "q_kmeans_update" -> kmeansUpdateSql,
+    "q_semdedup" -> semDedupSql,
   )
 }
