@@ -50,6 +50,11 @@ object Bench {
         // between queries keeps storage memory from starving later
         // queries' execution memory (isolated, stable numbers).
         spark.catalog.clearCache()
+        // clearCache only covers CacheManager entries — localCheckpoint
+        // blocks are plain persistent RDDs and would otherwise pile up
+        // in the BlockManager across the whole run
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> dt
     }
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }

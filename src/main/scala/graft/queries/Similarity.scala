@@ -96,11 +96,12 @@ object Similarity {
   /** IVF cluster assignment: every vector joins the broadcast centroid
     * set (first [[NumCentroids]] vectors) and keeps its
     * highest-cosine centroid (rounded, centroid-id tie-break). */
-  private def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfAssign(spark: SparkSession, dir: String,
+      numCentroids: Int = NumCentroids): DataFrame = {
     GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-    val cent = e.filter(col("vec_id") < NumCentroids)
+    val cent = e.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
@@ -396,9 +397,17 @@ object Similarity {
     * [[ivfSizes]] is the skew monitor — a hot cluster is re-split by
     * further k-means iterations, not salted, because the block cost
     * is quadratic in its size. */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupAt(spark, dir, NumCentroids)
+
+  /** [[semDedup]] with the corpus-scaled centroid count — the knob
+    * the N²/C rule turns (hold N/C at ~10³–10⁴ members; a fixed C=16
+    * is quadratic in the corpus and dies exactly like the 16×4 LSH
+    * sizing did at 2M vectors). */
+  def semDedupAt(spark: SparkSession, dir: String,
+      numCentroids: Int): DataFrame = {
     GraftFunctions.register(spark)
-    val assign = ivfAssign(spark, dir)
+    val assign = ivfAssign(spark, dir, numCentroids)
     val a = assign.select(col("vec_id").as("ka"), col("cluster"),
       col("v").as("va"))
     val b = assign.select(col("vec_id").as("kb"), col("cluster"),
