@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the round-4 dedup/curation queries beyond their
+  * oracle hash-matches: paragraph-chunk keep-first behavior on a
+  * controlled corpus (full-duplicate docs, intra-doc repeats, empty
+  * text, partial overlap), SemDeDup output contracts (keep-min,
+  * cluster confinement, threshold floor re-verified against directly
+  * recomputed cosines), and the DSIR separation property (target
+  * docs outscore the rest on the deterministic corpus).
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- paragraphDedup on a controlled corpus ----
+
+  /** A 20-word chunk of distinct words prefixed by `p`. */
+  private def chunk(p: String): String =
+    (0 until Dedup.ChunkWords).map(i => s"$p$i").mkString(" ")
+
+  test("paragraphDedup: keep-first across docs, intra-doc repeats, empty text") {
+    val a = chunk("a"); val b = chunk("b"); val d = chunk("d")
+    val e = chunk("e"); val short = "s0 s1 s2"
+    val docs = Seq(
+      (0L, s"$a $b"), // first occurrence of A and B — all kept
+      (1L, s"$a $b"), // exact duplicate doc — keeps nothing
+      (2L, s"$d $d"), // intra-doc repeat — second D dropped
+      (3L, ""), // empty — absent from the result
+      (4L, s"$a $e"), // partial overlap — keeps only E
+      (5L, short) // sub-chunk-width doc — one (short) chunk, kept
+    )
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-paragraph-spec").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val out = Dedup.paragraphDedup(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("kept_text"))))
+      .toMap
+
+    assert(!out.contains(3L), "empty-text doc must not appear")
+    assert(out(0L) == ((2L, 2L, s"$a $b")))
+    assert(out(1L) == ((2L, 0L, "")))
+    assert(out(2L) == ((2L, 1L, d)))
+    assert(out(4L) == ((2L, 1L, e)))
+    assert(out(5L) == ((1L, 1L, short)))
+  }
+
+  test("paragraphDedup: corpus invariants at sf0.001") {
+    val rows = Dedup.paragraphDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"))
+      assert(k >= 0L && k <= n, s"doc ${r.getAs[Long]("doc_id")}: $k/$n")
+      // the re-assembled text has exactly the surviving chunk count
+      val kt = r.getAs[String]("kept_text")
+      val chunks = if (kt.isEmpty) 0
+        else (kt.split(" ").length + Dedup.ChunkWords - 1) / Dedup.ChunkWords
+      assert(chunks <= n.toInt)
+    }
+  }
+
+  // ---- semDedup contracts at sf0.001 ----
+
+  private def cos(x: Array[Double], y: Array[Double]): Double = {
+    val dot = x.zip(y).map { case (p, q) => p * q }.sum
+    val nx = math.sqrt(x.map(v => v * v).sum)
+    val ny = math.sqrt(y.map(v => v * v).sum)
+    if (nx == 0 || ny == 0) 0.0 else dot / (nx * ny)
+  }
+
+  test("semDedup: keep-min, cluster confinement, threshold floor") {
+    val vecs = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    // reference assignment: argmax cosine over the first NumCentroids
+    // vectors, centroid-id tie-break (mirrors ivfAssign)
+    val centroids = (0L until Similarity.NumCentroids.toLong)
+      .map(i => i -> vecs(i))
+    def cluster(id: Long): Long = centroids
+      .map { case (cid, cv) =>
+        (BigDecimal(cos(vecs(id), cv))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP), cid)
+      }
+      .maxBy { case (s, cid) => (s, -cid) }._2
+
+    val rows = Similarity.semDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val dropped = rows.map(_.getAs[Long]("dropped_id"))
+    assert(dropped.distinct.length == dropped.length,
+      "a vector is dropped at most once")
+    rows.foreach { r =>
+      val (cl, dr, kp, ms) = (r.getAs[Long]("cluster"),
+        r.getAs[Long]("dropped_id"), r.getAs[Long]("kept_id"),
+        r.getAs[Double]("max_sim"))
+      assert(kp < dr, s"keep-min violated: $kp !< $dr")
+      assert(cluster(dr) == cl && cluster(kp) == cl,
+        s"pair ($kp,$dr) not confined to cluster $cl")
+      // every partner cleared the floor; the min partner is one
+      assert(cos(vecs(kp), vecs(dr)) >= Similarity.SemDedupCos - 1e-6)
+      assert(ms >= Similarity.SemDedupCos)
+    }
+  }
+
+  // ---- DSIR separation on the deterministic corpus ----
+
+  test("dsirWeights: target-domain docs outscore the rest") {
+    val scores = Curation.dsirWeights(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score"))
+      .toMap
+    val bySource = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val (target, rest) = bySource.partition(_._2 == Curation.DsirTarget)
+    assert(target.nonEmpty && rest.nonEmpty)
+    def mean(xs: Seq[Double]): Double = xs.sum / xs.size
+    val mt = mean(target.map(t => scores(t._1)).toSeq)
+    val mr = mean(rest.map(t => scores(t._1)).toSeq)
+    assert(mt > mr,
+      f"target mean $mt%.3f not above rest mean $mr%.3f")
+  }
+}
