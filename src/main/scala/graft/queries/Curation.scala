@@ -597,27 +597,31 @@ object Curation {
     * explode never regroups across the cluster — explode preserves
     * row locality, so the per-doc sum partial-aggregates each
     * document back to one row map-side and the only corpus-wide
-    * shuffle carries ~one narrow row per document. Counting passes
-    * are map-side-combined groupBys; the three scalars (token totals
-    * + vocab size) are a bounded head() like the broadcast-threshold
-    * collects elsewhere. */
+    * shuffle carries ~one narrow row per document. NOTHING
+    * corpus-sized is ever cached: one counting pass folds corpus and
+    * target counts into the vocab-sized table in the same map-side-
+    * combined groupBy (a conditional count, not a second scan), the
+    * three scalars (token totals + vocab size) are aggregates OF that
+    * table, and the scoring pass re-derives the word explode from the
+    * narrow (doc_id, text) scan — two scans of the source beat a
+    * 40×-corpus-row persist at any real scale (the packSequences
+    * recompute-vs-cache lesson, NOTES.md). */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.fanOut(t(spark, dir, "documents"))
+    def words = Tables.fanOut(t(spark, dir, "documents"))
       .select(col("doc_id"), col("source"),
         explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
-      .persist() // consumed by both count passes, the totals, the score join
-    val corpus = words.groupBy("w").agg(count(lit(1)).as("n_c"))
-    val target = words.filter(col("source") === DsirTarget)
-      .groupBy("w").agg(count(lit(1)).as("n_t"))
-    val tot = words.agg(
-      count(lit(1)).as("tc"),
-      count(when(col("source") === DsirTarget, 1)).as("tt"),
-      countDistinct(col("w")).as("v")).head()
+    val counts = words.groupBy("w").agg(
+      count(lit(1)).as("n_c"),
+      count(when(col("source") === DsirTarget, 1)).as("n_t"))
+      .persist() // vocab-sized: totals aggregate + ratio projection
+    val tot = counts.agg(
+      sum(col("n_c")).as("tc"), sum(col("n_t")).as("tt"),
+      count(lit(1)).as("v")).head()
     val (totC, totT, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
-    val ratios = corpus.join(target, Seq("w"), "left")
+    val ratios = counts
       .select(col("w"),
-        (((coalesce(col("n_t"), lit(0L)) + lit(1L)) / lit(totT + v)) /
+        (((col("n_t") + lit(1L)) / lit(totT + v)) /
           ((col("n_c") + lit(1L)) / lit(totC + v))).as("r"))
       .select(col("w"), ((col("r") - lit(1.0)) / (col("r") + lit(1.0)))
         .as("wscore"))
