@@ -372,6 +372,64 @@ object Similarity {
        FROM assign CROSS JOIN generate_series(1, $Dim) AS g(i)
        GROUP BY cluster, i"""
 
+  /** Two-level (coarse→fine) IVF assignment — the scale rung past
+    * the flat [[ivfAssign]] crossJoin, whose N·C cosine bill becomes
+    * the bottleneck once C is corpus-scaled (NOTES.md: at 2M vectors
+    * with C=2000 the flat assign alone is ~2.6e11 multiplies). The
+    * FAISS-style factorization: fine centroids group under their
+    * nearest of G coarse centroids (a tiny C×G block), each vector
+    * finds its top-`probeCoarse` coarse groups (N·G work) and then
+    * argmaxes only over those groups' fine centroids (N·P·C/G when
+    * balanced) — G ≈ √C turns N·C into ~N·(1+2P)·√C.
+    *
+    * APPROXIMATE by construction: a vector whose true nearest fine
+    * centroid lives just across a coarse boundary mis-assigns under
+    * small `probeCoarse` (the recall/cost dial, exactly probe-1 vs
+    * probe-2 at the search layer); `probeCoarse = numCoarse` probes
+    * everything and is spec-pinned EQUAL to the flat assignment.
+    * Catalog queries stay on the exact flat assign (oracle-gated);
+    * this operator is for corpus-scaled C where exactness of the
+    * cluster boundary is not part of the contract (SemDeDup,
+    * index builds).
+    *
+    * @param e (vec_id, v) corpus; first `numCentroids` rows double as
+    *          fine centroids, first `numCoarse` as coarse (the same
+    *          leading-rows convention as [[ivfAssign]])
+    */
+  def assignTwoLevel(e: DataFrame, numCentroids: Int, numCoarse: Int,
+      probeCoarse: Int = 2): DataFrame = {
+    require(numCoarse > 0 && numCoarse <= numCentroids,
+      s"coarse count $numCoarse outside 1..$numCentroids")
+    require(probeCoarse > 0, "probeCoarse must be positive")
+    val fine = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val coarse = e.filter(col("vec_id") < numCoarse)
+      .select(col("vec_id").as("gid"), col("v").as("gv"))
+    val wf = Window.partitionBy(col("cid"))
+      .orderBy(col("gsim").desc, col("gid"))
+    val fineGroups = fine.crossJoin(broadcast(coarse))
+      .withColumn("gsim", r6(GraftFunctions.cosineSim(col("cv"), col("gv"))))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") === 1)
+      .select(col("gid"), col("cid"), col("cv"))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("vsim").desc, col("gid"))
+    val vGroups = e.crossJoin(broadcast(coarse))
+      .withColumn("vsim", r6(GraftFunctions.cosineSim(col("v"), col("gv"))))
+      .withColumn("rk", row_number().over(wv))
+      .filter(col("rk") <= probeCoarse)
+      .select(col("vec_id"), col("v"), col("gid"))
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    vGroups.join(broadcast(fineGroups), Seq("gid"))
+      .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
+      .withColumn("crk", row_number().over(wa))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("v"))
+      // same twice-consumed contract as ivfAssign
+      .persist()
+  }
+
   /** Within-cluster cosine floor for [[semDedup]] — reuses the
     * near-dup verify floor so the two dedup families agree on what
     * "semantic duplicate" means at this corpus. */
@@ -407,7 +465,14 @@ object Similarity {
   def semDedupAt(spark: SparkSession, dir: String,
       numCentroids: Int): DataFrame = {
     GraftFunctions.register(spark)
-    val assign = ivfAssign(spark, dir, numCentroids)
+    semDedupFromAssign(ivfAssign(spark, dir, numCentroids))
+  }
+
+  /** The within-cluster pruning stage of [[semDedup]] over ANY
+    * (vec_id, cluster, v) assignment — flat ([[ivfAssign]]) for the
+    * oracle-exact catalog entry, [[assignTwoLevel]] for corpus-scaled
+    * C where the assign itself must be factorized. */
+  def semDedupFromAssign(assign: DataFrame): DataFrame = {
     val a = assign.select(col("vec_id").as("ka"), col("cluster"),
       col("v").as("va"))
     val b = assign.select(col("vec_id").as("kb"), col("cluster"),
