@@ -530,6 +530,46 @@ object Dedup {
        FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
        GROUP BY 1, 2"""
 
+  /** Increment boundary for [[dedupIncremental]]: doc_id below is the
+    * already-ingested corpus, at/above is the new batch. */
+  val IncrementalCut = 400L
+
+  /** Incremental exact dedup — the operational shape of a corpus
+    * that GROWS (daily crawl drops): the existing corpus is
+    * represented only by its fingerprint store, and a new batch
+    * survives if (a) its fingerprint is absent from the store and
+    * (b) it is first within the batch. The reference's
+    * `drop_duplicates` re-scans the whole corpus per run; at 100 TB
+    * the store is a materialized fingerprint table (a few bytes per
+    * document) and each increment costs one anti-join of the BATCH
+    * against it — corpus text is never re-read.
+    *
+    * Scale shape: both join sides are narrow (fp[, doc_id]); with the
+    * store parquet bucketed by fp the anti-join co-locates and only
+    * the increment shuffles. Survivors' fingerprints appended to the
+    * store keep the next run incremental. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val f = t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val store = f.filter(col("doc_id") < IncrementalCut)
+      .select(col("fp")).distinct()
+    val inc = f.filter(col("doc_id") >= IncrementalCut)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    inc.join(store, Seq("fp"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH f AS (SELECT doc_id, md5($SqlNorm) AS fp FROM documents),
+       store AS (SELECT DISTINCT fp FROM f WHERE doc_id < $IncrementalCut),
+       inc AS (SELECT doc_id, fp FROM f WHERE doc_id >= $IncrementalCut)
+       SELECT doc_id, fp FROM (
+         SELECT doc_id, fp,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         FROM inc WHERE fp NOT IN (SELECT fp FROM store)) WHERE rn = 1"""
+
   /** Chunk width (words) for [[paragraphDedup]] — the "paragraph"
     * granule of a corpus whose documents carry no layout breaks. */
   val ChunkWords = 20
@@ -603,6 +643,7 @@ object Dedup {
     "q_dedup_ngram" -> (dedupNgram _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_paragraph_dedup" -> (paragraphDedup _),
+    "q_dedup_incremental" -> (dedupIncremental _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -615,5 +656,6 @@ object Dedup {
     "q_dedup_ngram" -> dedupNgramSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_paragraph_dedup" -> paragraphDedupSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
   )
 }

@@ -67,6 +67,29 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  // ---- dedupIncremental on a controlled corpus ----
+
+  test("dedupIncremental: store suppresses, within-batch keeps first") {
+    val cut = Dedup.IncrementalCut
+    val docs = Seq(
+      (0L, "alpha beta gamma"), // in store
+      (1L, "delta epsilon"), // in store
+      (cut, "alpha beta gamma"), // dup of stored doc 0 — dropped
+      (cut + 1, "zeta eta theta"), // fresh — kept
+      (cut + 2, "iota kappa"), // first of an in-batch pair — kept
+      (cut + 3, "iota kappa") // second of the pair — dropped
+    )
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-incremental-spec").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kept = Dedup.dedupIncremental(spark, tmp).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept == Seq(cut + 1, cut + 2))
+  }
+
   // ---- semDedup contracts at sf0.001 ----
 
   private def cos(x: Array[Double], y: Array[Double]): Double = {
