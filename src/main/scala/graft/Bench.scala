@@ -1,12 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: times every catalog query at the configured
   * scale factor and prints ONE JSON line. Queries run in sorted name
   * order (deterministic attribution run-to-run); a small warmup query
   * first absorbs JVM/codegen startup so per-query numbers reflect the
-  * plans, not JIT. */
+  * plans, not JIT.
+  *
+  * Queries are forced with a noop-format write, NOT count():
+  * count() invites Catalyst to prune every unconsumed column and to
+  * eliminate left joins against per-key aggregates — a query whose
+  * cost lives in such a branch (e.g. a text-rebuild join) would time
+  * as a bare scan. The noop sink consumes every column of every row,
+  * so the timed plan is the plan a real consumer pays for. */
 object Bench {
+
+  /** Materialize the full result (all columns, all rows) without
+    * writing anywhere. */
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,7 +34,7 @@ object Bench {
     // event windows) before any timed query
     for (w <- Seq("q_join_star", "q_dedup_exact", "q_text_stats",
         "q_ivf_sizes", "q_events_hourly"))
-      try SparkEntry.queries(w)(spark, sfDir).count()
+      try force(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
     spark.catalog.clearCache()
     val selected = if (args.nonEmpty) {
@@ -36,7 +48,7 @@ object Bench {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true } catch {
+          try { force(fn(spark, sfDir)); true } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, LoadBytes, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
 import graft.operators.SerializableHadoopConf
@@ -113,6 +113,14 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 1, "compress_ratio takes exactly 1 argument")
         CompressRatio(args.head)
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "bloom_might_contain takes (bloom binary literal, long value)")
+        BloomFilterMightContain(args.head, args(1))
       }),
     (FunctionIdentifier("load_bytes"),
       new ExpressionInfo(classOf[LoadBytes].getName, "load_bytes"),
@@ -260,4 +268,16 @@ object GraftFunctions {
     * drop-on-error discipline; follow with a null filter. */
   def tryLoadBytes(path: Column): Column =
     call_function("try_load_bytes", path)
+
+  /** Map-side membership probe against a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` — Spark's own
+    * codegen'd `BloomFilterMightContain` (the engine's runtime-filter
+    * expression), exposed for explicit sketch-prefilter plans. The
+    * filter bytes ride the plan as a literal, so every task probes
+    * locally; no shuffle, no broadcast join. May return false
+    * positives, never false negatives — always follow with an exact
+    * verify when exactness is required. */
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    call_function("bloom_might_contain",
+      org.apache.spark.sql.functions.lit(bloomBytes), value)
 }

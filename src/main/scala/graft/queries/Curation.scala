@@ -222,6 +222,58 @@ object Curation {
        GROUP BY doc_id"""
   }
 
+  /** Bloom sizing for [[decontaminateBloom]]: ~1.2 MB per million
+    * grams at this rate — a benchmark suite of 10M distinct grams is
+    * a ~12 MB literal, still trivially shippable to every task. */
+  val BloomFpp = 0.01
+
+  /** [[decontaminateNgram]] at the next scale rung: when the eval
+    * suite's gram set outgrows an exact broadcast (hundreds of
+    * millions of grams — an exact long set costs ~8 B/entry plus
+    * hash-set overhead, a bloom ~1.2 bits), prefilter the corpus side
+    * with a Bloom sketch of the eval grams, then exact-verify the
+    * survivors with a shuffled join. The cascade is EXACTLY equal to
+    * the exact path — a Bloom filter has no false negatives, and the
+    * verify join removes its false positives — so this query shares
+    * [[decontaminateNgramSql]]'s oracle verbatim: the hash gate IS
+    * the proof the cascade loses nothing.
+    *
+    * Scale shape: the corpus-side gram explosion meets the sketch
+    * map-side (Spark's codegen'd `BloomFilterMightContain`, filter
+    * bytes inlined in the plan) and only candidate grams — true
+    * leaks plus the fpp tail — reach the exchange. The exact path
+    * shuffles nothing of the corpus either (it broadcasts the eval
+    * set), but its broadcast is the piece that dies at benchmark-
+    * suite scale; the bloom build (distributed aggregate over the
+    * tiny eval side) and the verify shuffle (leak-sized) both stay
+    * bounded. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val grams = Tables.fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .wordGramHashes(col("text"), DecontamN)).as("gh"))
+    // Eval side is benchmark-sized (tiny next to the corpus), with
+    // three consumers — count (sizes the sketch), sketch build, and
+    // the verify join — so persisting it is bounded and saves two
+    // recomputes of the eval-doc gram fan-out.
+    val evalGrams = grams.filter(col("doc_id") % 20 === 0)
+      .select(col("gh")).distinct().persist()
+    val n = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("gh", n, BloomFpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    grams.filter(col("doc_id") % 20 =!= 0)
+      .filter(graft.functions.GraftFunctions
+        .bloomMightContain(bytes, col("gh")))
+      .join(evalGrams, Seq("gh")) // exact verify: kills fp survivors
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_shared_grams"))
+  }
+
   /** Overall keep budget for temperature mixture sampling. */
   val MixtureKeepFraction = 0.25
 
@@ -658,6 +710,7 @@ object Curation {
     "q_pack_sequences" -> (packSequences _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_ngram" -> (decontaminateNgram _),
+    "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_gopher_rules" -> (gopherRules _),
     "q_mixture_sample" -> (mixtureSample _),
     "q_dsir_weights" -> (dsirWeights _),
@@ -671,6 +724,8 @@ object Curation {
     "q_pack_sequences" -> packSequencesSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_ngram" -> decontaminateNgramSql,
+    // Bloom prefilter + exact verify ≡ exact: same oracle verbatim.
+    "q_decontaminate_bloom" -> decontaminateNgramSql,
     "q_gopher_rules" -> gopherRulesSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_dsir_weights" -> dsirWeightsSql,

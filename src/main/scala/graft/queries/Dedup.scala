@@ -380,14 +380,11 @@ object Dedup {
       .otherwise((sz
         - when(col("text").rlike("^\\s"), 1).otherwise(0)
         - when(col("text").rlike("\\s$"), 1).otherwise(0)).cast("long"))
-    val toks = Tables.fanOut(t(spark, dir, "documents"))
-      .select(col("doc_id"), nTokens.as("n_tokens"),
-        graft.functions.GraftFunctions.wordGramHashes(col("text"), CoverN)
-          .as("ghs"))
-      .persist()
     // (doc_id, pos, gram-hash): pos is the gram's 0-based start token
-    val occ = toks.select(col("doc_id"),
-      posexplode(col("ghs")).as(Seq("pos", "gh")))
+    val occ = Tables.fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions
+          .wordGramHashes(col("text"), CoverN)).as(Seq("pos", "gh")))
     val dup = occ.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= CoverMinDocs)
@@ -397,7 +394,8 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + lit(CoverN - 1))).as("p"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("p")).as("covered_tokens"))
-    toks.select(col("doc_id"), col("n_tokens"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), nTokens.as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
@@ -427,6 +425,110 @@ object Dedup {
          coalesce(covered_tokens, 0)::BIGINT AS covered_tokens,
          ${sqlR("CASE WHEN n_tokens = 0 THEN 0.0 ELSE coalesce(covered_tokens, 0)::DOUBLE / n_tokens END", 4)} AS dup_coverage
        FROM n LEFT JOIN c USING (doc_id)"""
+  }
+
+  /** ExactSubstr-STYLE REMOVAL (Lee et al. 2107.06499 §4.1, the
+    * cleanup step on top of [[dupGramCoverage]]'s signal): rewrite
+    * each document with duplicated spans removed, keeping exactly ONE
+    * canonical copy corpus-wide. Span proxy = word [[CoverN]]-grams
+    * occurring in ≥ [[CoverMinDocs]] docs (the suffix-array maximal
+    * match of the paper does not distribute; the fixed-width gram
+    * grid is the standard scalable proxy). Canonical occurrence of a
+    * gram = lexicographic min (doc_id, pos); a token position is
+    * removed iff some duplicated-gram occurrence covers it and NO
+    * canonical occurrence does — so the first copy survives intact
+    * and later copies lose exactly the duplicated region. Output is
+    * the normalized token stream (lowercased, single-spaced), the
+    * convention of pipelines that tokenize before dedup and
+    * detokenize after.
+    *
+    * Scale shape: grams ride shuffles as positional 60-bit longs
+    * (strings never leave the map side); the canonical occurrence is
+    * one `min(struct(doc, pos))` partial-agg per gram — no window,
+    * no sort; covered positions aggregate per (doc, pos) with a
+    * boolean max. The rebuild never shuffles the corpus: removed
+    * positions collapse to ONE per-doc int list (leak-sized — dup
+    * coverage × corpus, the vanishing fraction at 100 TB) and join
+    * back to a second narrow scan; clean docs take the null branch
+    * (no per-token lambda), only leaking docs pay the HOF filter. */
+  def dupGramRemoval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // The occurrence set has two consumers (dup-set aggregate,
+    // canonical re-join) and is deliberately NOT persisted: caching
+    // the corpus-sized gram arrays was MEASURED slower than hashing
+    // twice (500k docs: 30.5s cached vs 24.3s recomputed — the
+    // MEMORY_AND_DISK round-trip of ~GB arrays costs more than the
+    // md5 map work it saves), the same lesson as packSequences.
+    val occ = Tables.fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions
+          .wordGramHashes(col("text"), CoverN)).as(Seq("pos", "gh")))
+    val dup = occ.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= CoverMinDocs)
+      .select(col("gh"))
+    val docc = occ.join(dup, Seq("gh"), "left_semi")
+    val canon = docc.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val removed = docc.join(canon, Seq("gh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(CoverN - 1))).as("p"),
+        (struct(col("doc_id"), col("pos")) === col("c")).as("is_canon"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(max(col("is_canon")).as("anyc"))
+      .filter(!col("anyc"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("p")).as("rem_ps"))
+    // array_remove(split) = tokens() without the interpreted HOF —
+    // empties only arise at the edges, so removal ≡ the filter form
+    val ws = array_remove(split(lower(col("text")), "\\s+"), "")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        when(col("rem_ps").isNull, lit(0L))
+          .otherwise(size(col("rem_ps")).cast("long")).as("n_removed"),
+        when(col("rem_ps").isNull, concat_ws(" ", col("ws")))
+          .otherwise(concat_ws(" ",
+            filter(col("ws"),
+              (w, i) => !array_contains(col("rem_ps"), i))))
+          .as("clean_text"))
+  }
+
+  val dupGramRemovalSql: String = {
+    import TextAnalysis.SqlToksLower
+    s"""WITH w AS (SELECT doc_id, $SqlToksLower AS ts FROM documents),
+       o AS (SELECT doc_id, ts AS ws,
+         unnest(range(0, greatest(length(ts) - ${CoverN - 1}, 0))) AS i
+       FROM w),
+       g AS (SELECT doc_id, i,
+         CAST(concat('0x', substring(md5(
+           array_to_string(ws[i+1:i+$CoverN], ' ')), 1, 15)) AS BIGINT) AS gh
+       FROM o),
+       d AS (SELECT gh FROM g GROUP BY gh
+             HAVING count(DISTINCT doc_id) >= $CoverMinDocs),
+       dc AS (SELECT doc_id, i, gh,
+              row_number() OVER (PARTITION BY gh ORDER BY doc_id, i) = 1
+                AS canon
+              FROM g JOIN d USING (gh)),
+       cp AS (SELECT doc_id, i + unnest(range(0, $CoverN)) AS p, canon
+              FROM dc),
+       rp AS (SELECT doc_id, p FROM cp GROUP BY doc_id, p
+              HAVING NOT bool_or(canon)),
+       tok AS (SELECT doc_id, unnest(range(0, length(ts))) AS p FROM w),
+       kept AS (SELECT tok.doc_id, tok.p FROM tok
+                ANTI JOIN rp USING (doc_id, p)),
+       cln AS (SELECT kept.doc_id,
+                 string_agg(w.ts[kept.p + 1], ' ' ORDER BY kept.p) AS ct
+               FROM kept JOIN w ON kept.doc_id = w.doc_id
+               GROUP BY kept.doc_id),
+       r AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+             FROM rp GROUP BY doc_id)
+       SELECT w.doc_id, length(ts)::BIGINT AS n_tokens,
+         coalesce(r.n_removed, 0)::BIGINT AS n_removed,
+         coalesce(cln.ct, '') AS clean_text
+       FROM w LEFT JOIN r USING (doc_id) LEFT JOIN cln USING (doc_id)"""
   }
 
   /** Near-dup CLUSTERS from the verified MinHash pairs: transitive
@@ -637,6 +739,7 @@ object Dedup {
     "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_components" -> (dedupComponents _),
     "q_dup_gram_coverage" -> (dupGramCoverage _),
+    "q_dup_gram_removal" -> (dupGramRemoval _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
@@ -650,6 +753,7 @@ object Dedup {
     "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_dup_gram_coverage" -> dupGramCoverageSql,
+    "q_dup_gram_removal" -> dupGramRemovalSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
