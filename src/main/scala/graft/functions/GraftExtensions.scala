@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, LoadBytes, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
+import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, LangId, LoadBytes, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
 import graft.operators.SerializableHadoopConf
 import graft.plans.HoistPayloadLoad
 
@@ -107,6 +107,12 @@ object GraftFunctions {
           foldableInt(args(1), "hyperplane_buckets"),
           foldableInt(args(2), "hyperplane_buckets"),
           foldableInt(args(3), "hyperplane_buckets"))
+      }),
+    (FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "lang_id takes exactly 1 argument")
+        LangId(args.head)
       }),
     (FunctionIdentifier("compress_ratio"),
       new ExpressionInfo(classOf[CompressRatio].getName, "compress_ratio"),
@@ -250,6 +256,12 @@ object GraftFunctions {
     call_function("hyperplane_buckets", vec, lit(planes), lit(tables),
       lit(dim))
   }
+
+  /** One-pass native language ID (see
+    * [[graft.functions.expressions.LangId]]); bit-identical to the
+    * composable [[TextFunctions.langId]] fold. */
+  def langIdNative(text: Column): Column =
+    call_function("lang_id", text)
 
   /** Deterministic deflate compression ratio (see
     * [[graft.functions.expressions.CompressRatio]]); spec-verified —

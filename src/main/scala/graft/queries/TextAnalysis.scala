@@ -113,10 +113,18 @@ object TextAnalysis {
        FROM f"""
 
   /** Heuristic language ID per document (script check then marker-word
-    * argmax with first-wins ties — TextFunctions.langId). */
-  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    * argmax with first-wins ties). Runs the fused native
+    * [[graft.functions.expressions.LangId]] — the composable
+    * TextFunctions.langId fold re-tokenizes per duplicated CASE branch
+    * in interpreted projection (no CSE outside codegen; measured
+    * ~0.5 ms/row at sf0.1); the parity spec pins native == fold. */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     t(spark, dir, "documents").select(
-      col("doc_id"), langId(col("text")).as("lang_pred"))
+      col("doc_id"),
+      graft.functions.GraftFunctions.langIdNative(col("text"))
+        .as("lang_pred"))
+  }
 
   val textLangIdSql: String = {
     val scoreCols = LangMarkers.map { case (l, ms) =>
@@ -137,12 +145,22 @@ object TextAnalysis {
        FROM sc"""
   }
 
-  /** Exact + rolling-window content fingerprints per document. */
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+  /** Exact + rolling-window content fingerprints per document. The
+    * window sketch builds on the native [[graft.functions.expressions
+    * .WordShingles]]: the composable `shingles` inlines its token
+    * array into the per-window slice lambda, so interpreted eval
+    * re-tokenizes the document once PER WINDOW (~1 ms/row at sf0.1);
+    * with the fused shingler the md5 lambda touches only materialized
+    * strings. Bit-equality is the WordShingles parity spec. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     t(spark, dir, "documents").select(
       col("doc_id"),
       fingerprint(col("text")).as("fp"),
-      windowFingerprint(col("text"), 8).as("win_fp"))
+      array_min(transform(
+        graft.functions.GraftFunctions.wordShingles(col("text"), 8),
+        s => md5(s.cast("binary")))).as("win_fp"))
+  }
 
   val textFingerprintSql: String =
     s"""WITH n AS (SELECT doc_id, $SqlNorm AS nt FROM documents),
