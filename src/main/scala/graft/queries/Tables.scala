@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table access for the driver's synthetic testdata
   * (TESTDATA.md): one parquet file per table under the sf dir. */
@@ -18,11 +20,33 @@ object Tables {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    // default; read it as a nanosecond-epoch long (queries derive
-    // seconds/buckets with integer arithmetic — ns values overflow
-    // double precision, so no float math on raw ts).
+    // events.ts has shipped as TIMESTAMP(NANOS) in some testdata
+    // generations (which Spark 4 rejects unless read as a long) and as
+    // TIMESTAMP(MICROS) in others. nanosAsLong covers the former;
+    // normalizeEventTs below folds every variant to one contract.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** All event-time queries (and their DuckDB oracles, via
+    * `epoch_us(ts)`) assume `ts` is a nanosecond-epoch LONG — integer
+    * arithmetic only, because ns magnitudes overflow double precision.
+    * Testdata generations differ: TIMESTAMP(NANOS) parquet arrives as
+    * that long directly (nanosAsLong), TIMESTAMP(MICROS) arrives as
+    * TIMESTAMP_NTZ/TIMESTAMP. Fold the timestamp variants to the same
+    * ns-epoch long; sessions run with spark.sql.session.timeZone=UTC,
+    * so the NTZ wall-clock reinterpretation is the identity and
+    * matches DuckDB's naive-as-UTC `epoch_us`. */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: expected long or timestamp, got $other")
+    }
 }
