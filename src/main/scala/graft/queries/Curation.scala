@@ -702,6 +702,82 @@ object Curation {
        SELECT doc_id, ${sqlR("sum(wscore)", 6)} AS dsir_score
        FROM wds JOIN ws USING (w) GROUP BY doc_id"""
 
+  /** Bigram-LM fluency score — the CCNet-style language-model-fit
+    * signal (Wenzek et al. 2019, arXiv:1911.00359 rank documents by
+    * the perplexity of an LM trained on a trusted corpus; here the LM
+    * is a Laplace-smoothed bigram model trained on the corpus
+    * itself). Per adjacent word pair, the model compares the
+    * context-conditioned probability to the unigram baseline,
+    * r = p(w2|w1) / p(w2); the document score is the mean of
+    * tanh(½·ln r) = (r−1)/(r+1) over its pairs — monotone in the mean
+    * log-ratio (pointwise mutual information), and algebraic-only so
+    * the DuckDB oracle reproduces it bit-for-bit (the libm-avoidance
+    * rule of [[dsirWeights]]). Fluent/repetitive word sequences score
+    * high (their bigrams are predictable from context); shuffled or
+    * gibberish text scores ≈ 0. Documents with fewer than two words
+    * have no bigrams and are absent from the output.
+    *
+    * Smoothing denominators: p(w2|w1) uses w1's unigram count (not
+    * its context count — identical except for document-final words,
+    * and one fewer vocab-sized table), V = unigram vocab size.
+    *
+    * Scale shape (the [[dsirWeights]] discipline): unigram and bigram
+    * count tables are vocab-sized — a production config hash-buckets
+    * bigrams to a fixed width before the broadcast; the word/bigram
+    * explodes stay map-side (explode preserves row locality, so the
+    * per-doc mean partial-aggregates before the one narrow per-doc
+    * shuffle), and nothing corpus-sized is persisted — the bigram
+    * stream is re-derived from the narrow (doc_id, text) scan for the
+    * scoring pass. */
+  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    def docs = Tables.fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => w =!= "").as("a"))
+    def pairs = docs
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+           (x, y) -> struct(x AS w1, y AS w2))""")).as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val uni = docs.select(explode(col("a")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+      .persist() // vocab-sized: totals aggregate + two ratio joins
+    val tot = uni.agg(coalesce(sum(col("nw")), lit(0L)), count(lit(1))).head()
+    val (totW, v) = (tot.getLong(0), tot.getLong(1))
+    val terms = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+      .join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
+      .select(col("w1"), col("w2"),
+        (((col("nb") + lit(1L)) / (col("n1") + lit(v))) /
+          ((col("n2") + lit(1L)) / lit(totW + v))).as("r"))
+      .select(col("w1"), col("w2"),
+        ((col("r") - lit(1.0)) / (col("r") + lit(1.0))).as("term"))
+    pairs.join(broadcast(terms), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(r6(avg(col("term"))).as("lm_score"))
+  }
+
+  val lmFluencySql: String =
+    s"""WITH d AS (SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+         FROM documents),
+       wds AS (SELECT doc_id, unnest(a) AS w FROM d),
+       uni AS (SELECT w, count(*) AS nw FROM wds GROUP BY w),
+       tot AS (SELECT (SELECT sum(nw) FROM uni) AS t,
+                 (SELECT count(*) FROM uni) AS v),
+       p2 AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM
+               (SELECT doc_id,
+                  unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+                FROM d WHERE len(a) >= 2)),
+       big AS (SELECT w1, w2, count(*) AS nb FROM p2 GROUP BY 1, 2),
+       rt AS (SELECT b.w1, b.w2,
+                ((b.nb + 1) / (u1.nw + v)) / ((u2.nw + 1) / (t + v)) AS r
+              FROM big b JOIN uni u1 ON b.w1 = u1.w
+                JOIN uni u2 ON b.w2 = u2.w CROSS JOIN tot),
+       ws AS (SELECT w1, w2, (r - 1.0) / (r + 1.0) AS term FROM rt)
+       SELECT doc_id, ${sqlR("avg(term)", 6)} AS lm_score
+       FROM p2 JOIN ws USING (w1, w2) GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q_token_budget" -> (tokenBudget _),
     "q_quality_threshold" -> (qualityThreshold _),
@@ -714,6 +790,7 @@ object Curation {
     "q_gopher_rules" -> (gopherRules _),
     "q_mixture_sample" -> (mixtureSample _),
     "q_dsir_weights" -> (dsirWeights _),
+    "q_lm_fluency" -> (lmFluency _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -729,5 +806,6 @@ object Curation {
     "q_gopher_rules" -> gopherRulesSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_dsir_weights" -> dsirWeightsSql,
+    "q_lm_fluency" -> lmFluencySql,
   )
 }

@@ -136,6 +136,49 @@ class SemanticDedupSpec extends SparkSpec {
 
   // ---- DSIR separation on the deterministic corpus ----
 
+  // ---- bigram-LM fluency separation on a controlled corpus ----
+
+  test("lmFluency: coherent word order outscores shuffled; edge docs") {
+    val fluentWords = (0 until 9).map(i => s"f$i")
+    val fluent = fluentWords.mkString(" ") // fixed order, every doc
+    val shuffledWords = (0 until 9).map(i => s"s$i")
+    val rng = new scala.util.Random(7)
+    def shuffled(): String = rng.shuffle(shuffledWords).mkString(" ")
+    val docs =
+      (0L until 6L).map(i => (i, (1 to 4).map(_ => fluent).mkString(" "))) ++
+        (6L until 12L).map(i =>
+          (i, (1 to 4).map(_ => shuffled()).mkString(" "))) ++
+        Seq((12L, "lonely"), (13L, "")) // no bigrams — absent
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lmfluency-spec").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val scores = Curation.lmFluency(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_score"))
+      .toMap
+    assert(!scores.contains(12L) && !scores.contains(13L),
+      "docs without bigrams must be absent")
+    scores.values.foreach(s => assert(s > -1.0 && s < 1.0))
+    def mean(xs: Iterable[Double]): Double = xs.sum / xs.size
+    val mf = mean((0L until 6L).map(scores))
+    val ms = mean((6L until 12L).map(scores))
+    assert(mf > ms,
+      f"fluent mean $mf%.4f not above shuffled mean $ms%.4f")
+  }
+
+  test("lmFluency: empty documents table yields empty result") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lmfluency-empty").toString
+    spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Curation.lmFluency(spark, tmp).count() === 0L)
+  }
+
   test("dsirWeights: target-domain docs outscore the rest") {
     val scores = Curation.dsirWeights(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score"))
