@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -522,6 +522,172 @@ object Similarity {
   val embedNearDupWideSql: String =
     embedNearDupSqlAt(WidePlanes, WideTables)
 
+  // ---- Product quantization (PQ encode + ADC search) ----
+
+  /** PQ geometry (Jégou/Douze/Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split the 64-dim space
+    * into [[PqM]] 8-dim subspaces, quantize each segment to one of
+    * [[PqK]] codewords, so a vector compresses 64 doubles → 8 code
+    * ids. A production config runs K=256 (one byte per subspace —
+    * 512 GB of raw 100 TB-scale embeddings become ~1 TB of codes
+    * that fit a fraction of the cluster's memory); K=16 here keeps
+    * the oracle's N·M·K intermediate DuckDB-sized. */
+  val PqM = 8
+  val PqK = 16
+  val PqSubDim: Int = Dim / PqM
+
+  /** Squared L2 distance between an 8-element segment column and a
+    * codeword segment, rounded r6. Per-subspace rounding is what
+    * makes the ADC SUM order-independent across engines: each rounded
+    * term sits ~1e-16 from an exact multiple of 1e-6, so
+    * re-associating an 8-term sum perturbs it by ~1e-15 — far inside
+    * the 1e-9 epsilon guard of the final rounding — while unrounded
+    * terms would let DuckDB's aggregate order flip the 6th decimal of
+    * a near-boundary sum.
+    *
+    * Evaluation-cost discipline (measured, NOTES.md): HOFs run as
+    * CodegenFallback with NO common-subexpression elimination, so
+    * every operand is a tree re-evaluated per reference. `zip_with`
+    * binds both elements to lambda variables (evaluated once), and
+    * the fold runs over the zipped array — index order matches the
+    * ascending-j formulation, so r6 values are bit-identical to the
+    * oracle's `generate_series` mirror. */
+  private def subDistSq(seg: Column, cseg: Column): Column =
+    r6(aggregate(
+      zip_with(seg, cseg, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z))
+
+  /** DuckDB mirror of [[subDistSq]] (1-based list indexing matches
+    * `element_at`; `mref` names the in-scope subspace column). */
+  private def sqlSubDistSq(a: String, c: String, mref: String): String =
+    s"""coalesce(list_sum(list_transform(generate_series(1, $PqSubDim),
+        j -> ($a[$mref*$PqSubDim+j] - $c[$mref*$PqSubDim+j])
+           * ($a[$mref*$PqSubDim+j] - $c[$mref*$PqSubDim+j]))), 0)"""
+
+  /** Vectors with their per-subspace segments and PQ code arrays:
+    * `codes[m] = argmin_k subDistSq(segs[m], cbSeg[m][k])`
+    * (r6-rounded distance, codeword-id tie-break). The codebook is
+    * segments of the first [[PqK]] vectors — the [[NumCentroids]]
+    * deterministic-seed license — pre-sliced into a [m][k][8] literal
+    * (~8 KB), so encoding is a pure map over the scan: no explode, no
+    * join, no shuffle, and the same expression encodes a 100 TB
+    * corpus unchanged (contrast the oracle, which materializes the
+    * N·M·K candidate table — fine for DuckDB at sf0.01, exactly the
+    * blow-up the literal avoids). The segs column exists so the
+    * `array<double>` cast and slicing run once per row; inlining them
+    * into the argmin re-evaluates the cast per element_at under
+    * CodegenFallback (measured 25× slower, NOTES.md). */
+  private def pqCodes(spark: SparkSession, dir: String)
+      : (DataFrame, Column) = {
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val cb: Seq[Seq[Double]] = e.filter(col("vec_id") < PqK)
+      .orderBy(col("vec_id")).collect() // bounded: PqK rows
+      .map(_.getSeq[Double](1).toList).toList
+    require(cb.size == PqK,
+      s"PQ codebook needs the first $PqK vectors, found ${cb.size}")
+    // [m][k][j] codeword segments — slicing done once, driver-side
+    val cbSegLit = typedlit((0 until PqM).map(m =>
+      cb.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))))
+    val segs = transform(sequence(lit(0), lit(PqM - 1)), m =>
+      slice(col("v"), m * PqSubDim + 1, lit(PqSubDim)))
+    val codes = transform(col("segs"), (seg, m) =>
+      array_min(transform(sequence(lit(0), lit(PqK - 1)), k =>
+        struct(
+          subDistSq(seg, element_at(element_at(cbSegLit, m + 1), k + 1))
+            .as("dd"),
+          k.as("kk")))).getField("kk"))
+    (e.select(col("vec_id"), segs.as("segs"))
+      .select(col("vec_id"), col("segs"), codes.as("codes")), cbSegLit)
+  }
+
+  private val sqlPqCodesCte: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cbv AS (SELECT vec_id AS k, v AS cv FROM e WHERE vec_id < $PqK),
+       ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       sub AS (SELECT e.vec_id, ms.m, cbv.k,
+                ${sqlR(sqlSubDistSq("e.v", "cbv.cv", "ms.m"), 6)} AS dd
+              FROM e CROSS JOIN ms CROSS JOIN cbv),
+       codes AS (SELECT vec_id, m, k AS code FROM (
+                  SELECT vec_id, m, k, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY dd, k) AS rk
+                  FROM sub) WHERE rk = 1)"""
+
+  /** The PQ code table itself, one row per (vector, subspace) — the
+    * artifact a deployment materializes once and searches many
+    * times. */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame =
+    pqCodes(spark, dir)._1
+      // posexplode_outer: the non-outer form makes the optimizer
+      // infer a `size(codes) > 0` filter that re-evaluates the whole
+      // encode expression a second time per row (codes is never
+      // empty, so outer is semantically identical)
+      .select(col("vec_id"), posexplode_outer(col("codes")))
+      .select(col("vec_id"), col("pos").cast("long").as("m"),
+        col("col").cast("long").as("code"))
+
+  val pqEncodeSql: String =
+    s"""$sqlPqCodesCte
+       SELECT vec_id, m, code FROM codes"""
+
+  /** Asymmetric-distance (ADC) top-k search over the PQ codes: the
+    * query stays un-quantized, every corpus vector is represented by
+    * its 8 codewords, and the distance is the sum of per-subspace
+    * query→codeword distances. One broadcast of the tiny query set,
+    * one map-side HOF per row (the codebook literal doubles as the
+    * ADC lookup table), one per-query top-k — the corpus is never
+    * touched beyond its code array, which is the entire point of PQ
+    * at 100 TB: the scan reads 8 ints per vector, not 64 doubles
+    * (here codes are recomputed inline because the bench contract is
+    * self-contained per query; [[pqEncode]] is the materialization
+    * path, the same split as [[buildIvfIndex]]). */
+  def annPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val (c, cbSegLit) = pqCodes(spark, dir)
+    // the ADC lookup table, computed ONCE per query (tiny broadcast
+    // side): lut[m][k] = r6 squared distance from the query's segment
+    // m to codeword k — the paper's central trick, turning per-pair
+    // work into M array lookups
+    val qlut = transform(col("segs"), (qseg, m) =>
+      transform(sequence(lit(0), lit(PqK - 1)), k =>
+        subDistSq(qseg, element_at(element_at(cbSegLit, m + 1), k + 1))))
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), qlut.as("qlut"))
+    // per pair: index the query's LUT with the corpus row's codes and
+    // sum in ascending-m order (the oracle's GROUP BY sum
+    // re-associates, which the per-term r6 rounding makes safe)
+    val pd = zip_with(col("qlut"), col("codes"),
+      (lutm, code) => element_at(lutm, code + 1))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    // the corpus side of the join carries only (vec_id, codes) — 8
+    // small ints per vector, the PQ memory story; segments and LUTs
+    // stay on the tiny broadcast query side
+    c.select(col("vec_id"), col("codes"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("adist",
+        r6(aggregate(pd, lit(0.0), (acc, z) => acc + z)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+  }
+
+  val annPqAdcSql: String =
+    s"""$sqlPqCodesCte,
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id < $NumQueries),
+       adp AS (SELECT q.query_id, c.vec_id, c.m,
+                ${sqlR(sqlSubDistSq("q.qv", "cbv.cv", "c.m"), 6)} AS pd
+              FROM codes c JOIN cbv ON c.code = cbv.k CROSS JOIN q
+              WHERE c.vec_id <> q.query_id),
+       ad AS (SELECT query_id, vec_id, ${sqlR("sum(pd)", 6)} AS adist
+              FROM adp GROUP BY 1, 2),
+       r AS (SELECT query_id, vec_id, adist, row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, vec_id) AS rk
+             FROM ad)
+       SELECT query_id, rk, vec_id AS neighbor_id, adist FROM r
+       WHERE rk <= $TopK"""
+
   val queries: Map[String, Q] = Map(
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
@@ -531,6 +697,8 @@ object Similarity {
     "q_embed_neardup_wide" -> (embedNearDupWide _),
     "q_kmeans_update" -> (kmeansUpdate _),
     "q_semdedup" -> (semDedup _),
+    "q_pq_encode" -> (pqEncode _),
+    "q_ann_pq_adc" -> (annPqAdc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -542,5 +710,7 @@ object Similarity {
     "q_embed_neardup_wide" -> embedNearDupWideSql,
     "q_kmeans_update" -> kmeansUpdateSql,
     "q_semdedup" -> semDedupSql,
+    "q_pq_encode" -> pqEncodeSql,
+    "q_ann_pq_adc" -> annPqAdcSql,
   )
 }

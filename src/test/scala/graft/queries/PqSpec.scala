@@ -1,0 +1,99 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Product-quantization semantics beyond the oracle hash-gates:
+  * codes stay in the codebook range, an exact copy of a codebook
+  * seed encodes to the seed's own codes with zero quantized
+  * distance, ADC ranks an exact duplicate first with distance 0,
+  * and the encode plan is a pure map — no join and no aggregate
+  * touches the corpus (the codebook rides as a literal).
+  */
+class PqSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Deterministic unit-ish vector for seed `i`. */
+  private def vec(i: Int): Seq[Float] =
+    (0 until Similarity.Dim).map(j => ((i * 31 + j * 7) % 13 - 6) / 6.0f)
+
+  /** Controlled corpus: [[Similarity.PqK]] distinct seeds, one exact
+    * copy of seed 3 (id 100), one far outlier (id 101). */
+  private def controlled(): String = {
+    val rows =
+      (0 until Similarity.PqK).map(i => (i.toLong, vec(i), 0)) ++
+        Seq((100L, vec(3), 0),
+          (101L, (0 until Similarity.Dim).map(_ => 50.0f), 0))
+    val tmp = Files.createTempDirectory("graft-pq-spec").toString
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  test("codes in range; copy of a seed shares the seed's codes") {
+    val tmp = controlled()
+    val codes = Similarity.pqEncode(spark, tmp).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    assert(codes.size == Similarity.PqK + 2)
+    codes.values.foreach(_.foreach(c =>
+      assert(c >= 0 && c < Similarity.PqK)))
+    // seed 3's segments are distance 0 from codeword 3 — its copy
+    // must quantize identically (dd tie-break cannot diverge: both
+    // rows run the same argmin over the same literal codebook)
+    assert(codes(100L) == codes(3L))
+    // every seed's own-code distance is zero ⇒ the seed's code for
+    // subspace m is a codeword whose segment equals its own (id 3's
+    // segment could tie with an identical earlier codeword, but the
+    // synthetic seeds are pairwise distinct, so code == id)
+    assert(codes(3L) == Seq.fill(Similarity.PqM)(3L))
+  }
+
+  test("ADC: exact duplicate ranks first with distance 0") {
+    val tmp = controlled()
+    // copy id 100 is outside the query set (vec_id < NumQueries), so
+    // query 3 must find it at rank 1 with adist 0 (all 8 subspace
+    // distances quantize to the same codeword at distance 0)
+    val top = Similarity.annPqAdc(spark, tmp)
+      .filter(col("query_id") === 3 && col("rk") === 1).collect().head
+    assert(top.getAs[Long]("neighbor_id") == 100L)
+    assert(top.getAs[Double]("adist") == 0.0)
+  }
+
+  test("encode plan: no join, no aggregate — codebook is a literal") {
+    val plan = Similarity.pqEncode(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in encode plan:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"unexpected aggregate in encode plan:\n$plan")
+  }
+
+  test("ADC agrees with driver-side recomputation on real data") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cb = (0 until Similarity.PqK).map(k => e(k.toLong))
+    def r6(x: Double): Double =
+      math.floor((x + 1e-9) * 1e6 + 0.5) / 1e6
+    def sub(v: Array[Double], c: Array[Double], m: Int): Double =
+      r6((0 until Similarity.PqSubDim).map { j =>
+        val d = v(m * Similarity.PqSubDim + j) - c(m * Similarity.PqSubDim + j)
+        d * d
+      }.sum)
+    def codesOf(v: Array[Double]): Seq[Int] =
+      (0 until Similarity.PqM).map(m =>
+        (0 until Similarity.PqK).minBy(k => (sub(v, cb(k), m), k)))
+    def adist(q: Array[Double], v: Array[Double]): Double =
+      r6(codesOf(v).zipWithIndex.map { case (c, m) => sub(q, cb(c), m) }.sum)
+    val got = Similarity.annPqAdc(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("adist") - adist(e(q), e(n))) < 1e-9,
+        s"adist mismatch for query $q neighbor $n")
+    }
+  }
+}
