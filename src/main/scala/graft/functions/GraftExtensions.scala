@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, LangId, LoadBytes, MinhashSignature, NgramHashes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
+import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
 import graft.operators.SerializableHadoopConf
 import graft.plans.HoistPayloadLoad
 
@@ -38,6 +38,13 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 1, "simhash32 takes exactly 1 argument")
         SimHash32(args.head)
+      }),
+    (FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+      { args: Seq[Expression] =>
+        require(args.length == 3,
+          "pq_codes takes (vector, codebook literal, subDim literal)")
+        PqCodes(args.head, args(1), foldableInt(args(2), "pq_codes"))
       }),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
@@ -180,6 +187,14 @@ object GraftFunctions {
     * [[VectorFunctions.cosine]]. */
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+
+  /** Fused PQ encoder (see
+    * [[graft.functions.expressions.PqCodes]]); bit-identical to the
+    * composable segs/argmin formulation on well-formed vectors;
+    * requires [[register]] on the session first. */
+  def pqCodes(vector: Column, codebook: Column, subDim: Int): Column =
+    call_function("pq_codes", vector, codebook,
+      org.apache.spark.sql.functions.lit(subDim))
 
   /** Codegen'd 32-bit SimHash over pre-hashed features (see
     * [[graft.functions.expressions.SimHash32]]); bit-identical to

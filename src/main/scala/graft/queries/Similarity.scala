@@ -579,6 +579,7 @@ object Similarity {
     * CodegenFallback (measured 25× slower, NOTES.md). */
   private def pqCodes(spark: SparkSession, dir: String)
       : (DataFrame, Column) = {
+    GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val cb: Seq[Seq[Double]] = e.filter(col("vec_id") < PqK)
@@ -586,19 +587,37 @@ object Similarity {
       .map(_.getSeq[Double](1).toList).toList
     require(cb.size == PqK,
       s"PQ codebook needs the first $PqK vectors, found ${cb.size}")
-    // [m][k][j] codeword segments — slicing done once, driver-side
+    // [m][k][j] codeword segments for the query-side LUT — slicing
+    // done once, driver-side
     val cbSegLit = typedlit((0 until PqM).map(m =>
       cb.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))))
+    // corpus-side encode is the fused native expression (zero
+    // per-codeword allocation; the HOF argmin it replaced measured
+    // GC-bound at 2M vectors — NOTES.md); segs feeds only the
+    // NumQueries-row LUT and is pruned off every corpus-sized path
     val segs = transform(sequence(lit(0), lit(PqM - 1)), m =>
       slice(col("v"), m * PqSubDim + 1, lit(PqSubDim)))
-    val codes = transform(col("segs"), (seg, m) =>
+    (e.select(col("vec_id"), segs.as("segs"),
+      GraftFunctions.pqCodes(col("v"), typedlit(cb), PqSubDim).as("codes")),
+      cbSegLit)
+  }
+
+  /** The composable HOF formulation of the encoder, kept as the
+    * parity reference for [[graft.functions.expressions.PqCodes]]
+    * (spec-pinned bit-equality; see the expression's scaladoc). */
+  private[queries] def pqEncodeHof(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (c, cbSegLit) = pqCodes(spark, dir)
+    val hofCodes = transform(col("segs"), (seg, m) =>
       array_min(transform(sequence(lit(0), lit(PqK - 1)), k =>
         struct(
           subDistSq(seg, element_at(element_at(cbSegLit, m + 1), k + 1))
             .as("dd"),
           k.as("kk")))).getField("kk"))
-    (e.select(col("vec_id"), segs.as("segs"))
-      .select(col("vec_id"), col("segs"), codes.as("codes")), cbSegLit)
+    c.select(col("vec_id"), hofCodes.as("codes"))
+      .select(col("vec_id"), posexplode_outer(col("codes")))
+      .select(col("vec_id"), col("pos").cast("long").as("m"),
+        col("col").cast("long").as("code"))
   }
 
   private val sqlPqCodesCte: String =

@@ -71,6 +71,27 @@ class PqSpec extends SparkSpec {
       s"unexpected aggregate in encode plan:\n$plan")
   }
 
+  test("native encoder is bit-identical to the HOF formulation") {
+    val native = Similarity.pqEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hof = Similarity.pqEncodeHof(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(native.nonEmpty && native == hof)
+  }
+
+  test("round6 matches Spark's Round on boundary values") {
+    import spark.implicits._
+    val xs = Seq(0.0, 1.0000005, 0.1234565, 0.1234575, 2.5e-7,
+      4.999999e-7, 5.000001e-7, 123.4567895, 1e-9, -0.0000005,
+      0.9999995, 17.250000499999, 17.2500005)
+    val sparkSide = xs.toDF("x")
+      .selectExpr("round(x + 1e-9, 6) r").collect().map(_.getDouble(0))
+    val nativeSide =
+      xs.map(graft.functions.expressions.PqCodes.round6)
+    assert(sparkSide.toSeq == nativeSide,
+      s"spark=${sparkSide.toSeq} native=$nativeSide")
+  }
+
   test("ADC agrees with driver-side recomputation on real data") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) v")
