@@ -96,7 +96,7 @@ object Similarity {
   /** IVF cluster assignment: every vector joins the broadcast centroid
     * set (first [[NumCentroids]] vectors) and keeps its
     * highest-cosine centroid (rounded, centroid-id tie-break). */
-  private def ivfAssign(spark: SparkSession, dir: String,
+  private[queries] def ivfAssign(spark: SparkSession, dir: String,
       numCentroids: Int = NumCentroids): DataFrame = {
     GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
@@ -577,27 +577,54 @@ object Similarity {
     * `array<double>` cast and slicing run once per row; inlining them
     * into the argmin re-evaluates the cast per element_at under
     * CodegenFallback (measured 25× slower, NOTES.md). */
+  /** Codebook = the first [[PqK]] full vectors (bounded collect, the
+    * [[NumCentroids]] deterministic-seed license), plus its pre-sliced
+    * [m][k][8] literal for query-side LUTs. */
+  private def pqCodebook(spark: SparkSession, dir: String)
+      : (Seq[Seq[Double]], Column) = {
+    val cb: Seq[Seq[Double]] = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < PqK)
+      .orderBy(col("vec_id")).collect() // bounded: PqK rows
+      .map(_.getSeq[Double](1).toList).toList
+    require(cb.size == PqK,
+      s"PQ codebook needs the first $PqK vectors, found ${cb.size}")
+    (cb, typedlit((0 until PqM).map(m =>
+      cb.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))))
+  }
+
+  /** The 8 per-subspace segments of a full vector column. */
+  private def pqSegs(v: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
+      slice(v, m * PqSubDim + 1, lit(PqSubDim)))
+
+  /** The ADC lookup table of a query's segment array:
+    * `lut[m][k] = r6 ‖segs[m] − cb[m][k]‖²` — computed once per query
+    * row (tiny broadcast side), the paper's central trick. */
+  private def pqLut(segs: Column, cbSegLit: Column): Column =
+    transform(segs, (qseg, m) =>
+      transform(sequence(lit(0), lit(PqK - 1)), k =>
+        subDistSq(qseg, element_at(element_at(cbSegLit, m + 1), k + 1))))
+
+  /** Per-pair ADC distance: index the query LUT with the corpus
+    * row's codes and r6-sum in ascending-m order (per-term rounding
+    * makes the oracle's re-associated GROUP BY sum safe). */
+  private def pqAdcDist(qlut: Column, codes: Column): Column =
+    r6(aggregate(
+      zip_with(qlut, codes, (lutm, code) => element_at(lutm, code + 1)),
+      lit(0.0), (acc, z) => acc + z))
+
   private def pqCodes(spark: SparkSession, dir: String)
       : (DataFrame, Column) = {
     GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-    val cb: Seq[Seq[Double]] = e.filter(col("vec_id") < PqK)
-      .orderBy(col("vec_id")).collect() // bounded: PqK rows
-      .map(_.getSeq[Double](1).toList).toList
-    require(cb.size == PqK,
-      s"PQ codebook needs the first $PqK vectors, found ${cb.size}")
-    // [m][k][j] codeword segments for the query-side LUT — slicing
-    // done once, driver-side
-    val cbSegLit = typedlit((0 until PqM).map(m =>
-      cb.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))))
+    val (cb, cbSegLit) = pqCodebook(spark, dir)
     // corpus-side encode is the fused native expression (zero
     // per-codeword allocation; the HOF argmin it replaced measured
     // GC-bound at 2M vectors — NOTES.md); segs feeds only the
     // NumQueries-row LUT and is pruned off every corpus-sized path
-    val segs = transform(sequence(lit(0), lit(PqM - 1)), m =>
-      slice(col("v"), m * PqSubDim + 1, lit(PqSubDim)))
-    (e.select(col("vec_id"), segs.as("segs"),
+    (e.select(col("vec_id"), pqSegs(col("v")).as("segs"),
       GraftFunctions.pqCodes(col("v"), typedlit(cb), PqSubDim).as("codes")),
       cbSegLit)
   }
@@ -620,9 +647,10 @@ object Similarity {
         col("col").cast("long").as("code"))
   }
 
-  private val sqlPqCodesCte: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       cbv AS (SELECT vec_id AS k, v AS cv FROM e WHERE vec_id < $PqK),
+  /** PQ CTE body (expects `e` in scope — composes after either the
+    * bare embeddings CTE or [[sqlIvfAssignCte]]). */
+  private val sqlPqCodesBody: String =
+    s"""cbv AS (SELECT vec_id AS k, v AS cv FROM e WHERE vec_id < $PqK),
        ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
        sub AS (SELECT e.vec_id, ms.m, cbv.k,
                 ${sqlR(sqlSubDistSq("e.v", "cbv.cv", "ms.m"), 6)} AS dd
@@ -631,6 +659,10 @@ object Similarity {
                   SELECT vec_id, m, k, row_number() OVER (
                     PARTITION BY vec_id, m ORDER BY dd, k) AS rk
                   FROM sub) WHERE rk = 1)"""
+
+  private val sqlPqCodesCte: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       $sqlPqCodesBody"""
 
   /** The PQ code table itself, one row per (vector, subspace) — the
     * artifact a deployment materializes once and searches many
@@ -662,20 +694,9 @@ object Similarity {
     * path, the same split as [[buildIvfIndex]]). */
   def annPqAdc(spark: SparkSession, dir: String): DataFrame = {
     val (c, cbSegLit) = pqCodes(spark, dir)
-    // the ADC lookup table, computed ONCE per query (tiny broadcast
-    // side): lut[m][k] = r6 squared distance from the query's segment
-    // m to codeword k — the paper's central trick, turning per-pair
-    // work into M array lookups
-    val qlut = transform(col("segs"), (qseg, m) =>
-      transform(sequence(lit(0), lit(PqK - 1)), k =>
-        subDistSq(qseg, element_at(element_at(cbSegLit, m + 1), k + 1))))
     val q = c.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), qlut.as("qlut"))
-    // per pair: index the query's LUT with the corpus row's codes and
-    // sum in ascending-m order (the oracle's GROUP BY sum
-    // re-associates, which the per-term r6 rounding makes safe)
-    val pd = zip_with(col("qlut"), col("codes"),
-      (lutm, code) => element_at(lutm, code + 1))
+      .select(col("vec_id").as("query_id"),
+        pqLut(col("segs"), cbSegLit).as("qlut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id"))
     // the corpus side of the join carries only (vec_id, codes) — 8
@@ -683,8 +704,7 @@ object Similarity {
     // stay on the tiny broadcast query side
     c.select(col("vec_id"), col("codes"))
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("adist",
-        r6(aggregate(pd, lit(0.0), (acc, z) => acc + z)))
+      .withColumn("adist", pqAdcDist(col("qlut"), col("codes")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
@@ -707,6 +727,57 @@ object Similarity {
        SELECT query_id, rk, vec_id AS neighbor_id, adist FROM r
        WHERE rk <= $TopK"""
 
+  /** IVF+PQ — the billion-scale composition (Jégou et al. §V: an
+    * inverted file prunes WHICH vectors are scored, PQ compresses
+    * HOW they are stored): each query probes only its own IVF
+    * cluster and runs the ADC lookup-table scan against that
+    * cluster's codes. At 100 TB this is the deployed ANN shape —
+    * |N|/C candidates per query, 8 bytes of codes per candidate, so
+    * a trillion-vector index fits cluster memory while the scan
+    * touches a fraction of it per query. The [[IvfTopK]] window per
+    * query is the only non-map stage past the assignment. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (cb, cbSegLit) = pqCodebook(spark, dir)
+    val assign = ivfAssign(spark, dir) // (vec_id, cluster, v), persisted
+    // codes computed directly on the assignment's vectors — no join
+    // back to the corpus; the posting lists carry (vec_id, codes)
+    val coded = assign.select(col("vec_id"), col("cluster"),
+      GraftFunctions.pqCodes(col("v"), typedlit(cb), PqSubDim).as("codes"))
+    val q = assign.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        pqLut(pqSegs(col("v")), cbSegLit).as("qlut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    coded.join(broadcast(q), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", pqAdcDist(col("qlut"), col("codes")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+  }
+
+  val annIvfPqSql: String =
+    s"""$sqlIvfAssignCte,
+       $sqlPqCodesBody,
+       q AS (SELECT vec_id AS query_id, cluster FROM assign
+             WHERE vec_id < $NumQueries),
+       cand AS (SELECT q.query_id, a.vec_id FROM assign a
+                JOIN q ON a.cluster = q.cluster
+                WHERE a.vec_id <> q.query_id),
+       adp AS (SELECT cand.query_id, cand.vec_id, c.m,
+                ${sqlR(sqlSubDistSq("qe.v", "cbv.cv", "c.m"), 6)} AS pd
+              FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+                JOIN cbv ON c.code = cbv.k
+                JOIN e qe ON qe.vec_id = cand.query_id),
+       ad AS (SELECT query_id, vec_id, ${sqlR("sum(pd)", 6)} AS adist
+              FROM adp GROUP BY 1, 2),
+       r AS (SELECT query_id, vec_id, adist, row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, vec_id) AS rk
+             FROM ad)
+       SELECT query_id, rk, vec_id AS neighbor_id, adist FROM r
+       WHERE rk <= $IvfTopK"""
+
   val queries: Map[String, Q] = Map(
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
@@ -718,6 +789,7 @@ object Similarity {
     "q_semdedup" -> (semDedup _),
     "q_pq_encode" -> (pqEncode _),
     "q_ann_pq_adc" -> (annPqAdc _),
+    "q_ann_ivfpq" -> (annIvfPq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -731,5 +803,6 @@ object Similarity {
     "q_semdedup" -> semDedupSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_ann_pq_adc" -> annPqAdcSql,
+    "q_ann_ivfpq" -> annIvfPqSql,
   )
 }

@@ -92,28 +92,48 @@ class PqSpec extends SparkSpec {
       s"spark=${sparkSide.toSeq} native=$nativeSide")
   }
 
-  test("ADC agrees with driver-side recomputation on real data") {
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+  // ---- driver-side ADC recomputation helpers (real-data tests) ----
+
+  private lazy val eVecs: Map[Long, Array[Double]] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) v")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    val cb = (0 until Similarity.PqK).map(k => e(k.toLong))
-    def r6(x: Double): Double =
-      math.floor((x + 1e-9) * 1e6 + 0.5) / 1e6
-    def sub(v: Array[Double], c: Array[Double], m: Int): Double =
-      r6((0 until Similarity.PqSubDim).map { j =>
-        val d = v(m * Similarity.PqSubDim + j) - c(m * Similarity.PqSubDim + j)
-        d * d
-      }.sum)
-    def codesOf(v: Array[Double]): Seq[Int] =
-      (0 until Similarity.PqM).map(m =>
-        (0 until Similarity.PqK).minBy(k => (sub(v, cb(k), m), k)))
-    def adist(q: Array[Double], v: Array[Double]): Double =
-      r6(codesOf(v).zipWithIndex.map { case (c, m) => sub(q, cb(c), m) }.sum)
+  private lazy val cbVecs: Seq[Array[Double]] =
+    (0 until Similarity.PqK).map(k => eVecs(k.toLong))
+
+  private def r6(x: Double): Double =
+    math.floor((x + 1e-9) * 1e6 + 0.5) / 1e6
+  private def sub(v: Array[Double], c: Array[Double], m: Int): Double =
+    r6((0 until Similarity.PqSubDim).map { j =>
+      val d = v(m * Similarity.PqSubDim + j) - c(m * Similarity.PqSubDim + j)
+      d * d
+    }.sum)
+  private def codesOf(v: Array[Double]): Seq[Int] =
+    (0 until Similarity.PqM).map(m =>
+      (0 until Similarity.PqK).minBy(k => (sub(v, cbVecs(k), m), k)))
+  private def adist(q: Array[Double], v: Array[Double]): Double =
+    r6(codesOf(v).zipWithIndex.map { case (c, m) => sub(q, cbVecs(c), m) }.sum)
+
+  test("ADC agrees with driver-side recomputation on real data") {
     val got = Similarity.annPqAdc(spark, dir).collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
-      assert(math.abs(r.getAs[Double]("adist") - adist(e(q), e(n))) < 1e-9,
+      assert(math.abs(r.getAs[Double]("adist") - adist(eVecs(q), eVecs(n))) < 1e-9,
+        s"adist mismatch for query $q neighbor $n")
+    }
+  }
+
+  test("IVF+PQ: neighbors confined to the query's cluster, adist exact") {
+    val assign = Similarity.ivfAssign(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val got = Similarity.annIvfPq(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(assign(n) == assign(q),
+        s"neighbor $n of query $q not in the query's cluster")
+      assert(math.abs(r.getAs[Double]("adist") - adist(eVecs(q), eVecs(n))) < 1e-9,
         s"adist mismatch for query $q neighbor $n")
     }
   }
