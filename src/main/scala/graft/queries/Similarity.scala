@@ -727,6 +727,34 @@ object Similarity {
        SELECT query_id, rk, vec_id AS neighbor_id, adist FROM r
        WHERE rk <= $TopK"""
 
+  /** One Lloyd refinement step of the PQ codebook — how production
+    * codebooks are trained (k-means per subspace, independently):
+    * every vector's segment m votes for its assigned codeword's new
+    * position, `cb'[m][k][j] = mean of segs[m][j] over vectors with
+    * codes[m]=k`. Same distributed shape as [[kmeansUpdate]]: the
+    * explodes stay row-local, partial aggregation folds map-side, so
+    * the shuffle carries ≤ M·K·subDim cells per task no matter the
+    * corpus size. Codewords that attracted no segments are absent
+    * (their row would be undefined — a production trainer reseeds
+    * them). */
+  def pqTrainStep(spark: SparkSession, dir: String): DataFrame =
+    pqCodes(spark, dir)._1
+      .select(col("segs"), posexplode(col("codes")).as(Seq("m", "code")))
+      .select(col("m"), col("code"),
+        posexplode(element_at(col("segs"), col("m") + 1)).as(Seq("j", "x")))
+      .groupBy(col("m").cast("long").as("m"),
+        col("code").cast("long").as("code"), col("j").cast("long").as("j"))
+      .agg(r6(avg(col("x"))).as("c_val"))
+
+  val pqTrainStepSql: String =
+    s"""$sqlPqCodesCte,
+       seg AS (SELECT c.m, c.code, (j - 1)::BIGINT AS j,
+                e.v[c.m * $PqSubDim + j] AS x
+              FROM codes c JOIN e USING (vec_id)
+              CROSS JOIN generate_series(1, $PqSubDim) AS g(j))
+       SELECT m, code, j, ${sqlR("avg(x)", 6)} AS c_val
+       FROM seg GROUP BY m, code, j"""
+
   /** IVF+PQ — the billion-scale composition (Jégou et al. §V: an
     * inverted file prunes WHICH vectors are scored, PQ compresses
     * HOW they are stored): each query probes only its own IVF
@@ -790,6 +818,7 @@ object Similarity {
     "q_pq_encode" -> (pqEncode _),
     "q_ann_pq_adc" -> (annPqAdc _),
     "q_ann_ivfpq" -> (annIvfPq _),
+    "q_pq_train" -> (pqTrainStep _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -804,5 +833,6 @@ object Similarity {
     "q_pq_encode" -> pqEncodeSql,
     "q_ann_pq_adc" -> annPqAdcSql,
     "q_ann_ivfpq" -> annIvfPqSql,
+    "q_pq_train" -> pqTrainStepSql,
   )
 }

@@ -124,6 +124,43 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("pqTrainStep: refined codeword is the mean of its voters") {
+    val tmp = controlled()
+    val refined = Similarity.pqTrainStep(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    refined.keys.foreach { case (m, k, j) =>
+      assert(m >= 0 && m < Similarity.PqM)
+      assert(k >= 0 && k < Similarity.PqK)
+      assert(j >= 0 && j < Similarity.PqSubDim)
+    }
+    // every populated cell equals the driver-side mean of its voters
+    // (voters recomputed with the same rounded-argmin rule)
+    val vecs: Seq[(Long, Array[Double])] =
+      ((0 until Similarity.PqK).map(i => i.toLong -> vec(i).map(_.toDouble).toArray) ++
+        Seq(100L -> vec(3).map(_.toDouble).toArray,
+          101L -> Array.fill(Similarity.Dim)(50.0))).toSeq
+    val cbc = vecs.take(Similarity.PqK).map(_._2)
+    def subC(v: Array[Double], c: Array[Double], m: Int): Double =
+      r6((0 until Similarity.PqSubDim).map { j =>
+        val d = v(m * Similarity.PqSubDim + j) - c(m * Similarity.PqSubDim + j)
+        d * d
+      }.sum)
+    val want = (for {
+      (_, v) <- vecs
+      m <- 0 until Similarity.PqM
+      k = (0 until Similarity.PqK).minBy(k => (subC(v, cbc(k), m), k))
+      j <- 0 until Similarity.PqSubDim
+    } yield ((m.toLong, k.toLong, j.toLong), v(m * Similarity.PqSubDim + j)))
+      .groupBy(_._1).view
+      .mapValues(xs => r6(xs.map(_._2).sum / xs.size)).toMap
+    assert(refined.keySet == want.keySet)
+    want.foreach { case (cell, w) =>
+      assert(math.abs(refined(cell) - w) < 1e-9,
+        s"cell $cell: got ${refined(cell)}, want $w")
+    }
+  }
+
   test("IVF+PQ: neighbors confined to the query's cluster, adist exact") {
     val assign = Similarity.ivfAssign(spark, dir).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
