@@ -735,7 +735,76 @@ object Dedup {
            FILTER (WHERE rn = 1), '') AS kept_text
        FROM k GROUP BY doc_id"""
 
+  // ---- KMV distinct-count sketch ----
+
+  /** Sketch size: estimator std error ≈ 1/√(k−2) ≈ 9%. */
+  val KmvK = 128
+
+  /** 2^60 — exactly representable as a double (power of two), so
+    * `h / 2^60` is the same IEEE value in Spark and DuckDB. */
+  private val KmvScale = 1152921504606846976.0
+
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    * over the corpus's text fingerprints: keep the [[KmvK]] smallest
+    * DISTINCT 60-bit md5 hashes; the k-th smallest, scaled to (0,1),
+    * estimates the distinct count as (k−1)/u_k. When the corpus has
+    * fewer than k distinct values the sketch IS the exact answer.
+    *
+    * Why a sketch when [[dedupExact]] computes exact distinct: the
+    * exact path shuffles every distinct fingerprint; the sketch's
+    * per-partition state is a bounded k-element heap and only ≤ k
+    * survivors per partition reach the final top-k — at 100 TB that
+    * is ~k·P longs through one TakeOrdered, no corpus-wide shuffle
+    * at all. The per-partition cap is lossless for the global result:
+    * the k smallest distinct values overall are a subset of the union
+    * of each partition's k smallest distinct values. The sketch is
+    * also mergeable across corpora (union the kept sets, re-take k) —
+    * the property monitoring pipelines need.
+    *
+    * The bounded per-partition heap is genuine imperative
+    * per-partition state — the mapPartitions tier of SURVEY.md §7.3,
+    * used because no composition of relational ops keeps the
+    * pre-shuffle row count bounded AND distinct-aware. Everything
+    * around it stays declarative.
+    *
+    * md5-derived, so the DuckDB oracle reproduces the kept set and
+    * the estimate bit-for-bit. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = Tables.fanOut(t(spark, dir, "documents"))
+      .select(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val kept = h.as[Long].mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { v =>
+        set.add(v)
+        if (set.size > KmvK) set.pollLast() // keep the k smallest
+      }
+      import scala.jdk.CollectionConverters._
+      set.iterator().asScala.map(_.longValue())
+    }.toDF("h").distinct().orderBy(col("h")).limit(KmvK)
+    kept.agg(
+      count(lit(1)).as("n_kept"),
+      max(col("h")).as("kth_hash"),
+      r6(when(count(lit(1)) < KmvK, count(lit(1)).cast("double"))
+        .otherwise(lit(KmvK - 1.0) / (max(col("h")) / lit(KmvScale))))
+        .as("est_distinct"))
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH h AS (SELECT DISTINCT
+           CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
+         FROM documents),
+       k AS (SELECT h FROM h ORDER BY h LIMIT $KmvK)
+       SELECT count(*)::BIGINT AS n_kept, max(h) AS kth_hash,
+         ${sqlR(
+        s"""CASE WHEN count(*) < $KmvK THEN count(*)
+            ELSE ($KmvK - 1.0) / (max(h) / $KmvScale) END""", 6)}
+           AS est_distinct
+       FROM k"""
+
   val queries: Map[String, Q] = Map(
+    "q_kmv_distinct" -> (kmvDistinct _),
     "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_components" -> (dedupComponents _),
     "q_dup_gram_coverage" -> (dupGramCoverage _),
@@ -750,6 +819,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_distinct" -> kmvDistinctSql,
     "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_dup_gram_coverage" -> dupGramCoverageSql,
