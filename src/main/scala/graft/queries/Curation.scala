@@ -702,6 +702,47 @@ object Curation {
        SELECT doc_id, ${sqlR("sum(wscore)", 6)} AS dsir_score
        FROM wds JOIN ws USING (w) GROUP BY doc_id"""
 
+  /** Weighted sample size. */
+  val WeightedSampleN = 50
+
+  /** Deterministic weighted sampling — sequential Poisson / priority
+    * sampling (Ohlsson 1998; Duffield et al. use u^(1/w), whose
+    * ranking this matches in expectation while staying algebraic):
+    * per-doc priority = u / w with u the md5-uniform die in (0,1] and
+    * w = n_chars, keep the [[WeightedSampleN]] lowest priorities —
+    * long documents enter the sample proportionally more often, and
+    * the draw is reproducible forever (re-running the pipeline can
+    * not swap sample members — the property every curation sample
+    * needs, and the oracle proof: both engines derive the identical
+    * priority from the identical md5, so even the ORDER is
+    * bit-deterministic, no rounding required for ranking).
+    *
+    * Scale shape: priority is a pure per-row map; the bottom-k is one
+    * TakeOrdered (per-partition heap + driver merge of k·P rows) —
+    * no shuffle of the corpus, the same scan-and-heap discipline as
+    * [[graft.queries.Dedup.kmvDistinct]]. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long") + lit(1L)) / lit(1.152921504606846976e18)
+    val w = Window.orderBy(col("pri").asc, col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        (u / col("n_chars")).as("pri"))
+      .orderBy(col("pri"), col("doc_id")).limit(WeightedSampleN)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_chars"))
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH p AS (SELECT doc_id, n_chars,
+           ((CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 15))
+             AS BIGINT) + 1) / 1.152921504606846976e18) / n_chars AS pri
+         FROM documents),
+       k AS (SELECT doc_id, n_chars, pri,
+               row_number() OVER (ORDER BY pri, doc_id) AS rank
+             FROM p ORDER BY pri, doc_id LIMIT $WeightedSampleN)
+       SELECT rank, doc_id, n_chars FROM k"""
+
   /** Bigram-LM fluency score — the CCNet-style language-model-fit
     * signal (Wenzek et al. 2019, arXiv:1911.00359 rank documents by
     * the perplexity of an LM trained on a trusted corpus; here the LM
@@ -782,6 +823,7 @@ object Curation {
     "q_token_budget" -> (tokenBudget _),
     "q_quality_threshold" -> (qualityThreshold _),
     "q_sample_stratified" -> (sampleStratified _),
+    "q_weighted_sample" -> (weightedSample _),
     "q_split_assign" -> (splitAssign _),
     "q_pack_sequences" -> (packSequences _),
     "q_decontaminate" -> (decontaminate _),
@@ -797,6 +839,7 @@ object Curation {
     "q_token_budget" -> tokenBudgetSql,
     "q_quality_threshold" -> qualityThresholdSql,
     "q_sample_stratified" -> sampleStratifiedSql,
+    "q_weighted_sample" -> weightedSampleSql,
     "q_split_assign" -> splitAssignSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_decontaminate" -> decontaminateSql,

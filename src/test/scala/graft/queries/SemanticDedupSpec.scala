@@ -136,6 +136,35 @@ class SemanticDedupSpec extends SparkSpec {
 
   // ---- DSIR separation on the deterministic corpus ----
 
+  // ---- weighted (priority) sampling ----
+
+  test("weightedSample: heavy docs dominate; plan is a TakeOrdered") {
+    // 200 docs, 20 with weight 5000 and 180 with weight 50 — heavy
+    // docs hold ~92% of the total weight, so a 50-doc priority
+    // sample overwhelmingly includes all of them
+    val docs = (0L until 200L).map { i =>
+      val heavy = i < 20
+      (i, "x" * (if (heavy) 5000 else 50))
+    }
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-wsample-spec").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sample = Curation.weightedSample(spark, tmp).collect()
+    assert(sample.length == Curation.WeightedSampleN)
+    assert(sample.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to Curation.WeightedSampleN))
+    val nHeavy = sample.count(_.getAs[Long]("n_chars") == 5000L)
+    assert(nHeavy >= 15, s"only $nHeavy of 20 heavy docs sampled")
+
+    val plan = Curation.weightedSample(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"expected a TakeOrdered top-k, got:\n$plan")
+  }
+
   // ---- bigram-LM fluency separation on a controlled corpus ----
 
   test("lmFluency: coherent word order outscores shuffled; edge docs") {
