@@ -45,11 +45,12 @@ class PqSpec extends SparkSpec {
     // must quantize identically (dd tie-break cannot diverge: both
     // rows run the same argmin over the same literal codebook)
     assert(codes(100L) == codes(3L))
-    // every seed's own-code distance is zero ⇒ the seed's code for
-    // subspace m is a codeword whose segment equals its own (id 3's
-    // segment could tie with an identical earlier codeword, but the
-    // synthetic seeds are pairwise distinct, so code == id)
+    // seed 3's own-code distance is zero and no EARLIER codeword
+    // shares any of its segments (vec aliases repeat mod 13 — seeds
+    // 13..15 duplicate seeds 0..2 and tie-break DOWN to them — but
+    // 5k≡2 (mod 13) has no solution below 3), so code == id
     assert(codes(3L) == Seq.fill(Similarity.PqM)(3L))
+    assert(codes(13L) == codes(0L), "aliased seed must tie-break down")
   }
 
   test("ADC: exact duplicate ranks first with distance 0") {
