@@ -227,9 +227,15 @@ object TextFunctions {
   /** 60-bit base hashes of a shingle array: first 15 hex chars of each
     * md5, parsed base-16 (fits a signed long). Materialize this ONCE
     * per document; the per-seed maps below reuse it. */
+  /** The 60-bit md5-prefix hash (first 15 hex digits parsed base-16
+    * — fits a signed long): the shared fingerprint die of the sketch
+    * family. DuckDB mirror:
+    * `CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT)`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   def shingleHashes(shingleCol: Column): Column =
-    transform(shingleCol,
-      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+    transform(shingleCol, s => hash60(s))
 
   /** One MinHash value from pre-computed base hashes: the minimum of
     * the seed's affine map over the document's shingle-hash set. Null

@@ -51,14 +51,26 @@ case class PqCodes(vector: Expression, codebook: Expression, subDim: Int)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  /** Wrong-length vectors and null elements yield null regardless of
+    * the children's nullability — without this override the planner
+    * would prove the output non-null and codegen the impossible
+    * branch away. */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "pq_codes"
 
   /** K × dim codeword matrix, extracted once from the literal. */
   private lazy val cb: Array[Array[Double]] = {
     val arr = codebook.eval(null).asInstanceOf[ArrayData]
-    Array.tabulate(arr.numElements()) { k =>
+    val out = Array.tabulate(arr.numElements()) { k =>
       arr.getArray(k).toDoubleArray()
     }
+    require(out.nonEmpty, "pq_codes: codebook must not be empty")
+    require(out.forall(_.length == out(0).length),
+      "pq_codes: codebook vectors must share one dimension")
+    require(out(0).length > 0 && out(0).length % subDim == 0,
+      s"pq_codes: dimension ${out(0).length} not divisible by subDim $subDim")
+    out
   }
   private lazy val dim: Int = cb(0).length
   private lazy val numSub: Int = dim / subDim
@@ -123,8 +135,13 @@ object PqCodes {
     * Spark's Round converts the double through its shortest decimal
     * representation (`BigDecimal.valueOf`, i.e. `Double.toString`)
     * and rounds HALF_UP at scale 6 — the spec pins this equality on
-    * boundary values. */
-  def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x + 1e-9)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    * boundary values. NaN/±Infinity pass through unchanged, as
+    * Spark's Round passes them (BigDecimal.valueOf would throw). */
+  def round6(x: Double): Double = {
+    val y = x + 1e-9
+    if (java.lang.Double.isFinite(y))
+      java.math.BigDecimal.valueOf(y)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    else y
+  }
 }

@@ -722,10 +722,14 @@ object Curation {
     * no shuffle of the corpus, the same scan-and-heap discipline as
     * [[graft.queries.Dedup.kmvDistinct]]. */
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
-    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-      1, 15), 16, 10).cast("long") + lit(1L)) / lit(1.152921504606846976e18)
+    val u = (hash60(col("doc_id").cast("string")) + lit(1L)) /
+      lit(1.152921504606846976e18)
     val w = Window.orderBy(col("pri").asc, col("doc_id"))
     t(spark, dir, "documents")
+      // weight 0 means "never sample" by definition — and the filter
+      // is also the engine-parity guard: Spark's non-ANSI x/0 is NULL
+      // (sorts first!) where DuckDB's is +Infinity (sorts last)
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("n_chars"),
         (u / col("n_chars")).as("pri"))
       .orderBy(col("pri"), col("doc_id")).limit(WeightedSampleN)
@@ -737,7 +741,7 @@ object Curation {
     s"""WITH p AS (SELECT doc_id, n_chars,
            ((CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 15))
              AS BIGINT) + 1) / 1.152921504606846976e18) / n_chars AS pri
-         FROM documents),
+         FROM documents WHERE n_chars > 0),
        k AS (SELECT doc_id, n_chars, pri,
                row_number() OVER (ORDER BY pri, doc_id) AS rank
              FROM p ORDER BY pri, doc_id LIMIT $WeightedSampleN)

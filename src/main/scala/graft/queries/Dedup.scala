@@ -771,9 +771,11 @@ object Dedup {
     * the estimate bit-for-bit. */
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // null texts hash to null: drop them before the primitive-long
+    // encoder (the SQL mirror's WHERE h IS NOT NULL)
     val h = Tables.fanOut(t(spark, dir, "documents"))
-      .select(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
-        .cast("long").as("h"))
+      .select(hash60(col("text")).as("h"))
+      .filter(col("h").isNotNull)
     val kept = h.as[Long].mapPartitions { it =>
       val set = new java.util.TreeSet[java.lang.Long]()
       it.foreach { v =>
@@ -794,7 +796,7 @@ object Dedup {
   val kmvDistinctSql: String =
     s"""WITH h AS (SELECT DISTINCT
            CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
-         FROM documents),
+         FROM documents WHERE text IS NOT NULL),
        k AS (SELECT h FROM h ORDER BY h LIMIT $KmvK)
        SELECT count(*)::BIGINT AS n_kept, max(h) AS kth_hash,
          ${sqlR(

@@ -564,19 +564,6 @@ object Similarity {
         j -> ($a[$mref*$PqSubDim+j] - $c[$mref*$PqSubDim+j])
            * ($a[$mref*$PqSubDim+j] - $c[$mref*$PqSubDim+j]))), 0)"""
 
-  /** Vectors with their per-subspace segments and PQ code arrays:
-    * `codes[m] = argmin_k subDistSq(segs[m], cbSeg[m][k])`
-    * (r6-rounded distance, codeword-id tie-break). The codebook is
-    * segments of the first [[PqK]] vectors — the [[NumCentroids]]
-    * deterministic-seed license — pre-sliced into a [m][k][8] literal
-    * (~8 KB), so encoding is a pure map over the scan: no explode, no
-    * join, no shuffle, and the same expression encodes a 100 TB
-    * corpus unchanged (contrast the oracle, which materializes the
-    * N·M·K candidate table — fine for DuckDB at sf0.01, exactly the
-    * blow-up the literal avoids). The segs column exists so the
-    * `array<double>` cast and slicing run once per row; inlining them
-    * into the argmin re-evaluates the cast per element_at under
-    * CodegenFallback (measured 25× slower, NOTES.md). */
   /** Codebook = the first [[PqK]] full vectors (bounded collect, the
     * [[NumCentroids]] deterministic-seed license), plus its pre-sliced
     * [m][k][8] literal for query-side LUTs. */
@@ -614,16 +601,25 @@ object Similarity {
       zip_with(qlut, codes, (lutm, code) => element_at(lutm, code + 1)),
       lit(0.0), (acc, z) => acc + z))
 
+  /** Vectors with their per-subspace segments and PQ code arrays:
+    * `codes[m] = argmin_k subDistSq(segs[m], cbSeg[m][k])`
+    * (r6-rounded distance, codeword-id tie-break). The codebook is
+    * segments of the first [[PqK]] vectors, pre-sliced into an ~8 KB
+    * literal, so encoding is a pure map over the scan: no explode, no
+    * join, no shuffle, and the same expression encodes a 100 TB
+    * corpus unchanged (contrast the oracle, which materializes the
+    * N·M·K candidate table — fine for DuckDB at sf0.01, exactly the
+    * blow-up the literal avoids). `segs` feeds only the
+    * NumQueries-row LUT and is pruned off every corpus-sized path;
+    * the corpus-side encode is the fused native expression
+    * ([[graft.functions.expressions.PqCodes]] — the HOF argmin it
+    * replaced measured GC-bound at 2M vectors, NOTES.md). */
   private def pqCodes(spark: SparkSession, dir: String)
       : (DataFrame, Column) = {
     GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val (cb, cbSegLit) = pqCodebook(spark, dir)
-    // corpus-side encode is the fused native expression (zero
-    // per-codeword allocation; the HOF argmin it replaced measured
-    // GC-bound at 2M vectors — NOTES.md); segs feeds only the
-    // NumQueries-row LUT and is pruned off every corpus-sized path
     (e.select(col("vec_id"), pqSegs(col("v")).as("segs"),
       GraftFunctions.pqCodes(col("v"), typedlit(cb), PqSubDim).as("codes")),
       cbSegLit)
@@ -739,7 +735,10 @@ object Similarity {
     * them). */
   def pqTrainStep(spark: SparkSession, dir: String): DataFrame =
     pqCodes(spark, dir)._1
-      .select(col("segs"), posexplode(col("codes")).as(Seq("m", "code")))
+      // outer for the same reason as pqEncode: the non-outer form
+      // makes the optimizer infer size(codes) > 0, re-running the
+      // encoder once more per row
+      .select(col("segs"), posexplode_outer(col("codes")).as(Seq("m", "code")))
       .select(col("m"), col("code"),
         posexplode(element_at(col("segs"), col("m") + 1)).as(Seq("j", "x")))
       .groupBy(col("m").cast("long").as("m"),

@@ -26,10 +26,12 @@ class KmvSpec extends SparkSpec {
     assert(rel < 0.35, f"relative error $rel%.3f (est $est%.1f vs $exact)")
   }
 
-  test("sketch smaller than k is the exact distinct count") {
+  test("sketch smaller than k is the exact distinct count; null text ignored") {
     val texts = (0 until 30).map(i => s"unique document number $i body")
-    // 90 rows, 30 distinct texts — under k, so the sketch is exact
-    val docs = (0 until 90).map(i => (i.toLong, texts(i % 30)))
+    // 90 rows, 30 distinct texts — under k, so the sketch is exact;
+    // the null-text row must be dropped, not crash the long encoder
+    val docs = (0 until 90).map(i => (i.toLong, texts(i % 30))) :+
+      (999L, null.asInstanceOf[String])
     val tmp = Files.createTempDirectory("graft-kmv-spec").toString
     spark.createDataFrame(docs).toDF("doc_id", "text")
       .select(col("doc_id"), col("text"), lit("en").as("lang"),

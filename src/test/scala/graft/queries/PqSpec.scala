@@ -91,6 +91,11 @@ class PqSpec extends SparkSpec {
       xs.map(graft.functions.expressions.PqCodes.round6)
     assert(sparkSide.toSeq == nativeSide,
       s"spark=${sparkSide.toSeq} native=$nativeSide")
+    // non-finite values pass through like Spark's Round (BigDecimal
+    // would throw)
+    assert(graft.functions.expressions.PqCodes.round6(Double.NaN).isNaN)
+    assert(graft.functions.expressions.PqCodes
+      .round6(Double.PositiveInfinity).isPosInfinity)
   }
 
   // ---- driver-side ADC recomputation helpers (real-data tests) ----

@@ -145,7 +145,7 @@ class SemanticDedupSpec extends SparkSpec {
     val docs = (0L until 200L).map { i =>
       val heavy = i < 20
       (i, "x" * (if (heavy) 5000 else 50))
-    }
+    } :+ (999L, "") // weight 0 — never sampled, by definition
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-wsample-spec").toString
     spark.createDataFrame(docs).toDF("doc_id", "text")
@@ -158,6 +158,8 @@ class SemanticDedupSpec extends SparkSpec {
       (1L to Curation.WeightedSampleN))
     val nHeavy = sample.count(_.getAs[Long]("n_chars") == 5000L)
     assert(nHeavy >= 15, s"only $nHeavy of 20 heavy docs sampled")
+    assert(!sample.exists(_.getAs[Long]("doc_id") == 999L),
+      "zero-weight doc must never enter the sample")
 
     val plan = Curation.weightedSample(spark, tmp)
       .queryExecution.executedPlan.toString
