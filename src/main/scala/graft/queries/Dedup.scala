@@ -742,7 +742,7 @@ object Dedup {
 
   /** 2^60 — exactly representable as a double (power of two), so
     * `h / 2^60` is the same IEEE value in Spark and DuckDB. */
-  private val KmvScale = 1152921504606846976.0
+  private[graft] val KmvScale = 1152921504606846976.0
 
   /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
     * over the corpus's text fingerprints: keep the [[KmvK]] smallest

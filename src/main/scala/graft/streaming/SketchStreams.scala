@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.TextFunctions.hash60
+import graft.functions.expressions.PqCodes.round6
+import graft.queries.Dedup
+
+/** Streaming twins of the sketch operators — monitoring shapes for a
+  * document feed (how many distinct documents has this pipeline seen,
+  * without storing them?).
+  *
+  * The KMV sketch is MERGEABLE: the k smallest distinct hashes of a
+  * union are computable from each part's k smallest distinct hashes,
+  * so the streaming state is exactly the batch sketch folded over
+  * micro-batches — the equality spec pins stream == batch on the
+  * same corpus, bit-for-bit.
+  */
+object SketchStreams {
+
+  /** One estimate per micro-batch; `batch` increments per trigger so
+    * a consumer (and the spec) can pick the latest. */
+  final case class KmvEstimate(batch: Long, n_kept: Long, kth_hash: Long,
+      est_distinct: Double)
+
+  /** State: triggers seen so far + the k smallest distinct hashes. */
+  final case class KmvState(batch: Long, kept: Array[Long])
+
+  /** Streaming KMV distinct-count over a document stream (schema must
+    * contain `text`): per batch, a per-partition bounded heap caps
+    * what shuffles to the single state key at ≤ k rows per partition
+    * (the [[graft.queries.Dedup.kmvDistinct]] discipline — the state
+    * group sees sketch-sized input, never the corpus), and the state
+    * itself is the k-element sorted set. Emits the running estimate
+    * after every trigger (Update mode).
+    *
+    * The single group key is not a bottleneck BY CONSTRUCTION: its
+    * input is pre-capped to k·P longs per batch — the same reason the
+    * batch TakeOrdered merge is driver-safe. */
+  def kmvDistinctStream(docs: DataFrame, k: Int = Dedup.KmvK)
+      : Dataset[KmvEstimate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = docs.select(hash60(col("text")).as("h"))
+      .filter(col("h").isNotNull)
+    val capped = h.as[Long].mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { v =>
+        set.add(v)
+        if (set.size > k) set.pollLast()
+      }
+      import scala.jdk.CollectionConverters._
+      set.iterator().asScala.map(_.longValue())
+    }
+    capped.groupByKey(_ => 0)
+      .flatMapGroupsWithState[KmvState, KmvEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[Long], state: GroupState[KmvState]) =>
+          val prev = state.getOption.getOrElse(KmvState(0L, Array.empty))
+          val set = new java.util.TreeSet[java.lang.Long]()
+          prev.kept.foreach(v => set.add(v))
+          it.foreach { v =>
+            set.add(v)
+            if (set.size > k) set.pollLast()
+          }
+          import scala.jdk.CollectionConverters._
+          val kept = set.iterator().asScala.map(_.longValue()).toArray
+          state.update(KmvState(prev.batch + 1, kept))
+          val n = kept.length.toLong
+          if (n == 0) Iterator.empty
+          else {
+            val kth = kept.last
+            val est =
+              if (n < k) n.toDouble
+              else (k - 1.0) / (kth / Dedup.KmvScale)
+            // r6 like the batch query, so stream == batch bit-for-bit
+            Iterator(KmvEstimate(prev.batch + 1, n, kth, round6(est)))
+          }
+      }
+  }
+}
