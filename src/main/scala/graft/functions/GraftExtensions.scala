@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
+import graft.functions.expressions.{AdcDistance, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
 import graft.operators.SerializableHadoopConf
 import graft.plans.HoistPayloadLoad
 
@@ -38,6 +38,12 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 1, "simhash32 takes exactly 1 argument")
         SimHash32(args.head)
+      }),
+    (FunctionIdentifier("adc_dist"),
+      new ExpressionInfo(classOf[AdcDistance].getName, "adc_dist"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "adc_dist takes (lut, codes)")
+        AdcDistance(args.head, args(1))
       }),
     (FunctionIdentifier("pq_codes"),
       new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
@@ -195,6 +201,12 @@ object GraftFunctions {
   def pqCodes(vector: Column, codebook: Column, subDim: Int): Column =
     call_function("pq_codes", vector, codebook,
       org.apache.spark.sql.functions.lit(subDim))
+
+  /** Fused ADC lookup-table walk (see
+    * [[graft.functions.expressions.AdcDistance]]); returns the raw
+    * sum — callers apply the r6 rounding; requires [[register]]. */
+  def adcDist(lut: Column, codes: Column): Column =
+    call_function("adc_dist", lut, codes)
 
   /** Codegen'd 32-bit SimHash over pre-hashed features (see
     * [[graft.functions.expressions.SimHash32]]); bit-identical to

@@ -595,8 +595,16 @@ object Similarity {
 
   /** Per-pair ADC distance: index the query LUT with the corpus
     * row's codes and r6-sum in ascending-m order (per-term rounding
-    * makes the oracle's re-associated GROUP BY sum safe). */
+    * makes the oracle's re-associated GROUP BY sum safe). The walk is
+    * the fused native [[graft.functions.expressions.AdcDistance]] —
+    * the N·Q-pair hot loop; parity with the composable form is
+    * spec-pinned. */
   private def pqAdcDist(qlut: Column, codes: Column): Column =
+    r6(GraftFunctions.adcDist(qlut, codes))
+
+  /** Composable formulation of [[pqAdcDist]], kept as the parity
+    * reference for the native expression. */
+  private[queries] def pqAdcDistHof(qlut: Column, codes: Column): Column =
     r6(aggregate(
       zip_with(qlut, codes, (lutm, code) => element_at(lutm, code + 1)),
       lit(0.0), (acc, z) => acc + z))

@@ -120,6 +120,30 @@ class PqSpec extends SparkSpec {
   private def adist(q: Array[Double], v: Array[Double]): Double =
     r6(codesOf(v).zipWithIndex.map { case (c, m) => sub(q, cbVecs(c), m) }.sum)
 
+  test("native ADC walk equals the composable walk; nulls explicit") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // parity on well-formed input (real codes never leave [0, K) —
+    // the HOF form THROWS on out-of-range under ANSI element_at, so
+    // the native's null there is strictly more defensive)
+    val ok = Seq(
+      (Seq(Seq(0.1, 0.2), Seq(0.3, 0.4)), Seq(1, 0)),
+      (Seq(Seq(1.5, -2.25), Seq(0.0, 4.5)), Seq(0, 1)))
+      .toDF("lut", "codes")
+    ok.select(
+      Similarity.pqAdcDistHof(col("lut"), col("codes")).as("h"),
+      Num.r6(graft.functions.GraftFunctions
+        .adcDist(col("lut"), col("codes"))).as("n")).collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"$r"))
+    // native null semantics: out-of-range code, length mismatch
+    val bad = Seq(
+      (Seq(Seq(0.1, 0.2), Seq(0.3, 0.4)), Seq(5, 0)),
+      (Seq(Seq(0.1, 0.2)), Seq(0, 1))).toDF("lut", "codes")
+    bad.select(graft.functions.GraftFunctions
+      .adcDist(col("lut"), col("codes")).as("n")).collect()
+      .foreach(r => assert(r.isNullAt(0), s"expected null: $r"))
+  }
+
   test("ADC agrees with driver-side recomputation on real data") {
     val got = Similarity.annPqAdc(spark, dir).collect()
     assert(got.nonEmpty)
