@@ -813,6 +813,76 @@ object Similarity {
        SELECT query_id, rk, vec_id AS neighbor_id, adist FROM r
        WHERE rk <= $IvfTopK"""
 
+  /** Recall@[[TopK]] of the ADC search against exact L2 ground
+    * truth — the quality dial a PQ deployment monitors (quantization
+    * trades recall for the 8-bytes-per-vector scan; this query IS the
+    * measurement). Exact side: full-vector squared L2, r6-rounded,
+    * vec_id tie-break; overlap counted per query with zero-overlap
+    * queries retained (left join). Both sides are the already-oracled
+    * formulations, so the metric inherits their determinism. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (c, cbSegLit) = pqCodes(spark, dir)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("segs").as("qsegs"),
+        pqLut(col("segs"), cbSegLit).as("qlut"))
+    // exact ground truth: segment-wise r6 L2 summed in ascending-m
+    // order (the ADC rounding discipline applied to TRUE distances,
+    // so the two rankings differ only by quantization, not rounding)
+    val exactD = r6(aggregate(
+      zip_with(col("qsegs"), col("segs"),
+        (qseg, seg) => subDistSq(qseg, seg)),
+      lit(0.0), (acc, z) => acc + z))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("vec_id"))
+    val exact = c.select(col("vec_id"), col("segs"))
+      .join(broadcast(q.select(col("query_id"), col("qsegs"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("d", exactD)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"))
+    val adc = annPqAdc(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        lit(1).as("hit"))
+    exact.join(adc, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_overlap"),
+        r6(count(col("hit")) / lit(TopK.toDouble)).as("recall"))
+  }
+
+  val pqRecallSql: String =
+    s"""$sqlPqCodesCte,
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id < $NumQueries),
+       xd AS (SELECT q.query_id, e2.vec_id,
+               ${sqlR(
+        s"""coalesce(list_sum(list_transform(generate_series(0, ${PqM - 1}),
+            m -> round(coalesce(list_sum(list_transform(
+                   generate_series(1, $PqSubDim),
+                   j -> (q.qv[m*$PqSubDim+j] - e2.v[m*$PqSubDim+j])
+                      * (q.qv[m*$PqSubDim+j] - e2.v[m*$PqSubDim+j]))), 0)
+                 + 1e-9, 6))), 0)""", 6)} AS d
+             FROM e e2 CROSS JOIN q WHERE e2.vec_id <> q.query_id),
+       xr AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY d, vec_id) AS rk
+                FROM xd) WHERE rk <= $TopK),
+       adp AS (SELECT q.query_id, c.vec_id, c.m,
+                ${sqlR(sqlSubDistSq("q.qv", "cbv.cv", "c.m"), 6)} AS pd
+              FROM codes c JOIN cbv ON c.code = cbv.k CROSS JOIN q
+              WHERE c.vec_id <> q.query_id),
+       ad AS (SELECT query_id, vec_id, ${sqlR("sum(pd)", 6)} AS adist
+              FROM adp GROUP BY 1, 2),
+       ar AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY adist, vec_id) AS rk
+              FROM ad) WHERE rk <= $TopK)
+       SELECT xr.query_id, count(ar.vec_id)::BIGINT AS n_overlap,
+         ${sqlR(s"count(ar.vec_id) / ${TopK.toDouble}", 6)} AS recall
+       FROM xr LEFT JOIN ar
+         ON xr.query_id = ar.query_id AND xr.vec_id = ar.vec_id
+       GROUP BY xr.query_id"""
+
   val queries: Map[String, Q] = Map(
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
@@ -826,6 +896,7 @@ object Similarity {
     "q_ann_pq_adc" -> (annPqAdc _),
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_pq_train" -> (pqTrainStep _),
+    "q_pq_recall" -> (pqRecall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -841,5 +912,6 @@ object Similarity {
     "q_ann_pq_adc" -> annPqAdcSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_pq_train" -> pqTrainStepSql,
+    "q_pq_recall" -> pqRecallSql,
   )
 }
