@@ -813,6 +813,85 @@ object Similarity {
        SELECT query_id, rk, vec_id AS neighbor_id, adist FROM r
        WHERE rk <= $IvfTopK"""
 
+  /** Residual IVFADC — the textbook IVF+PQ (Jégou et al. §V.A):
+    * PQ encodes the RESIDUAL v − centroid(v) rather than the raw
+    * vector, so each codebook only has to cover the spread WITHIN a
+    * cluster instead of the whole space — the reason production
+    * IVFPQ recall beats flat PQ at the same code budget. Within one
+    * probed cluster, query and candidates share the centroid, so the
+    * residual ADC distance preserves the within-cluster L2 ranking.
+    *
+    * Determinism: the residual codebook is the residuals of the
+    * first [[PqK]] vectors, computed BY THE SAME distributed
+    * assignment join the corpus uses (collected bounded, never
+    * re-derived driver-side — re-implementing the cluster argmax on
+    * the driver would be a second source of truth). */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val assign = ivfAssign(spark, dir) // (vec_id, cluster, v), persisted
+    val e0 = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = e0.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val withResid = assign.join(broadcast(cent), col("cluster") === col("cid"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+    val rcb: Seq[Seq[Double]] = withResid.filter(col("vec_id") < PqK)
+      .orderBy(col("vec_id")).collect() // bounded: PqK rows
+      .map(_.getSeq[Double](2).toList).toList
+    require(rcb.size == PqK,
+      s"residual codebook needs the first $PqK vectors, found ${rcb.size}")
+    val rcbSegLit = typedlit((0 until PqM).map(m =>
+      rcb.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))))
+    val coded = withResid.select(col("vec_id"), col("cluster"),
+      GraftFunctions.pqCodes(col("rv"), typedlit(rcb), PqSubDim).as("codes"))
+    val q = withResid.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        pqLut(pqSegs(col("rv")), rcbSegLit).as("qlut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    coded.join(broadcast(q), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", pqAdcDist(col("qlut"), col("codes")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+  }
+
+  val annIvfPqResidualSql: String =
+    s"""$sqlIvfAssignCte,
+       rv AS (SELECT a.vec_id, a.cluster,
+               list_transform(generate_series(1, $Dim),
+                 j -> a.v[j] - cent.cv[j]) AS rv
+             FROM assign a JOIN cent ON a.cluster = cent.cid),
+       rcb AS (SELECT vec_id AS k, rv AS cv FROM rv WHERE vec_id < $PqK),
+       ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       rsub AS (SELECT rv.vec_id, ms.m, rcb.k,
+                ${sqlR(sqlSubDistSq("rv.rv", "rcb.cv", "ms.m"), 6)} AS dd
+              FROM rv CROSS JOIN ms CROSS JOIN rcb),
+       rcodes AS (SELECT vec_id, m, k AS code FROM (
+                  SELECT vec_id, m, k, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY dd, k) AS rk
+                  FROM rsub) WHERE rk = 1),
+       q AS (SELECT rv.vec_id AS query_id, rv.cluster, rv.rv AS qrv
+             FROM rv WHERE rv.vec_id < $NumQueries),
+       cand AS (SELECT q.query_id, r2.vec_id FROM rv r2
+                JOIN q ON r2.cluster = q.cluster
+                WHERE r2.vec_id <> q.query_id),
+       adp AS (SELECT cand.query_id, cand.vec_id, c.m,
+                ${sqlR(sqlSubDistSq("q2.qrv", "rcb.cv", "c.m"), 6)} AS pd
+              FROM cand JOIN rcodes c ON c.vec_id = cand.vec_id
+                JOIN rcb ON c.code = rcb.k
+                JOIN q q2 ON q2.query_id = cand.query_id),
+       ad AS (SELECT query_id, vec_id, ${sqlR("sum(pd)", 6)} AS adist
+              FROM adp GROUP BY 1, 2),
+       r AS (SELECT query_id, vec_id, adist, row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, vec_id) AS rk
+             FROM ad)
+       SELECT query_id, rk, vec_id AS neighbor_id, adist FROM r
+       WHERE rk <= $IvfTopK"""
+
   /** Recall@[[TopK]] of the ADC search against exact L2 ground
     * truth — the quality dial a PQ deployment monitors (quantization
     * trades recall for the 8-bytes-per-vector scan; this query IS the
@@ -897,6 +976,7 @@ object Similarity {
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_pq_train" -> (pqTrainStep _),
     "q_pq_recall" -> (pqRecall _),
+    "q_ann_ivfpq_residual" -> (annIvfPqResidual _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -913,5 +993,6 @@ object Similarity {
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_pq_train" -> pqTrainStepSql,
     "q_pq_recall" -> pqRecallSql,
+    "q_ann_ivfpq_residual" -> annIvfPqResidualSql,
   )
 }
