@@ -823,7 +823,110 @@ object Curation {
        SELECT doc_id, ${sqlR("avg(term)", 6)} AS lm_score
        FROM p2 JOIN ws USING (w1, w2) GROUP BY doc_id"""
 
+  /** Hashed feature space of the trainable quality classifier. */
+  val LrFeatures = 256L
+
+  /** Two full-batch gradient-descent steps of a logistic-regression
+    * text classifier over hashed unigram presence features — the
+    * TRAINING side of the fasttext-style quality/language classifier
+    * every curation stack fields (CCNet trains fasttext LID+quality,
+    * Wenzek et al. 1911.00359 §4; [[dsirWeights]] is the inference
+    * side of such a model, this is how its weights come to exist).
+    * Label: `lang = 'en'` (train an English detector on the corpus's
+    * own language tags). Learning rate 1, init w = 0.
+    *
+    * The distributed-GD shape, which is the point of the entry:
+    * - **step 1** collapses to exact integer statistics — at w = 0
+    *   every score is ½, so the gradient per feature j is
+    *   (½·n_j − pos_j)/N from one explode + partially-aggregated
+    *   count, and w1 = −grad is exact before its single r6.
+    * - **parameter broadcast**: w1 is vocab-sized (≤ [[LrFeatures]]
+    *   rows) and rides to the executors as a literal map — the
+    *   parameter-server step of a GD iteration, same license as the
+    *   bounded `tot.head()` collects of [[dsirWeights]]/[[lmFluency]].
+    * - **step 2** is ONE corpus pass with per-row score computation
+    *   (z from the feature array against the broadcast map, the
+    *   algebraic sigmoid ½ + ½·z/(1+|z|) — the libm-avoidance rule)
+    *   and a gradient shuffle of ≤ [[LrFeatures]] cells per task
+    *   after map-side partial aggregation. Nothing corpus-sized is
+    *   persisted or joined against itself; iterating = repeating the
+    *   broadcast-score-aggregate pass.
+    *
+    * Determinism: z is r6-rounded before the sigmoid, every gradient
+    * is r6-rounded after its /N, so cross-engine re-association noise
+    * stays under the epsilon-round guard. Features hash through the
+    * native [[graft.functions.expressions.WordGramHashes]] pass
+    * (n = 1 ⇒ per-token hash60), keeping md5 out of interpreted HOF
+    * loops; the residual per-element `% m` transform is cheap
+    * arithmetic. Output: one row per live feature — (f, n_docs, w1,
+    * w2), the weight table after each step. */
+  def logregStep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def d = Tables.fanOut(t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        array_distinct(transform(
+          graft.functions.GraftFunctions.wordGramHashes(col("text"), 1),
+          h => h % lit(LrFeatures))).as("fs"))
+    val nDocs = d.count()
+    val feats = d.select(col("y"), explode(col("fs")).as("f"))
+    val w1 = feats.groupBy(col("f"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("pos"))
+      .select(col("f"), col("n_docs"),
+        r6((col("pos") - lit(0.5) * col("n_docs")) / lit(nDocs.toDouble))
+          .as("w1"))
+    // parameter broadcast: the vocab-sized weight table as a literal
+    // map (bounded collect — LrFeatures rows at most)
+    val w1Rows = w1.select(col("f"), col("w1")).collect()
+    // typedLit keeps the map<bigint,double> type on an empty corpus,
+    // where bare map() would default to map<string,string>
+    val w1Map = if (w1Rows.isEmpty) typedLit(Map.empty[Long, Double])
+      else map(w1Rows.flatMap(r =>
+        Seq(lit(r.getLong(0)), lit(r.getDouble(1)))).toIndexedSeq: _*)
+    val scored = d.select(col("y"), col("fs"),
+        r6(aggregate(col("fs"), lit(0.0),
+          (acc, f) => acc + coalesce(element_at(w1Map, f), lit(0.0))))
+          .as("z"))
+      .select(col("y"), col("fs"),
+        (lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))))
+          .as("p"))
+    val g2 = scored.select(col("p") - col("y").cast("double") as "e",
+        explode(col("fs")).as("f"))
+      .groupBy(col("f"))
+      .agg(r6(sum(col("e")) / lit(nDocs.toDouble)).as("grad2"))
+    w1.join(g2, Seq("f"))
+      .select(col("f"), col("n_docs"), col("w1"),
+        r6(col("w1") - col("grad2")).as("w2"))
+  }
+
+  val logregStepSql: String =
+    s"""WITH d AS (SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           ${TextAnalysis.SqlToksLower} AS a
+         FROM documents WHERE text IS NOT NULL),
+       n AS (SELECT count(*) AS n FROM d),
+       f AS (SELECT DISTINCT doc_id, y,
+               CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT)
+                 % $LrFeatures AS f
+             FROM (SELECT doc_id, y, unnest(a) AS w FROM d)),
+       g1 AS (SELECT f, count(*)::BIGINT AS n_docs, sum(y) AS pos
+              FROM f GROUP BY f),
+       w1 AS (SELECT f, n_docs,
+                ${sqlR("(pos - 0.5 * n_docs) / n", 6)} AS w1
+              FROM g1 CROSS JOIN n),
+       z AS (SELECT doc_id, y, ${sqlR("sum(w1.w1)", 6)} AS z
+             FROM f JOIN w1 USING (f) GROUP BY doc_id, y),
+       p AS (SELECT doc_id, y, 0.5 + 0.5 * z / (1 + abs(z)) AS p FROM z),
+       g2 AS (SELECT f.f,
+                ${sqlR("sum(p.p - p.y) / any_value(n.n)", 6)} AS grad2
+              FROM f JOIN p USING (doc_id) CROSS JOIN n GROUP BY f.f)
+       SELECT w1.f, n_docs, w1.w1 AS w1,
+         ${sqlR("w1.w1 - grad2", 6)} AS w2
+       FROM w1 JOIN g2 USING (f)"""
+
   val queries: Map[String, Q] = Map(
+    "q_logreg_step" -> (logregStep _),
     "q_token_budget" -> (tokenBudget _),
     "q_quality_threshold" -> (qualityThreshold _),
     "q_sample_stratified" -> (sampleStratified _),
@@ -840,6 +943,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_logreg_step" -> logregStepSql,
     "q_token_budget" -> tokenBudgetSql,
     "q_quality_threshold" -> qualityThresholdSql,
     "q_sample_stratified" -> sampleStratifiedSql,

@@ -259,6 +259,85 @@ object TextAnalysis {
          SELECT unnest($SqlToksLower) AS term FROM documents)
        GROUP BY term ORDER BY n DESC, term LIMIT 20"""
 
+  /** Count-min sketch depth (hash rows) and width (buckets/row). */
+  val CmsD = 4
+  val CmsW = 512L
+
+  /** Row-`seed` CMS bucket of a 60-bit term hash: the minhash affine
+    * family re-used as the pairwise-independent hash rows, then
+    * folded mod [[CmsW]] — every constant md5/affine-derived so the
+    * DuckDB oracle re-derives the identical sketch. */
+  private def cmsBucket(h: org.apache.spark.sql.Column, seed: Int) =
+    ((lit(minhashA(seed)) * (h % lit(MinhashP)) + lit(minhashB(seed)))
+      % lit(MinhashP)) % lit(CmsW)
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    * check: build the d×w counter grid over the corpus token stream,
+    * then read the top-10 exact terms back through the sketch —
+    * `est_n = min over rows of counter[r][bucket_r(term)]`, always ≥
+    * `exact_n` (one-sided error; [[CmsSketchSpec]] pins the
+    * overestimate property and mergeability — counters of corpus
+    * parts ADD, the third mergeable sketch of the family next to
+    * [[graft.queries.Dedup.kmvDistinct]] (distinct count) and
+    * [[graft.operators.HllSketch]] (distinct count, bounded state):
+    * this one answers point-frequency queries in d·w integers.
+    *
+    * Scale shape: the d-fold expansion of the token stream is
+    * map-side and partial aggregation collapses each task to ≤ d·w
+    * counter cells before the one shuffle, so the sketch build moves
+    * ~d·w·tasks rows at ANY corpus size; the exact side (the
+    * verification dial) is the wordcount aggregate; the final probe
+    * joins the 2048-cell grid against 40 exploded probe rows with the
+    * probe side broadcast. Integer-only arithmetic — the oracle hash
+    * gate is exact with no rounding anywhere. */
+  /** The d×w counter grid of a `term` stream — exposed so sketches of
+    * corpus parts can be built (and added — see [[CmsSketchSpec]])
+    * independently of the catalog query. */
+  def cmsCounters(terms: DataFrame): DataFrame =
+    terms.select(hash60(col("term")).as("h"))
+      .select(posexplode(array(
+        (0 until CmsD).map(i => cmsBucket(col("h"), i)): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def cmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.fanOut(t(spark, dir, "documents"))
+      .select(explode(tokens(lower(col("text")))).as("term"))
+    val counters = cmsCounters(terms)
+    val top = terms.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term")).limit(10)
+      .withColumn("h", hash60(col("term")))
+      .select(col("term"), col("exact_n"), posexplode(array(
+        (0 until CmsD).map(i => cmsBucket(col("h"), i)): _*))
+        .as(Seq("r", "bucket")))
+    counters.join(broadcast(top), Seq("r", "bucket"))
+      .groupBy(col("term"), col("exact_n"))
+      .agg(min(col("cnt")).as("est_n"))
+  }
+
+  val cmsHeavySql: String = {
+    import graft.functions.TextFunctions.{MinhashP, minhashA, minhashB}
+    def buckets(src: String) = (0 until CmsD).map { i =>
+      s"""SELECT *, $i AS r, ((${minhashA(i)} * (h % $MinhashP)
+            + ${minhashB(i)}) % $MinhashP) % $CmsW AS bucket FROM $src"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH toks AS (SELECT unnest($SqlToksLower) AS term FROM documents),
+       h AS (SELECT CAST(concat('0x', substring(md5(term), 1, 15))
+               AS BIGINT) AS h FROM toks),
+       hits AS (${buckets("h")}),
+       counters AS (SELECT r, bucket, count(*) AS cnt
+                    FROM hits GROUP BY 1, 2),
+       ex AS (SELECT term, count(*) AS exact_n FROM toks
+              GROUP BY 1 ORDER BY exact_n DESC, term LIMIT 10),
+       exh AS (SELECT term, exact_n,
+                 CAST(concat('0x', substring(md5(term), 1, 15))
+                   AS BIGINT) AS h FROM ex),
+       eb AS (${buckets("exh")})
+       SELECT term, exact_n, min(cnt) AS est_n
+       FROM eb JOIN counters USING (r, bucket) GROUP BY 1, 2"""
+  }
+
   /** Token-repetition signals per document (the Gopher-style
     * repetition rules a quality pipeline gates on): distinct-token
     * ratio and the share of the single most frequent token. Narrow
@@ -401,6 +480,7 @@ object TextAnalysis {
        FROM r"""
 
   val queries: Map[String, Q] = Map(
+    "q_cms_heavy" -> (cmsHeavy _),
     "q_text_pii_redact" -> (piiRedact _),
     "q_text_topgram" -> (textTopgram _),
     "q_text_repetition" -> (textRepetition _),
@@ -415,6 +495,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cms_heavy" -> cmsHeavySql,
     "q_text_pii_redact" -> textPiiRedactSql,
     "q_text_topgram" -> textTopgramSql,
     "q_text_repetition" -> textRepetitionSql,

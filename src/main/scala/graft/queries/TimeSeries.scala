@@ -526,7 +526,64 @@ object TimeSeries {
          count(DISTINCT user_id) AS n_users, count(*) AS n_events
        FROM events GROUP BY 1, 2"""
 
+  /** Distinct users per event type via the deterministic HLL sketch
+    * ([[graft.operators.HllSketch]]) side-by-side with the exact
+    * count — the quality dial of the sketch relaxation noted at
+    * [[eventsHourlyUsers]]. `z_int` (the exact integer harmonic sum)
+    * is in the output on purpose: the hash gate on it pins every one
+    * of the 256 registers, not just the rounded estimate.
+    *
+    * Scale shape: register derivation is a map + one partially
+    * aggregated max down to ≤ types·256 cells per task; the exact
+    * side is the two-level distinct rewrite. At 100 TB the exact side
+    * is the expensive half — the sketch column is what a monitoring
+    * pipeline would keep. */
+  def eventsHllUsers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HllSketch
+    val ev = t(spark, dir, "events")
+    val est = HllSketch.estimate(
+        HllSketch.registers(ev, col("event_type"),
+          col("user_id").cast("string")))
+      .withColumnRenamed("key", "event_type")
+      .withColumnRenamed("est_distinct", "est_users")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_present"), col("z_int"),
+        col("est_users"), col("exact_users"))
+  }
+
+  val eventsHllUsersSql: String = {
+    import graft.operators.HllSketch.{AlphaZ, SmallRangeCeiling}
+    s"""WITH h AS (SELECT event_type,
+           CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS h
+         FROM events WHERE user_id IS NOT NULL),
+       b AS (SELECT event_type, h >> 52 AS bucket,
+               h & 4503599627370495 AS w FROM h),
+       r AS (SELECT event_type, bucket,
+               CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+             FROM b),
+       regs AS (SELECT event_type, bucket, max(rho) AS mj
+                FROM r GROUP BY 1, 2),
+       z AS (SELECT event_type, count(*)::BIGINT AS n_present,
+               CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT)
+                 + (256 - count(*)) * (1::BIGINT << 53) AS z_int
+             FROM regs GROUP BY 1),
+       ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT
+                AS exact_users FROM events GROUP BY 1)
+       SELECT z.event_type, n_present, z_int,
+         ${sqlR(
+        s"""CASE WHEN $AlphaZ / z_int <= $SmallRangeCeiling
+                  AND n_present < 256
+            THEN 256.0 * ln(256.0 / (256 - n_present))
+            ELSE $AlphaZ / z_int END""", 6)} AS est_users,
+         exact_users
+       FROM z JOIN ex ON z.event_type = ex.event_type"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_hll_users" -> (eventsHllUsers _),
     "q_events_hourly_users" -> (eventsHourlyUsers _),
     "q_events_gapfill" -> (eventsGapFill _),
     "q_asof_join" -> (eventsAsofJoinOp _),
@@ -545,6 +602,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_hll_users" -> eventsHllUsersSql,
     "q_events_hourly_users" -> eventsHourlyUsersSql,
     "q_events_gapfill" -> eventsGapFillSql,
     "q_asof_join" -> eventsAsofJoinOpSql,
