@@ -338,6 +338,99 @@ object TextAnalysis {
        FROM eb JOIN counters USING (r, bucket) GROUP BY 1, 2"""
   }
 
+  /** BPE merge-learning iterations. */
+  val BpeSteps = 5
+
+  /** Learn the first [[BpeSteps]] BPE merges over the corpus — the
+    * tokenizer-TRAINING loop (Sennrich et al. 2016, arXiv:1508.07909
+    * §3.2): count adjacent symbol pairs weighted by word frequency,
+    * merge the most frequent pair everywhere, repeat. Output: one row
+    * per learned merge (step, s1, s2, cnt).
+    *
+    * Scale shape — the reason tokenizer training fits a 100 TB
+    * corpus: the ONLY corpus-scale stage is the word-frequency
+    * aggregate (the [[textWordcount]] shuffle); every merge iteration
+    * runs on the VOCAB-SIZED (word, count) table, exactly how
+    * production BPE trainers factor the problem. Per step: one
+    * pair-count aggregate over the vocab table (explode is map-side,
+    * partial agg collapses to distinct-pair cells) and one bounded
+    * argmax collect (a single row — the same license as a broadcast
+    * threshold), then the merge applies as a narrow per-row rewrite.
+    * The vocab table is persisted once (bounded, vocab-sized — the
+    * [[graft.queries.Curation.lmFluency]] discipline).
+    *
+    * Symbol encoding: each word becomes `c|` per character ('|' is
+    * not in any token — tokens are whitespace-split text). A merge of
+    * (s1, s2) is the literal replace of `s1|s2|` with `s1s2|` —
+    * left-to-right non-overlapping, which IS greedy BPE application,
+    * and both engines' `replace` agree on it. Ties break on
+    * (count desc, s1, s2). Integer-only — no rounding anywhere. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab0 = Tables.fanOut(t(spark, dir, "documents"))
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("w"), "(.)", "$1|").as("syms"), col("n"))
+      .persist() // vocab-sized
+    var vocab: DataFrame = vocab0
+    val learned = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= BpeSteps && !dry) {
+      val pairs = vocab
+        .select(col("n"),
+          filter(split(col("syms"), "\\|"), s => s =!= "").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("n"), explode(expr(
+          """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+             (x, y) -> struct(x AS s1, y AS s2))""")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("n")).as("cnt"))
+      // bounded argmax collect: one row per step
+      val best = pairs.orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (s1, s2, cnt) = (best.head.getString(0),
+          best.head.getString(1), best.head.getLong(2))
+        learned += ((step.toLong, s1, s2, cnt))
+        vocab = vocab.select(
+          replace(col("syms"), lit(s"$s1|$s2|"), lit(s"$s1$s2|"))
+            .as("syms"), col("n"))
+        step += 1
+      }
+    }
+    learned.toSeq.toDF("step", "s1", "s2", "cnt")
+  }
+
+  val bpeMergesSql: String = {
+    val layers = (1 to BpeSteps).map { i =>
+      val prev = s"v${i - 1}"
+      s"""p$i AS (SELECT s1, s2, CAST(sum(n) AS BIGINT) AS cnt FROM (
+             SELECT n, z[1] AS s1, z[2] AS s2 FROM (
+               SELECT n, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+               FROM (SELECT n, list_filter(string_split(syms, '|'),
+                       x -> x <> '') AS a FROM $prev)
+               WHERE len(a) >= 2))
+           GROUP BY 1, 2),
+         m$i AS (SELECT ${i}::BIGINT AS step, s1, s2, cnt FROM p$i
+                 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         v$i AS (SELECT replace(syms,
+                   (SELECT s1 || '|' || s2 || '|' FROM m$i),
+                   (SELECT s1 || s2 || '|' FROM m$i)) AS syms, n
+                 FROM $prev)"""
+    }.mkString(",\n ")
+    val union = (1 to BpeSteps)
+      .map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""WITH v0 AS (SELECT regexp_replace(w, '(.)', '\\1|', 'g') AS syms,
+           count(*) AS n
+         FROM (SELECT unnest($SqlToksLower) AS w FROM documents)
+         GROUP BY 1),
+       $layers
+       $union"""
+  }
+
   /** Token-repetition signals per document (the Gopher-style
     * repetition rules a quality pipeline gates on): distinct-token
     * ratio and the share of the single most frequent token. Narrow
@@ -480,6 +573,7 @@ object TextAnalysis {
        FROM r"""
 
   val queries: Map[String, Q] = Map(
+    "q_bpe_merges" -> (bpeMerges _),
     "q_cms_heavy" -> (cmsHeavy _),
     "q_text_pii_redact" -> (piiRedact _),
     "q_text_topgram" -> (textTopgram _),
@@ -495,6 +589,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesSql,
     "q_cms_heavy" -> cmsHeavySql,
     "q_text_pii_redact" -> textPiiRedactSql,
     "q_text_topgram" -> textTopgramSql,

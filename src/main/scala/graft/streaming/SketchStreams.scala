@@ -79,4 +79,79 @@ object SketchStreams {
           }
       }
   }
+
+  /** One estimate per (key, micro-batch). */
+  final case class HllEstimate(batch: Long, key: String, n_present: Long,
+      z_int: Long, est_distinct: Double)
+
+  /** State: triggers seen + the 256 registers (ranks ≤ 53 fit a
+    * byte — 256 bytes per key, the bounded-state HLL selling point). */
+  final case class HllState(batch: Long, regs: Array[Byte])
+
+  /** Streaming HLL distinct-count per key (the
+    * [[graft.operators.HllSketch]] twin): registers merge by
+    * elementwise max, so the state fold over micro-batches equals the
+    * batch sketch bit-for-bit — [[HllStreamSpec]] pins it. The
+    * per-partition pre-aggregation caps what shuffles to each state
+    * key at ≤ 256 rows per partition per batch (the [[kmvDistinctStream]]
+    * discipline — the state group sees sketch-sized input, never the
+    * stream); estimate arithmetic is shared with the batch side
+    * (integer harmonic sum, `round6` ≡ `r6`). */
+  def hllDistinctStream(docs: DataFrame,
+      key: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column)
+      : Dataset[HllEstimate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.HllSketch.{AlphaZ, M, MaxRank, SmallRangeCeiling}
+    val rows = docs.filter(id.isNotNull)
+      .select(key.cast("string").as("key"), hash60(id).as("h"))
+      .select(col("key"), expr("h >> 52").cast("int").as("bucket"),
+        expr("h & 4503599627370495").as("w"))
+      .select(col("key"), col("bucket"),
+        when(col("w") === 0L, lit(MaxRank))
+          .otherwise(lit(MaxRank) - length(bin(col("w"))))
+          .cast("int").as("rho"))
+      .as[(String, Int, Int)]
+    val capped = rows.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Array[Byte]]
+      it.foreach { case (k, b, r) =>
+        val regs = m.getOrElseUpdate(k, new Array[Byte](M))
+        if (r > regs(b)) regs(b) = r.toByte
+      }
+      m.iterator.flatMap { case (k, regs) =>
+        regs.iterator.zipWithIndex.collect {
+          case (r, b) if r > 0 => (k, b, r.toInt)
+        }
+      }
+    }
+    capped.groupByKey(_._1)
+      .flatMapGroupsWithState[HllState, HllEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[(String, Int, Int)],
+            state: GroupState[HllState]) =>
+          val prev = state.getOption.getOrElse(
+            HllState(0L, new Array[Byte](M)))
+          val regs = prev.regs.clone()
+          it.foreach { case (_, b, r) =>
+            if (r > regs(b)) regs(b) = r.toByte
+          }
+          state.update(HllState(prev.batch + 1, regs))
+          var nPresent = 0L
+          var z = 0L
+          regs.foreach { r =>
+            if (r > 0) { nPresent += 1; z += 1L << (MaxRank - r) }
+            else z += 1L << MaxRank
+          }
+          if (nPresent == 0) Iterator.empty
+          else {
+            val raw = AlphaZ / z
+            val est =
+              if (raw <= SmallRangeCeiling && nPresent < M)
+                M.toDouble * math.log(M.toDouble / (M - nPresent))
+              else raw
+            Iterator(HllEstimate(prev.batch + 1, k, nPresent, z,
+              round6(est)))
+          }
+      }
+  }
 }
