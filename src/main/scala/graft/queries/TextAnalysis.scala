@@ -359,8 +359,9 @@ object TextAnalysis {
     * The vocab table is persisted once (bounded, vocab-sized — the
     * [[graft.queries.Curation.lmFluency]] discipline).
     *
-    * Symbol encoding: each word becomes `c|` per character ('|' is
-    * not in any token — tokens are whitespace-split text). A merge of
+    * Symbol encoding: each word becomes `c|` per character (tokens
+    * containing the '|' terminator are excluded from training — see
+    * the guard below). A merge of
     * (s1, s2) is the literal replace of `s1|s2|` with `s1s2|` —
     * left-to-right non-overlapping, which IS greedy BPE application,
     * and both engines' `replace` agree on it. Ties break on
@@ -369,6 +370,10 @@ object TextAnalysis {
     import spark.implicits._
     val vocab0 = Tables.fanOut(t(spark, dir, "documents"))
       .select(explode(tokens(lower(col("text")))).as("w"))
+      // '|' is the symbol terminator of the encoding below — a token
+      // containing it would corrupt the merge bookkeeping, so such
+      // tokens are excluded from training (the SQL mirror agrees)
+      .filter(!col("w").contains("|"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(regexp_replace(col("w"), "(.)", "$1|").as("syms"), col("n"))
       .persist() // vocab-sized
@@ -426,6 +431,7 @@ object TextAnalysis {
     s"""WITH v0 AS (SELECT regexp_replace(w, '(.)', '\\1|', 'g') AS syms,
            count(*) AS n
          FROM (SELECT unnest($SqlToksLower) AS w FROM documents)
+         WHERE w NOT LIKE '%|%'
          GROUP BY 1),
        $layers
        $union"""

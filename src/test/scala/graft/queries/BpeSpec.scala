@@ -58,4 +58,13 @@ class BpeSpec extends SparkSpec {
     val dir = write(Seq("a b a b"), "dry")
     assert(TextAnalysis.bpeMerges(spark, dir).collect().isEmpty)
   }
+
+  test("tokens containing the symbol terminator are excluded from training") {
+    // "x|y" would corrupt the pipe-terminated encoding; only "ab"
+    // (weight 2) must train
+    val dir = write(Seq("x|y ab", "x|y ab"), "pipe")
+    val rows = TextAnalysis.bpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, "a", "b", 2L)))
+  }
 }
