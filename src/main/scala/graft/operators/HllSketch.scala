@@ -61,20 +61,45 @@ object HllSketch {
   /** Linear-counting threshold 2.5·m (Flajolet §4). */
   val SmallRangeCeiling: Double = 2.5 * 256.0
 
+  /** Low 52 bits of the 60-bit hash — the rank window. */
+  private val WindowMask = (1L << 52) - 1
+
+  /** (key, bucket, rho) rows of a (key, h) frame — the SHARED
+    * projection of batch and streaming sketches (one copy of the
+    * bucket split and the `length(bin(w))` rank, so the bit-for-bit
+    * stream == batch contract has a single derivation to drift). */
+  def bucketRhoRows(hashed: DataFrame): DataFrame =
+    hashed
+      .select(col("key"), expr("h >> 52").as("bucket"),
+        (col("h").bitwiseAND(lit(WindowMask))).as("w"))
+      .select(col("key"), col("bucket"),
+        when(col("w") === 0L, lit(MaxRank))
+          .otherwise(lit(MaxRank) - length(bin(col("w")))).as("rho"))
+
+  /** Registers of a pre-hashed (key, h) frame. */
+  def registersOfHashes(hashed: DataFrame): DataFrame =
+    bucketRhoRows(hashed)
+      .groupBy(col("key"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+
   /** Per-key HLL registers of `id`: one row per (key, bucket) with the
     * max rank `mj`. `id` must be a string column (the md5 die is over
     * its UTF-8 bytes); null ids are ignored, hashless keys vanish
     * (count 0 ⇒ no row, as with exact distinct). */
   def registers(df: DataFrame, key: Column, id: Column): DataFrame =
-    df.filter(id.isNotNull)
-      .select(key.as("key"), hash60(id).as("h"))
-      .select(col("key"), expr("h >> 52").as("bucket"),
-        expr("h & 4503599627370495").as("w"))
-      .select(col("key"), col("bucket"),
-        when(col("w") === 0L, lit(MaxRank))
-          .otherwise(lit(MaxRank) - length(bin(col("w")))).as("rho"))
-      .groupBy(col("key"), col("bucket"))
-      .agg(max(col("rho")).as("mj"))
+    registersOfHashes(df.filter(id.isNotNull)
+      .select(key.as("key"), hash60(id).as("h")))
+
+  /** The estimator as a pure scalar — the streaming fold's twin of
+    * the Column arithmetic in [[estimate]] (java.lang.Math.log is
+    * what Catalyst's `log` evaluates, so the branches agree
+    * bit-for-bit; [[graft.streaming.HllStreamSpec]] pins it). */
+  def estimateScalar(nPresent: Long, zInt: Long): Double = {
+    val raw = AlphaZ / zInt
+    if (raw <= SmallRangeCeiling && nPresent < M)
+      M.toDouble * math.log(M.toDouble / (M - nPresent))
+    else raw
+  }
 
   /** Merge register sets of disjoint (or overlapping — max is
     * idempotent) corpora: elementwise max per (key, bucket). */

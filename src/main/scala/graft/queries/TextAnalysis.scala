@@ -359,13 +359,19 @@ object TextAnalysis {
     * The vocab table is persisted once (bounded, vocab-sized — the
     * [[graft.queries.Curation.lmFluency]] discipline).
     *
-    * Symbol encoding: each word becomes `c|` per character (tokens
-    * containing the '|' terminator are excluded from training — see
-    * the guard below). A merge of
-    * (s1, s2) is the literal replace of `s1|s2|` with `s1s2|` —
-    * left-to-right non-overlapping, which IS greedy BPE application,
-    * and both engines' `replace` agree on it. Ties break on
-    * (count desc, s1, s2). Integer-only — no rounding anywhere. */
+    * Symbol encoding: each word becomes `|c|` per character — every
+    * symbol carries its OWN opening and closing pipe (tokens
+    * containing '|' are excluded from training; guard below). A merge
+    * of (s1, s2) is the literal replace of `|s1||s2|` with `|s1s2|`:
+    * both ends of both symbols are anchored, so a pair can never
+    * match inside a longer symbol (a one-sided `s1|s2|` encoding
+    * matches `y|z|` INSIDE `xy|z|`, silently merging a never-learned
+    * symbol — caught by review, pinned by the suffix-collision spec),
+    * and because the replacement re-emits a closing-opening pipe
+    * pair, consecutive occurrences still chain left-to-right, which
+    * IS greedy BPE application; both engines' `replace` agree on it.
+    * Ties break on (count desc, s1, s2). Integer-only — no rounding
+    * anywhere. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vocab0 = Tables.fanOut(t(spark, dir, "documents"))
@@ -375,7 +381,7 @@ object TextAnalysis {
       // tokens are excluded from training (the SQL mirror agrees)
       .filter(!col("w").contains("|"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(regexp_replace(col("w"), "(.)", "$1|").as("syms"), col("n"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("syms"), col("n"))
       .persist() // vocab-sized
     var vocab: DataFrame = vocab0
     val learned = scala.collection.mutable.ArrayBuffer.empty[
@@ -401,7 +407,7 @@ object TextAnalysis {
           best.head.getString(1), best.head.getLong(2))
         learned += ((step.toLong, s1, s2, cnt))
         vocab = vocab.select(
-          replace(col("syms"), lit(s"$s1|$s2|"), lit(s"$s1$s2|"))
+          replace(col("syms"), lit(s"|$s1||$s2|"), lit(s"|$s1$s2|"))
             .as("syms"), col("n"))
         step += 1
       }
@@ -409,7 +415,10 @@ object TextAnalysis {
     learned.toSeq.toDF("step", "s1", "s2", "cnt")
   }
 
-  val bpeMergesSql: String = {
+  /** The shared CTE body of the BPE training loop (v0 + the
+    * [[BpeSteps]] unrolled pair-count/argmax/rewrite layers) —
+    * composed by both [[bpeMergesSql]] and [[bpeTokenizeSql]]. */
+  private val bpeCtes: String = {
     val layers = (1 to BpeSteps).map { i =>
       val prev = s"v${i - 1}"
       s"""p$i AS (SELECT s1, s2, CAST(sum(n) AS BIGINT) AS cnt FROM (
@@ -422,19 +431,81 @@ object TextAnalysis {
          m$i AS (SELECT ${i}::BIGINT AS step, s1, s2, cnt FROM p$i
                  ORDER BY cnt DESC, s1, s2 LIMIT 1),
          v$i AS (SELECT replace(syms,
-                   (SELECT s1 || '|' || s2 || '|' FROM m$i),
-                   (SELECT s1 || s2 || '|' FROM m$i)) AS syms, n
+                   (SELECT '|' || s1 || '||' || s2 || '|' FROM m$i),
+                   (SELECT '|' || s1 || s2 || '|' FROM m$i)) AS syms, n
                  FROM $prev)"""
     }.mkString(",\n ")
-    val union = (1 to BpeSteps)
-      .map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
-    s"""WITH v0 AS (SELECT regexp_replace(w, '(.)', '\\1|', 'g') AS syms,
+    s"""v0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS syms,
            count(*) AS n
          FROM (SELECT unnest($SqlToksLower) AS w FROM documents)
          WHERE w NOT LIKE '%|%'
          GROUP BY 1),
-       $layers
+       $layers"""
+  }
+
+  val bpeMergesSql: String = {
+    val union = (1 to BpeSteps)
+      .map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""WITH $bpeCtes
        $union"""
+  }
+
+  /** Apply the [[bpeMerges]]-learned tokenizer to the corpus — the
+    * INFERENCE side of BPE: every word re-encodes as symbols, the
+    * learned merges replay in training order (merge order is the
+    * tokenizer — applying them in learned order IS greedy BPE
+    * segmentation), and the output is per-document word and
+    * BPE-token counts — the "how many tokens is this corpus under
+    * MY tokenizer" question every training-budget calculation needs.
+    *
+    * Scale shape: training reruns first (corpus wordcount + vocab-
+    * sized iterations, see [[bpeMerges]]); segmentation is then a
+    * pure per-row map — the ≤ [[BpeSteps]] learned merges arrive as
+    * literal replace chains (no join, no broadcast table needed at
+    * this K; a production 50k-merge vocab would broadcast a trie
+    * instead), and the per-doc aggregate is the one narrow shuffle.
+    * Symbol counting is arithmetic, not parsing: merges preserve
+    * characters, so #symbols = (len(encoded) − len(word)) / 2.
+    * Tokens containing '|' are excluded from both counts (the
+    * [[bpeMerges]] guard). Integer-exact. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = Tables.fanOut(t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      .filter(!col("w").contains("|"))
+    val encoded = merges.foldLeft(
+      regexp_replace(col("w"), "(.)", "|$1|")) { case (c, (s1, s2)) =>
+      replace(c, lit(s"|$s1||$s2|"), lit(s"|$s1$s2|"))
+    }
+    words.select(col("doc_id"), col("w"), encoded.as("syms"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        expr("CAST(sum(length(syms) - length(w)) AS BIGINT) div 2")
+          .as("bpe_tokens"))
+  }
+
+  val bpeTokenizeSql: String = {
+    // dry-corpus guard: an empty m_i makes the scalar subqueries
+    // NULL; coalesce to a sentinel absent from the encoding so the
+    // replace degrades to a no-op instead of NULLing the text
+    val chain = (1 to BpeSteps).foldLeft(
+      s"regexp_replace(w, '(.)', '|\\1|', 'g')") { (acc, i) =>
+      s"""replace($acc,
+           coalesce((SELECT '|' || s1 || '||' || s2 || '|' FROM m$i), '§§'),
+           coalesce((SELECT '|' || s1 || s2 || '|' FROM m$i), ''))"""
+    }
+    s"""WITH $bpeCtes,
+       wds AS (SELECT doc_id, w FROM (
+           SELECT doc_id, unnest($SqlToksLower) AS w FROM documents
+           WHERE text IS NOT NULL)
+         WHERE w NOT LIKE '%|%'),
+       seg AS (SELECT doc_id, w, $chain AS syms FROM wds)
+       SELECT doc_id, count(*)::BIGINT AS n_words,
+         CAST(sum(length(syms) - length(w)) AS BIGINT) // 2 AS bpe_tokens
+       FROM seg GROUP BY doc_id"""
   }
 
   /** Token-repetition signals per document (the Gopher-style
@@ -580,6 +651,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q_bpe_merges" -> (bpeMerges _),
+    "q_bpe_tokenize" -> (bpeTokenize _),
     "q_cms_heavy" -> (cmsHeavy _),
     "q_text_pii_redact" -> (piiRedact _),
     "q_text_topgram" -> (textTopgram _),
@@ -596,6 +668,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_cms_heavy" -> cmsHeavySql,
     "q_text_pii_redact" -> textPiiRedactSql,
     "q_text_topgram" -> textTopgramSql,

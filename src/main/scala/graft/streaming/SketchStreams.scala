@@ -80,7 +80,11 @@ object SketchStreams {
       }
   }
 
-  /** One estimate per (key, micro-batch). */
+  /** One estimate per (key, micro-batch IN WHICH THE KEY RECEIVED
+    * DATA) — `batch` is a per-key data-batch counter, not a global
+    * trigger index (flatMapGroupsWithState does not invoke groups
+    * with no input), so "latest per key" means each key's OWN max
+    * batch. */
   final case class HllEstimate(batch: Long, key: String, n_present: Long,
       z_int: Long, est_distinct: Double)
 
@@ -102,15 +106,12 @@ object SketchStreams {
       : Dataset[HllEstimate] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import graft.operators.HllSketch.{AlphaZ, M, MaxRank, SmallRangeCeiling}
-    val rows = docs.filter(id.isNotNull)
-      .select(key.cast("string").as("key"), hash60(id).as("h"))
-      .select(col("key"), expr("h >> 52").cast("int").as("bucket"),
-        expr("h & 4503599627370495").as("w"))
-      .select(col("key"), col("bucket"),
-        when(col("w") === 0L, lit(MaxRank))
-          .otherwise(lit(MaxRank) - length(bin(col("w"))))
-          .cast("int").as("rho"))
+    import graft.operators.HllSketch
+    import graft.operators.HllSketch.{M, MaxRank}
+    val rows = HllSketch.bucketRhoRows(docs.filter(id.isNotNull)
+        .select(key.cast("string").as("key"), hash60(id).as("h")))
+      .select(col("key"), col("bucket").cast("int"),
+        col("rho").cast("int"))
       .as[(String, Int, Int)]
     val capped = rows.mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Array[Byte]]
@@ -143,15 +144,8 @@ object SketchStreams {
             else z += 1L << MaxRank
           }
           if (nPresent == 0) Iterator.empty
-          else {
-            val raw = AlphaZ / z
-            val est =
-              if (raw <= SmallRangeCeiling && nPresent < M)
-                M.toDouble * math.log(M.toDouble / (M - nPresent))
-              else raw
-            Iterator(HllEstimate(prev.batch + 1, k, nPresent, z,
-              round6(est)))
-          }
+          else Iterator(HllEstimate(prev.batch + 1, k, nPresent, z,
+            round6(HllSketch.estimateScalar(nPresent, z))))
       }
   }
 }

@@ -73,9 +73,25 @@ class HllSketchSpec extends SparkSpec {
     val e = est.getAs[Double]("est_distinct")
     val expected = 256.0 * math.log(256.0 / (256 - n))
     assert(math.abs(e - expected) < 1e-5, s"$e vs $expected")
-    // w = 0 is representable: rank must clamp to MaxRank, not
-    // mis-derive from bin('0') — construct via the pure formula
-    assert(HllSketch.MaxRank == 53)
+  }
+
+  test("rank of an all-zero window clamps to MaxRank (un-hittable by hashing)") {
+    import spark.implicits._
+    // feed literal hashes through the shared projection: a hash whose
+    // low 52 bits are zero (probability 2^-52 through md5 — so this
+    // path is pinned directly), plus the 1 and top-bit extremes
+    val h0 = 5L << 52          // w = 0  -> rho = 53
+    val h1 = (5L << 52) | 1L   // w = 1  -> rho = 52
+    val h2 = (5L << 52) | (1L << 51) // top window bit -> rho = 1
+    val regs = HllSketch.registersOfHashes(
+        Seq(h0, h1, h2).toDF("h").select(lit("k").as("key"), col("h")))
+      .collect()
+    assert(regs.length == 1) // same bucket 5
+    assert(regs.head.getAs[Int]("mj") == 53)
+    val rhos = HllSketch.bucketRhoRows(
+        Seq(h0, h1, h2).toDF("h").select(lit("k").as("key"), col("h")))
+      .orderBy(col("rho")).collect().map(_.getAs[Int]("rho"))
+    assert(rhos.toSeq == Seq(1, 52, 53))
   }
 
   test("null ids are ignored") {

@@ -59,6 +59,41 @@ class BpeSpec extends SparkSpec {
     assert(TextAnalysis.bpeMerges(spark, dir).collect().isEmpty)
   }
 
+  test("tokenize applies the learned merges: fully-merged words are one token") {
+    val dir = write(Seq("lowest lowest lowest", "low low"), "tok")
+    val rows = TextAnalysis.bpeTokenize(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_words"),
+        r.getAs[Long]("bpe_tokens"))).toMap
+    // after the 5 learned merges "lowest" and "low" are single symbols
+    assert(rows(0L) == ((3L, 3L)))
+    assert(rows(1L) == ((2L, 2L)))
+  }
+
+  test("tokenize on an untrainable corpus counts one token per character") {
+    // single-char words learn no merges; every char stays a symbol
+    val dir = write(Seq("a b a"), "tok-dry")
+    val rows = TextAnalysis.bpeTokenize(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_words") == 3L)
+    assert(rows.head.getAs[Long]("bpe_tokens") == 3L)
+  }
+
+  test("a merge never fires inside a longer symbol (suffix collision)") {
+    // after (x,y) then (y,z) are learned, the word "xyz" holds
+    // symbols [xy, z] — the (y,z) merge must NOT match the 'y' inside
+    // 'xy' (a one-sided encoding silently merged a never-learned
+    // 'xyz' symbol here); step 3 can then still learn (xy, z)
+    val dir = write(Seq(
+      ("xy " * 10).trim, ("yz " * 6).trim, "xyz"), "suffix")
+    val rows = TextAnalysis.bpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // step1: (x,y) = 10 from "xy" + 1 from "xyz"; step2: (y,z) = 6
+    // from "yz" only — the 'y' inside the merged 'xy' of "xyz" no
+    // longer pairs with 'z'; step3: (xy,z) = 1 from "xyz"
+    assert(rows.toSeq == Seq(
+      (1L, "x", "y", 11L), (2L, "y", "z", 6L), (3L, "xy", "z", 1L)))
+  }
+
   test("tokens containing the symbol terminator are excluded from training") {
     // "x|y" would corrupt the pipe-terminated encoding; only "ab"
     // (weight 2) must train

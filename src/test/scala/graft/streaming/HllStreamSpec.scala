@@ -37,11 +37,14 @@ class HllStreamSpec extends SparkSpec {
     q.awaitTermination()
 
     val rows = spark.table("hll_stream").collect()
-    val lastBatch = rows.map(_.getAs[Long]("batch")).max
-    val finalRows = rows.filter(_.getAs[Long]("batch") == lastBatch)
-      .map(r => r.getAs[String]("key") ->
-        (r.getAs[Long]("n_present"), r.getAs[Long]("z_int"),
-          r.getAs[Double]("est_distinct"))).toMap
+    // `batch` counts micro-batches in which THAT key received data —
+    // latest state is each key's own max, not a global trigger index
+    val finalRows = rows.groupBy(_.getAs[String]("key"))
+      .map { case (k, rs) =>
+        val r = rs.maxBy(_.getAs[Long]("batch"))
+        k -> (r.getAs[Long]("n_present"), r.getAs[Long]("z_int"),
+          r.getAs[Double]("est_distinct"))
+      }
     val batch = TimeSeries.eventsHllUsers(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") ->
         (r.getAs[Long]("n_present"), r.getAs[Long]("z_int"),
