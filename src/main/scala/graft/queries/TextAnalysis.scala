@@ -508,6 +508,93 @@ object TextAnalysis {
        FROM seg GROUP BY doc_id"""
   }
 
+  /** BM25 constants (Robertson & Walker; the Lucene-default dials)
+    * and the fixed benchmark query. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("query", "plan", "cache", "disk")
+  val Bm25TopN = 10
+
+  /** Okapi BM25 top-k retrieval for a fixed term query — the sparse
+    * (lexical) retrieval twin of the embedding ANN family: idf-
+    * weighted, length-normalized term-frequency saturation,
+    * `score = Σ_t idf_t · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))`
+    * with the always-positive Lucene idf `ln((N−df+½)/(df+½)+1)`.
+    *
+    * Scale shape: ONE token scan feeds a per-doc aggregate that
+    * computes document length AND the per-query-term tf columns
+    * together (the query is a handful of terms, so tf fans out as
+    * columns, not rows — no join against a postings table at all);
+    * corpus statistics (N, avgdl, df_t) are one tiny aggregate
+    * broadcast back over the per-doc table; scoring is a pure map
+    * and the top-k is one TakeOrdered. Nothing corpus-sized
+    * shuffles except the narrow per-doc aggregate.
+    *
+    * Determinism: avgdl and each idf are r6-rounded before use, the
+    * summed score r6-rounded before the rank ordering, ties break on
+    * doc_id — the ln's cross-libm ulp wiggle sits ~1e-16 relative,
+    * absorbed by the epsilon-round (the [[graft.operators.HllSketch]]
+    * linear-counting precedent). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanOut(t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+    val tfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      count(when(col("w") === term, 1)).as(s"tf$i")
+    }
+    val docAggs = count(lit(1)).as("dl") +: tfCols
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(docAggs.head, docAggs.tail: _*)
+    val statAggs = count(lit(1)).as("n") +:
+      r6(avg(col("dl"))).as("avgdl") +:
+      Bm25Terms.indices.map { i =>
+        count(when(col(s"tf$i") > 0, 1)).as(s"df$i")
+      }
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val termScores = Bm25Terms.indices.map { i =>
+      val idf = r6(log((col("n") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)) + lit(1.0)))
+      val sat = col(s"tf$i") * lit(Bm25K1 + 1.0) /
+        (col(s"tf$i") + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+      idf * sat
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        r6(termScores.reduce(_ + _)).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopN)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("dl"), col("score"))
+  }
+
+  val bm25TopKSql: String = {
+    val tfSel = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"count(*) FILTER (WHERE w = '$term') AS tf$i"
+    }.mkString(", ")
+    val dfSel = Bm25Terms.indices.map { i =>
+      s"count(*) FILTER (WHERE tf$i > 0) AS df$i"
+    }.mkString(", ")
+    val terms = Bm25Terms.indices.map { i =>
+      val idf = sqlR(s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)", 6)
+      s"""($idf * (tf$i * ${Bm25K1 + 1.0} /
+          (tf$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))))"""
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest($SqlToksLower) AS w
+           FROM documents WHERE text IS NOT NULL),
+       d AS (SELECT doc_id, count(*) AS dl, $tfSel
+             FROM toks GROUP BY doc_id),
+       s AS (SELECT count(*) AS n, ${sqlR("avg(dl)", 6)} AS avgdl, $dfSel
+             FROM d),
+       sc AS (SELECT doc_id, dl, ${sqlR(terms, 6)} AS score
+              FROM d CROSS JOIN s),
+       k AS (SELECT doc_id, dl, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25TopN)
+       SELECT rank, doc_id, dl, score FROM k"""
+  }
+
   /** Token-repetition signals per document (the Gopher-style
     * repetition rules a quality pipeline gates on): distinct-token
     * ratio and the share of the single most frequent token. Narrow
@@ -650,6 +737,7 @@ object TextAnalysis {
        FROM r"""
 
   val queries: Map[String, Q] = Map(
+    "q_bm25_topk" -> (bm25TopK _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_tokenize" -> (bpeTokenize _),
     "q_cms_heavy" -> (cmsHeavy _),
@@ -667,6 +755,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bm25_topk" -> bm25TopKSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_cms_heavy" -> cmsHeavySql,
