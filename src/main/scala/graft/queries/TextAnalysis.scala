@@ -569,6 +569,52 @@ object TextAnalysis {
       .select(col("rank"), col("doc_id"), col("dl"), col("score"))
   }
 
+  /** BM25 through the POSTINGS-JOIN plan — the shape that scales to
+    * arbitrary query sets, where [[bm25TopK]]'s fan-terms-out-as-
+    * columns trick stops working: term frequencies become ROWS
+    * ((doc, term, tf) — candidates only, filtered map-side against
+    * the broadcast query term set), per-term idf joins in as a
+    * broadcast of the tiny df aggregate, partial scores sum per doc,
+    * and a left join from the per-doc length table restores the
+    * zero-score documents the candidate stream never saw (identical
+    * ranking semantics — ties still break on doc_id).
+    *
+    * Oracle: [[bm25TopKSql]] VERBATIM — the hash gate doubles as the
+    * cross-plan equivalence proof (the [[graft.queries.Curation]]
+    * decontaminate-bloom discipline); per-doc sums re-associate
+    * freely under the final r6. */
+  def bm25TopKJoin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanOut(t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+    val dlTab = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val cand = toks.filter(col("w").isInCollection(Bm25Terms))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val stats = dlTab.agg(count(lit(1)).as("n"),
+      r6(avg(col("dl"))).as("avgdl"))
+    val dfTab = cand.groupBy(col("w"))
+      .agg(count(lit(1)).as("df")) // one row per (doc, term) ⇒ doc count
+      .crossJoin(broadcast(stats))
+      .select(col("w"), col("n"), col("avgdl"),
+        r6(log((col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0))).as("idf"))
+    val partial = cand.join(broadcast(dfTab), Seq("w"))
+      .join(dlTab, Seq("doc_id"))
+      .select(col("doc_id"), col("dl"),
+        (col("idf") * (col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * col("dl") / col("avgdl"))))).as("ts"))
+      .groupBy(col("doc_id")).agg(sum(col("ts")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    dlTab.join(partial, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dl"),
+        r6(coalesce(col("s"), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopN)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("dl"), col("score"))
+  }
+
   val bm25TopKSql: String = {
     val tfSel = Bm25Terms.zipWithIndex.map { case (term, i) =>
       s"count(*) FILTER (WHERE w = '$term') AS tf$i"
@@ -738,6 +784,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q_bm25_topk" -> (bm25TopK _),
+    "q_bm25_join" -> (bm25TopKJoin _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_tokenize" -> (bpeTokenize _),
     "q_cms_heavy" -> (cmsHeavy _),
@@ -756,6 +803,9 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_bm25_topk" -> bm25TopKSql,
+    // postings-join plan ≡ column plan: same oracle verbatim — the
+    // hash gate is the cross-plan equivalence proof
+    "q_bm25_join" -> bm25TopKSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_cms_heavy" -> cmsHeavySql,

@@ -59,6 +59,16 @@ class Bm25Spec extends SparkSpec {
       s"rare-term doc must outrank common-term doc: $scores")
   }
 
+  test("postings-join plan equals the column plan, including zero-score docs") {
+    // only 1 doc matches any query term — the join path must still
+    // surface the zero-score docs the candidate stream never saw
+    val dir = write(Seq("query node", "word text", "node word"), "join")
+    val a = TextAnalysis.bm25TopK(spark, dir).collect().map(_.toSeq)
+    val b = TextAnalysis.bm25TopKJoin(spark, dir).collect().map(_.toSeq)
+    assert(a.sameElements(b), s"${a.toSeq} vs ${b.toSeq}")
+    assert(a.length == 3)
+  }
+
   test("ranking independent of input partitioning") {
     val dir = "/root/testdata/sf0.001"
     val a = TextAnalysis.bm25TopK(spark, dir).collect().map(_.toSeq)
