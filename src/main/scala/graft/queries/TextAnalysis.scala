@@ -267,7 +267,7 @@ object TextAnalysis {
     * family re-used as the pairwise-independent hash rows, then
     * folded mod [[CmsW]] — every constant md5/affine-derived so the
     * DuckDB oracle re-derives the identical sketch. */
-  private def cmsBucket(h: org.apache.spark.sql.Column, seed: Int) =
+  private[graft] def cmsBucket(h: org.apache.spark.sql.Column, seed: Int) =
     ((lit(minhashA(seed)) * (h % lit(MinhashP)) + lit(minhashB(seed)))
       % lit(MinhashP)) % lit(CmsW)
 

@@ -148,4 +148,52 @@ object SketchStreams {
             round6(HllSketch.estimateScalar(nPresent, z))))
       }
   }
+
+  /** One (row, bucket) counter cell per micro-batch in which the cell
+    * received data — counters are ADDITIVE, so the running value is
+    * the batch grid folded over triggers. */
+  final case class CmsCell(batch: Long, r: Int, bucket: Long, cnt: Long)
+
+  final case class CmsCellState(batch: Long, cnt: Long)
+
+  /** Streaming count-min grid over a `term` stream — the additive
+    * third of the streaming sketch trio (KMV and HLL above merge by
+    * set-union and register-max; CMS counters merge by SUM, so the
+    * state is one long per touched cell and the fold equals the
+    * batch [[graft.queries.TextAnalysis.cmsCounters]] grid exactly —
+    * [[CmsStreamSpec]] pins it). Per-batch traffic into each state
+    * cell is pre-collapsed by the same d-fold projection + partial
+    * count the batch side uses: the state group key is the (row,
+    * bucket) cell, of which there are at most d·w. */
+  def cmsCountersStream(terms: DataFrame): Dataset[CmsCell] = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    import graft.queries.TextAnalysis.{CmsD, CmsW}
+    val cells = terms.select(hash60(col("term")).as("h"))
+      .filter(col("h").isNotNull)
+      .select(posexplode(array((0 until CmsD).map(i =>
+        graft.queries.TextAnalysis.cmsBucket(col("h"), i)): _*))
+        .as(Seq("r", "bucket")))
+      .as[(Int, Long)]
+    // per-partition pre-aggregation: each partition contributes at
+    // most d·w cells per batch, so the state shuffle is grid-sized,
+    // never stream-sized (the kmv/hll twin discipline)
+    val capped = cells.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+      it.foreach { rb => m.update(rb, m.getOrElse(rb, 0L) + 1L) }
+      m.iterator.map { case ((r, b), c) => (r, b, c) }
+    }
+    capped.groupByKey { case (r, b, _) => (r, b) }
+      .flatMapGroupsWithState[CmsCellState, CmsCell](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[(Int, Long, Long)],
+            state: GroupState[CmsCellState]) =>
+          val prev = state.getOption.getOrElse(CmsCellState(0L, 0L))
+          var add = 0L
+          it.foreach { case (_, _, one) => add += one }
+          val next = CmsCellState(prev.batch + 1, prev.cnt + add)
+          state.update(next)
+          Iterator(CmsCell(next.batch, key._1, key._2, next.cnt))
+      }
+  }
 }
