@@ -512,7 +512,7 @@ object TextAnalysis {
     * and the fixed benchmark query. */
   val Bm25K1 = 1.2
   val Bm25B = 0.75
-  val Bm25Terms: Seq[String] = Seq("query", "plan", "cache", "disk")
+  val Bm25Terms: Seq[String] = Seq("query", "scan", "join", "filter")
   val Bm25TopN = 10
 
   /** Okapi BM25 top-k retrieval for a fixed term query — the sparse
@@ -611,6 +611,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"),
         r6(coalesce(col("s"), lit(0.0))).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopN)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("dl"), col("score"))
+  }
+
+  /** Materialize the BM25 postings index — the index-once /
+    * query-many layout (the [[graft.queries.Similarity.buildIvfIndex]]
+    * discipline for text): `postings/` holds (doc_id, tf, dl) rows
+    * Hive-partitioned BY TERM, so a query's scan prunes to its own
+    * terms' partition directories and never opens the rest of the
+    * corpus vocabulary; `stats/` holds the one-row (n, avgdl)
+    * aggregate. Document length is denormalized into each posting —
+    * the probe is then a single pruned scan with no doc-table join.
+    * Per-term df is NOT stored: the probe reads its terms' full
+    * posting lists anyway, so df is a free count over them.
+    *
+    * Build cost: one token scan, the per-doc length aggregate, and
+    * one narrow (doc, term) count joined back on doc_id — all
+    * shuffles narrow, one-time. A production layout would bucket
+    * rare terms together to bound partition-directory count at
+    * web-scale vocabularies. */
+  def buildPostingsIndex(spark: SparkSession, dir: String,
+      outPath: String): Unit = {
+    val toks = Tables.fanOut(t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    val dlTab = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .join(dlTab, Seq("doc_id"))
+      .write.mode("overwrite").partitionBy("term")
+      .parquet(s"$outPath/postings")
+    dlTab.agg(count(lit(1)).as("n"), r6(avg(col("dl"))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$outPath/stats")
+  }
+
+  /** BM25 against a materialized [[buildPostingsIndex]] layout: the
+    * scan prunes to the query terms' partitions ([[Bm25IndexSpec]]
+    * asserts it on the physical plan), df comes free from the loaded
+    * posting lists, and scoring/ranking is the [[bm25TopKJoin]]
+    * arithmetic. Matching-docs-only by construction (an index probe
+    * cannot see documents containing none of the query terms) — the
+    * positive-score prefix of the full rankings. */
+  def bm25FromIndex(spark: SparkSession, indexPath: String,
+      terms: Seq[String] = Bm25Terms, topN: Int = Bm25TopN): DataFrame = {
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    val post = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("term").isInCollection(terms))
+    val dfTab = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("avgdl"),
+        r6(log((col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0))).as("idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    post.join(broadcast(dfTab), Seq("term"))
+      .select(col("doc_id"), col("dl"),
+        (col("idf") * (col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * col("dl") / col("avgdl"))))).as("ts"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(r6(sum(col("ts"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(topN)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("doc_id"), col("dl"), col("score"))
   }

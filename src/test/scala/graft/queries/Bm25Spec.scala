@@ -30,7 +30,7 @@ class Bm25Spec extends SparkSpec {
   test("more matching query terms rank higher at equal length") {
     // doc0 hits two query terms, doc1 one, doc2 none — equal lengths
     val dir = write(Seq(
-      "query plan node node", "query node node node",
+      "query scan node node", "query node node node",
       "node node node node"), "tf")
     assert(ranking(dir).take(2) == Seq(0L, 1L))
     val scores = TextAnalysis.bm25TopK(spark, dir).collect()
@@ -49,10 +49,10 @@ class Bm25Spec extends SparkSpec {
   }
 
   test("idf: a term present in fewer documents contributes more") {
-    // 'cache' appears in 1 of 4 docs, 'query' in all 4; the cache-only
-    // doc must outrank a query-only doc of equal length
+    // 'filter' appears in 1 of 4 docs, 'query' in 3; the rare-term
+    // doc must outrank a common-term doc of equal length
     val dir = write(Seq(
-      "cache node", "query node", "query word", "query text"), "idf")
+      "filter node", "query node", "query word", "query text"), "idf")
     val scores = TextAnalysis.bm25TopK(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     assert(scores(0L) > scores(1L),
