@@ -535,7 +535,9 @@ object TextAnalysis {
     * doc_id — the ln's cross-libm ulp wiggle sits ~1e-16 relative,
     * absorbed by the epsilon-round (the [[graft.operators.HllSketch]]
     * linear-counting precedent). */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** The scored core of the column plan: (doc_id, dl, score) for
+    * every document with at least one token. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.fanOut(t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
@@ -559,11 +561,15 @@ object TextAnalysis {
           (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
       idf * sat
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id"))
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
         r6(termScores.reduce(_ + _)).as("score"))
+  }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scored(spark, dir)
       .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopN)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("doc_id"), col("dl"), col("score"))
@@ -676,7 +682,18 @@ object TextAnalysis {
       .select(col("rank"), col("doc_id"), col("dl"), col("score"))
   }
 
-  val bm25TopKSql: String = {
+  lazy val bm25TopKSql: String = {
+    s"""WITH $bm25SqlCtes,
+       k AS (SELECT doc_id, dl, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25TopN)
+       SELECT rank, doc_id, dl, score FROM k"""
+  }
+
+  /** The shared CTE body of the BM25 scoring pipeline (toks → d → s →
+    * sc with (doc_id, dl, score)) — composed by [[bm25TopKSql]] and
+    * [[rrfFuseSql]]. */
+  private lazy val bm25SqlCtes: String = {
     val tfSel = Bm25Terms.zipWithIndex.map { case (term, i) =>
       s"count(*) FILTER (WHERE w = '$term') AS tf$i"
     }.mkString(", ")
@@ -688,19 +705,82 @@ object TextAnalysis {
       s"""($idf * (tf$i * ${Bm25K1 + 1.0} /
           (tf$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))))"""
     }.mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, unnest($SqlToksLower) AS w
+    s"""toks AS (SELECT doc_id, unnest($SqlToksLower) AS w
            FROM documents WHERE text IS NOT NULL),
        d AS (SELECT doc_id, count(*) AS dl, $tfSel
              FROM toks GROUP BY doc_id),
        s AS (SELECT count(*) AS n, ${sqlR("avg(dl)", 6)} AS avgdl, $dfSel
              FROM d),
        sc AS (SELECT doc_id, dl, ${sqlR(terms, 6)} AS score
-              FROM d CROSS JOIN s),
-       k AS (SELECT doc_id, dl, score,
-               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-             FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25TopN)
-       SELECT rank, doc_id, dl, score FROM k"""
+              FROM d CROSS JOIN s)"""
   }
+
+  /** RRF constants: the canonical k = 60 (Cormack et al. 2009) and
+    * the per-list truncation depth. */
+  val RrfK = 60
+  val RrfDepth = 50
+
+  /** Hybrid ranking via reciprocal-rank fusion: fuse the BM25
+    * relevance list with the document-quality list —
+    * `rrf(d) = Σ_lists 1/(k + rank_d)` over the lists that contain d
+    * in their top [[RrfDepth]]. The curation move this encodes: when
+    * selecting documents for a topic, relevance alone surfaces spam
+    * and quality alone surfaces off-topic prose; RRF is the standard
+    * scoreless fusion (no calibration between BM25 points and
+    * quality points is needed because only RANKS enter).
+    *
+    * Scale shape: the two input rankings are TakeOrdered top-50s —
+    * driver-bounded lists regardless of corpus size — and the fusion
+    * is a full-outer join of two 50-row sets. All heavy lifting
+    * happens in the already-audited scoring pipelines upstream.
+    * Ranks are integers; each reciprocal is one IEEE division and
+    * the ≤2-term sum is fixed-order, r6'd before the final rank. */
+  def rrfFuse(spark: SparkSession, dir: String): DataFrame = {
+    val wa = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val a = bm25Scored(spark, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("ra", row_number().over(wa).cast("long"))
+      .select(col("doc_id"), col("ra"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+    val b = textQuality(spark, dir)
+      .orderBy(col("quality").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("rb", row_number().over(wb).cast("long"))
+      .select(col("doc_id"), col("rb"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("doc_id"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        r6(coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)))
+          .as("rrf"),
+        col("ra"), col("rb"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(Bm25TopN)
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf"), col("ra"), col("rb"))
+  }
+
+  lazy val rrfFuseSql: String =
+    s"""WITH $bm25SqlCtes,
+       f AS ($SqlFeatureSelect),
+       q AS (SELECT doc_id, ${sqlR(SqlQualityExpr, 4)} AS quality FROM f),
+       ra AS (SELECT doc_id,
+                row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+              FROM sc ORDER BY score DESC, doc_id LIMIT $RrfDepth),
+       rb AS (SELECT doc_id,
+                row_number() OVER (ORDER BY quality DESC, doc_id) AS rb
+              FROM q ORDER BY quality DESC, doc_id LIMIT $RrfDepth),
+       fu AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+                ${sqlR(
+        s"""coalesce(1.0 / ($RrfK + ra), 0.0)
+            + coalesce(1.0 / ($RrfK + rb), 0.0)""", 6)} AS rrf,
+                ra, rb
+              FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+       k AS (SELECT doc_id, rrf, ra, rb,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+             FROM fu ORDER BY rrf DESC, doc_id LIMIT $Bm25TopN)
+       SELECT rank, doc_id, rrf, ra, rb FROM k"""
 
   /** Token-repetition signals per document (the Gopher-style
     * repetition rules a quality pipeline gates on): distinct-token
@@ -846,6 +926,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "q_bm25_topk" -> (bm25TopK _),
     "q_bm25_join" -> (bm25TopKJoin _),
+    "q_rrf_fuse" -> (rrfFuse _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_tokenize" -> (bpeTokenize _),
     "q_cms_heavy" -> (cmsHeavy _),
@@ -867,6 +948,7 @@ object TextAnalysis {
     // postings-join plan ≡ column plan: same oracle verbatim — the
     // hash gate is the cross-plan equivalence proof
     "q_bm25_join" -> bm25TopKSql,
+    "q_rrf_fuse" -> rrfFuseSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_cms_heavy" -> cmsHeavySql,
