@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Weighted integer PageRank (Graph.pagerankItems): hand-traced exact
+  * state on a two-node chain, plus mass bounds on testdata. */
+class PagerankSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("two-node chain matches the hand-traced integer state") {
+    val dir = java.nio.file.Files.createTempDirectory("pr").toString
+    import spark.implicits._
+    // one user visits item 1 then item 2: single edge 1→2, w=1
+    Seq(
+      (1L, 1000L, 7L, "c", 1.0, """{"k": 1}"""),
+      (2L, 2000L, 7L, "c", 1.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // N=2, S=1e9: r0 = 5e8 each; base = 15e9/200 = 75e6.
+    // i1: c(2) = (5e8·17)//20 = 425e6  → r = (75e6, 500e6)
+    // i2: c(2) = (75e6·17)//20 = 63.75e6 → r = (75e6, 138.75e6)
+    // i3: same inflow (src rank unchanged) → fixed point reached
+    val got = Graph.pagerankItems(spark, dir)
+      .select("item", "rank_int").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 75000000L, 2L -> 138750000L))
+  }
+
+  test("testdata: mass bounded, every node ranked, sink decay visible") {
+    val out = Graph.pagerankItems(spark, sf)
+      .agg(sum("rank_int").cast("long").as("mass"),
+        count(lit(1)).as("n"), min("rank_int").as("lo"))
+      .collect().head
+    val (mass, n, lo) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    assert(n > 0)
+    // total mass can only shrink from S (truncation + dangling decay)
+    assert(mass <= Graph.PrScale)
+    // every node keeps at least the damping base share
+    assert(lo >= 15L * Graph.PrScale / (100L * n))
+  }
+}
