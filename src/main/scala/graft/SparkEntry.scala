@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ TimeSeries.queries ++ Curation.queries ++
-      RoundTrip.queries ++ Graph.queries
+      RoundTrip.queries ++ Graph.queries ++ Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TimeSeries.oracles ++ Curation.oracles ++
-      RoundTrip.oracles ++ Graph.oracles
+      RoundTrip.oracles ++ Graph.oracles ++ Layout.oracles
 }
