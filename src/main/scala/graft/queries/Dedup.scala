@@ -812,13 +812,24 @@ object Dedup {
   val CosNum = 4
   val CosDen = 5
 
-  /** Exact all-pairs cosine similarity join over the same word
-    * [[ShingleK]]-shingle space the MinHash/SimHash sketches compress
-    * — the EXACT member of the near-dup cascade (no probabilistic
-    * recall loss), via AllPairs prefix filtering (Bayardo, Ma &
-    * Srikant, WWW 2007, §3: only a vector's "prefix" features need
-    * indexing; pairs sharing only suffix features cannot reach the
-    * threshold).
+  /** Gram order for the EXACT tier — deliberately wider than the
+    * sketch tier's [[ShingleK]]. An exact similarity join enumerates
+    * Σ_t df(t)² collision rows, so the feature space must outgrow the
+    * corpus (V^K ≫ N) to keep per-term document frequencies O(1) —
+    * the exact-join twin of the LSH band-sizing rule (bandBits ≳
+    * log₂ N). Measured on the 10× corpus (50k docs, 31-word vocab):
+    * 3-grams saturate at 30,669 distinct terms → median df 62,
+    * Σdf² = 120 M collision rows (→ ~12 B at 100×, quadratic death);
+    * 5-grams give 1.56 M terms, median df 1, Σdf² = 2.2 M ≈ the
+    * posting count itself — linear. */
+  val AllPairsGramK = 5
+
+  /** Exact all-pairs cosine similarity join over word
+    * [[AllPairsGramK]]-gram tf vectors — the EXACT member of the
+    * near-dup cascade (no probabilistic recall loss), via AllPairs
+    * prefix filtering (Bayardo, Ma & Srikant, WWW 2007, §3: only a
+    * vector's "prefix" features need indexing; pairs sharing only
+    * suffix features cannot reach the threshold).
     *
     * The pruning argument, in the integer form used here: fix a
     * global term order (ascending document frequency, so prefixes
@@ -828,10 +839,12 @@ object Dedup {
     * cos ≤ ‖a_{≥t}‖/‖a‖ (and symmetrically for b). cos ≥ θ therefore
     * forces CosDen²·sufsq(t) ≥ CosNum²·n2 on BOTH sides — candidates
     * are pairs sharing a term marked "prefix" in both docs. Measured
-    * at sf0.01: 11,533 pairs share ≥1 shingle, 68 survive the prefix
-    * join, 25 are true — a 170× candidate prune with zero recall
-    * loss. The ORACLE IS THE UNPRUNED EXACT JOIN, so the driver's
-    * hash gate doubles as the losslessness proof of the pruning.
+    * at sf0.01 over 5-grams: 37 doc pairs share ≥1 gram, the prefix
+    * join emits exactly the 25 true pairs — zero recall loss, zero
+    * false candidates (under 3-grams the same machinery pruned
+    * 11,533 sharing pairs to 68). The ORACLE IS THE UNPRUNED EXACT
+    * JOIN, so the driver's hash gate doubles as the losslessness
+    * proof of the pruning.
     *
     * Scale shape: postings shuffle on (term) for df, on (doc) for
     * norms/windows — both standard; the candidate join touches only
@@ -848,43 +861,69 @@ object Dedup {
     // by the df/norm aggregates, the prefix index, and both verify
     // joins (sketch-once, reuse-everywhere; Verify/Bench clear the
     // cache per query, see the object scaladoc)
+    // terms travel as 60-bit md5 hashes, never as 3-word strings
+    // (NOTES rule: hash string feature sets to longs BEFORE they ride
+    // a join or shuffle), and the hashing is the fused native
+    // word_gram_hashes pass — the composable shingle-then-hash form
+    // cost 3.3 ms/doc in interpreted conv/md5 projections (measured,
+    // the whole query's top CPU stage). The oracle hashes
+    // identically, so even a hash collision — ~N²/2⁶¹, nil below
+    // ~10⁹ distinct grams — cannot diverge the two engines. Gram
+    // convention (matches dup_gram_coverage, NOT the minhash
+    // shingles): docs with fewer than AllPairsGramK tokens
+    // contribute no grams.
     val tf = Tables.fanOut(t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        explode(graft.functions.GraftFunctions.wordShingles(col("text"),
-          ShingleK)).as("term"))
+        explode(graft.functions.GraftFunctions.wordGramHashes(col("text"),
+          AllPairsGramK)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist()
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val norms = tf.groupBy("doc_id")
-      .agg(sum(col("tf") * col("tf")).as("n2"))
-    // suffix-inclusive squared norm at each term under the global
-    // (df asc, term) order; prefix = terms whose suffix could still
-    // carry a θ-sized dot on its own
+    // df and both norms ride windows on the two shuffles the plan
+    // needs ANYWAY (term-partitioned, then doc-partitioned) instead
+    // of separate aggregate+join round trips — at micro scale that
+    // halves the stage count, at 100 TB it halves the number of
+    // full-postings shuffles (2 instead of 4)
+    val wTerm = Window.partitionBy("term")
+    val wDoc = Window.partitionBy("doc_id")
     val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("term"))
-    val prefixIdx = tf.join(dfreq, "term").join(norms, "doc_id")
+    val marked = tf
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("n2", sum(col("tf") * col("tf")).over(wDoc))
+      // suffix-inclusive squared norm at each term under the global
+      // (df asc, term) order; prefix = terms whose suffix could
+      // still carry a θ-sized dot on its own
       .withColumn("cum", sum(col("tf") * col("tf")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("sufsq", col("n2") - col("cum") + col("tf") * col("tf"))
+    val prefixIdx = marked
       .filter(lit((CosDen * CosDen).toLong) * col("sufsq") >=
         lit((CosNum * CosNum).toLong) * col("n2"))
-      .select(col("doc_id"), col("term"))
-    // ids only through the wide ops (same discipline as the LSH
-    // band joins): the pair-distinct shuffles (id, id) rows
+      .select(col("doc_id"), col("term"), col("n2"))
+    // near-ids-only through the wide ops (same discipline as the LSH
+    // band joins), except each side carries its 8-byte norm so the
+    // final gate needs no join back to a norms table
     val cands = prefixIdx.as("a")
       .join(prefixIdx.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
       .distinct()
-    val ta = tf.select(col("doc_id").as("doc_a"), col("term"),
-      col("tf").as("tfa"))
-    val tb = tf.select(col("doc_id").as("doc_b"), col("term"),
-      col("tf").as("tfb"))
-    val dots = cands.join(ta, "doc_a").join(tb, Seq("doc_b", "term"))
-      .groupBy("doc_a", "doc_b").agg(sum(col("tfa") * col("tfb")).as("dot"))
-    val na = norms.select(col("doc_id").as("doc_a"), col("n2").as("na"))
-    val nb = norms.select(col("doc_id").as("doc_b"), col("n2").as("nb"))
-    dots.join(na, "doc_a").join(nb, "doc_b")
+      .persist()
+    // semi-filter the postings to candidate docs BEFORE any verify
+    // join: the full posting table never shuffles again (AQE
+    // broadcasts the candidate-doc lists while they are small and
+    // falls back to shuffle joins — over the already-shrunk side —
+    // when a pathological corpus makes them large)
+    val ta = tf.join(cands.select(col("doc_a")).distinct(),
+        col("doc_id") === col("doc_a"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("term"), col("tf").as("tfa"))
+    val tb = tf.join(cands.select(col("doc_b")).distinct(),
+        col("doc_id") === col("doc_b"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("term"), col("tf").as("tfb"))
+    cands.join(ta, "doc_a").join(tb, Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
       .filter(lit((CosDen * CosDen).toLong) * col("dot") * col("dot") >=
         lit((CosNum * CosNum).toLong) * col("na") * col("nb"))
       .select(col("doc_a"), col("doc_b"), col("dot"), col("na"), col("nb"),
@@ -895,9 +934,17 @@ object Dedup {
 
   /** The unpruned exact join — deliberately NOT mirroring the prefix
     * filter, so the hash gate proves the Spark-side pruning lossless. */
-  val allpairsCosineSql: String =
-    s"""$SqlShingleCte,
-       tfx AS (SELECT doc_id, unnest(s) AS term FROM sh),
+  val allpairsCosineSql: String = {
+    import TextAnalysis.SqlToksLower
+    s"""WITH w AS (SELECT doc_id, $SqlToksLower AS ts FROM documents),
+       o AS (SELECT doc_id, ts AS ws,
+         unnest(range(0, greatest(length(ts) - ${AllPairsGramK - 1}, 0))) AS i
+       FROM w),
+       tfx AS (SELECT doc_id,
+               CAST(concat('0x', substring(md5(
+                 array_to_string(ws[i+1:i+$AllPairsGramK], ' ')), 1, 15))
+                 AS BIGINT) AS term
+             FROM o),
        tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf
                FROM tfx GROUP BY 1, 2),
        nn AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2
@@ -913,6 +960,7 @@ object Dedup {
               JOIN nn nb ON nb.doc_id = d.doc_b
        WHERE ${CosDen * CosDen} * dot * dot
              >= ${CosNum * CosNum} * na.n2 * nb.n2"""
+  }
 
   val queries: Map[String, Q] = Map(
     "q_allpairs_cosine" -> (allpairsCosine _),

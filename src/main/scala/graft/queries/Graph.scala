@@ -56,11 +56,15 @@ object Graph {
     * event_id tiebreak makes simultaneous events deterministic. */
   private def transitionEdges(ks: DataFrame): DataFrame = {
     val wSeq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // persist BEFORE deriving out-weights: outW is an aggregate OF
+    // edges, so without the cut the lead-window over the full event
+    // stream runs twice (once per side of the self-join)
     val edges = ks
       .withColumn("dst", lead(col("k"), 1).over(wSeq))
       .filter(col("dst").isNotNull)
       .groupBy(col("k").as("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
+      .persist()
     val outW = edges.groupBy("src").agg(sum(col("w")).as("wout"))
     edges.join(outW, "src")
   }

@@ -50,8 +50,8 @@ class AllPairsSpec extends SparkSpec {
     val tf = Tables.t(spark, sf, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        explode(graft.functions.GraftFunctions.wordShingles(col("text"),
-          Dedup.ShingleK)).as("term"))
+        explode(graft.functions.GraftFunctions.wordGramHashes(col("text"),
+          Dedup.AllPairsGramK)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     val brute = tf.as("a")
