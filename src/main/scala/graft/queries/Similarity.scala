@@ -962,7 +962,63 @@ object Similarity {
          ON xr.query_id = ar.query_id AND xr.vec_id = ar.vec_id
        GROUP BY xr.query_id"""
 
+  /** Hard-negative mining for contrastive training (the ANCE move,
+    * Xiong et al., arXiv:2007.00808; DPR's BM25-negatives analogue in
+    * embedding space): for each query vector, the top
+    * [[IvfTopK]] nearest neighbors whose LABEL differs — near the
+    * anchor geometrically but semantically wrong, exactly the
+    * negatives that make a contrastive batch informative (in-batch
+    * random negatives are too easy to carry gradient).
+    *
+    * Scale shape: rides the shared IVF assignment (probe-1) — the
+    * corpus is searched through the index, not scanned; the label
+    * attaches by a co-keyed vec_id join BEFORE the probe join, and
+    * the label-mismatch predicate prunes candidates before the
+    * per-query ranking window. Mining the whole corpus's negatives
+    * (query set = everything) is the same plan with the query-side
+    * filter dropped — per-cluster self-joins, no all-pairs. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssign(spark, dir)
+    val labels = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val al = assign.join(labels, "vec_id")
+    val qa = al.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("v").as("qv"), col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    al.join(broadcast(qa), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("qlabel"))
+      .withColumn("sim", r6(GraftFunctions.cosineSim(col("qv"), col("v"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("query_id"), col("qlabel"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        col("sim"))
+  }
+
+  val hardNegativesSql: String =
+    s"""$sqlIvfAssignCte,
+       al AS (SELECT a.vec_id, a.cluster, a.v, e2.label::BIGINT AS label
+              FROM assign a JOIN (SELECT vec_id, label FROM embeddings) e2
+                USING (vec_id)),
+       qa AS (SELECT vec_id AS query_id, cluster, v AS qv,
+                label AS qlabel
+              FROM al WHERE vec_id < $NumQueries),
+       s AS (SELECT qa.query_id, qa.qlabel, a.vec_id, a.label,
+               ${sqlR(sqlCos("qa.qv", "a.v"), 6)} AS sim
+             FROM al a JOIN qa ON a.cluster = qa.cluster
+             WHERE a.vec_id <> qa.query_id AND a.label <> qa.qlabel),
+       r AS (SELECT query_id, qlabel, vec_id, label, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS rk FROM s)
+       SELECT query_id, qlabel, rk, vec_id AS neighbor_id,
+         label AS neg_label, sim
+       FROM r WHERE rk <= $IvfTopK"""
+
   val queries: Map[String, Q] = Map(
+    "q_hard_negatives" -> (hardNegatives _),
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe2" -> (annIvfProbe2 _),
@@ -980,6 +1036,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hard_negatives" -> hardNegativesSql,
     "q_ann_bruteforce" -> annBruteForceSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_probe2" -> annIvfProbe2Sql,
