@@ -140,11 +140,148 @@ object Graph {
        FROM r$PrIters"""
   }
 
+  /** Shared SQL prefix: ks (user, ts, event_id, k) and the weighted
+    * directed transition edges with out-weights. */
+  private val SqlEdgeCtes: String =
+    s"""ks AS (SELECT user_id, ts, event_id,
+             json_extract(props, '$$.k')::BIGINT AS k FROM events
+           WHERE json_extract(props, '$$.k') IS NOT NULL),
+       sq AS (SELECT k AS src,
+             lead(k, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dst
+           FROM ks),
+       edges AS (SELECT src, dst, count(*)::BIGINT AS w FROM sq
+           WHERE dst IS NOT NULL GROUP BY 1, 2)"""
+
+  // ---- triangle counting (compact-forward orientation) ----
+
+  /** Per-item triangle participation on the UNDIRECTED item graph
+    * (an edge wherever a transition exists in either direction;
+    * self-loops dropped). The classic cohesion/cluster-coefficient
+    * numerator, computed compact-forward (Latapy 2008; Suri &
+    * Vassilvitskii WWW 2011): orient every edge from its
+    * lower-(degree, id) endpoint to the higher one, enumerate wedges
+    * only at each vertex's OUT-neighbors, and close them against the
+    * oriented edge set. Orientation bounds out-degrees by O(√m), so
+    * wedge volume — the only super-linear term — is O(m^{3/2})
+    * regardless of hub skew; every join is vertex- or edge-keyed
+    * (Pregel-style shuffles, no driver state). Each triangle is
+    * found exactly once (at its lowest-ordered apex), then fanned
+    * ×3 to its corners for the per-item counts — integers
+    * throughout, so the gate is exact. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ks = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+    val wSeq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // canonical undirected edges (u < v), deduped across directions
+    val und = ks
+      .withColumn("dst", lead(col("k"), 1).over(wSeq))
+      .filter(col("dst").isNotNull && col("dst") =!= col("k"))
+      .select(least(col("k"), col("dst")).as("u"),
+        greatest(col("k"), col("dst")).as("v"))
+      .distinct()
+      .persist()
+    val deg = und.select(col("u").as("x")).unionAll(und.select(col("v")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // orient low → high in (degree, id) order
+    val dU = deg.select(col("x").as("u"), col("d").as("du"))
+    val dV = deg.select(col("x").as("v"), col("d").as("dv"))
+    val oriented = und.join(dU, "u").join(dV, "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+      .persist()
+    // wedges at the common low vertex; close against the oriented set
+    val e1 = oriented.select(col("a"), col("b").as("b1"))
+    val e2 = oriented.select(col("a"), col("b").as("b2"))
+    val tris = e1.join(e2, "a").filter(col("b1") < col("b2"))
+      .join(oriented.select(col("a").as("b1"), col("b").as("b2"))
+        .unionAll(oriented.select(col("b").as("b1"), col("a").as("b2"))),
+        Seq("b1", "b2"), "left_semi")
+    // fan each triangle to its three corners
+    tris.select(explode(array(col("a"), col("b1"), col("b2"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_triangles"))
+      .join(deg.select(col("x").as("item"), col("d").as("degree")), "item")
+  }
+
+  val triangleCountsSql: String =
+    s"""WITH $SqlEdgeCtes,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM edges WHERE src <> dst),
+       deg AS (SELECT x, count(*)::BIGINT AS d FROM
+                 (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+               GROUP BY 1),
+       ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                        THEN u ELSE v END AS a,
+                      CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                        THEN v ELSE u END AS b
+               FROM und JOIN deg du ON du.x = und.u
+                        JOIN deg dv ON dv.x = und.v),
+       tri AS (SELECT e1.a, e1.b AS b1, e2.b AS b2
+               FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b < e2.b
+               WHERE EXISTS (SELECT 1 FROM ori c
+                 WHERE (c.a = e1.b AND c.b = e2.b)
+                    OR (c.a = e2.b AND c.b = e1.b))),
+       corners AS (SELECT unnest([a, b1, b2]) AS item FROM tri)
+       SELECT item, count(*)::BIGINT AS n_triangles,
+         (SELECT d FROM deg WHERE x = item) AS degree
+       FROM corners GROUP BY 1"""
+
+  // ---- co-occurrence PMI (the SGNS / item2vec statistic) ----
+
+  /** Minimum transition weight for a PMI row — drops the noise tail
+    * where one observation swings the log wildly. */
+  val PmiMinW = 3
+
+  /** Directed pointwise mutual information over the transition
+    * counts: pmi(a→b) = ln(w_ab·W / (out_a·in_b)) — the association
+    * matrix SGNS/item2vec implicitly factorizes (Levy & Goldberg,
+    * NeurIPS 2014), i.e. the data-preparation pass of
+    * embedding-from-events training. All inputs are integer counts
+    * aggregated map-side; the only float op is one ln per surviving
+    * edge, r6'd. Scale: edge-keyed aggregates (≤ item-vocab² rows,
+    * map-side combined from any corpus size) plus two vocab-sized
+    * marginal joins — nothing corpus-sized shuffles twice. */
+  def itemPmi(spark: SparkSession, dir: String): DataFrame = {
+    val ks = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+    val e = transitionEdges(ks) // (src, dst, w, wout) — wout = out marginal
+    val inW = e.groupBy("dst").agg(sum(col("w")).as("win"))
+    val tot = e.agg(sum(col("w")).as("wtot"))
+    e.join(inW, "dst").crossJoin(broadcast(tot))
+      .filter(col("w") >= PmiMinW)
+      .select(col("src"), col("dst"), col("w"), col("wout"), col("win"),
+        r6(log(col("w").cast("double") * col("wtot") /
+          (col("wout").cast("double") * col("win")))).as("pmi"))
+  }
+
+  val itemPmiSql: String =
+    s"""WITH $SqlEdgeCtes,
+       ow AS (SELECT src, sum(w)::BIGINT AS wout FROM edges GROUP BY 1),
+       iw AS (SELECT dst, sum(w)::BIGINT AS win FROM edges GROUP BY 1),
+       tt AS (SELECT sum(w)::BIGINT AS wtot FROM edges)
+       SELECT src, dst, w, wout, win,
+         ${sqlR("ln(w * wtot / (wout::DOUBLE * win))", 6)} AS pmi
+       FROM edges JOIN ow USING (src) JOIN iw USING (dst) CROSS JOIN tt
+       WHERE w >= $PmiMinW"""
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> (pagerankItems _),
+    "q_triangles" -> (triangleCounts _),
+    "q_item_pmi" -> (itemPmi _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankItemsSql,
+    "q_triangles" -> triangleCountsSql,
+    "q_item_pmi" -> itemPmiSql,
   )
 }

@@ -21,7 +21,11 @@ class SparkEntryContractSpec extends AnyFunSuite {
     "TimeSeries" -> (queries.TimeSeries.queries.keySet,
       queries.TimeSeries.oracles.keySet),
     "Curation" -> (queries.Curation.queries.keySet,
-      queries.Curation.oracles.keySet))
+      queries.Curation.oracles.keySet),
+    "Graph" -> (queries.Graph.queries.keySet,
+      queries.Graph.oracles.keySet),
+    "Layout" -> (queries.Layout.queries.keySet,
+      queries.Layout.oracles.keySet))
 
   test("no query name collides across catalog objects") {
     val all = catalogs.flatMap(_._2._1.toSeq)
