@@ -824,6 +824,29 @@ object Dedup {
     * posting count itself — linear. */
   val AllPairsGramK = 5
 
+  /** The V^K ≥ N sizing rule as code (the [[Similarity.lshSizing]]
+    * precedent, for the exact tier): smallest gram order K whose
+    * feature space covers the corpus's gram instances `margin` times
+    * over — E[df] ≤ 1/margin under uniform hashing, so Σdf², the
+    * exact join's collision mass, stays O(postings). Measured
+    * decades behind the margin-1 default (NOTES.md): on the 31-word
+    * vocab, K=5 at 100× has instances at 0.62× the space and is
+    * linear (median df 1, Σdf² ≈ 1.8× postings); at 1000× instances
+    * are 6.2× the space and Σdf² = 1.31 B (7.4× postings, quadratic
+    * onset) — the rule then says K=6 (31⁶ ≈ 887 M ≥ 178 M).
+    * Natural corpora obey Heaps' law (vocab grows with N), so df
+    * stays bounded at fixed K far longer than on a bounded synthetic
+    * vocabulary — the rule still guards the tail. */
+  def allPairsGramSizing(corpusGramInstances: Long, vocabSize: Long,
+      margin: Double = 1.0): Int = {
+    require(corpusGramInstances > 0 && vocabSize > 1 && margin > 0)
+    val target = corpusGramInstances * margin
+    var k = 1
+    var space = vocabSize.toDouble
+    while (space < target && k < 16) { k += 1; space *= vocabSize }
+    k
+  }
+
   /** Exact all-pairs cosine similarity join over word
     * [[AllPairsGramK]]-gram tf vectors — the EXACT member of the
     * near-dup cascade (no probabilistic recall loss), via AllPairs

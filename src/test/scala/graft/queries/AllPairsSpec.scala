@@ -12,6 +12,17 @@ class AllPairsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("gram sizing follows the V^K >> N rule at the measured decades") {
+    // 31-word vocab: ~18M gram instances at 100x -> K=5 suffices;
+    // ~178M at 1000x -> K=6; tiny corpora need tiny K
+    assert(Dedup.allPairsGramSizing(18000000L, 31) == 5)
+    assert(Dedup.allPairsGramSizing(178000000L, 31) == 6)
+    assert(Dedup.allPairsGramSizing(25000L, 31) == 3)
+    assert(Dedup.allPairsGramSizing(100L, 31) == 2)
+    // Heaps-law vocab (1M words): K=2 covers a billion instances
+    assert(Dedup.allPairsGramSizing(1000000000L, 1000000L) == 2)
+  }
+
   test("pairs found on testdata satisfy the threshold exactly") {
     val out = Dedup.allpairsCosine(spark, sf).collect()
     out.foreach { r =>
