@@ -596,6 +596,52 @@ object Dedup {
        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
        GROUP BY source"""
 
+  /** Quality-aware survivor election: within each near-dup cluster,
+    * keep the HIGHEST-QUALITY copy (doc_id tie-break) instead of the
+    * arbitrary minimum id — the curation-correct dedup policy (near
+    * duplicates usually differ by boilerplate, truncation, or OCR
+    * noise, and min-id throws away the clean copy as readily as the
+    * dirty one). Output: one row per cluster with its elected
+    * survivor, the survivor's quality, and the cluster size.
+    *
+    * Scale shape: the closure labels only docs that are IN clusters
+    * (a tiny fraction of the corpus); the quality join touches that
+    * set alone via a co-keyed doc_id join, and the election window
+    * partitions by component — cluster-sized partitions, never
+    * corpus-sized. The quality score is the shared r4'd formula, so
+    * the argmax is deterministic cross-engine. */
+  def dedupBestSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.ConnectedComponents
+      .connectedComponents(minhashVerified(spark, dir), "doc_a", "doc_b")
+    val q = TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    labels.select(col("node").as("doc_id"), col("component"))
+      .join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+        max(when(col("rk") === 1, col("quality"))).as("survivor_quality"))
+  }
+
+  val dedupBestSurvivorSql: String = {
+    val cte = SqlClosureCte
+    s"""$cte,
+       q AS (SELECT doc_id, ${sqlR(TextAnalysis.SqlQualityExpr, 4)}
+               AS quality
+             FROM (${TextAnalysis.SqlFeatureSelect}) f),
+       ranked AS (SELECT component, node AS doc_id, quality,
+               row_number() OVER (PARTITION BY component
+                 ORDER BY quality DESC, node) AS rk
+             FROM lab JOIN q ON q.doc_id = lab.node)
+       SELECT component, count(*)::BIGINT AS n_docs,
+         max(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+         max(CASE WHEN rk = 1 THEN quality END) AS survivor_quality
+       FROM ranked GROUP BY 1"""
+  }
+
   /** Cross-source duplicate matrix: for every source pair, how many
     * bag-of-words fingerprints they share — the corpus forensics a
     * mixing decision needs before weighting sources (is src A a
@@ -989,6 +1035,7 @@ object Dedup {
     "q_allpairs_cosine" -> (allpairsCosine _),
     "q_kmv_distinct" -> (kmvDistinct _),
     "q_dedup_survivors" -> (dedupSurvivors _),
+    "q_dedup_best_survivor" -> (dedupBestSurvivor _),
     "q_dedup_components" -> (dedupComponents _),
     "q_dup_gram_coverage" -> (dupGramCoverage _),
     "q_dup_gram_removal" -> (dupGramRemoval _),
@@ -1005,6 +1052,7 @@ object Dedup {
     "q_allpairs_cosine" -> allpairsCosineSql,
     "q_kmv_distinct" -> kmvDistinctSql,
     "q_dedup_survivors" -> dedupSurvivorsSql,
+    "q_dedup_best_survivor" -> dedupBestSurvivorSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_dup_gram_coverage" -> dupGramCoverageSql,
     "q_dup_gram_removal" -> dupGramRemovalSql,
