@@ -50,6 +50,15 @@ object Graph {
   val PrScale = 1000000000L
   /** Power-iteration count — fixed, matching the unrolled oracle. */
   val PrIters = 3
+  /** Driver fast-path gate: when the WEIGHTED EDGE LIST (already
+    * aggregated to ≤ vocab² rows) fits comfortably on the driver,
+    * run the iterations as a local integer loop — same license as
+    * the ConnectedComponents union-find fast path and a broadcast
+    * threshold. The distributed Pregel loop remains the scale-true
+    * path and self-selects for big graphs; cross-path equality is
+    * spec-pinned (the arithmetic is identical integer ops, so
+    * equality is exact, not approximate). */
+  val PrFastPathMaxEdges = 100000L
 
   /** (src, dst, w, wout) weighted edge list with out-weight attached:
     * consecutive items per user ordered by (ts, event_id) — the
@@ -87,7 +96,13 @@ object Graph {
     * over the item-transition graph. Output: the full integer rank
     * state (`rank_int` — the exact hash-gated value) plus its float
     * reading. */
-  def pagerankItems(spark: SparkSession, dir: String): DataFrame = {
+  def pagerankItems(spark: SparkSession, dir: String): DataFrame =
+    pagerankItemsAt(spark, dir, PrFastPathMaxEdges)
+
+  /** `fastPathMaxEdges` exposed for the cross-path equality spec
+    * (0 forces the distributed loop). */
+  private[queries] def pagerankItemsAt(spark: SparkSession, dir: String,
+      fastPathMaxEdges: Long): DataFrame = {
     val ks = t(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -95,13 +110,50 @@ object Graph {
     // edges and nodes are item-vocabulary-sized — persisted because
     // every iteration consumes them (Verify/Bench clear per query)
     val e = transitionEdges(ks).persist()
-    val nodes = ks.select(col("k").as("item")).distinct().persist()
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    val r0 = nodes.crossJoin(broadcast(nn))
-      .select(col("item"), expr(s"${PrScale}L div n").as("rank"))
-    val rFinal = (1 to PrIters).foldLeft(r0)((r, _) => prStep(e, nodes, nn, r))
-    rFinal.select(col("item"), col("rank").as("rank_int"),
-      r6(col("rank").cast("double") / lit(PrScale.toDouble)).as("rank"))
+    val cap = math.min(math.max(fastPathMaxEdges, 0L), Int.MaxValue - 1L).toInt
+    if (e.limit(cap + 1).count() <= fastPathMaxEdges)
+      // node set from the EVENTS, not the edges: an item seen only in
+      // single-event user streams is a real (isolated) node with the
+      // base rank, identically on both paths
+      driverPagerank(spark, e, ks.select(col("k")).distinct())
+    else {
+      val nodes = ks.select(col("k").as("item")).distinct().persist()
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      val r0 = nodes.crossJoin(broadcast(nn))
+        .select(col("item"), expr(s"${PrScale}L div n").as("rank"))
+      val rFinal = (1 to PrIters).foldLeft(r0)((r, _) =>
+        prStep(e, nodes, nn, r))
+      rFinal.select(col("item"), col("rank").as("rank_int"),
+        r6(col("rank").cast("double") / lit(PrScale.toDouble)).as("rank"))
+    }
+  }
+
+  /** Exact local mirror of the distributed loop — the SAME integer
+    * ops in the same per-node order-independent sums, so cross-path
+    * equality is bit-exact. */
+  private def driverPagerank(spark: SparkSession,
+      e: DataFrame, nodeDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = e.select(col("src"), col("dst"), col("w"), col("wout"))
+      .as[(Long, Long, Long, Long)].collect()
+    val nodes = nodeDf.as[Long].collect().sorted
+    if (nodes.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("item", "rank_int", "rank")
+    val n = nodes.length.toLong
+    val base = 15L * PrScale / (100L * n)
+    var rank = nodes.map(_ -> PrScale / n).toMap
+    for (_ <- 1 to PrIters) {
+      val inflow = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (src, dst, w, wout) =>
+        inflow(dst) = inflow.getOrElse(dst, 0L) +
+          (rank(src) * w * 17) / (20L * wout)
+      }
+      rank = nodes.map(v => v -> (base + inflow.getOrElse(v, 0L))).toMap
+    }
+    nodes.toSeq.map(v => (v, rank(v),
+      graft.functions.expressions.PqCodes.round6(
+        rank(v).toDouble / PrScale.toDouble)))
+      .toDF("item", "rank_int", "rank")
   }
 
   /** Unrolled-CTE mirror: same integer state, same truncating

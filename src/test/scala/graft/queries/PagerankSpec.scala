@@ -28,6 +28,14 @@ class PagerankSpec extends SparkSpec {
     assert(got == Map(1L -> 75000000L, 2L -> 138750000L))
   }
 
+  test("driver fast path == distributed loop, bit-exact") {
+    val fast = Graph.pagerankItems(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.pagerankItemsAt(spark, sf, fastPathMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+  }
+
   test("testdata: mass bounded, every node ranked, sink decay visible") {
     val out = Graph.pagerankItems(spark, sf)
       .agg(sum("rank_int").cast("long").as("mass"),
