@@ -221,7 +221,12 @@ object Graph {
     * found exactly once (at its lowest-ordered apex), then fanned
     * ×3 to its corners for the per-item counts — integers
     * throughout, so the gate is exact. */
-  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsAt(spark, dir, PrFastPathMaxEdges)
+
+  /** `fastPathMaxEdges` exposed for the cross-path equality spec. */
+  private[queries] def triangleCountsAt(spark: SparkSession, dir: String,
+      fastPathMaxEdges: Long): DataFrame = {
     val ks = t(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -235,6 +240,9 @@ object Graph {
         greatest(col("k"), col("dst")).as("v"))
       .distinct()
       .persist()
+    val cap = math.min(math.max(fastPathMaxEdges, 0L), Int.MaxValue - 1L).toInt
+    if (und.limit(cap + 1).count() <= fastPathMaxEdges)
+      return driverTriangles(spark, und)
     val deg = und.select(col("u").as("x")).unionAll(und.select(col("v")))
       .groupBy("x").agg(count(lit(1)).as("d"))
     // orient low → high in (degree, id) order
@@ -260,6 +268,42 @@ object Graph {
     tris.select(explode(array(col("a"), col("b1"), col("b2"))).as("item"))
       .groupBy("item").agg(count(lit(1)).as("n_triangles"))
       .join(deg.select(col("x").as("item"), col("d").as("degree")), "item")
+  }
+
+  /** Exact local mirror of the distributed compact-forward count —
+    * same orientation, same per-corner fan, bit-exact cross-path
+    * equality (spec-pinned; same license as [[driverPagerank]]). */
+  private def driverTriangles(spark: SparkSession,
+      und: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = und.as[(Long, Long)].collect()
+    val deg = new scala.collection.mutable.HashMap[Long, Long]()
+    edges.foreach { case (u, v) =>
+      deg(u) = deg.getOrElse(u, 0L) + 1; deg(v) = deg.getOrElse(v, 0L) + 1
+    }
+    def lowFirst(u: Long, v: Long): (Long, Long) =
+      if (deg(u) < deg(v) || (deg(u) == deg(v) && u < v)) (u, v) else (v, u)
+    val out = new scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.TreeSet[Long]]()
+    val oriented = new scala.collection.mutable.HashSet[(Long, Long)]()
+    edges.foreach { case (u, v) =>
+      val (a, b) = lowFirst(u, v)
+      out.getOrElseUpdate(a,
+        new scala.collection.mutable.TreeSet[Long]()) += b
+      oriented += ((a, b))
+    }
+    val tri = new scala.collection.mutable.HashMap[Long, Long]()
+    out.foreach { case (a, nbrs) =>
+      val ns = nbrs.toIndexedSeq
+      for (i <- ns.indices; j <- (i + 1) until ns.length)
+        if (oriented.contains((ns(i), ns(j))) ||
+            oriented.contains((ns(j), ns(i)))) {
+          Seq(a, ns(i), ns(j)).foreach(x =>
+            tri(x) = tri.getOrElse(x, 0L) + 1)
+        }
+    }
+    tri.toSeq.sorted.map { case (item, n) => (item, n, deg(item)) }
+      .toDF("item", "n_triangles", "degree")
   }
 
   val triangleCountsSql: String =

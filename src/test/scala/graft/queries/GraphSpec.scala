@@ -31,6 +31,14 @@ class GraphSpec extends SparkSpec {
       3L -> (3L, 3L), 4L -> (3L, 3L)))
   }
 
+  test("triangles: driver fast path == distributed loop, bit-exact") {
+    val fast = Graph.triangleCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = Graph.triangleCountsAt(spark, sf, fastPathMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == dist && fast.nonEmpty)
+  }
+
   test("testdata PMI rows are internally consistent and thresholded") {
     val out = Graph.itemPmi(spark, sf).collect()
     assert(out.nonEmpty)
