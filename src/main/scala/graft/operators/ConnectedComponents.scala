@@ -63,13 +63,10 @@ object ConnectedComponents {
       fastPathMaxEdges: Long = FastPathMaxEdges): DataFrame = {
     val e = edges.select(col(src).as("u"), col(dst).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // capped count: stops scanning the moment the gate is exceeded,
-    // and materializes the (tiny) edge cache both branches reuse.
-    // limit() takes an Int, so gates above Int.MaxValue must clamp —
-    // a raw .toInt would wrap negative and make the capped count
-    // trivially pass, collecting an unbounded edge list on the driver
-    val cap = math.min(math.max(fastPathMaxEdges, 0L), Int.MaxValue - 1L).toInt
-    val small = e.limit(cap + 1).count() <= fastPathMaxEdges
+    // capped count (see DriverGate): stops scanning the moment the
+    // gate is exceeded, and materializes the (tiny) edge cache both
+    // branches reuse
+    val small = DriverGate.fitsOnDriver(e, fastPathMaxEdges)
     val result =
       if (small) driverUnionFind(e)
       else distributedHashMin(e, maxIter)

@@ -34,10 +34,20 @@ object ImageDedup {
     * halves: `conv(…, 16, 10)` emits a DECIMAL STRING, and a direct
     * long cast of a ≥2⁶³ value is null — recombine by shift+or,
     * which is wrap-exact and safe under ANSI overflow checking
-    * (a plain ·2³² multiply throws for top-bit-set hashes). */
+    * (a plain ·2³² multiply throws for top-bit-set hashes).
+    *
+    * Non-null inputs that are not exactly 16 hex chars FAIL LOUDLY
+    * instead of parsing to null: a `PHashFilter(hashSize != 8)`
+    * column would otherwise silently empty the candidate set and
+    * turn dedup into a no-op (nulls stay null — undecodable images
+    * are legitimately skipped). */
   def phashLong(c: Column): Column =
-    shiftleft(conv(substring(c, 1, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(c, 9, 8), 16, 10).cast("long"))
+    when(c.isNull, lit(null).cast("long"))
+      .when(length(c) === 16,
+        shiftleft(conv(substring(c, 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(c, 9, 8), 16, 10).cast("long")))
+      .otherwise(raise_error(concat(
+        lit("ImageDedup expects 16-hex-char (64-bit) pHashes, got: "), c)))
 
   private def bandKeys(h: Column): Column =
     array((0 until Bands).map { b =>
@@ -63,11 +73,17 @@ object ImageDedup {
       .distinct()
     val ha = h.select(col("id").as("id_a"), col("h").as("h_a"))
     val hb = h.select(col("id").as("id_b"), col("h").as("h_b"))
-    cands.join(ha, "id_a").join(hb, "id_b")
+    // pin the (tiny) verified pair list eagerly so the hash cache can
+    // be released — this is a long-lived-pipeline operator, not a
+    // per-query main, so caches must not outlive the call
+    val pairs = cands.join(ha, "id_a").join(hb, "id_b")
       .withColumn("hamming",
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint(true)
+    h.unpersist()
+    pairs
   }
 
   /** Keep-first survivor set: near-dup pairs → connected components
@@ -77,8 +93,14 @@ object ImageDedup {
     val pairs = nearDupPairs(df, idCol, hashCol, maxHamming)
     val comp = ConnectedComponents.connectedComponents(
       pairs, "id_a", "id_b")
+    // pin the (tiny) drop list, release the label + pair caches per
+    // the CC caller contract — pipeline callers invoke this per
+    // batch, so leaked blocks would accumulate for the session's life
     val drops = comp.filter(col("node") =!= col("component"))
       .select(col("node").as("id"))
+      .localCheckpoint(true)
+    comp.unpersist()
+    pairs.unpersist()
     df.select(col(idCol).as("id")).distinct()
       .join(drops, Seq("id"), "left_anti")
   }

@@ -613,11 +613,17 @@ object Dedup {
   def dedupBestSurvivor(spark: SparkSession, dir: String): DataFrame = {
     val labels = graft.operators.ConnectedComponents
       .connectedComponents(minhashVerified(spark, dir), "doc_a", "doc_b")
+    // pin the (cluster-membership-sized, tiny) projection, release
+    // the localCheckpoint-backed label cache per the CC caller
+    // contract — same pattern as dedupSurvivors above
+    val lab = labels.select(col("node").as("doc_id"), col("component"))
+      .localCheckpoint(true)
+    labels.unpersist()
     val q = TextAnalysis.textQuality(spark, dir)
       .select(col("doc_id"), col("quality"))
     val w = Window.partitionBy(col("component"))
       .orderBy(col("quality").desc, col("doc_id"))
-    labels.select(col("node").as("doc_id"), col("component"))
+    lab
       .join(q, "doc_id")
       .withColumn("rk", row_number().over(w))
       .groupBy(col("component"))

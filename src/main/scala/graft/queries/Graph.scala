@@ -108,16 +108,22 @@ object Graph {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k").isNotNull)
     // edges and nodes are item-vocabulary-sized — persisted because
-    // every iteration consumes them (Verify/Bench clear per query)
+    // every iteration consumes them (Verify/Bench clear per query).
+    // Node set from the EVENTS, not the edges: an item seen only in
+    // single-event user streams is a real (isolated) node with the
+    // base rank, identically on both paths — which is also why the
+    // fast-path gate must bound BOTH frames: a sparse transition
+    // graph over a huge item vocabulary has few edges but collects
+    // every node onto the driver.
     val e = transitionEdges(ks).persist()
-    val cap = math.min(math.max(fastPathMaxEdges, 0L), Int.MaxValue - 1L).toInt
-    if (e.limit(cap + 1).count() <= fastPathMaxEdges)
-      // node set from the EVENTS, not the edges: an item seen only in
-      // single-event user streams is a real (isolated) node with the
-      // base rank, identically on both paths
-      driverPagerank(spark, e, ks.select(col("k")).distinct())
-    else {
-      val nodes = ks.select(col("k").as("item")).distinct().persist()
+    val nodes = ks.select(col("k").as("item")).distinct().persist()
+    import graft.operators.DriverGate.fitsOnDriver
+    if (fitsOnDriver(e, fastPathMaxEdges) &&
+        fitsOnDriver(nodes, fastPathMaxEdges)) {
+      val out = driverPagerank(spark, e, nodes)
+      e.unpersist(); nodes.unpersist()
+      out
+    } else {
       val nn = nodes.agg(count(lit(1)).as("n"))
       val r0 = nodes.crossJoin(broadcast(nn))
         .select(col("item"), expr(s"${PrScale}L div n").as("rank"))
@@ -156,6 +162,20 @@ object Graph {
       .toDF("item", "rank_int", "rank")
   }
 
+  /** Shared SQL prefix: ks (user, ts, event_id, k) and the weighted
+    * directed transition edges — one copy for all three graph
+    * oracles, so the edge derivation cannot drift between them. */
+  private val SqlEdgeCtes: String =
+    s"""ks AS (SELECT user_id, ts, event_id,
+             json_extract(props, '$$.k')::BIGINT AS k FROM events
+           WHERE json_extract(props, '$$.k') IS NOT NULL),
+       sq AS (SELECT k AS src,
+             lead(k, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dst
+           FROM ks),
+       edges AS (SELECT src, dst, count(*)::BIGINT AS w FROM sq
+           WHERE dst IS NOT NULL GROUP BY 1, 2)"""
+
   /** Unrolled-CTE mirror: same integer state, same truncating
     * division (`//` on positives ≡ Spark's `div`). */
   val pagerankItemsSql: String = {
@@ -170,15 +190,7 @@ object Graph {
            FROM nodes CROSS JOIN nn
            LEFT JOIN c$i ON nodes.item = c$i.item)"""
     }.mkString(",\n       ")
-    s"""WITH ks AS (SELECT user_id, ts, event_id,
-             json_extract(props, '$$.k')::BIGINT AS k FROM events
-           WHERE json_extract(props, '$$.k') IS NOT NULL),
-       sq AS (SELECT k AS src,
-             lead(k, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS dst
-           FROM ks),
-       edges AS (SELECT src, dst, count(*)::BIGINT AS w FROM sq
-           WHERE dst IS NOT NULL GROUP BY 1, 2),
+    s"""WITH $SqlEdgeCtes,
        ow AS (SELECT src, sum(w)::BIGINT AS wout FROM edges GROUP BY 1),
        e AS (SELECT edges.src, edges.dst, w, wout
              FROM edges JOIN ow USING (src)),
@@ -191,19 +203,6 @@ object Graph {
          ${sqlR(s"rank / $PrScale.0", 6)} AS rank
        FROM r$PrIters"""
   }
-
-  /** Shared SQL prefix: ks (user, ts, event_id, k) and the weighted
-    * directed transition edges with out-weights. */
-  private val SqlEdgeCtes: String =
-    s"""ks AS (SELECT user_id, ts, event_id,
-             json_extract(props, '$$.k')::BIGINT AS k FROM events
-           WHERE json_extract(props, '$$.k') IS NOT NULL),
-       sq AS (SELECT k AS src,
-             lead(k, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS dst
-           FROM ks),
-       edges AS (SELECT src, dst, count(*)::BIGINT AS w FROM sq
-           WHERE dst IS NOT NULL GROUP BY 1, 2)"""
 
   // ---- triangle counting (compact-forward orientation) ----
 
@@ -240,9 +239,13 @@ object Graph {
         greatest(col("k"), col("dst")).as("v"))
       .distinct()
       .persist()
-    val cap = math.min(math.max(fastPathMaxEdges, 0L), Int.MaxValue - 1L).toInt
-    if (und.limit(cap + 1).count() <= fastPathMaxEdges)
-      return driverTriangles(spark, und)
+    // node set here IS bounded by the edge list (deg derives from
+    // und), so — unlike pagerank — the edge gate alone suffices
+    if (graft.operators.DriverGate.fitsOnDriver(und, fastPathMaxEdges)) {
+      val out = driverTriangles(spark, und)
+      und.unpersist()
+      return out
+    }
     val deg = und.select(col("u").as("x")).unionAll(und.select(col("v")))
       .groupBy("x").agg(count(lit(1)).as("d"))
     // orient low → high in (degree, id) order

@@ -10,6 +10,21 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
   override def afterAll(): Unit = { /* session shared; not stopped */ }
+
+  /** Synthetic `events.parquet` in the testdata schema: each user's
+    * item-visit sequence becomes consecutive ts-ordered events with
+    * `{"k": item}` props — the one events-writer for graph-derived
+    * specs, so the schema contract lives in a single place. */
+  def writeItemEvents(dir: String, visits: Seq[(Long, Seq[Long])]): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (user, ks) <- visits
+      (k, i) <- ks.zipWithIndex
+    } yield (user * 1000L + i, (i + 1) * 1000L, user, "c", 1.0,
+      s"""{"k": $k}""")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+  }
 }
 
 object SparkSpec {

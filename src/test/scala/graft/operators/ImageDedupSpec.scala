@@ -91,4 +91,19 @@ class ImageDedupSpec extends SparkSpec {
     val got = ImageDedup.nearDupPairs(df, "img_id", "phash").collect()
     assert(got.length == 1 && got.head.getAs[Long]("hamming") == 2L)
   }
+
+  test("wrong-width hashes fail loudly instead of silently disabling dedup") {
+    import spark.implicits._
+    // a PHashFilter(4) column is 4 hex chars — must raise, not no-op
+    val df = Seq((1L, "beef"), (2L, "beee")).toDF("img_id", "phash")
+    val ex = intercept[Exception] {
+      ImageDedup.nearDupPairs(df, "img_id", "phash").collect()
+    }
+    assert(ex.getMessage.contains("16-hex-char") ||
+      Option(ex.getCause).exists(_.getMessage.contains("16-hex-char")))
+    // nulls (undecodable images) are still legitimately skipped
+    val ok = Seq((1L, "ffffffffffffffff"), (2L, null.asInstanceOf[String]))
+      .toDF("img_id", "phash")
+    assert(ImageDedup.nearDupPairs(ok, "img_id", "phash").collect().isEmpty)
+  }
 }

@@ -8,15 +8,8 @@ class GraphSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def writeEvents(dir: String, visits: Seq[(Long, Seq[Long])]): Unit = {
-    import spark.implicits._
-    val rows = for {
-      (user, ks) <- visits
-      (k, i) <- ks.zipWithIndex
-    } yield (user * 1000L + i, (i + 1) * 1000L, user, "c", 1.0, s"""{"k": $k}""")
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(s"$dir/events.parquet")
-  }
+  private def writeEvents(dir: String, visits: Seq[(Long, Seq[Long])]): Unit =
+    writeItemEvents(dir, visits)
 
   test("K4 yields 3 triangles per corner; a 4-cycle yields none") {
     val dir = java.nio.file.Files.createTempDirectory("tri").toString
