@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.FuzzyJoin
+
+/** Dev probe for the edit-distance join at vocabulary scale:
+  * synthesizes `n` distinct natural-entropy strings (random letters,
+  * length 10–16) and plants one single-substitution near-dup per
+  * `dupEvery` base strings, then times
+  * [[FuzzyJoin.editDistancePairs]] and checks the planted pairs are
+  * all recovered. Usage: `graft.FuzzyJoinProbe [n] [dupEvery]`. */
+object FuzzyJoinProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val dupEvery = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("fuzzyjoin-probe")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // deterministic generator; a planted near-dup appends nothing —
+    // it substitutes position 3 with a letter outside the base draw
+    // range, so it cannot collide with an independent base string
+    val rows = (0 until n).map { i =>
+      val rnd = new scala.util.Random(i.toLong * 2654435761L)
+      val len = 10 + rnd.nextInt(7)
+      val s = Array.fill(len)(('a' + rnd.nextInt(24)).toChar).mkString
+      if (i % dupEvery == 1) s.updated(3, 'z').mkString else s
+    }
+    // the planted dup of base i-1 pairs with it at distance 1 only if
+    // i%dupEvery==1 copies the PREVIOUS row's base; rebuild that way
+    val vals = rows.zipWithIndex.map { case (s, i) =>
+      if (i % dupEvery == 1 && i > 0) rows(i - 1).updated(3, 'z').mkString
+      else s
+    }.distinct
+    val df = vals.toDF("s").repartition(64)
+    val planted = vals.size
+
+    val t0 = System.nanoTime()
+    val pairs = FuzzyJoin.editDistancePairs(df, "s", maxDist = 2)
+    val nPairs = pairs.count()
+    val d1 = pairs.filter(col("dist") === 1).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"n=$planted%,d pairs=$nPairs%,d dist1=$d1%,d " +
+      f"join=$secs%.1f s")
+    spark.stop()
+  }
+}

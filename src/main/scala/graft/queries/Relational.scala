@@ -419,7 +419,20 @@ object Relational {
       .select(col("l_returnflag"), col("tile"), col("n_rows"),
         r2(col("lo")).as("lo"), r2(col("hi")).as("hi"))
 
+  /** Edit-distance similarity self-join over the distinct part-name
+    * vocabulary ([[graft.operators.FuzzyJoin]] — positional q-gram
+    * count-filter prune, short-string exact branch, levenshtein
+    * verify on candidates only). The oracle is the UNPRUNED exact
+    * all-pairs join, so the driver's hash gate doubles as the
+    * pruning-losslessness proof (allpairs_cosine / bloom-decontam
+    * pattern). k=2 with the sf part names exercises BOTH branches:
+    * lengths run 7–12 around the minMax=9 boundary. */
+  def fuzzyJoinParts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin
+      .editDistancePairs(t(spark, dir, "part"), "p_name", maxDist = 2)
+
   val queries: Map[String, Q] = Map(
+    "q_fuzzy_join" -> (fuzzyJoinParts _),
     "q_skew_join" -> (skewJoinAgg _),
     "q_keep_above_quantile" -> (keepAboveQuantile _),
     "q_ntile_deciles" -> (ntileDeciles _),
@@ -468,6 +481,12 @@ object Relational {
        HAVING sum(l.l_quantity) > 200"""
 
   val oracles: Map[String, String] = Map(
+    "q_fuzzy_join" ->
+      """WITH d AS (SELECT DISTINCT p_name AS s FROM part)
+         SELECT a.s AS name_a, b.s AS name_b,
+           levenshtein(a.s, b.s)::BIGINT AS dist
+         FROM d a JOIN d b ON a.s < b.s
+         WHERE levenshtein(a.s, b.s) <= 2""",
     "q_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
          round((sum(o_totalprice)) + 1e-9, 2) AS total_price
