@@ -205,22 +205,28 @@ object Curation {
       .agg(countDistinct(col("gh")).as("n_shared_grams"))
   }
 
-  val decontaminateNgramSql: String = {
+  /** Passage-overlap gram CTEs (dec_-prefixed for collision-free
+    * composition): dec_g = per-doc 5-gram hashes, dec_ev = the
+    * distinct eval gram set. */
+  private[queries] val SqlDecontamGramCte: String = {
     import TextAnalysis.SqlToksLower
-    s"""WITH w AS (SELECT doc_id, $SqlToksLower AS ts FROM documents),
-       o AS (SELECT doc_id, ts AS ws,
+    s"""dec_w AS (SELECT doc_id, $SqlToksLower AS ts FROM documents),
+       dec_o AS (SELECT doc_id, ts AS ws,
          unnest(range(0, greatest(length(ts) - ${DecontamN - 1}, 0))) AS i
-       FROM w),
-       g AS (SELECT doc_id,
+       FROM dec_w),
+       dec_g AS (SELECT doc_id,
          CAST(concat('0x', substring(md5(
            array_to_string(ws[i+1:i+$DecontamN], ' ')), 1, 15)) AS BIGINT) AS gh
-       FROM o),
-       ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0)
+       FROM dec_o),
+       dec_ev AS (SELECT DISTINCT gh FROM dec_g WHERE doc_id % 20 = 0)"""
+  }
+
+  val decontaminateNgramSql: String =
+    s"""WITH $SqlDecontamGramCte
        SELECT doc_id, count(DISTINCT gh)::BIGINT AS n_shared_grams
-       FROM g JOIN ev USING (gh)
+       FROM dec_g JOIN dec_ev USING (gh)
        WHERE doc_id % 20 <> 0
        GROUP BY doc_id"""
-  }
 
   /** Bloom sizing for [[decontaminateBloom]]: ~1.2 MB per million
     * grams at this rate — a benchmark suite of 10M distinct grams is
@@ -360,7 +366,23 @@ object Curation {
     * use HOF lambdas: fine for an audit pass, and the one-pass
     * [[graft.functions.expressions.TextFeatures]] expression is the
     * template if this ever sits in a per-row hot path. */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherDocFlags(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fw").cast("long")).as("n_fail_words"),
+        sum(col("fl").cast("long")).as("n_fail_wordlen"),
+        sum(col("fs").cast("long")).as("n_fail_symbol"),
+        sum(col("fa").cast("long")).as("n_fail_alpha"),
+        sum(col("fp").cast("long")).as("n_fail_stop"),
+        sum(col("ok").cast("long")).as("n_pass"))
+
+  /** Per-document Gopher rule flags — the shared building block of
+    * the audit aggregate ([[gopherRules]]) and the end-to-end
+    * [[curationPipeline]]. Output: (doc_id, source, n_chars,
+    * fw/fl/fs/fa/fp per-rule fail flags, ok). */
+  private[queries] def gopherDocFlags(spark: SparkSession,
+      dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val f = graft.functions.GraftFunctions.textFeatures(col("text"))
     val ts = tokens(col("text"))
@@ -385,27 +407,22 @@ object Curation {
     val failStop = nStops < GopherMinStops
     Tables.fanOut(t(spark, dir, "documents"))
       .withColumn("f", f)
-      .select(col("source"),
+      .select(col("doc_id"), col("source"), col("n_chars"),
         failWords.as("fw"), failLen.as("fl"), failSym.as("fs"),
         failAlpha.as("fa"), failStop.as("fp"),
         (!failWords && !failLen && !failSym && !failAlpha && !failStop)
           .as("ok"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("fw").cast("long")).as("n_fail_words"),
-        sum(col("fl").cast("long")).as("n_fail_wordlen"),
-        sum(col("fs").cast("long")).as("n_fail_symbol"),
-        sum(col("fa").cast("long")).as("n_fail_alpha"),
-        sum(col("fp").cast("long")).as("n_fail_stop"),
-        sum(col("ok").cast("long")).as("n_pass"))
   }
 
-  val gopherRulesSql: String = {
+  /** Per-document Gopher flag CTEs (gop_-prefixed so the fragment
+    * composes into multi-family oracles without name collisions);
+    * gop_r carries (doc_id, source, n_chars, fw..fp). */
+  private[queries] val SqlGopherDocCte: String = {
     import TextAnalysis.{SqlToks, SqlToksLower}
     val stops = GopherRequiredStops.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"""WITH w AS (SELECT source, text, $SqlToks AS ts,
+    s"""gop_w AS (SELECT doc_id, source, n_chars, text, $SqlToks AS ts,
          $SqlToksLower AS tsl FROM documents),
-       m AS (SELECT source,
+       gop_m AS (SELECT doc_id, source, n_chars,
          length(ts) AS ntok,
          CASE WHEN length(ts) = 0 THEN 0.0
            ELSE coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::DOUBLE
@@ -418,14 +435,18 @@ object Curation {
            ELSE length(list_filter(ts, x -> regexp_matches(x, '\\p{L}')))::DOUBLE
                 / length(ts) END AS alphaf,
          length(list_intersect(tsl, $stops)) AS nstops
-       FROM w),
-       r AS (SELECT source,
+       FROM gop_w),
+       gop_r AS (SELECT doc_id, source, n_chars,
          (ntok < $GopherMinWords OR ntok > $GopherMaxWords) AS fw,
          (meanlen < $GopherMinMeanLen OR meanlen > $GopherMaxMeanLen) AS fl,
          (symr > $GopherMaxSymbolRatio) AS fs,
          (alphaf < $GopherMinAlphaFrac) AS fa,
          (nstops < $GopherMinStops) AS fp
-       FROM m)
+       FROM gop_m)"""
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH $SqlGopherDocCte
        SELECT source, count(*)::BIGINT AS n_docs,
          CAST(sum(CASE WHEN fw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
          CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
@@ -434,8 +455,64 @@ object Curation {
          CAST(sum(CASE WHEN fp THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
          CAST(sum(CASE WHEN NOT fw AND NOT fl AND NOT fs AND NOT fa
            AND NOT fp THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-       FROM r GROUP BY source"""
+       FROM gop_r GROUP BY source"""
+
+  /** The END-TO-END corpus assembly — the composed pipeline every
+    * published pretraining-data recipe runs (C4 / Gopher / CCNet
+    * shape): Gopher hard-reject quality gate → MinHash near-dup
+    * cluster deletion → eval-set exclusion + passage-overlap
+    * decontamination → per-source audit of what survives. One
+    * catalog entry proving the operator families COMPOSE — each
+    * stage emits an id-sized flag frame (per-doc gopher flags are a
+    * projection, the near-dup drop list and contamination list are
+    * leak-sized) and the corpus is touched once per signal family,
+    * never materialized in between.
+    *
+    * Composition semantics, pinned identically in the oracle: each
+    * stage's flag is computed on the FULL corpus independently, then
+    * intersected — not sequentially re-derived on the shrinking
+    * survivor set. That is the auditable/cacheable formulation (a
+    * stage's flags can be reused across pipeline variants); dedup
+    * clusters in particular do not change when a quality-rejected
+    * doc would have been their minimum, which sequential recompute
+    * would allow. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // gate on the four content rules; the required-stopword rule is
+    // tuned out for this corpus (its synthetic vocabulary carries
+    // one stopword total, so fp rejects 100% — Gopher's own rules
+    // were tuned to MassiveWeb, and per-corpus rule selection is the
+    // normal deployment move; q_gopher_rules still audits all five)
+    val ok = gopherDocFlags(spark, dir)
+      .filter(!col("fw") && !col("fl") && !col("fs") && !col("fa"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val drops = Dedup.nearDupDrops(spark, dir)
+    val contaminated = decontaminateNgram(spark, dir).select("doc_id")
+    ok.filter(col("doc_id") % 20 =!= 0)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
   }
+
+  /** Composes the minhash-closure, gopher, and decontamination CTE
+    * fragments VERBATIM — the hash gate proves the composed plan
+    * equals the composition of the already-gated stages. */
+  val curationPipelineSql: String =
+    s"""${Dedup.SqlClosureCte},
+       drops AS (SELECT node FROM lab WHERE node <> component),
+       $SqlGopherDocCte,
+       $SqlDecontamGramCte,
+       dec_hit AS (SELECT DISTINCT doc_id FROM dec_g JOIN dec_ev USING (gh)
+         WHERE doc_id % 20 <> 0)
+       SELECT source, count(*)::BIGINT AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM gop_r
+       WHERE NOT fw AND NOT fl AND NOT fs AND NOT fa
+         AND doc_id % 20 <> 0
+         AND doc_id NOT IN (SELECT node FROM drops)
+         AND doc_id NOT IN (SELECT doc_id FROM dec_hit)
+       GROUP BY source"""
 
   /** Per-class deterministic downsampling rates (1-in-N per lang) —
     * class rebalancing with the same hash-stable property as
@@ -823,6 +900,51 @@ object Curation {
        SELECT doc_id, ${sqlR("avg(term)", 6)} AS lm_score
        FROM p2 JOIN ws USING (w1, w2) GROUP BY doc_id"""
 
+  /** CCNet head/middle/tail corpus split (Wenzek et al. 1911.00359
+    * §4.3): per LANGUAGE, rank documents by LM fit and cut the
+    * corpus into terciles — "head" is the most-fluent third, the
+    * slice CCNet ships as its highest-quality subset. The LM signal
+    * is [[lmFluency]]; the tercile is the bounded-histogram exact
+    * ntile ([[graft.operators.Quantiles.ntileBuckets]] partitioned
+    * by lang — no per-language global sort), with the r6'd score
+    * pre-quantized to 10⁻⁴ bands so the histogram stays ≤ 2·10⁴
+    * cells per language at any corpus size. Output: one row per
+    * (lang, bucket) with its size and score range. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scores = lmFluency(spark, dir)
+    val langs = t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val bands = scores.join(langs, "doc_id")
+      .select(col("lang"),
+        floor(col("lm_score") * 10000).cast("long").as("band"))
+    graft.operators.Quantiles.ntileBuckets(bands, "band", 3, Seq("lang"))
+      .select(col("lang"),
+        when(col("tile") === 3, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_rows").as("n_docs"),
+        r6(col("lo") / 10000.0).as("lo_score"),
+        r6(col("hi") / 10000.0).as("hi_score"))
+  }
+
+  /** Shares [[lmFluencySql]] verbatim as the score CTE and keeps the
+    * literal ntile(3) window — the hash gate is the equivalence
+    * proof for the histogram tercile (q_ntile_deciles pattern). */
+  val ccnetBucketsSql: String =
+    s"""WITH scores AS ($lmFluencySql),
+       b AS (SELECT s.doc_id, d.lang,
+               CAST(floor(s.lm_score * 10000) AS BIGINT) AS band
+             FROM scores s JOIN documents d USING (doc_id)),
+       t AS (SELECT lang, band,
+               ntile(3) OVER (PARTITION BY lang ORDER BY band) AS tile
+             FROM b)
+       SELECT lang,
+         CASE tile WHEN 3 THEN 'head' WHEN 2 THEN 'middle'
+           ELSE 'tail' END AS bucket,
+         count(*)::BIGINT AS n_docs,
+         ${sqlR("min(band) / 10000.0", 6)} AS lo_score,
+         ${sqlR("max(band) / 10000.0", 6)} AS hi_score
+       FROM t GROUP BY 1, 2"""
+
   /** Hashed feature space of the trainable quality classifier. */
   val LrFeatures = 256L
 
@@ -940,6 +1062,8 @@ object Curation {
     "q_mixture_sample" -> (mixtureSample _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_lm_fluency" -> (lmFluency _),
+    "q_ccnet_buckets" -> (ccnetBuckets _),
+    "q_curation_pipeline" -> (curationPipeline _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -958,5 +1082,7 @@ object Curation {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_dsir_weights" -> dsirWeightsSql,
     "q_lm_fluency" -> lmFluencySql,
+    "q_ccnet_buckets" -> ccnetBucketsSql,
+    "q_curation_pipeline" -> curationPipelineSql,
   )
 }

@@ -546,7 +546,7 @@ object Dedup {
     * `lab (node, component)` — shared by the components and survivors
     * oracles. Starts with WITH RECURSIVE (DuckDB requires the marker
     * at the head of the whole chain). */
-  private lazy val SqlClosureCte: String = {
+  private[queries] lazy val SqlClosureCte: String = {
     val cte = SqlMinhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$cte,
        pairs AS (
@@ -574,6 +574,20 @@ object Dedup {
     * (tiny) drop list against the corpus; at 100 TB the drop list is
     * the only thing the closure ever materializes. */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val drops = nearDupDrops(spark, dir)
+    t(spark, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
+  /** The near-dup DROP LIST — every doc that is a non-minimum member
+    * of a verified MinHash near-dup cluster. The tiny frame every
+    * downstream survivor/pipeline query anti-joins; at 100 TB this
+    * is the only thing the closure ever materializes. */
+  private[queries] def nearDupDrops(spark: SparkSession,
+      dir: String): DataFrame = {
     val labels = graft.operators.ConnectedComponents
       .connectedComponents(minhashVerified(spark, dir), "doc_a", "doc_b")
     // pin the (tiny) drop list, release the node-sized label cache
@@ -581,11 +595,7 @@ object Dedup {
       .select(col("node").as("doc_id"))
       .localCheckpoint(true)
     labels.unpersist()
-    t(spark, dir, "documents")
-      .join(drops, Seq("doc_id"), "left_anti")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).cast("long").as("sum_chars"))
+    drops
   }
 
   val dedupSurvivorsSql: String =

@@ -1017,7 +1017,56 @@ object Similarity {
          label AS neg_label, sim
        FROM r WHERE rk <= $IvfTopK"""
 
+  /** Members kept per cluster by the prototypicality prune. */
+  val ProtoKeep = 10
+
+  /** Data pruning by prototypicality (Sorscher et al., "Beyond
+    * neural scaling laws", NeurIPS 2022): within each embedding
+    * cluster, rank members by similarity to their OWN centroid and
+    * keep the [[ProtoKeep]] most central — the cluster-balanced
+    * subsampling move (SemDeDup drops redundancy; this caps every
+    * topic's share regardless of how big the crawl made it). The
+    * Sorscher result is two-sided — keep-central when data is
+    * scarce, keep-HARD (rank ascending) when abundant — and the
+    * ranking here carries both readings; the catalog entry pins the
+    * keep-central side.
+    *
+    * Scale shape: [[ivfAssign]] is the only corpus-wide pass; the
+    * assigned-centroid similarity re-attaches by ONE narrow
+    * broadcast join on the cluster id (no second crossJoin against
+    * all centroids), and the rank window partitions by cluster —
+    * cluster-sized partitions, the N/C knob of [[semDedupAt]]. */
+  def clusterPrototypes(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val assign = ivfAssign(spark, dir)
+    val cent = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv")))
+      .filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("cv"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("csim").desc, col("vec_id"))
+    assign.join(broadcast(cent), col("cluster") === col("cid"))
+      .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ProtoKeep)
+      .select(col("cluster"), col("vec_id"),
+        col("rk").cast("long").as("rk"), col("csim"))
+  }
+
+  val clusterPrototypesSql: String =
+    s"""$sqlIvfAssignCte,
+       ac2 AS (SELECT a.vec_id, a.cluster,
+                 ${sqlR(sqlCos("a.v", "cent.cv"), 6)} AS csim
+               FROM assign a JOIN cent ON cent.cid = a.cluster),
+       r AS (SELECT cluster, vec_id, csim,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY csim DESC, vec_id) AS rk
+             FROM ac2)
+       SELECT cluster, vec_id, rk::BIGINT AS rk, csim FROM r
+       WHERE rk <= $ProtoKeep"""
+
   val queries: Map[String, Q] = Map(
+    "q_cluster_prototypes" -> (clusterPrototypes _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
@@ -1036,6 +1085,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cluster_prototypes" -> clusterPrototypesSql,
     "q_hard_negatives" -> hardNegativesSql,
     "q_ann_bruteforce" -> annBruteForceSql,
     "q_ann_ivf" -> annIvfSql,
