@@ -122,6 +122,46 @@ object TestOnnx {
       inputs = Seq("x"), outputs = Seq("y"))
   }
 
+  /** Tiny REAL single-head-attention cross-encoder
+    * `ids [N,l] → score [N,1]`: token+position embedding →
+    * self-attention (QKᵀ softmax V) → residual + Gelu → mean-pool →
+    * sigmoid head. Exercises the batched-3D MatMul / Transpose /
+    * Softmax tier on a genuine transformer block. */
+  def tinyCrossEncoder(v: Int, e: Int, l: Int, salt: Int): Array[Byte] = {
+    def seeded(n: Int, s: Int): Seq[Float] =
+      (0 until n).map(i =>
+        (((i.toLong * i * 40503L + i * 2654435761L + s * 7919L) % 13)
+          - 6) * 0.21f)
+    model(
+      nodes = Seq(
+        node("Gather", Seq("temb", "ids"), Seq("g")),
+        node("Add", Seq("g", "pos"), Seq("h")),
+        node("MatMul", Seq("h", "wq"), Seq("q")),
+        node("MatMul", Seq("h", "wk"), Seq("k")),
+        node("MatMul", Seq("h", "wv"), Seq("vv")),
+        node("Transpose", Seq("k"), Seq("kt"),
+          Seq(attrInts("perm", Seq(0L, 2L, 1L)))),
+        node("MatMul", Seq("q", "kt"), Seq("att")),
+        node("Softmax", Seq("att"), Seq("sm")),
+        node("MatMul", Seq("sm", "vv"), Seq("ctx")),
+        node("Add", Seq("ctx", "h"), Seq("res")),
+        node("Gelu", Seq("res"), Seq("a")),
+        node("Transpose", Seq("a"), Seq("at"),
+          Seq(attrInts("perm", Seq(0L, 2L, 1L)))),
+        node("ReduceMean", Seq("at"), Seq("pool"),
+          Seq(attrInts("axes", Seq(-1L)), attrInt("keepdims", 0L))),
+        node("MatMul", Seq("pool", "wout"), Seq("z")),
+        node("Sigmoid", Seq("z"), Seq("y"))),
+      inits = Seq(
+        tensor("temb", Seq(v, e), seeded(v * e, salt)),
+        tensor("pos", Seq(l, e), seeded(l * e, salt + 1)),
+        tensor("wq", Seq(e, e), seeded(e * e, salt + 2)),
+        tensor("wk", Seq(e, e), seeded(e * e, salt + 3)),
+        tensor("wv", Seq(e, e), seeded(e * e, salt + 4)),
+        tensor("wout", Seq(e, 1), seeded(e, salt + 5))),
+      inputs = Seq("ids"), outputs = Seq("y"))
+  }
+
   /** Tiny REAL caption decoder `(img [1,e], ids [1,l]) → [1,l,v]`
     * logits: token embedding + position embedding + image
     * conditioning through Gelu into a vocab projection. */
