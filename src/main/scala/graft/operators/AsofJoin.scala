@@ -68,7 +68,7 @@ object AsofJoin {
         lTagged.schema(c).dataType))
     }
     val unioned = lTagged.unionByName(rAligned.select(
-      lTagged.columns.map(col): _*))
+      lTagged.columns.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(t), col(side), col(p))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -79,6 +79,6 @@ object AsofJoin {
     val payloadCols: Seq[Column] =
       payload.map(c => col(p).getField(c).as(c))
     carried.filter(isLeft)
-      .select(left.columns.map(col) ++ payloadCols: _*)
+      .select(left.columns.toIndexedSeq.map(col) ++ payloadCols: _*)
   }
 }

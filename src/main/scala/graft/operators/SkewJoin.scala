@@ -40,7 +40,7 @@ object SkewJoin {
       key, factor, seed)
     val cold = left.filter(!isHot).join(right.filter(!isHot), Seq(key))
     // align column order before union (join column ordering differs)
-    hot.select(cold.columns.map(col): _*).unionByName(cold)
+    hot.select(cold.columns.toIndexedSeq.map(col): _*).unionByName(cold)
   }
 
   /** Profile helper: the keys holding more than `threshold` of the

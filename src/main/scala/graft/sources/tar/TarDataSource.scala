@@ -113,8 +113,13 @@ object TarTable {
     val spark = SparkSession.active
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // getFileStatus replaces the deprecated fs.isDirectory; a missing
+    // path falls through to the glob branch exactly as before
+    val isDir =
+      try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
     val statuses =
-      if (fs.isDirectory(p))
+      if (isDir)
         fs.listStatus(p).filter(s =>
           s.isFile && hasTarExtension(s.getPath.getName))
       else fs.globStatus(p) match {
