@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.queries.Num.{r2, r4}
+import graft.queries.Num.{r2, r4, r6, sqlR}
 
 /** Relational operator catalog (SURVEY.md §2.2–2.5): each entry is one
   * operator from the reference's inventory re-expressed Spark-first,
@@ -431,7 +431,67 @@ object Relational {
     graft.operators.FuzzyJoin
       .editDistancePairs(t(spark, dir, "part"), "p_name", maxDist = 2)
 
+  /** Schema-wide data profile — the first query anyone runs against
+    * an unknown 100 TB table: per column, null count, exact distinct
+    * count, and (for numerics) min/max. One corpus pass: all
+    * per-column aggregates ride a single agg (Spark plans the
+    * multi-column distinct set via one Expand — C copies of the scan
+    * rows in ONE shuffle, not C passes over the table), and the
+    * 1-row result unpivots to per-column rows via stack(), never
+    * touching the driver. Distinct from [[summaryStats]] (numeric
+    * describe): this is the nulls/cardinality census over EVERY
+    * column including strings and timestamps.
+    *
+    * Scale note: exact per-column distincts are the oracle-gated
+    * semantics; at 100 TB a profiler flips high-cardinality columns
+    * to approx_count_distinct (the HLL register machinery in
+    * [[graft.operators.HllSketch]] is the in-repo form) — the plan
+    * shape is otherwise identical. */
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "lineitem")
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSet
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val (mn, mx) =
+        if (numeric(f.name))
+          (r6(min(c).cast("double")), r6(max(c).cast("double")))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__nd"),
+        mn.as(s"${f.name}__min"), mx.as(s"${f.name}__max"))
+    }
+    val stacked = df.schema.fields.map(f =>
+      s"'${f.name}', ${f.name}__nulls, ${f.name}__nd, " +
+        s"${f.name}__min, ${f.name}__max").mkString(", ")
+    df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      .selectExpr(s"stack(${df.schema.fields.length}, $stacked) " +
+        "AS (col_name, n_nulls, n_distinct, vmin, vmax)")
+  }
+
+  val dataProfileSql: String = {
+    val numeric = Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    cols.map { c =>
+      val (mn, mx) =
+        if (numeric(c)) (sqlR(s"min($c)::DOUBLE", 6), sqlR(s"max($c)::DOUBLE", 6))
+        else ("NULL::DOUBLE", "NULL::DOUBLE")
+      s"""SELECT '$c' AS col_name,
+         sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         count(DISTINCT $c)::BIGINT AS n_distinct,
+         $mn AS vmin, $mx AS vmax FROM lineitem"""
+    }.mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_data_profile" -> (dataProfile _),
     "q_fuzzy_join" -> (fuzzyJoinParts _),
     "q_skew_join" -> (skewJoinAgg _),
     "q_keep_above_quantile" -> (keepAboveQuantile _),
@@ -481,6 +541,7 @@ object Relational {
        HAVING sum(l.l_quantity) > 200"""
 
   val oracles: Map[String, String] = Map(
+    "q_data_profile" -> dataProfileSql,
     "q_fuzzy_join" ->
       """WITH d AS (SELECT DISTINCT p_name AS s FROM part)
          SELECT a.s AS name_a, b.s AS name_b,
