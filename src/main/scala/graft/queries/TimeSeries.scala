@@ -47,6 +47,70 @@ object TimeSeries {
        ${sqlR("sum(value)", 2)} AS sum_value
        FROM events GROUP BY 1, 2"""
 
+  /** Robust anomaly screen over the hourly series (median/MAD — the
+    * outlier detector that survives the outliers it hunts, unlike
+    * mean/stddev whose estimates the anomaly itself corrupts;
+    * Hampel's classic rule at the standard 3·MAD fence): per event
+    * type, flag hours whose total value sits more than 3 median
+    * absolute deviations from the type's median hour.
+    *
+    * Scale shape: the only corpus-sized pass is the hourly aggregate
+    * (map-side combined, one shuffle on (bucket, type) — shared with
+    * [[eventsHourly]]); medians then run as plain rank windows over
+    * the GRAIN-BOUNDED series (types × hours — a year of hourly data
+    * is 8,760 rows per type at any corpus size), so no percentile
+    * machinery is needed. Median = the lower median (value at rank
+    * ⌈n/2⌉), an ELEMENT of the series rather than an interpolation —
+    * exact, engine-portable, and tie-safe; sums are r2'd before any
+    * comparison so the fence predicate sees identical doubles in
+    * both engines. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .groupBy(window(tsMicros, "1 hour").as("w"), col("event_type"))
+      .agg(r2(sum(col("value"))).as("v"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("event_type"), col("v"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String) = {
+      val wN = Window.partitionBy(col("event_type"))
+      val wR = Window.partitionBy(col("event_type"))
+        .orderBy(col(valueCol), col("bucket_start"))
+      df.withColumn("n", count(lit(1)).over(wN))
+        .withColumn("rk", row_number().over(wR))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(hourly, "v", "med")
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("adev", r2(abs(col("v") - col("med"))))
+    val mad = lowerMedian(dev.select(col("event_type"),
+      col("bucket_start"), col("adev").as("v")), "v", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(3.0) * col("mad"))
+      .select(col("event_type"), col("bucket_start"), col("v"),
+        col("med"), col("mad"))
+  }
+
+  val eventsAnomalySql: String =
+    s"""WITH h AS (
+         SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT
+             AS bucket_start,
+           event_type, ${sqlR("sum(value)", 2)} AS v
+         FROM events GROUP BY 1, 2),
+       hr AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY v, bucket_start) AS rk FROM h),
+       med AS (SELECT event_type, v AS med FROM hr WHERE rk = (n + 1) // 2),
+       d AS (SELECT h.event_type, h.bucket_start, h.v, med.med,
+           ${sqlR("abs(h.v - med.med)", 2)} AS adev
+         FROM h JOIN med USING (event_type)),
+       dr AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY adev, bucket_start) AS rk FROM d),
+       mad AS (SELECT event_type, adev AS mad FROM dr WHERE rk = (n + 1) // 2)
+       SELECT d.event_type, d.bucket_start, d.v, d.med, mad.mad
+       FROM d JOIN mad USING (event_type)
+       WHERE d.adev > 3.0 * mad.mad"""
+
   /** Sessionization: per user, a new session starts after
     * [[SessionGapSec]] of inactivity; emit per-session stats. The
     * lag/cumsum windows shuffle once on user_id; the follow-up
@@ -596,6 +660,7 @@ object TimeSeries {
     "q_events_funnel" -> (eventsFunnel _),
     "q_events_quartiles" -> (eventsQuartiles _),
     "q_events_hourly" -> (eventsHourly _),
+    "q_events_anomaly" -> (eventsAnomaly _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_session_window" -> (eventsSessionWindow _),
     "q_events_pivot" -> (eventsPivot _),
@@ -615,6 +680,7 @@ object TimeSeries {
     "q_events_funnel" -> eventsFunnelSql,
     "q_events_quartiles" -> eventsQuartilesSql,
     "q_events_hourly" -> eventsHourlySql,
+    "q_events_anomaly" -> eventsAnomalySql,
     "q_events_sessionize" -> eventsSessionizeSql,
     "q_events_session_window" -> eventsSessionWindowSql,
     "q_events_pivot" -> eventsPivotSql,
