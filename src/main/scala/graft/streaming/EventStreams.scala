@@ -180,6 +180,37 @@ object EventStreams {
       // arrive with different event times and still drop)
       .dropDuplicatesWithinWatermark(keys.toArray)
 
+  /** Watermarked STREAM-STREAM interval join — the attribution shape
+    * (every `rightType` event pairs with the same user's `leftType`
+    * events from the preceding `window`): the one stateful-join
+    * family the rest of this module doesn't cover. Both watermarks
+    * plus the time-interval condition are what make the state store
+    * PRUNABLE — Spark buffers each side only until the watermark
+    * proves no future match can arrive, so state is
+    * O(rate × (watermark + window)), never stream-length. The same
+    * expression joins two static frames identically (the spec pins
+    * stream == batch). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      leftType: String, rightType: String,
+      window: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.filter(col("event_type") === leftType)
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("left_id"), col("ts").as("left_ts"),
+        col("user_id"), col("value").as("left_value"))
+    val r = right.filter(col("event_type") === rightType)
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("right_id"), col("ts").as("right_ts"),
+        col("user_id").as("r_user_id"), col("value").as("right_value"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"),
+        col("left_value"), col("right_value"))
+  }
+
   /** Run a batch [[graft.operators.Pipeline]] stage list over every
     * micro-batch — the bridge that makes the whole batch operator
     * surface (filters, dedup-within-batch, enrichment) available on
