@@ -38,15 +38,22 @@ object FuzzyJoinProbe {
       else s
     }.distinct
     val df = vals.toDF("s").repartition(64)
-    val planted = vals.size
+    val vocab = vals.size
+    // every i%dupEvery==1 row is its predecessor's single-'z'
+    // substitution ('z' is outside the base draw range a..x, so the
+    // pair is always at exactly distance 1 and never a base string)
+    val nPlanted = (1 until n by dupEvery).size
 
     val t0 = System.nanoTime()
     val pairs = FuzzyJoin.editDistancePairs(df, "s", maxDist = 2)
     val nPairs = pairs.count()
     val d1 = pairs.filter(col("dist") === 1).count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"n=$planted%,d pairs=$nPairs%,d dist1=$d1%,d " +
-      f"join=$secs%.1f s")
+    println(f"vocab=$vocab%,d pairs=$nPairs%,d dist1=$d1%,d " +
+      f"planted=$nPlanted%,d join=$secs%.1f s")
+    require(d1 >= nPlanted,
+      s"recall failure: only $d1 distance-1 pairs found, " +
+        s"$nPlanted were planted")
     spark.stop()
   }
 }

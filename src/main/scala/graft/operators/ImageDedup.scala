@@ -43,7 +43,10 @@ object ImageDedup {
     * are legitimately skipped). */
   def phashLong(c: Column): Column =
     when(c.isNull, lit(null).cast("long"))
-      .when(length(c) === 16,
+      // content check, not just length: conv() silently parses the
+      // valid prefix of junk digits (conv('zz…',16,10) = '0'), which
+      // would collapse unrelated images onto h=0 and "dedup" them
+      .when(c.rlike("^[0-9a-fA-F]{16}$"),
         shiftleft(conv(substring(c, 1, 8), 16, 10).cast("long"), 32)
           .bitwiseOR(conv(substring(c, 9, 8), 16, 10).cast("long")))
       .otherwise(raise_error(concat(

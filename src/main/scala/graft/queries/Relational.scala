@@ -420,13 +420,14 @@ object Relational {
         r2(col("lo")).as("lo"), r2(col("hi")).as("hi"))
 
   /** Edit-distance similarity self-join over the distinct part-name
-    * vocabulary ([[graft.operators.FuzzyJoin]] — positional q-gram
-    * count-filter prune, short-string exact branch, levenshtein
+    * vocabulary ([[graft.operators.FuzzyJoin]] — PassJoin segment
+    * pruning: k+1 position-aligned segments joined against ±k-shift
+    * substrings, unsegmentable-short exact branch, levenshtein
     * verify on candidates only). The oracle is the UNPRUNED exact
     * all-pairs join, so the driver's hash gate doubles as the
     * pruning-losslessness proof (allpairs_cosine / bloom-decontam
-    * pattern). k=2 with the sf part names exercises BOTH branches:
-    * lengths run 7–12 around the minMax=9 boundary. */
+    * pattern). k=2 with the sf part names (lengths 7–12) exercises
+    * segments down to the 2-char minimum. */
   def fuzzyJoinParts(spark: SparkSession, dir: String): DataFrame =
     graft.operators.FuzzyJoin
       .editDistancePairs(t(spark, dir, "part"), "p_name", maxDist = 2)

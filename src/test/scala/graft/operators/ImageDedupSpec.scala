@@ -101,6 +101,15 @@ class ImageDedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("16-hex-char") ||
       Option(ex.getCause).exists(_.getMessage.contains("16-hex-char")))
+    // right length but non-hex content must ALSO raise: conv() parses
+    // junk to 0, which would collide every such image at hamming 0
+    val junk = Seq((1L, "zzzzzzzzzzzzzzzz"), (2L, "xxxxxxxxxxxxxxxx"))
+      .toDF("img_id", "phash")
+    val ex2 = intercept[Exception] {
+      ImageDedup.nearDupPairs(junk, "img_id", "phash").collect()
+    }
+    assert(ex2.getMessage.contains("16-hex-char") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("16-hex-char")))
     // nulls (undecodable images) are still legitimately skipped
     val ok = Seq((1L, "ffffffffffffffff"), (2L, null.asInstanceOf[String]))
       .toDF("img_id", "phash")
