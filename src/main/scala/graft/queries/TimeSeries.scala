@@ -111,6 +111,53 @@ object TimeSeries {
        FROM d JOIN mad USING (event_type)
        WHERE d.adev > 3.0 * mad.mad"""
 
+  /** CDC / upsert compaction: per key, keep the LATEST record — the
+    * change-capture collapse every mutable-table ingest runs before
+    * anything downstream reads it (the "apply changes" step of a
+    * medallion pipeline). Key = (user_id, event_type); latest =
+    * max (ts, event_id) with the unique event_id as tiebreak.
+    *
+    * Plan choice, which is the point of the entry: keep-latest via
+    * `max(struct(ts, event_id, value))` is an ORDER-INDEPENDENT
+    * aggregate, so it partial-aggregates map-side and only one row
+    * per key per mapper ever shuffles; the textbook
+    * `row_number() OVER (ORDER BY ts DESC) = 1` window instead
+    * SORTS every shuffled partition and ships every version of
+    * every key across the wire. Same rows, structurally cheaper —
+    * the oracle keeps the window formulation, so the hash gate is
+    * the equivalence proof (struct comparison is lexicographic,
+    * matching the two-key ORDER BY exactly; value rides the struct
+    * but can never decide it, the id is unique).
+    *
+    * Plan nuance: a struct-typed max buffer is not fixed-width, so
+    * Spark picks SortAggregate, not HashAggregate — the partial
+    * (map-side) step still happens, which is the part that matters.
+    * CompactProbe at 100M events / 3.4M keys: agg 44.5s vs window
+    * 57.5s locally; on a cluster the gap is the shuffle-volume
+    * ratio (versions per key), not this local constant. */
+  def eventsCompact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("m.event_id").as("last_event_id"),
+        expr("m.ts div 1000000000").as("last_sec"),
+        r2(col("m.value")).as("last_value"),
+        col("n_versions"))
+
+  val eventsCompactSql: String =
+    s"""WITH r AS (SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+           ORDER BY ts DESC, event_id DESC) AS rk,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+       FROM events)
+       SELECT user_id, event_type, event_id AS last_event_id,
+         floor(epoch(ts))::BIGINT AS last_sec,
+         ${sqlR("value", 2)} AS last_value,
+         n::BIGINT AS n_versions
+       FROM r WHERE rk = 1"""
+
   /** Sessionization: per user, a new session starts after
     * [[SessionGapSec]] of inactivity; emit per-session stats. The
     * lag/cumsum windows shuffle once on user_id; the follow-up
@@ -661,6 +708,7 @@ object TimeSeries {
     "q_events_quartiles" -> (eventsQuartiles _),
     "q_events_hourly" -> (eventsHourly _),
     "q_events_anomaly" -> (eventsAnomaly _),
+    "q_events_compact" -> (eventsCompact _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_session_window" -> (eventsSessionWindow _),
     "q_events_pivot" -> (eventsPivot _),
@@ -681,6 +729,7 @@ object TimeSeries {
     "q_events_quartiles" -> eventsQuartilesSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_anomaly" -> eventsAnomalySql,
+    "q_events_compact" -> eventsCompactSql,
     "q_events_sessionize" -> eventsSessionizeSql,
     "q_events_session_window" -> eventsSessionWindowSql,
     "q_events_pivot" -> eventsPivotSql,
