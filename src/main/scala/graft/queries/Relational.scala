@@ -491,7 +491,42 @@ object Relational {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** FULL OUTER referential-integrity audit — the orphan census run
+    * before trusting a foreign key at 100 TB (keys on one side only
+    * are exactly what inner joins silently drop). The scale move:
+    * orders pre-aggregate to one row per key BEFORE the full-outer
+    * join, so the join is key-cardinality-sized on both sides and
+    * the orphan classes come out of the same pass as the per-class
+    * volume. */
+  def joinFullAudit(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val cust = t(spark, dir, "customer").select(col("c_custkey"))
+    perCust.join(cust, col("o_custkey") === col("c_custkey"),
+        "full_outer")
+      .select(
+        when(col("o_custkey").isNull, "customer_only")
+          .when(col("c_custkey").isNull, "orders_only")
+          .otherwise("matched").as("side"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_orders")).cast("long").as("sum_orders"))
+  }
+
+  val joinFullAuditSql: String =
+    """WITH po AS (SELECT o_custkey, count(*)::BIGINT AS n_orders
+         FROM orders GROUP BY 1)
+       SELECT CASE WHEN po.o_custkey IS NULL THEN 'customer_only'
+                   WHEN c.c_custkey IS NULL THEN 'orders_only'
+                   ELSE 'matched' END AS side,
+         count(*)::BIGINT AS n_keys,
+         CAST(sum(coalesce(po.n_orders, 0)) AS BIGINT) AS sum_orders
+       FROM po FULL OUTER JOIN customer c ON po.o_custkey = c.c_custkey
+       GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "q_join_full" -> (joinFullAudit _),
     "q_data_profile" -> (dataProfile _),
     "q_fuzzy_join" -> (fuzzyJoinParts _),
     "q_skew_join" -> (skewJoinAgg _),
@@ -542,6 +577,7 @@ object Relational {
        HAVING sum(l.l_quantity) > 200"""
 
   val oracles: Map[String, String] = Map(
+    "q_join_full" -> joinFullAuditSql,
     "q_data_profile" -> dataProfileSql,
     "q_fuzzy_join" ->
       """WITH d AS (SELECT DISTINCT p_name AS s FROM part)

@@ -372,6 +372,60 @@ object Similarity {
        FROM assign CROSS JOIN generate_series(1, $Dim) AS g(i)
        GROUP BY cluster, i"""
 
+  /** Embedding-distribution DRIFT monitor — the check an embedding
+    * pipeline runs between two corpus snapshots before trusting a
+    * trained index/classifier on the new one (per label: how far did
+    * the class centroid move?). Snapshot stand-in: deterministic
+    * vec_id-parity halves. Output per label: cosine between the two
+    * half-centroids and the centroid L2 shift — cosine ≈ 1 and
+    * shift ≈ 0 mean the halves are exchangeable (this corpus's
+    * i.i.d. case); a drifted label pops both.
+    *
+    * Scale shape: ONE row-local posexplode pass into a group-by on
+    * (label, half, dim) — the aggregate table is bounded (labels ×
+    * 2 × [[Dim]]) and map-side combined from any corpus size; the
+    * cosine/L2 fold then runs on that bounded table. Same centroid
+    * conventions as [[kmeansUpdate]] (r6'd dimension means). */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    val cents = e
+      .select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("half"), col("dim"))
+      .agg(r6(avg(col("x"))).as("c"))
+    val a = cents.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("c").as("ca"))
+    val b = cents.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("c").as("cb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(
+        r6(sum(col("ca") * col("cb")) /
+          sqrt(sum(col("ca") * col("ca"))) /
+          sqrt(sum(col("cb") * col("cb")))).as("drift_cos"),
+        r6(sqrt(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))))
+          .as("l2_shift"))
+  }
+
+  val embedDriftSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+       c AS (SELECT label, vec_id % 2 AS half, (i - 1)::BIGINT AS dim,
+               ${sqlR("avg(v[i])", 6)} AS c
+             FROM e CROSS JOIN generate_series(1, $Dim) AS g(i)
+             GROUP BY label, half, i),
+       j AS (SELECT a.label, a.c AS ca, b.c AS cb
+             FROM c a JOIN c b
+             ON a.label = b.label AND a.dim = b.dim
+               AND a.half = 0 AND b.half = 1)
+       SELECT label,
+         ${sqlR("sum(ca * cb) / sqrt(sum(ca * ca)) / sqrt(sum(cb * cb))", 6)}
+           AS drift_cos,
+         ${sqlR("sqrt(sum((ca - cb) * (ca - cb)))", 6)} AS l2_shift
+       FROM j GROUP BY label"""
+
   /** Two-level (coarse→fine) IVF assignment — the scale rung past
     * the flat [[ivfAssign]] crossJoin, whose N·C cosine bill becomes
     * the bottleneck once C is corpus-scaled (NOTES.md: at 2M vectors
@@ -1067,6 +1121,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q_cluster_prototypes" -> (clusterPrototypes _),
+    "q_embed_drift" -> (embedDrift _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
@@ -1086,6 +1141,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_cluster_prototypes" -> clusterPrototypesSql,
+    "q_embed_drift" -> embedDriftSql,
     "q_hard_negatives" -> hardNegativesSql,
     "q_ann_bruteforce" -> annBruteForceSql,
     "q_ann_ivf" -> annIvfSql,
