@@ -510,6 +510,62 @@ object TextAnalysis {
 
   /** BM25 constants (Robertson & Walker; the Lucene-default dials)
     * and the fixed benchmark query. */
+  /** Keywords kept per document by [[tfidfKeywords]]. */
+  val TfidfTopJ = 3
+
+  /** TF-IDF keyword extraction — the classic per-document salient-
+    * term signal (tag generation, index keys, near-dup explanation):
+    * for every document, the [[TfidfTopJ]] terms with the highest
+    * tf · ln(N/df) weight (raw idf — every corpus term has df ≥ 1,
+    * so the log is finite). The weight is r6'd BEFORE ranking and
+    * ties break by term — the BM25-family rule: libm ln wiggle
+    * between engines must not be able to reorder near-ties.
+    *
+    * Scale shape: one token scan → per-(doc, term) tf counts
+    * (map-side combined — explode preserves row locality); df is a
+    * vocab-sized aggregate joined back BROADCAST; the top-j window
+    * partitions by doc_id — document-sized partitions at any corpus
+    * size. Nothing corpus-sized persists or shuffles twice. */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("w"))
+    tf.join(broadcast(df), "w")
+      .withColumn("weight",
+        r6(col("tf") * log(lit(n.toDouble) / col("df"))))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= TfidfTopJ)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("w").as("term"), col("weight"))
+  }
+
+  val tfidfKeywordsSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($SqlToksLower) AS w
+           FROM documents WHERE text IS NOT NULL),
+       tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+              FROM toks GROUP BY 1, 2),
+       df AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       nn AS (SELECT count(*)::DOUBLE AS n FROM documents
+              WHERE text IS NOT NULL),
+       wt AS (SELECT tf.doc_id, tf.w,
+               ${sqlR("tf.tf * ln(n / df.df)", 6)} AS weight
+             FROM tf JOIN df USING (w) CROSS JOIN nn),
+       r AS (SELECT doc_id, w, weight,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY weight DESC, w) AS rk
+             FROM wt)
+       SELECT doc_id, rk::BIGINT AS rk, w AS term, weight
+       FROM r WHERE rk <= $TfidfTopJ"""
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("query", "scan", "join", "filter")
@@ -924,6 +980,7 @@ object TextAnalysis {
        FROM r"""
 
   val queries: Map[String, Q] = Map(
+    "q_tfidf_keywords" -> (tfidfKeywords _),
     "q_bm25_topk" -> (bm25TopK _),
     "q_bm25_join" -> (bm25TopKJoin _),
     "q_rrf_fuse" -> (rrfFuse _),
@@ -944,6 +1001,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_keywords" -> tfidfKeywordsSql,
     "q_bm25_topk" -> bm25TopKSql,
     // postings-join plan ≡ column plan: same oracle verbatim — the
     // hash gate is the cross-plan equivalence proof
