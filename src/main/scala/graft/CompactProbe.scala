@@ -20,22 +20,33 @@ object CompactProbe {
     // Tables.t handles the NANOS timestamp encoding (ts as long)
     def events = graft.queries.Tables.t(spark, dir, "events")
 
-    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Long = {
+    // checksum over the ELECTED ids, not the row count — both plans
+    // return one row per key by construction, so only the content
+    // can reveal a wrong-latest divergence
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame)
+        : (Long, Long) = {
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"$label%-10s ${(System.nanoTime() - t0) / 1e9}%.1f s ($n%,d rows)")
-      n
+      val row = df
+        .agg(count(lit(1)),
+          org.apache.spark.sql.functions.sum(col("last_id")).cast("long"))
+        .collect().head
+      val (n, idSum) = (row.getLong(0), row.getLong(1))
+      println(f"$label%-10s ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"($n%,d rows, idsum=$idSum%,d)")
+      (n, idSum)
     }
-    val nAgg = time("agg") {
+    val agg = time("agg") {
       events.groupBy(col("user_id"), col("event_type"))
         .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("m.event_id").as("last_id"))
     }
-    val nWin = time("window") {
+    val win = time("window") {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts").desc, col("event_id").desc)
       events.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("event_id").as("last_id"))
     }
-    require(nAgg == nWin, s"row mismatch: $nAgg vs $nWin")
+    require(agg == win, s"elected-row mismatch: $agg vs $win")
     spark.stop()
   }
 }

@@ -508,8 +508,6 @@ object TextAnalysis {
        FROM seg GROUP BY doc_id"""
   }
 
-  /** BM25 constants (Robertson & Walker; the Lucene-default dials)
-    * and the fixed benchmark query. */
   /** Keywords kept per document by [[tfidfKeywords]]. */
   val TfidfTopJ = 3
 
@@ -527,10 +525,12 @@ object TextAnalysis {
     * partitions by doc_id — document-sized partitions at any corpus
     * size. Nothing corpus-sized persists or shuffles twice. */
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.fanOut(t(spark, dir, "documents"))
+    // N counts the UN-fanned frame: fanOut repartitions (and would
+    // ship every text byte through an exchange just to count rows)
+    val n = t(spark, dir, "documents")
+      .filter(col("text").isNotNull).count()
+    val tf = Tables.fanOut(t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
-    val n = docs.count()
-    val tf = docs
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
@@ -566,6 +566,8 @@ object TextAnalysis {
        SELECT doc_id, rk::BIGINT AS rk, w AS term, weight
        FROM r WHERE rk <= $TfidfTopJ"""
 
+  /** BM25 constants (Robertson & Walker; the Lucene-default dials)
+    * and the fixed benchmark query. */
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("query", "scan", "join", "filter")

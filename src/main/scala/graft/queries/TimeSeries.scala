@@ -117,24 +117,26 @@ object TimeSeries {
     * medallion pipeline). Key = (user_id, event_type); latest =
     * max (ts, event_id) with the unique event_id as tiebreak.
     *
-    * Plan choice, which is the point of the entry: keep-latest via
-    * `max(struct(ts, event_id, value))` is an ORDER-INDEPENDENT
-    * aggregate, so it partial-aggregates map-side and only one row
-    * per key per mapper ever shuffles; the textbook
-    * `row_number() OVER (ORDER BY ts DESC) = 1` window instead
-    * SORTS every shuffled partition and ships every version of
-    * every key across the wire. Same rows, structurally cheaper —
-    * the oracle keeps the window formulation, so the hash gate is
-    * the equivalence proof (struct comparison is lexicographic,
-    * matching the two-key ORDER BY exactly; value rides the struct
-    * but can never decide it, the id is unique).
+    * Plan choice: keep-latest via `max(struct(ts, event_id, value))`
+    * is an ORDER-INDEPENDENT aggregate with a map-side partial step,
+    * where the textbook `row_number() OVER (ORDER BY ts DESC) = 1`
+    * window ships every version of every key to the shuffle. The
+    * oracle keeps the window formulation, so the hash gate is the
+    * cross-plan equivalence proof (struct comparison is
+    * lexicographic, matching the two-key ORDER BY exactly; value
+    * rides the struct but can never decide it, the id is unique).
     *
-    * Plan nuance: a struct-typed max buffer is not fixed-width, so
-    * Spark picks SortAggregate, not HashAggregate — the partial
-    * (map-side) step still happens, which is the part that matters.
-    * CompactProbe at 100M events / 3.4M keys: agg 44.5s vs window
-    * 57.5s locally; on a cluster the gap is the shuffle-volume
-    * ratio (versions per key), not this local constant. */
+    * The trade is HONESTLY data-layout-dependent (CompactProbe
+    * measures both): a struct max buffer is not fixed-width, so
+    * Spark runs SortAggregate whose per-row struct handling costs
+    * real CPU — at 100M events / 3.4M keys with randomly-placed
+    * versions the window plan wins locally (22.5s vs 51.7s on the
+    * narrow consumer), because scattered versions give the partial
+    * step nothing to combine. The aggregate earns its keep when a
+    * key's versions CO-LOCATE in input splits (time-ordered CDC
+    * ingest, compacted bronze tables): there the partial step
+    * collapses each split's versions to one row per key before the
+    * network, which is the term that dominates a 100 TB shuffle. */
   def eventsCompact(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(col("user_id"), col("event_type"))

@@ -13,7 +13,10 @@ class CurationPipelineSpec extends SparkSpec {
 
   test("the pipeline keeps a non-trivial, strictly-shrunk corpus") {
     val out = Curation.curationPipeline(spark, sf)
-      .agg(sum(col("n_docs")).cast("long"), count(lit(1)))
+      // coalesce: sum over an empty result is null, and the whole
+      // point of this spec is to diagnose the empty-result case
+      .agg(coalesce(sum(col("n_docs")).cast("long"), lit(0L)),
+        count(lit(1)))
       .collect().head
     val (kept, sources) = (out.getLong(0), out.getLong(1))
     val total = spark.read
