@@ -47,6 +47,28 @@ object CompactProbe {
         .select(col("event_id").as("last_id"))
     }
     require(agg == win, s"elected-row mismatch: $agg vs $win")
+
+    // the aggregate's claimed regime: versions CO-LOCATED per key in
+    // the input partitions (time-ordered CDC ingest) — the partial
+    // step should collapse each partition to one row per key
+    val coloc = events
+      .repartition(64, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("event_type"))
+      .localCheckpoint(true)
+    val aggC = time("agg-coloc") {
+      coloc.groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("m.event_id").as("last_id"))
+    }
+    val winC = time("win-coloc") {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      coloc.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("event_id").as("last_id"))
+    }
+    require(aggC == agg && winC == agg,
+      s"co-located runs diverge: $aggC / $winC vs $agg")
+    coloc.unpersist()
     spark.stop()
   }
 }

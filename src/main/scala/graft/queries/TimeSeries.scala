@@ -117,36 +117,37 @@ object TimeSeries {
     * medallion pipeline). Key = (user_id, event_type); latest =
     * max (ts, event_id) with the unique event_id as tiebreak.
     *
-    * Plan choice: keep-latest via `max(struct(ts, event_id, value))`
-    * is an ORDER-INDEPENDENT aggregate with a map-side partial step,
-    * where the textbook `row_number() OVER (ORDER BY ts DESC) = 1`
-    * window ships every version of every key to the shuffle. The
-    * oracle keeps the window formulation, so the hash gate is the
-    * cross-plan equivalence proof (struct comparison is
-    * lexicographic, matching the two-key ORDER BY exactly; value
-    * rides the struct but can never decide it, the id is unique).
-    *
-    * The trade is HONESTLY data-layout-dependent (CompactProbe
-    * measures both): a struct max buffer is not fixed-width, so
-    * Spark runs SortAggregate whose per-row struct handling costs
-    * real CPU — at 100M events / 3.4M keys with randomly-placed
-    * versions the window plan wins locally (22.5s vs 51.7s on the
-    * narrow consumer), because scattered versions give the partial
-    * step nothing to combine. The aggregate earns its keep when a
-    * key's versions CO-LOCATE in input splits (time-ordered CDC
-    * ingest, compacted bronze tables): there the partial step
-    * collapses each split's versions to one row per key before the
-    * network, which is the term that dominates a 100 TB shuffle. */
-  def eventsCompact(spark: SparkSession, dir: String): DataFrame =
+    * Plan choice — MEASURED, not assumed (CompactProbe, 100M events
+    * / 3.4M keys, checksum-verified equal outputs): the "obvious"
+    * shuffle-sparing alternative, keep-latest via an order-
+    * independent `max(struct(ts, event_id, value))` aggregate,
+    * LOSES to this window in BOTH locality regimes — 51.7s vs 32.5s
+    * on randomly-placed versions and 27.7s vs 5.8s when versions
+    * co-locate per key — because a struct max buffer is not
+    * fixed-width, forcing SortAggregate whose per-row struct
+    * handling is pure CPU overhead, while the window's rank is a
+    * streaming pass over the sort the shuffle already pays. The
+    * aggregate's only remaining regime is a network-bound cluster
+    * shuffle of co-located wide rows (its partial step collapses
+    * each split to one row per key before the wire); CompactProbe
+    * keeps both plans runnable and asserts their election-checksum
+    * equality, which is the cross-plan proof. */
+  def eventsCompact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wN = Window.partitionBy(col("user_id"), col("event_type"))
     t(spark, dir, "events")
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
-        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(wN))
+      .filter(col("rk") === 1)
       .select(col("user_id"), col("event_type"),
-        col("m.event_id").as("last_event_id"),
-        expr("m.ts div 1000000000").as("last_sec"),
-        r2(col("m.value")).as("last_value"),
+        col("event_id").as("last_event_id"),
+        expr("ts div 1000000000").as("last_sec"),
+        r2(col("value")).as("last_value"),
         col("n_versions"))
+  }
 
   val eventsCompactSql: String =
     s"""WITH r AS (SELECT user_id, event_type, event_id, ts, value,
