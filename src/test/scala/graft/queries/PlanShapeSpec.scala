@@ -120,4 +120,14 @@ class PlanShapeSpec extends SparkSpec {
     // distinct + pair-count both partial-aggregate before shuffling
     assert(countIn(p, "HashAggregate") >= 4, p.take(2000))
   }
+
+  test("q_data_profile is one scan through one Expand — not a pass " +
+      "per column") {
+    val p = plan(Relational.dataProfile(spark, dir))
+    assert(countIn(p, "Scan parquet") == 1, p.take(2000))
+    assert(countIn(p, "Expand") == 1, p.take(2000))
+    // partial agg below the exchange, distinct-dedup + final above
+    assert(countIn(p, "Exchange") <= 2, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
 }
