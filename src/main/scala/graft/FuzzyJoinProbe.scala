@@ -14,6 +14,9 @@ object FuzzyJoinProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(100000)
     val dupEvery = args.lift(1).map(_.toInt).getOrElse(10)
+    // dupEvery=1 would make the plant predicate (i % dupEvery == 1)
+    // vacuously false while nPlanted counted n−1 — spurious failure
+    require(dupEvery >= 2, s"dupEvery must be >= 2, got $dupEvery")
     val spark = SparkSession.builder().master("local[32]")
       .appName("fuzzyjoin-probe")
       .config("spark.sql.shuffle.partitions", "64")

@@ -40,6 +40,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Returns null on length mismatch / null element even when both
+  // children are non-nullable, so this must be declared nullable:
+  // otherwise codegen treats isNull as a constant (generated Java
+  // fails to compile and the projection silently falls back to
+  // interpreted mode) and Catalyst may prune isNotNull filters.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -29,6 +29,13 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Returns null on length mismatch / null element even when both
+  // children are non-nullable, so this must be declared nullable:
+  // otherwise codegen treats isNull as a constant (generated Java
+  // fails to compile and the projection silently falls back to
+  // interpreted mode) and Catalyst may prune isNotNull filters.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

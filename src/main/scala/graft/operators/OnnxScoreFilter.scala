@@ -116,6 +116,45 @@ private[operators] object OnnxHeads {
   }
 }
 
+/** Shared decode-side image→tensor preprocessing for every raw-pixel
+  * ONNX head (score, detection, recognition): bilinear resize to a
+  * fixed (w, h), then channel-planar (CHW) floats in [0, 1] — RGB
+  * planes, or one ITU-R 601 luminance plane when `grayscale`. */
+private[operators] object PixelTensors {
+  def chw(img: BufferedImage, w: Int, h: Int,
+      grayscale: Boolean): Array[Float] = {
+    val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    val hw = w * h
+    val out = new Array[Float](if (grayscale) hw else 3 * hw)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = scaled.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val gg = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val p = y * w + x
+        if (grayscale) {
+          out(p) = ((r * 299 + gg * 587 + b * 114) / 1000) / 255f
+        } else {
+          out(p) = r / 255f
+          out(hw + p) = gg / 255f
+          out(2 * hw + p) = b / 255f
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
 /** Raw-pixel CNN scoring — the input mode the reference's real
   * detector models use (a watermark / NSFW conv net consumes the
   * image itself, not summary statistics; watermarks_filter.py:65-104
@@ -168,39 +207,10 @@ final case class OnnxPixelScoreFilter(modelPath: Option[String] = None,
 
   /** Decode-side preprocessing: bilinear resize to the model's fixed
     * square, then channel-planar (CHW) floats in [0, 1] — RGB planes,
-    * or one ITU-R 601 luminance plane when `grayscale`. */
-  private[operators] def pixelTensor(img: BufferedImage): Array[Float] = {
-    val scaled = new BufferedImage(inputSize, inputSize,
-      BufferedImage.TYPE_INT_RGB)
-    val g = scaled.createGraphics()
-    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-    g.drawImage(img, 0, 0, inputSize, inputSize, null)
-    g.dispose()
-    val hw = inputSize * inputSize
-    val out = new Array[Float](channels * hw)
-    var y = 0
-    while (y < inputSize) {
-      var x = 0
-      while (x < inputSize) {
-        val rgb = scaled.getRGB(x, y)
-        val r = (rgb >> 16) & 0xff
-        val gg = (rgb >> 8) & 0xff
-        val b = rgb & 0xff
-        val p = y * inputSize + x
-        if (grayscale) {
-          out(p) = ((r * 299 + gg * 587 + b * 114) / 1000) / 255f
-        } else {
-          out(p) = r / 255f
-          out(hw + p) = gg / 255f
-          out(2 * hw + p) = b / 255f
-        }
-        x += 1
-      }
-      y += 1
-    }
-    out
-  }
+    * or one ITU-R 601 luminance plane when `grayscale`
+    * ([[PixelTensors.chw]], shared with the OCR heads). */
+  private[operators] def pixelTensor(img: BufferedImage): Array[Float] =
+    PixelTensors.chw(img, inputSize, inputSize, grayscale)
 
   /** No-model fallback: mean pixel value through the same algebraic
     * squash the feature-head stand-in uses. */

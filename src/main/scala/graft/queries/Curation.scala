@@ -843,15 +843,32 @@ object Curation {
     * its context count — identical except for document-final words,
     * and one fewer vocab-sized table), V = unigram vocab size.
     *
-    * Scale shape (the [[dsirWeights]] discipline): unigram and bigram
-    * count tables are vocab-sized — a production config hash-buckets
-    * bigrams to a fixed width before the broadcast; the word/bigram
-    * explodes stay map-side (explode preserves row locality, so the
-    * per-doc mean partial-aggregates before the one narrow per-doc
-    * shuffle), and nothing corpus-sized is persisted — the bigram
-    * stream is re-derived from the narrow (doc_id, text) scan for the
-    * scoring pass. */
-  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape (the [[dsirWeights]] discipline): the unigram table
+    * is vocab-sized (sublinear, Heaps' law) and broadcasts; the
+    * BIGRAM type table grows near-linearly with the corpus, so its
+    * broadcast is SIZE-GATED — counted once (the count table is
+    * persisted bigram-type-sized, spilling, never corpus-sized), and
+    * broadcast only below [[LmBigramBroadcastMaxTypes]] types. Above
+    * the gate the ratio join degrades to a plain shuffle join on
+    * (w1, w2): one extra corpus-wide pair shuffle, but bounded driver
+    * memory at any corpus size. The word/bigram explodes stay
+    * map-side (explode preserves row locality, so the per-doc mean
+    * partial-aggregates before the one narrow per-doc shuffle), and
+    * the scoring-pass bigram stream is re-derived from the narrow
+    * (doc_id, text) scan. */
+  def lmFluency(spark: SparkSession, dir: String): DataFrame =
+    lmFluency(spark, dir, LmBigramBroadcastMaxTypes)
+
+  /** Broadcast ceiling for [[lmFluency]]'s bigram ratio table, in
+    * bigram TYPES (distinct (w1,w2) pairs). ~60 B/row serialized →
+    * the default caps the driver/executor copy near 60 MB; anything
+    * larger shuffle-joins instead. */
+  val LmBigramBroadcastMaxTypes = 1000000L
+
+  /** [[lmFluency]] with an explicit broadcast gate (0 forces the
+    * shuffle-join path — the plan a 100 TB corpus takes). */
+  def lmFluency(spark: SparkSession, dir: String,
+      broadcastMaxTypes: Long): DataFrame = {
     def docs = Tables.fanOut(t(spark, dir, "documents"))
       .select(col("doc_id"),
         filter(split(lower(col("text")), " "), w => w =!= "").as("a"))
@@ -866,7 +883,13 @@ object Curation {
       .persist() // vocab-sized: totals aggregate + two ratio joins
     val tot = uni.agg(coalesce(sum(col("nw")), lit(0L)), count(lit(1))).head()
     val (totW, v) = (tot.getLong(0), tot.getLong(1))
-    val terms = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+    // bigram-type-sized (near-linear in corpus): persist so the gate
+    // count and the ratio join share one counting pass over the
+    // corpus-sized pair explode
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+      .persist()
+    val nBig = big.count()
+    val terms = big
       .join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
       .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
       .select(col("w1"), col("w2"),
@@ -874,7 +897,9 @@ object Curation {
           ((col("n2") + lit(1L)) / lit(totW + v))).as("r"))
       .select(col("w1"), col("w2"),
         ((col("r") - lit(1.0)) / (col("r") + lit(1.0))).as("term"))
-    pairs.join(broadcast(terms), Seq("w1", "w2"))
+    val build =
+      if (nBig <= broadcastMaxTypes) broadcast(terms) else terms
+    pairs.join(build, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(r6(avg(col("term"))).as("lm_score"))
   }

@@ -324,15 +324,60 @@ object Relational {
       .select("c_custkey", "c_name", "c_acctbal")
 
   /** Per-group exact percentiles (describe() per key — the grouped
-    * flavor of summary stats). */
-  def groupPercentiles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        count(lit(1)).as("n"),
-        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
-        r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
-        r2(max(col("o_totalprice"))).as("mx"))
+    * flavor of summary stats), on the scale-safe histogram plan.
+    *
+    * Spark's exact `percentile()` buffers a per-group value→count
+    * map sized by DISTINCT PRICES — corpus-sized at 100×. Money is
+    * cent-quantized, so the [[graft.operators.Quantiles]] license
+    * applies: one map-side-combined groupBy(group, cents).count()
+    * shrinks the data to a histogram bounded by the VALUE RANGE
+    * (≤ ~5·10⁷ cells forever, whatever the row count), a per-group
+    * cumsum window runs over histogram rows only, and the continuous
+    * (type-7) interpolation h = (N−1)·q is reproduced with integer
+    * rank arithmetic over the cumulative counts — bit-parity with
+    * DuckDB's `quantile_cont` through the shared r4 convention
+    * (interpolated cents at q∈{5/10, 9/10} carry ≤3 decimals, so
+    * 4-decimal rounding is exact on both engines). */
+  def groupPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    // continuous quantile at q = num/den: h = (total−1)·q lands
+    // between 1-based order statistics k1 = ⌊h⌋+1 and k1+1 with
+    // fractional weight rem/den, rem = (total−1)·num mod den; the
+    // k-th order statistic is the first histogram value whose
+    // cumulative count reaches k.
+    def parts(num: Int, den: Int, name: String) = Seq(
+      min(when(col("cum") >=
+        expr(s"((total - 1) * $num) div $den + 1"), col("c")))
+        .as(s"${name}_lo"),
+      min(when(col("cum") >=
+        expr(s"((total - 1) * $num) div $den + 2"), col("c")))
+        .as(s"${name}_hi"),
+      max(expr(s"((total - 1) * $num) % $den")).as(s"${name}_rem"))
+    val aggs = Seq(sum(col("cnt")).as("n")) ++
+      parts(5, 10, "q50") ++ parts(9, 10, "q90") ++
+      Seq(max(col("c")).as("mxc"))
+    def interp(name: String, den: Int) = r4(
+      (col(s"${name}_lo") +
+        col(s"${name}_rem") / lit(den.toDouble) *
+          (coalesce(col(s"${name}_hi"), col(s"${name}_lo")) -
+            col(s"${name}_lo"))) / lit(100.0))
+    cum.groupBy(col("o_orderpriority"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("o_orderpriority"), col("n"),
+        interp("q50", 10).as("p50"),
+        interp("q90", 10).as("p90"),
+        r2(col("mxc") / lit(100.0)).as("mx"))
+  }
 
   /** Arbitrary GROUPING SETS (not a rollup/cube prefix): Spark 4's
     * Dataset groupingSets API expands all sets in the same single

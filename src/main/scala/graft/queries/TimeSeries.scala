@@ -133,8 +133,13 @@ object TimeSeries {
     * keeps both plans runnable and asserts their election-checksum
     * equality, which is the cross-plan proof. */
   def eventsCompact(spark: SparkSession, dir: String): DataFrame = {
+    // cross-engine ordering convention (the eventsAsofAttribution
+    // rule): Spark's ts is a nano long while DuckDB may coerce
+    // TIMESTAMP_NS to µs — order BOTH sides on µs-truncated ts so
+    // any sub-µs tie falls to the deterministic event_id tiebreak
+    // on both engines
     val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
     val wN = Window.partitionBy(col("user_id"), col("event_type"))
     t(spark, dir, "events")
       .select(col("user_id"), col("event_type"), col("event_id"),
@@ -152,7 +157,7 @@ object TimeSeries {
   val eventsCompactSql: String =
     s"""WITH r AS (SELECT user_id, event_type, event_id, ts, value,
          row_number() OVER (PARTITION BY user_id, event_type
-           ORDER BY ts DESC, event_id DESC) AS rk,
+           ORDER BY epoch_us(ts)::BIGINT DESC, event_id DESC) AS rk,
          count(*) OVER (PARTITION BY user_id, event_type) AS n
        FROM events)
        SELECT user_id, event_type, event_id AS last_event_id,

@@ -65,14 +65,23 @@ import graft.operators.SerializableHadoopConf
   * when the QUERY is over members themselves; the loader is right
   * when enriching an existing metadata table.
   *
-  * One member is still one row here, so a multi-GB member's bytes
+  * One member is one row by default, so a multi-GB member's bytes
   * flow through the one task that owns its header (and anything past
-  * 2 GiB cannot fit a row at all). The scale path for such corpora is
-  * [[graft.sources.TarChunks.chunkedContent]]: the pruned (header-
-  * rate) listing of this source — which carries each payload's
-  * `offset` — explodes into fixed-size content-range descriptors,
-  * shuffles those tiny rows, and preads each chunk post-shuffle, so
-  * one huge member's bytes land on many tasks.
+  * 2 GiB cannot fit a row at all). Two escapes:
+  *   - `.option("hugeMemberMode", "chunks")` (+ optional
+  *     `chunkBytes`, default 128 MiB): members larger than
+  *     `chunkBytes` emit INLINE as multiple content-range rows —
+  *     `size` is each row's byte count, `offset` the chunk's
+  *     absolute archive offset — so mixed archives read in one scan
+  *     with no manual branch. The chunks of one member still
+  *     originate in the task that owns its header (rows ≤ chunkBytes
+  *     each, so they spill and redistribute on the next shuffle);
+  *   - [[graft.sources.TarChunks.chunkedContent]] stays the fully
+  *     distributed path: the pruned (header-rate) listing — which
+  *     carries each payload's `offset` — explodes into fixed-size
+  *     content-range descriptors, shuffles those tiny rows, and
+  *     preads each chunk post-shuffle, so one huge member's BYTES
+  *     land on many tasks from the first read.
   */
 class TarDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "tar"
@@ -156,11 +165,27 @@ class TarScanBuilder(path: String, options: CaseInsensitiveStringMap)
     val splitBytes = options.getLong("splitBytes", sessionDefault)
     require(splitBytes >= TarFormat.BlockSize,
       s"splitBytes must be >= ${TarFormat.BlockSize}, got $splitBytes")
-    new TarScan(path, required, if (split) splitBytes else Long.MaxValue)
+    // hugeMemberMode=chunks: members larger than chunkBytes emit as
+    // multiple content-range rows inline (no manual TarChunks branch
+    // at the call site); default "error" keeps one-member-one-row and
+    // fails loudly past the row limit
+    val hugeMode = Option(options.get("hugeMemberMode")).getOrElse("error")
+    require(hugeMode == "error" || hugeMode == "chunks",
+      s"hugeMemberMode must be 'error' or 'chunks', got $hugeMode")
+    val chunkBytes = options.getLong("chunkBytes",
+      graft.sources.TarChunks.DefaultChunkBytes)
+    require(chunkBytes >= TarFormat.BlockSize &&
+        chunkBytes <= Int.MaxValue - 8,
+      s"chunkBytes must be in [${TarFormat.BlockSize}, ~2 GiB), " +
+        s"got $chunkBytes")
+    new TarScan(path, required, if (split) splitBytes else Long.MaxValue,
+      hugeMode == "chunks", chunkBytes)
   }
 }
 
-class TarScan(path: String, required: StructType, splitBytes: Long)
+class TarScan(path: String, required: StructType, splitBytes: Long,
+    chunkHuge: Boolean = false,
+    chunkBytes: Long = graft.sources.TarChunks.DefaultChunkBytes)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -189,7 +214,7 @@ class TarScan(path: String, required: StructType, splitBytes: Long)
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    TarReaderFactory(required, conf)
+    TarReaderFactory(required, conf, chunkHuge, chunkBytes)
   }
 }
 
@@ -201,13 +226,15 @@ case class TarInputPartition(archivePath: String, start: Long, end: Long,
     fileSize: Long) extends InputPartition
 
 case class TarReaderFactory(required: StructType,
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf, chunkHuge: Boolean = false,
+    chunkBytes: Long = graft.sources.TarChunks.DefaultChunkBytes)
+    extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TarInputPartition]
     if (TarTable.isCompressed(p.archivePath))
       new TarStreamReader(p, required, conf)
-    else new TarSplitReader(p, required, conf)
+    else new TarSplitReader(p, required, conf, chunkHuge, chunkBytes)
   }
 }
 
@@ -354,7 +381,9 @@ object TarFormat {
   * header-rate, not payload-rate.
   */
 class TarSplitReader(part: TarInputPartition, required: StructType,
-    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+    conf: SerializableHadoopConf, chunkHuge: Boolean = false,
+    chunkBytes: Long = graft.sources.TarChunks.DefaultChunkBytes)
+    extends PartitionReader[InternalRow] {
   import TarFormat._
 
   private val needContent = required.fieldNames.contains("content")
@@ -373,6 +402,34 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
   private var finished = false
   private var current: InternalRow = _
   private var warnedPaxGlobal = false
+
+  // in-flight huge member being emitted as chunk rows
+  // (hugeMemberMode=chunks): name, payload start offset in the
+  // archive, total size, and the next unread chunk offset within it
+  private var chunkName: String = null
+  private var chunkBase = 0L
+  private var chunkTotal = 0L
+  private var chunkNext = 0L
+
+  /** Emit the next content-range row of the in-flight huge member:
+    * `size` is THIS row's byte count, `offset` the chunk's absolute
+    * archive offset — each row self-describing, reassembly orders by
+    * offset and sums sizes to the member total. */
+  private def emitChunk(): Unit = {
+    val len = math.min(chunkBytes, chunkTotal - chunkNext).toInt
+    val bytes = new Array[Byte](len)
+    in.readFully(chunkBase + chunkNext, bytes, 0, len)
+    val values = fieldOrder.map {
+      case "archive" => UTF8String.fromString(part.archivePath)
+      case "member" => UTF8String.fromString(chunkName)
+      case "size" => len.toLong
+      case "offset" => chunkBase + chunkNext
+      case "content" => bytes
+    }
+    current = InternalRow.fromSeq(values)
+    chunkNext += len
+    if (chunkNext >= chunkTotal) chunkName = null
+  }
 
   /** First 512-aligned offset >= from holding a plausible member
     * header (checksum + magic, CONFIRMED by lookahead). Scans in
@@ -465,15 +522,18 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
     if (size > Int.MaxValue - 8)
       throw new IOException(
         s"tar member payload too large for one row: $size bytes " +
-          s"in ${part.archivePath} — read the pruned listing and use " +
-          "graft.sources.TarChunks.chunkedContent to fetch it as " +
-          "distributed content-range rows")
+          s"in ${part.archivePath} — re-read with " +
+          ".option(\"hugeMemberMode\", \"chunks\") to emit it as " +
+          "content-range rows inline, or read the pruned listing and " +
+          "use graft.sources.TarChunks.chunkedContent for the fully " +
+          "distributed fetch")
     val out = new Array[Byte](size.toInt)
     in.readFully(off, out, 0, size.toInt)
     out
   }
 
   override def next(): Boolean = {
+    if (chunkName != null) { emitChunk(); return true }
     if (finished) return false
     if (pos < 0) {
       pos =
@@ -535,6 +595,18 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
           if (nameOverride != null) nameOverride else memberName(hdr, 0)
         nameOverride = null
         sizeOverride = -1L
+        // content-projected huge members become chunk rows inline
+        // (hugeMemberMode=chunks); pruned listings never chunk — a
+        // content-less row has no row-size problem to solve
+        if (needContent && chunkHuge && size > chunkBytes) {
+          chunkName = name
+          chunkBase = contentOff
+          chunkTotal = size
+          chunkNext = 0L
+          pos = entryEnd
+          emitChunk()
+          return true
+        }
         val content = if (needContent) readPayload(contentOff, size) else null
         val values = fieldOrder.map {
           case "archive" => UTF8String.fromString(part.archivePath)

@@ -40,6 +40,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(countIn(p, "Exchange hashpartitioning") == 1, p.take(1500))
   }
 
+  test("q_group_percentiles runs on the cents histogram — no exact-" +
+      "percentile value-map UDAF") {
+    val p = plan(Relational.groupPercentiles(spark, dir))
+    // Spark's exact percentile() buffers per-group value→count maps
+    // (corpus-sized distinct prices at 100×) — must not appear
+    assert(!p.toLowerCase.contains("percentile"), p.take(2000))
+    // the histogram cumsum runs per-group as a window pass
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("q_grouping_sets expands in a single aggregation pass") {
     val p = plan(Relational.groupingSetsAgg(spark, dir))
     assert(p.contains("Expand"), p.take(1500))

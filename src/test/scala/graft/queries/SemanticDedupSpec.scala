@@ -200,6 +200,44 @@ class SemanticDedupSpec extends SparkSpec {
       f"fluent mean $mf%.4f not above shuffled mean $ms%.4f")
   }
 
+  test("lmFluency: bigram broadcast is size-gated; shuffle path bit-equal") {
+    val rng = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 30L).map(i =>
+      (i, (1 to 20).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lmfluency-gate").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // plan shape under autoBroadcast OFF (the at-scale situation,
+    // where Catalyst's own size threshold would also say no): the
+    // PAIRS⋈TERMS join is the two-key (w1, w2) one — only the gate's
+    // explicit hint can broadcast it
+    val pairJoin = """BroadcastHashJoin \[w1#\d+, w2#\d+\]""".r
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThreshold = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      assert(pairJoin.findFirstIn(
+        Curation.lmFluency(spark, tmp)
+          .queryExecution.executedPlan.toString).nonEmpty,
+        "under the default gate the tiny bigram table must broadcast")
+      assert(pairJoin.findFirstIn(
+        Curation.lmFluency(spark, tmp, broadcastMaxTypes = 0L)
+          .queryExecution.executedPlan.toString).isEmpty,
+        "gate=0 must take the shuffle-join path for the bigram table")
+    } finally spark.conf.set(thresholdKey, prevThreshold)
+    // semantics: both paths bit-identical
+    val a = Curation.lmFluency(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Curation.lmFluency(spark, tmp, broadcastMaxTypes = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.nonEmpty && a == b)
+  }
+
   test("lmFluency: empty documents table yields empty result") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-lmfluency-empty").toString

@@ -94,6 +94,41 @@ class TarChunksSpec extends SparkSpec {
     assert(chunks.filter(col("member") === "empty.bin").count() == 1L)
   }
 
+  test("hugeMemberMode=chunks: mixed archive in ONE scan — small " +
+      "members whole, huge member as content-range rows") {
+    val df = spark.read.format("tar")
+      .option("hugeMemberMode", "chunks").option("chunkBytes", "512")
+      .load(dir)
+    val rows = df.collect()
+    val bigRows = rows.filter(_.getAs[String]("member") == "big.bin")
+    assert(bigRows.length == 10, s"expected ⌈5000/512⌉ = 10 chunk rows")
+    // rows are self-describing: offset absolute in the archive, size
+    // per-row; offset order reassembles byte-identically
+    val reassembled = bigRows.sortBy(_.getAs[Long]("offset"))
+      .flatMap(_.getAs[Array[Byte]]("content"))
+    assert(reassembled.sameElements(big))
+    assert(bigRows.map(_.getAs[Long]("size")).sum == big.length.toLong)
+    assert(bigRows.forall(r =>
+      r.getAs[Array[Byte]]("content").length.toLong ==
+        r.getAs[Long]("size")))
+    // small and empty members stay one whole row each
+    val smallRows = rows.filter(_.getAs[String]("member") == "small.bin")
+    assert(smallRows.length == 1 &&
+      smallRows.head.getAs[Array[Byte]]("content").sameElements(small))
+    val emptyRows = rows.filter(_.getAs[String]("member") == "empty.bin")
+    assert(emptyRows.length == 1 &&
+      emptyRows.head.getAs[Long]("size") == 0L)
+    // a pruned (no-content) scan never chunks — listings unchanged
+    val pruned = spark.read.format("tar")
+      .option("hugeMemberMode", "chunks").option("chunkBytes", "512")
+      .load(dir).select("member", "size").collect()
+    assert(pruned.length == 3)
+    assert(pruned.find(_.getString(0) == "big.bin").get
+      .getLong(1) == big.length.toLong)
+    // and the default mode stays one-member-one-row
+    assert(spark.read.format("tar").load(dir).count() == 3L)
+  }
+
   test("gzip archives are rejected with a pointer at the streaming source") {
     val d = Files.createTempDirectory("graft-tar-chunks-gz").toFile
     // fake listing row — the reject fires before any byte is read
