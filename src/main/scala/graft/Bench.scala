@@ -29,14 +29,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JIT the common codegen paths — one representative per
-    // family (scan+join+agg, md5/window, text exprs, vector exprs,
-    // event windows) before any timed query
-    for (w <- Seq("q_join_star", "q_dedup_exact", "q_text_stats",
-        "q_ivf_sizes", "q_events_hourly"))
-      try force(SparkEntry.queries(w)(spark, sfDir))
-      catch { case _: Throwable => () }
-    spark.catalog.clearCache()
     val selected = if (args.nonEmpty) {
       val unknown = args.filterNot(SparkEntry.queries.contains)
       require(unknown.isEmpty,
@@ -44,6 +36,29 @@ object Bench {
           SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
       SparkEntry.queries.filter(kv => args.contains(kv._1))
     } else SparkEntry.queries
+    // FULL-CATALOG warm-up before any timed query: every selected
+    // query runs once untimed, so JIT, whole-stage-codegen compiles,
+    // and first-touch machine noise (concurrent sbt compiles in the
+    // same invocation were measured to inflate individual queries up
+    // to 13×, NOTES.md) land outside the timed pass. Warm-up runs at
+    // the sibling sf0.001 when present — plan compilation is per
+    // plan shape, not per data volume — so it adds seconds, not a
+    // second full-scale pass. SPARK_GRAFT_WARMUP=off skips (dev
+    // loops only; driver runs keep the default).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "on") != "off") {
+      val warmDir = {
+        val sibling = new java.io.File(
+          new java.io.File(sfDir).getParentFile, "sf0.001")
+        if (sibling.isDirectory) sibling.getAbsolutePath else sfDir
+      }
+      selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try force(fn(spark, warmDir))
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

@@ -307,6 +307,13 @@ final class OnnxModel(val graph: Onnx.Graph) {
     run(Map(graph.inputs.head -> batch))(graph.outputs.head)
   }
 
+  /** Every op this graph uses that the interpreter does NOT cover —
+    * callers (e.g. the flow filter) report the WHOLE list up front
+    * instead of failing mid-forward on whichever op runs first. */
+  def unsupportedOps: Seq[String] =
+    graph.nodes.map(_.opType).distinct
+      .filterNot(OnnxModel.SupportedOps).sorted
+
   private def attrF(n: Node, k: String, d: Float): Float =
     n.attrs.get(k) match {
       case Some(AttrFloat(v)) => v
@@ -822,9 +829,85 @@ final class OnnxModel(val graph: Onnx.Graph) {
         case d => d.toInt
       }
       Tensor(dims.toSeq, t.data)
+    case "GridSample" =>
+      gridSample(ins(0), ins(1),
+        attrS(n, "mode", "linear"),
+        attrS(n, "padding_mode", "zeros"),
+        attrI(n, "align_corners", 0L) == 1L)
     case op => throw new UnsupportedOperationException(
       s"ONNX op $op outside the MLP interpreter subset — plug a full " +
         "runtime behind OnnxModel.run for this model")
+  }
+
+  /** ONNX GridSample (opset 16+) — the RAFT-class gather op
+    * (correlation-volume lookup samples a feature map at flow-
+    * displaced fractional coordinates): X [N, C, H, W] sampled at
+    * grid [N, H', W', 2] (x, y) normalized coordinates in [-1, 1] →
+    * [N, C, H', W']. Modes: bilinear ("linear"/"bilinear") and
+    * "nearest"; padding zeros (out-of-bounds taps contribute 0) and
+    * border (clamp). Bicubic/reflection stay loudly unsupported. */
+  private def gridSample(x: Tensor, grid: Tensor, mode: String,
+      padding: String, alignCorners: Boolean): Tensor = {
+    require(x.dims.length == 4,
+      s"GridSample input must be [N,C,H,W], got ${x.dims}")
+    require(grid.dims.length == 4 && grid.dims(3) == 2,
+      s"GridSample grid must be [N,H',W',2], got ${grid.dims}")
+    require(grid.dims.head == x.dims.head,
+      s"GridSample batch mismatch: ${x.dims} vs ${grid.dims}")
+    val bilinear = mode == "linear" || mode == "bilinear"
+    require(bilinear || mode == "nearest",
+      s"GridSample mode $mode unsupported (linear/nearest only)")
+    val border = padding == "border"
+    require(border || padding == "zeros",
+      s"GridSample padding_mode $padding unsupported (zeros/border)")
+    val Seq(n, c, h, w) = x.dims
+    val (oh, ow) = (grid.dims(1), grid.dims(2))
+    // unnormalize [-1, 1] → pixel space per the align_corners rule
+    @inline def unnorm(v: Float, size: Int): Double =
+      if (alignCorners) (v + 1.0) / 2.0 * (size - 1)
+      else ((v + 1.0) * size - 1.0) / 2.0
+    @inline def tap(base: Int, ix: Int, iy: Int): Double =
+      if (ix >= 0 && ix < w && iy >= 0 && iy < h)
+        x.data(base + iy * w + ix)
+      else if (border)
+        x.data(base + math.min(math.max(iy, 0), h - 1) * w +
+          math.min(math.max(ix, 0), w - 1))
+      else 0.0
+    val out = new Array[Float](n * c * oh * ow)
+    var b = 0
+    while (b < n) {
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          val g = (b * oh * ow + oy * ow + ox) * 2
+          val px = unnorm(grid.data(g), w)
+          val py = unnorm(grid.data(g + 1), h)
+          var ch = 0
+          while (ch < c) {
+            val base = (b * c + ch) * h * w
+            val v: Double =
+              if (bilinear) {
+                val x0 = math.floor(px).toInt
+                val y0 = math.floor(py).toInt
+                val fx = px - x0
+                val fy = py - y0
+                tap(base, x0, y0) * (1 - fx) * (1 - fy) +
+                  tap(base, x0 + 1, y0) * fx * (1 - fy) +
+                  tap(base, x0, y0 + 1) * (1 - fx) * fy +
+                  tap(base, x0 + 1, y0 + 1) * fx * fy
+              } else
+                tap(base, math.round(px).toInt, math.round(py).toInt)
+            out((b * c + ch) * oh * ow + oy * ow + ox) = v.toFloat
+            ch += 1
+          }
+          ox += 1
+        }
+        oy += 1
+      }
+      b += 1
+    }
+    Tensor(Seq(n, c, oh, ow), out)
   }
 
   /** Abramowitz & Stegun 7.1.26 rational approximation (|ε| < 1.5e-7
@@ -1078,6 +1161,19 @@ final class OnnxModel(val graph: Onnx.Graph) {
 object OnnxModel {
   import java.util.concurrent.ConcurrentHashMap
   import java.util.concurrent.atomic.AtomicLong
+
+  /** The interpreter's op subset — keep in lockstep with the `eval`
+    * match ([[OnnxModel.unsupportedOps]] reports against this list;
+    * OnnxRuntimeSpec pins that every listed op actually evaluates). */
+  val SupportedOps: Set[String] = Set(
+    "Gemm", "MatMul", "Add", "Sub", "Mul", "Div", "Pow",
+    "Relu", "LeakyRelu", "Sigmoid", "Tanh", "Softmax", "Gelu", "Erf",
+    "Exp", "Log", "Sqrt", "Neg", "Abs", "Clip", "Dropout", "Cast",
+    "BatchNormalization", "ReduceMean", "LayerNormalization",
+    "Conv", "MaxPool", "AveragePool", "GlobalAveragePool",
+    "GridSample", "Transpose", "Concat", "Slice", "Gather", "Split",
+    "Unsqueeze", "Squeeze", "Flatten", "Reshape", "Identity",
+    "Constant")
 
   private val cache = new ConcurrentHashMap[String, OnnxModel]()
   /** number of cold loads — observable session-per-executor reuse */

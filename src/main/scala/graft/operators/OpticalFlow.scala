@@ -407,6 +407,18 @@ final case class OnnxFlowFilter(modelPath: Option[String] = None,
         // model load and inference errors fail the task loudly (the
         // OnnxScoreFilter contract); per-row errors are for bad DATA
         val m = graft.onnx.OnnxModel.forPath(p, hadoopConf.get())
+        // a flow net using ops outside the interpreter subset (a
+        // genuine RAFT export needs e.g. correlation lookups beyond
+        // GridSample) reports the COMPLETE op list up front in the
+        // error column — not a mid-forward crash on the first one
+        val missing = m.unsupportedOps
+        if (missing.nonEmpty) {
+          val err = s"flow model $p uses ${missing.length} ops " +
+            s"outside the interpreter subset: ${missing.mkString(", ")}" +
+            " — plug a full runtime behind OnnxModel.run, or drop " +
+            "modelPath to fall back to Farneback"
+          return batch.map(_ => Some(Seq(false, null, err)))
+        }
         batch.map { in =>
           in.payloads.get(Modality.Video.name) match {
             case None => Some(Seq(false, null, "payload missing"))

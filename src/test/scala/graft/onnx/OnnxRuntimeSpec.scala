@@ -803,6 +803,55 @@ class OnnxRuntimeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("LSTM"))
   }
 
+  test("GridSample: bilinear + nearest, zeros + border, align_corners") {
+    // X = [1,1,2,2] = [[1,2],[3,4]]
+    def sample(mode: String, pad: String, align: Long,
+        grid: Seq[Float], gh: Int, gw: Int): Onnx.Tensor = {
+      val g = model(
+        nodes = Seq(node("GridSample", Seq("x", "grid"), Seq("y"),
+          Seq(attrString("mode", mode), attrString("padding_mode", pad),
+            attrInt("align_corners", align)))),
+        inits = Seq(tensor("grid", Seq(1, gh, gw, 2), grid)),
+        inputs = Seq("x"), outputs = Seq("y"))
+      OnnxModel.parseBytes(g)
+        .run(Map("x" -> Onnx.Tensor(Seq(1, 1, 2, 2),
+          Array(1f, 2f, 3f, 4f))))("y")
+    }
+    // align_corners=1: corners map exactly onto corner pixels
+    val corners = sample("linear", "zeros", 1L,
+      Seq(-1f, -1f, 1f, -1f, -1f, 1f, 1f, 1f), 2, 2)
+    assert(corners.dims == Seq(1, 1, 2, 2))
+    assert(corners.data.toSeq == Seq(1f, 2f, 3f, 4f))
+    // center of the image = mean of the four pixels
+    val center = sample("linear", "zeros", 1L, Seq(0f, 0f), 1, 1)
+    assert(math.abs(center.data(0) - 2.5f) < 1e-6)
+    // align_corners=0: (-1,-1) lands at pixel (-0.5,-0.5); zeros
+    // padding leaves one in-bounds tap (pixel (0,0)=1) at 0.5² weight
+    val zeroPad = sample("linear", "zeros", 0L, Seq(-1f, -1f), 1, 1)
+    assert(math.abs(zeroPad.data(0) - 0.25f) < 1e-6)
+    // border padding clamps the out-of-bounds taps to pixel (0,0)
+    val borderPad = sample("linear", "border", 0L, Seq(-1f, -1f), 1, 1)
+    assert(math.abs(borderPad.data(0) - 1f) < 1e-6)
+    // nearest snaps to the closest pixel
+    val near = sample("nearest", "zeros", 1L, Seq(0.9f, 0.9f), 1, 1)
+    assert(near.data(0) == 4f)
+  }
+
+  test("unsupportedOps reports the complete missing-op list") {
+    val g = model(
+      nodes = Seq(
+        node("Relu", Seq("x"), Seq("r")),
+        node("ScatterND", Seq("r"), Seq("s")),
+        node("LSTM", Seq("s"), Seq("y"))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    assert(OnnxModel.parseBytes(g).unsupportedOps == Seq("LSTM", "ScatterND"))
+    // a fully-supported graph reports none
+    val ok = model(
+      nodes = Seq(node("Relu", Seq("x"), Seq("y"))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    assert(OnnxModel.parseBytes(ok).unsupportedOps.isEmpty)
+  }
+
   test("Reshape with -1 and Constant nodes") {
     val g = model(
       nodes = Seq(

@@ -95,6 +95,37 @@ class OnnxFlowFilterSpec extends SparkSpec {
       e.getMessage.contains("flow model"))
   }
 
+  test("a model with ops outside the subset reports the COMPLETE op " +
+      "list per row, before any decode") {
+    // a genuine-RAFT-style graph using ops the interpreter lacks
+    val raftish = TestOnnx.model(
+      nodes = Seq(
+        TestOnnx.node("Conv", Seq("x", "w"), Seq("c"),
+          Seq(TestOnnx.attrInts("kernel_shape", Seq(1L, 1L)))),
+        TestOnnx.node("ScatterND", Seq("c"), Seq("s")),
+        TestOnnx.node("GRU", Seq("s"), Seq("y"))),
+      inits = Seq(TestOnnx.tensor("w", Seq(2, 6, 1, 1),
+        Seq.fill(12)(0.1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val f = new File(dir, "raftish.onnx")
+    val o = new FileOutputStream(f)
+    try o.write(raftish) finally o.close()
+    val filter = OnnxFlowFilter(modelPath = Some(f.getAbsolutePath))
+    val moving = Mjpeg.write(Seq(frame(0), frame(4)), 64, 64, 10)
+    val res = filter.processBatch(Seq(in(moving)))
+    val row = res.head.get
+    assert(row(0) == false)
+    val err = row(2).asInstanceOf[String]
+    assert(err.contains("GRU") && err.contains("ScatterND"),
+      s"error must list every missing op: $err")
+    assert(err.contains("Farneback"), "error should point at the fallback")
+  }
+
+  test("GridSample-bearing flow nets run inside the subset") {
+    assert(graft.onnx.OnnxModel.SupportedOps.contains("GridSample"))
+    assert(OnnxModel.parseBytes(flowNet).unsupportedOps.isEmpty)
+  }
+
   test("no model falls back to the Farneback computation") {
     val avi = Mjpeg.write(Seq(frame(0), frame(2), frame(5)), 64, 64, 10)
     val got = OnnxFlowFilter(None, nFrames = 3)
