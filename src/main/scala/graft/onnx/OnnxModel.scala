@@ -336,6 +336,79 @@ final class OnnxModel(val graph: Onnx.Graph) {
       case _ => d
     }
 
+  /** Shared last-axis reduction for the Reduce* family: axes arrive
+    * as an attribute (opset <= 13) or as a second input (opset 18+
+    * torch exports); keepdims semantics fold into the returned
+    * shape's trailing 1. Last axis only — the heads this backs
+    * reduce features/timesteps, never interior spatial dims. */
+  private def reduceLast(n: Node, ins: Seq[Tensor]): Tensor = {
+    val x = ins(0)
+    val axes =
+      if (ins.length > 1 && ins(1).data.nonEmpty)
+        ins(1).data.map(_.toLong).toSeq
+      else n.attrs.get("axes") match {
+        case Some(AttrInts(a)) => a
+        case _ => Seq(-1L)
+      }
+    val lastAxis = Seq(-1L, (x.dims.length - 1).toLong)
+    require(axes.length == 1 && lastAxis.contains(axes.head),
+      s"${n.opType} supports the last axis only, got $axes")
+    val c = x.dims.last
+    val rows = x.data.length / c
+    val out = new Array[Float](rows)
+    var r = 0
+    while (r < rows) {
+      var acc = n.opType match {
+        case "ReduceMax" => Double.NegativeInfinity
+        case "ReduceMin" => Double.PositiveInfinity
+        case _ => 0.0
+      }
+      var j = 0
+      while (j < c) {
+        val v = x.data(r * c + j)
+        n.opType match {
+          case "ReduceMax" => if (v > acc) acc = v
+          case "ReduceMin" => if (v < acc) acc = v
+          case _ => acc += v
+        }
+        j += 1
+      }
+      out(r) =
+        if (n.opType == "ReduceMean") (acc / c).toFloat else acc.toFloat
+      r += 1
+    }
+    val keep = attrI(n, "keepdims", 1L) == 1L
+    Tensor(if (keep) x.dims.init :+ 1 else x.dims.init, out)
+  }
+
+  /** ONNX Tile: repeat each axis `repeats(i)` times; output index
+    * maps back by modulo on every axis. */
+  private def tile(x: Tensor, repeats: Seq[Int]): Tensor = {
+    require(repeats.length == x.dims.length,
+      s"Tile repeats rank ${repeats.length} != input rank " +
+        s"${x.dims.length}")
+    require(repeats.forall(_ >= 1), s"Tile repeats must be >= 1: $repeats")
+    val od = x.dims.zip(repeats).map { case (d, r) => d * r }
+    val is = strides(x.dims)
+    val os = strides(od)
+    val out = new Array[Float](od.product)
+    var i = 0
+    while (i < out.length) {
+      var rem = i
+      var src = 0
+      var d = 0
+      while (d < od.length) {
+        val idx = rem / os(d)
+        rem %= os(d)
+        src += (idx % x.dims(d)) * is(d)
+        d += 1
+      }
+      out(i) = x.data(src)
+      i += 1
+    }
+    Tensor(od, out)
+  }
+
   /** row-major strides for a dim vector */
   private def strides(dims: Seq[Int]): Array[Int] = {
     val s = new Array[Int](dims.length)
@@ -536,34 +609,8 @@ final class OnnxModel(val graph: Onnx.Graph) {
         i += 1
       }
       Tensor(x.dims, out)
-    case "ReduceMean" =>
-      // last-axis (or all-axes) mean, keepdims semantics folded into
-      // the returned shape's trailing 1; axes arrive as an attribute
-      // (opset <= 13) or as a second input (opset 18+ torch exports)
-      val x = ins(0)
-      val axes =
-        if (ins.length > 1 && ins(1).data.nonEmpty)
-          ins(1).data.map(_.toLong).toSeq
-        else n.attrs.get("axes") match {
-          case Some(AttrInts(a)) => a
-          case _ => Seq(-1L)
-        }
-      val lastAxis = Seq(-1L, (x.dims.length - 1).toLong)
-      require(axes.length == 1 && lastAxis.contains(axes.head),
-        s"ReduceMean supports the last axis only, got $axes")
-      val c = x.dims.last
-      val rows = x.data.length / c
-      val out = new Array[Float](rows)
-      var r = 0
-      while (r < rows) {
-        var s = 0.0
-        var j = 0
-        while (j < c) { s += x.data(r * c + j); j += 1 }
-        out(r) = (s / c).toFloat
-        r += 1
-      }
-      val keep = attrI(n, "keepdims", 1L) == 1L
-      Tensor(if (keep) x.dims.init :+ 1 else x.dims.init, out)
+    case "ReduceMean" | "ReduceSum" | "ReduceMax" | "ReduceMin" =>
+      reduceLast(n, ins)
     case "Conv" =>
       require(attrS(n, "auto_pad", "NOTSET") == "NOTSET",
         "Conv auto_pad unsupported — export with explicit pads")
@@ -834,6 +881,65 @@ final class OnnxModel(val graph: Onnx.Graph) {
         attrS(n, "mode", "linear"),
         attrS(n, "padding_mode", "zeros"),
         attrI(n, "align_corners", 0L) == 1L)
+    // elementwise tier 2 — masks travel as float 0/1 (the interpreter
+    // is float-only; Cast is already a no-op, so bool graphs flow)
+    case "Min" => ins.reduce(broadcastZip(_, _, math.min))
+    case "Max" => ins.reduce(broadcastZip(_, _, math.max))
+    case "Floor" => map1(ins(0), v => math.floor(v).toFloat)
+    case "Ceil" => map1(ins(0), v => math.ceil(v).toFloat)
+    case "Round" => // ONNX rounds half to even (rint), not half up
+      map1(ins(0), v => math.rint(v).toFloat)
+    case "Sin" => map1(ins(0), v => math.sin(v).toFloat)
+    case "Cos" => map1(ins(0), v => math.cos(v).toFloat)
+    case "Greater" =>
+      broadcastZip(ins(0), ins(1), (a, b) => if (a > b) 1f else 0f)
+    case "GreaterOrEqual" =>
+      broadcastZip(ins(0), ins(1), (a, b) => if (a >= b) 1f else 0f)
+    case "Less" =>
+      broadcastZip(ins(0), ins(1), (a, b) => if (a < b) 1f else 0f)
+    case "LessOrEqual" =>
+      broadcastZip(ins(0), ins(1), (a, b) => if (a <= b) 1f else 0f)
+    case "Equal" =>
+      broadcastZip(ins(0), ins(1), (a, b) => if (a == b) 1f else 0f)
+    case "Not" => map1(ins(0), v => if (v == 0f) 1f else 0f)
+    case "And" =>
+      broadcastZip(ins(0), ins(1),
+        (a, b) => if (a != 0f && b != 0f) 1f else 0f)
+    case "Or" =>
+      broadcastZip(ins(0), ins(1),
+        (a, b) => if (a != 0f || b != 0f) 1f else 0f)
+    case "Where" =>
+      // select(cond, a, b) with full multidirectional broadcasting,
+      // composed from two conditional zips + a sum (positions are
+      // exclusive, so no NaN leaks through arithmetic)
+      val selA = broadcastZip(ins(0), ins(1),
+        (c, x) => if (c != 0f) x else 0f)
+      val selB = broadcastZip(ins(0), ins(2),
+        (c, x) => if (c == 0f) x else 0f)
+      broadcastZip(selA, selB, _ + _)
+    case "Expand" =>
+      // broadcast input to broadcast(input.dims, shape) — zip against
+      // a zero tensor of the target shape
+      val want = ins(1).data.map(_.toInt).toSeq
+      broadcastZip(ins(0),
+        Tensor(want, new Array[Float](math.max(want.product, 0))),
+        (x, _) => x)
+    case "Tile" => tile(ins(0), ins(1).data.map(_.toInt).toSeq)
+    case "Range" =>
+      val (start, limit, delta) =
+        (ins(0).data(0), ins(1).data(0), ins(2).data(0))
+      require(delta != 0f, "Range delta must be nonzero")
+      val count = math.max(
+        math.ceil(((limit - start) / delta).toDouble).toInt, 0)
+      Tensor(Seq(count),
+        Array.tabulate(count)(i => start + i * delta))
+    case "ConstantOfShape" =>
+      val want = ins(0).data.map(_.toInt).toSeq
+      val fill = n.attrs.get("value") match {
+        case Some(AttrTensor(t)) if t.data.nonEmpty => t.data(0)
+        case _ => 0f
+      }
+      Tensor(want, Array.fill(math.max(want.product, 0))(fill))
     case op => throw new UnsupportedOperationException(
       s"ONNX op $op outside the MLP interpreter subset — plug a full " +
         "runtime behind OnnxModel.run for this model")
@@ -1169,11 +1275,15 @@ object OnnxModel {
     "Gemm", "MatMul", "Add", "Sub", "Mul", "Div", "Pow",
     "Relu", "LeakyRelu", "Sigmoid", "Tanh", "Softmax", "Gelu", "Erf",
     "Exp", "Log", "Sqrt", "Neg", "Abs", "Clip", "Dropout", "Cast",
-    "BatchNormalization", "ReduceMean", "LayerNormalization",
+    "Min", "Max", "Floor", "Ceil", "Round", "Sin", "Cos",
+    "Greater", "GreaterOrEqual", "Less", "LessOrEqual", "Equal",
+    "Not", "And", "Or", "Where",
+    "BatchNormalization", "LayerNormalization",
+    "ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin",
     "Conv", "MaxPool", "AveragePool", "GlobalAveragePool",
     "GridSample", "Transpose", "Concat", "Slice", "Gather", "Split",
     "Unsqueeze", "Squeeze", "Flatten", "Reshape", "Identity",
-    "Constant")
+    "Constant", "ConstantOfShape", "Expand", "Tile", "Range")
 
   private val cache = new ConcurrentHashMap[String, OnnxModel]()
   /** number of cold loads — observable session-per-executor reuse */

@@ -238,6 +238,66 @@ object Similarity {
     finally assign.unpersist()
   }
 
+  /** Incremental IVF maintenance — append a NEW batch of vectors into
+    * a materialized [[buildIvfIndex]] layout without touching the
+    * existing postings: the index's own centroid rows (vec_id <
+    * `numCentroids`, the build convention) broadcast against ONLY the
+    * new vectors, each keeps its highest-cosine centroid (same
+    * rounded-sim + cid tie-break as [[ivfAssign]], so a duplicate of
+    * an indexed vector lands in its twin's cluster), and the
+    * assignments APPEND into the cluster-partitioned parquet. At
+    * 100 TB this is the ingest path: one pass over the new data,
+    * dynamic-partition appends touch only the clusters that received
+    * vectors, no corpus reassignment, no rebuild. */
+  def appendToIvfIndex(spark: SparkSession, indexPath: String,
+      newVecs: DataFrame, numCentroids: Int = NumCentroids): Unit = {
+    GraftFunctions.register(spark)
+    val cent = spark.read.parquet(indexPath)
+      .filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    newVecs.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(indexPath)
+  }
+
+  /** Number of duplicated head vectors [[ivfAppendSizes]] appends. */
+  val AppendN = 50
+
+  /** Harness-visible round trip of [[appendToIvfIndex]]: build the
+    * index, append copies of the first [[AppendN]] vectors under
+    * fresh ids, read the layout back, and return per-cluster sizes.
+    * A copy is bit-identical to its twin, so it MUST land in the
+    * twin's cluster — the oracle recomputes the expected sizes as
+    * base assignment + the head slice's own assignment, and any
+    * mis-assignment, dropped append, or double-write flips a count. */
+  def ivfAppendSizes(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString
+    buildIvfIndex(spark, dir, out)
+    val fresh = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .filter(col("vec_id") < AppendN)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("v"))
+    appendToIvfIndex(spark, out, fresh)
+    spark.read.parquet(out)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  val ivfAppendSizesSql: String =
+    s"""$sqlIvfAssignCte
+       SELECT cluster,
+         (count(*) + count(*) FILTER (WHERE vec_id < $AppendN))::BIGINT
+           AS n_vecs
+       FROM assign GROUP BY cluster"""
+
   /** Probe-1 search against a materialized [[buildIvfIndex]] layout:
     * the query vector's cluster selects one partition directory; the
     * scan never opens any other posting list. `excludeId` removes the
@@ -1127,6 +1187,7 @@ object Similarity {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe2" -> (annIvfProbe2 _),
     "q_ivf_sizes" -> (ivfSizes _),
+    "q_ivf_append" -> (ivfAppendSizes _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_wide" -> (embedNearDupWide _),
     "q_kmeans_update" -> (kmeansUpdate _),
@@ -1147,6 +1208,7 @@ object Similarity {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_probe2" -> annIvfProbe2Sql,
     "q_ivf_sizes" -> ivfSizesSql,
+    "q_ivf_append" -> ivfAppendSizesSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_wide" -> embedNearDupWideSql,
     "q_kmeans_update" -> kmeansUpdateSql,

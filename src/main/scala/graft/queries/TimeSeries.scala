@@ -512,6 +512,46 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** 7-day rolling daily-value stats per user — the RANGE-frame
+    * window family (every other window in the catalog is ROWS/
+    * cumulative): daily grain first (the usual 1000× row collapse —
+    * at 100 TB the window runs over user-days, never raw events),
+    * then `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the
+    * integer day key, which spans calendar gaps the ROWS frame
+    * cannot (a user absent 5 days contributes a 2-day window, not a
+    * 7-row one). Sums stay in integer CENTS end to end, so the
+    * rolling aggregate is bit-exact on both engines regardless of
+    * float summation order; one shuffle on user_id serves both the
+    * grain aggregate and the window. */
+  def eventsRolling(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as long)")).as("day_cents"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("roll_cents", sum(col("day_cents")).over(w))
+      .withColumn("n_days7", count(lit(1)).over(w))
+      .select(col("user_id"), col("day"), col("day_cents"),
+        col("n_events"), col("roll_cents"), col("n_days7"))
+  }
+
+  val eventsRollingSql: String =
+    """WITH daily AS (SELECT user_id,
+         epoch_us(ts)::BIGINT // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents,
+         count(*)::BIGINT AS n_events
+       FROM events GROUP BY 1, 2)
+       SELECT user_id, day, day_cents, n_events,
+         CAST(sum(day_cents) OVER w AS BIGINT) AS roll_cents,
+         count(*) OVER w AS n_days7
+       FROM daily
+       WINDOW w AS (PARTITION BY user_id ORDER BY day
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+
   val eventsRetentionSql: String =
     """WITH ev AS (SELECT user_id,
          epoch_us(ts)::BIGINT // 86400000000 AS day FROM events),
@@ -711,6 +751,7 @@ object TimeSeries {
     "q_events_topk_users" -> (eventsTopkUsers _),
     "q_events_asof" -> (eventsAsofAttribution _),
     "q_events_retention" -> (eventsRetention _),
+    "q_events_rolling" -> (eventsRolling _),
     "q_events_json" -> (eventsJson _),
     "q_events_funnel" -> (eventsFunnel _),
     "q_events_quartiles" -> (eventsQuartiles _),
@@ -732,6 +773,7 @@ object TimeSeries {
     "q_events_topk_users" -> eventsTopkUsersSql,
     "q_events_asof" -> eventsAsofSql,
     "q_events_retention" -> eventsRetentionSql,
+    "q_events_rolling" -> eventsRollingSql,
     "q_events_json" -> eventsJsonSql,
     "q_events_funnel" -> eventsFunnelSql,
     "q_events_quartiles" -> eventsQuartilesSql,

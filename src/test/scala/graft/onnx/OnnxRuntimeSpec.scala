@@ -837,6 +837,135 @@ class OnnxRuntimeSpec extends AnyFunSuite {
     assert(near.data(0) == 4f)
   }
 
+  test("Reduce family: sum/max/min over the last axis, keepdims") {
+    def reduce(op: String, keep: Long): Onnx.Tensor = {
+      val g = model(
+        nodes = Seq(node(op, Seq("x"), Seq("y"),
+          Seq(attrInts("axes", Seq(-1L)), attrInt("keepdims", keep)))),
+        inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+      OnnxModel.parseBytes(g).forward(
+        Onnx.Tensor(Seq(2, 3), Array(1f, -2f, 3f, 4f, 0f, -5f)))
+    }
+    assert(reduce("ReduceSum", 1L).dims == Seq(2, 1))
+    assert(reduce("ReduceSum", 0L).dims == Seq(2))
+    assert(reduce("ReduceSum", 0L).data.toSeq == Seq(2f, -1f))
+    assert(reduce("ReduceMax", 0L).data.toSeq == Seq(3f, 4f))
+    assert(reduce("ReduceMin", 0L).data.toSeq == Seq(-2f, -5f))
+  }
+
+  test("elementwise tier 2: min/max, floor/ceil/round, trig") {
+    def un(op: String, xs: Seq[Float]): Seq[Float] = {
+      val g = model(nodes = Seq(node(op, Seq("x"), Seq("y"))),
+        inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+      OnnxModel.parseBytes(g)
+        .forward(Onnx.Tensor(Seq(xs.length), xs.toArray)).data.toSeq
+    }
+    assert(un("Floor", Seq(1.7f, -1.2f)) == Seq(1f, -2f))
+    assert(un("Ceil", Seq(1.2f, -1.7f)) == Seq(2f, -1f))
+    // ONNX Round is half-to-even
+    assert(un("Round", Seq(0.5f, 1.5f, 2.5f, -0.5f)) ==
+      Seq(0f, 2f, 2f, -0f))
+    assert(math.abs(un("Sin", Seq(0f)).head) < 1e-7)
+    assert(math.abs(un("Cos", Seq(0f)).head - 1f) < 1e-7)
+    // binary Min/Max broadcast a scalar across the row
+    val g = model(
+      nodes = Seq(node("Max", Seq("x", "c"), Seq("y"))),
+      inits = Seq(tensor("c", Seq(1), Seq(0f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    assert(OnnxModel.parseBytes(g).forward(
+      Onnx.Tensor(Seq(3), Array(-1f, 0.5f, 2f))).data.toSeq ==
+      Seq(0f, 0.5f, 2f))
+  }
+
+  test("comparisons, logic, and Where select with broadcasting") {
+    // mask = x > 0; y = where(mask, x, -x)  — a float-mask abs()
+    val g = model(
+      nodes = Seq(
+        node("Greater", Seq("x", "zero"), Seq("m")),
+        node("Neg", Seq("x"), Seq("nx")),
+        node("Where", Seq("m", "x", "nx"), Seq("y"))),
+      inits = Seq(tensor("zero", Seq(1), Seq(0f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val out = OnnxModel.parseBytes(g).forward(
+      Onnx.Tensor(Seq(4), Array(-3f, -0.5f, 0f, 2f)))
+    assert(out.data.toSeq == Seq(3f, 0.5f, 0f, 2f))
+    // Not / And / Or on 0-1 float masks
+    def bin(op: String, a: Seq[Float], b: Seq[Float]): Seq[Float] = {
+      val g2 = model(nodes = Seq(node(op, Seq("a", "b"), Seq("y"))),
+        inits = Seq(tensor("b", Seq(b.length), b)),
+        inputs = Seq("a"), outputs = Seq("y"))
+      OnnxModel.parseBytes(g2)
+        .forward(Onnx.Tensor(Seq(a.length), a.toArray)).data.toSeq
+    }
+    assert(bin("And", Seq(1f, 1f, 0f), Seq(1f, 0f, 1f)) == Seq(1f, 0f, 0f))
+    assert(bin("Or", Seq(1f, 0f, 0f), Seq(0f, 0f, 1f)) == Seq(1f, 0f, 1f))
+  }
+
+  test("shape ops: Expand, Tile, Range, ConstantOfShape") {
+    // Range(-1, 1.1, 2) = [-1, 1]; Expand a [2,1] column to [2,3]
+    val g = model(
+      nodes = Seq(
+        node("Expand", Seq("x", "shape"), Seq("e")),
+        node("Tile", Seq("e", "reps"), Seq("y"))),
+      inits = Seq(
+        tensor("shape", Seq(2), Seq(2f, 3f)),
+        tensor("reps", Seq(2), Seq(2f, 1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val out = OnnxModel.parseBytes(g).forward(
+      Onnx.Tensor(Seq(2, 1), Array(5f, 7f)))
+    assert(out.dims == Seq(4, 3))
+    assert(out.data.toSeq ==
+      Seq(5f, 5f, 5f, 7f, 7f, 7f, 5f, 5f, 5f, 7f, 7f, 7f))
+    val r = model(
+      nodes = Seq(node("Range", Seq("s", "l", "d"), Seq("y"))),
+      inits = Seq(tensor("s", Seq(1), Seq(-1f)),
+        tensor("l", Seq(1), Seq(1.1f)), tensor("d", Seq(1), Seq(2f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    // (dummy input keeps the single-input forward contract)
+    val rng = OnnxModel.parseBytes(r).run(
+      Map("x" -> Onnx.Tensor(Seq(1), Array(0f))))("y")
+    assert(rng.data.toSeq == Seq(-1f, 1f))
+    val c = model(
+      nodes = Seq(node("ConstantOfShape", Seq("sh"), Seq("y"))),
+      inits = Seq(tensor("sh", Seq(2), Seq(2f, 2f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val cs = OnnxModel.parseBytes(c).run(
+      Map("x" -> Onnx.Tensor(Seq(1), Array(0f))))("y")
+    assert(cs.dims == Seq(2, 2) && cs.data.forall(_ == 0f))
+  }
+
+  test("RAFT-style warp subgraph: graph-computed identity grid + " +
+      "GridSample reproduces the input") {
+    // x-coords Range(-1,1.1,2) → [1,1,2,1] tiled down rows; y-coords
+    // the same reshaped [1,2,1,1] tiled across cols; Concat(axis 3)
+    // → identity grid [1,2,2,2]; GridSample(align_corners=1) == X
+    val g = model(
+      nodes = Seq(
+        node("Range", Seq("s", "l", "d"), Seq("r")),
+        node("Reshape", Seq("r", "shx"), Seq("rx")),
+        node("Tile", Seq("rx", "tx"), Seq("gx")),
+        node("Reshape", Seq("r", "shy"), Seq("ry")),
+        node("Tile", Seq("ry", "ty"), Seq("gy")),
+        node("Concat", Seq("gx", "gy"), Seq("grid"),
+          Seq(attrInt("axis", 3L))),
+        node("GridSample", Seq("x", "grid"), Seq("y"),
+          Seq(attrString("mode", "linear"),
+            attrInt("align_corners", 1L)))),
+      inits = Seq(
+        tensor("s", Seq(1), Seq(-1f)), tensor("l", Seq(1), Seq(1.1f)),
+        tensor("d", Seq(1), Seq(2f)),
+        tensor("shx", Seq(4), Seq(1f, 1f, 2f, 1f)),
+        tensor("tx", Seq(4), Seq(1f, 2f, 1f, 1f)),
+        tensor("shy", Seq(4), Seq(1f, 2f, 1f, 1f)),
+        tensor("ty", Seq(4), Seq(1f, 1f, 2f, 1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val x = Onnx.Tensor(Seq(1, 1, 2, 2), Array(1f, 2f, 3f, 4f))
+    val out = OnnxModel.parseBytes(g).forward(x)
+    assert(out.dims == Seq(1, 1, 2, 2))
+    assert(out.data.toSeq == x.data.toSeq,
+      s"identity warp must reproduce the input, got ${out.data.toSeq}")
+  }
+
   test("unsupportedOps reports the complete missing-op list") {
     val g = model(
       nodes = Seq(

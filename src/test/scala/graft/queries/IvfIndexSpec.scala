@@ -54,4 +54,54 @@ class IvfIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(fromIndex == expected, s"$fromIndex vs $expected")
   }
+
+  test("append: new vectors join their twin's cluster; other " +
+      "partitions untouched; search finds them") {
+    val idxPath = Files.createTempDirectory("graft-ivf-app").toString + "/idx"
+    Similarity.buildIvfIndex(spark, dir, idxPath)
+    val before = spark.read.parquet(idxPath)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getAs[Number]("cluster").longValue() ->
+        r.getLong(1)).toMap
+
+    // duplicate vector 0 under a fresh id — bit-identical, so it must
+    // land in vector 0's own cluster
+    val twin = spark.read.parquet(idxPath).filter(col("vec_id") === 0)
+      .select(col("cluster"), col("v")).collect().head
+    val twinCluster = twin.getAs[Number](0).longValue()
+    val newVecs = spark.read.parquet(idxPath)
+      .filter(col("vec_id") === 0)
+      .select(lit(999999L).as("vec_id"), col("v"))
+    // file lists of untouched partitions, taken before the append
+    val untouchedFiles = new java.io.File(idxPath).listFiles()
+      .filter(f => f.getName.startsWith("cluster=") &&
+        f.getName != s"cluster=$twinCluster")
+      .map(f => f.getName -> f.listFiles().map(_.getName).sorted.toSeq)
+      .toMap
+
+    Similarity.appendToIvfIndex(spark, idxPath, newVecs)
+
+    val after = spark.read.parquet(idxPath)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getAs[Number]("cluster").longValue() ->
+        r.getLong(1)).toMap
+    assert(after(twinCluster) == before(twinCluster) + 1,
+      s"twin cluster $twinCluster: ${before(twinCluster)} -> " +
+        s"${after(twinCluster)}")
+    assert((after - twinCluster) == (before - twinCluster),
+      "append must not change any other cluster's size")
+    // dynamic-partition append left every other partition's files alone
+    untouchedFiles.foreach { case (part, files) =>
+      val now = new java.io.File(idxPath, part)
+        .listFiles().map(_.getName).sorted.toSeq
+      assert(now == files, s"$part files changed by the append")
+    }
+    // probe-1 search in the twin's cluster surfaces the copy at sim 1
+    val qv = twin.getSeq[Double](1).toArray
+    val hits = Similarity.annIvfFromIndex(spark, idxPath, twinCluster,
+      qv, excludeId = Some(0L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hits.get(999999L).contains(1.0),
+      s"appended twin must rank with sim 1.0, got $hits")
+  }
 }
