@@ -47,7 +47,12 @@ object LmFluencyProbe {
            (x, y) -> struct(x AS w1, y AS w2))""")).as("z"))
       .select("z.w1", "z.w2").distinct().count()
     val gate = graft.queries.Curation.LmBigramBroadcastMaxTypes
-    val path = if (nBig <= gate) "broadcast" else "shuffle-join"
+    // mirror lmFluency's actual rule: broadcast iff v² <= gate
+    // (v = distinct unigrams — the free bound; nBig printed for the
+    // growth evidence)
+    val path =
+      if (vocab <= math.sqrt(gate.toDouble).toLong) "broadcast"
+      else "shuffle-join"
 
     val t0 = System.nanoTime()
     val out = graft.queries.Curation.lmFluency(spark, dir)

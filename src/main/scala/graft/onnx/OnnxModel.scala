@@ -257,21 +257,20 @@ object Onnx {
 }
 
 /** Interpreter over a parsed graph. ONNX requires nodes in
-  * topological order, so evaluation is a single fold. Supported ops:
-  * Gemm, MatMul, Add, Sub, Mul, Div, Pow, Relu, LeakyRelu, Sigmoid,
-  * Tanh, Softmax, Gelu/Erf, Exp, Log, Sqrt, Neg, Abs, Clip,
-  * BatchNormalization (eval), Dropout/Cast (no-ops), ReduceMean
-  * (last axis), Flatten, Identity, Constant, Reshape — the closed
-  * set MLP scoring heads export to (torch.onnx / sklearn-onnx) —
-  * plus the small-CNN tier: Conv (groups/strides/pads/dilations),
-  * MaxPool, AveragePool, GlobalAveragePool, Transpose (any perm),
-  * Concat — plus the attention tier: batched N-D MatMul with numpy
-  * broadcasting, full multidirectional broadcasting on the
-  * elementwise ops, LayerNormalization, Slice (step 1), Split
-  * (multi-output), Gather (any axis), Unsqueeze, Squeeze — enough to
-  * run a small transformer encoder block end-to-end. Dynamic-shape
-  * export chains (Shape/Expand/Where) stay out of scope: export with
-  * fixed shapes, or slot a full runtime behind [[OnnxModel.run]]. */
+  * topological order, so evaluation is a single fold.
+  *
+  * The supported op subset is [[OnnxModel.SupportedOps]] (the ONE
+  * inventory — [[unsupportedOps]] reports against it, keep it in
+  * lockstep with `eval`): the MLP scoring tier, the small-CNN tier
+  * (Conv with groups/strides/pads/dilations, pooling, Transpose,
+  * Concat), the attention tier (batched N-D MatMul, full numpy
+  * broadcasting on elementwise ops, LayerNormalization, Slice,
+  * Split, Gather, Unsqueeze/Squeeze — a small transformer encoder
+  * block runs end-to-end), and the warp/shape tier (GridSample,
+  * Where, Expand, Tile, Range, ConstantOfShape, the comparison and
+  * logic set as float 0/1 masks, Reduce{Mean,Sum,Max,Min}). `Shape`
+  * itself stays out: export with fixed shapes, or slot a full
+  * runtime behind [[OnnxModel.run]]. */
 final class OnnxModel(val graph: Onnx.Graph) {
   import Onnx._
 
@@ -343,18 +342,40 @@ final class OnnxModel(val graph: Onnx.Graph) {
     * reduce features/timesteps, never interior spatial dims. */
   private def reduceLast(n: Node, ins: Seq[Tensor]): Tensor = {
     val x = ins(0)
+    // ONNX: absent axes (with noop_with_empty_axes unset/0) means
+    // reduce over ALL axes — modelled as one row spanning the whole
+    // tensor; defaulting to the last axis here would silently return
+    // per-row reductions where the export asked for a global one
     val axes =
       if (ins.length > 1 && ins(1).data.nonEmpty)
-        ins(1).data.map(_.toLong).toSeq
+        Some(ins(1).data.map(_.toLong).toSeq)
       else n.attrs.get("axes") match {
-        case Some(AttrInts(a)) => a
-        case _ => Seq(-1L)
+        case Some(AttrInts(a)) => Some(a)
+        case _ => None
       }
-    val lastAxis = Seq(-1L, (x.dims.length - 1).toLong)
-    require(axes.length == 1 && lastAxis.contains(axes.head),
-      s"${n.opType} supports the last axis only, got $axes")
-    val c = x.dims.last
-    val rows = x.data.length / c
+    val keepAll = attrI(n, "keepdims", 1L) == 1L
+    axes match {
+      case None =>
+        require(attrI(n, "noop_with_empty_axes", 0L) == 0L,
+          s"${n.opType} noop_with_empty_axes=1 with absent axes " +
+            "unsupported")
+        val whole = reduceRows(n, x.data, x.data.length)
+        return Tensor(
+          if (keepAll) x.dims.map(_ => 1) else Seq(1), whole)
+      case Some(a) =>
+        val lastAxis = Seq(-1L, (x.dims.length - 1).toLong)
+        require(a.length == 1 && lastAxis.contains(a.head),
+          s"${n.opType} supports the last axis (or all axes via " +
+            s"absent axes) only, got $a")
+    }
+    val out = reduceRows(n, x.data, x.dims.last)
+    Tensor(if (keepAll) x.dims.init :+ 1 else x.dims.init, out)
+  }
+
+  /** Rows of length `c` folded to one value each per `n.opType`. */
+  private def reduceRows(n: Node, data: Array[Float],
+      c: Int): Array[Float] = {
+    val rows = data.length / c
     val out = new Array[Float](rows)
     var r = 0
     while (r < rows) {
@@ -365,7 +386,7 @@ final class OnnxModel(val graph: Onnx.Graph) {
       }
       var j = 0
       while (j < c) {
-        val v = x.data(r * c + j)
+        val v = data(r * c + j)
         n.opType match {
           case "ReduceMax" => if (v > acc) acc = v
           case "ReduceMin" => if (v < acc) acc = v
@@ -377,8 +398,7 @@ final class OnnxModel(val graph: Onnx.Graph) {
         if (n.opType == "ReduceMean") (acc / c).toFloat else acc.toFloat
       r += 1
     }
-    val keep = attrI(n, "keepdims", 1L) == 1L
-    Tensor(if (keep) x.dims.init :+ 1 else x.dims.init, out)
+    out
   }
 
   /** ONNX Tile: repeat each axis `repeats(i)` times; output index
@@ -1003,7 +1023,9 @@ final class OnnxModel(val graph: Onnx.Graph) {
                   tap(base, x0, y0 + 1) * (1 - fx) * fy +
                   tap(base, x0 + 1, y0 + 1) * fx * fy
               } else
-                tap(base, math.round(px).toInt, math.round(py).toInt)
+                // nearest rounds half-to-even (rint), matching the
+                // reference runtime — same convention as Round
+                tap(base, math.rint(px).toInt, math.rint(py).toInt)
             out((b * c + ch) * oh * ow + oy * ow + ox) = v.toFloat
             ch += 1
           }

@@ -168,44 +168,40 @@ final case class TextDetectionFilter(cellSize: Int = 8,
 
   /** One [N, 3, S, S] forward for the batch's decodable images, then
     * per-image score-map threshold + run merge back in original
-    * pixel coordinates. */
+    * pixel coordinates. Model load / forward / shape errors THROW
+    * and fail the task (the OnnxScoreFilter contract: per-row errors
+    * are for bad DATA — a broken model over a 100M-image corpus must
+    * not complete "successfully" as 100M error rows). */
   private def detectOnnx(path: String,
       decoded: Seq[Either[String, BufferedImage]])
       : Seq[Either[String, Seq[(Int, Int, Int, Int)]]] = {
     val imgs = decoded.collect { case Right(img) => img }
     if (imgs.isEmpty) return decoded.map(_.map(_ => Nil))
-    try {
-      val model = graft.onnx.OnnxModel.forPath(path, hadoopConf.get())
-      val tensors = imgs.map(
-        PixelTensors.chw(_, inputSize, inputSize, grayscale = false))
-      val out = model.forward(graft.onnx.Onnx.Tensor(
-        Seq(imgs.length, 3, inputSize, inputSize),
-        tensors.flatten.toArray))
-      // accept [N, 1, h, w] or [N, h, w] score maps
-      val spatial = out.dims match {
-        case Seq(n, 1, h, w) if n == imgs.length => (h, w)
-        case Seq(n, h, w) if n == imgs.length => (h, w)
-        case d => throw new IllegalArgumentException(
-          s"detection model emitted dims $d for ${imgs.length} images —" +
-            " expected an [N, 1, h, w] or [N, h, w] score map")
-      }
-      val (mh, mw) = spatial
-      val per = mh * mw
-      val boxesPerImg = imgs.zipWithIndex.map { case (img, i) =>
-        val hot = Array.tabulate(mh, mw)((y, x) =>
-          out.data(i * per + y * mw + x) >= mapThreshold)
-        OcrFilters.runsToBoxes(hot,
-          img.getWidth.toDouble / mw, img.getHeight.toDouble / mh,
-          img.getWidth, img.getHeight)
-      }
-      val it = boxesPerImg.iterator
-      decoded.map(_.map(_ => it.next()))
-    } catch {
-      case e: Exception =>
-        // model-level failure fails the whole batch's rows loudly
-        decoded.map(_.flatMap(_ => Left(e.toString): Either[String,
-          Seq[(Int, Int, Int, Int)]]))
+    val model = graft.onnx.OnnxModel.forPath(path, hadoopConf.get())
+    val tensors = imgs.map(
+      PixelTensors.chw(_, inputSize, inputSize, grayscale = false))
+    val out = model.forward(graft.onnx.Onnx.Tensor(
+      Seq(imgs.length, 3, inputSize, inputSize),
+      tensors.flatten.toArray))
+    // accept [N, 1, h, w] or [N, h, w] score maps
+    val spatial = out.dims match {
+      case Seq(n, 1, h, w) if n == imgs.length => (h, w)
+      case Seq(n, h, w) if n == imgs.length => (h, w)
+      case d => throw new IllegalArgumentException(
+        s"detection model emitted dims $d for ${imgs.length} images —" +
+          " expected an [N, 1, h, w] or [N, h, w] score map")
     }
+    val (mh, mw) = spatial
+    val per = mh * mw
+    val boxesPerImg = imgs.zipWithIndex.map { case (img, i) =>
+      val hot = Array.tabulate(mh, mw)((y, x) =>
+        out.data(i * per + y * mw + x) >= mapThreshold)
+      OcrFilters.runsToBoxes(hot,
+        img.getWidth.toDouble / mw, img.getHeight.toDouble / mh,
+        img.getWidth, img.getHeight)
+    }
+    val it = boxesPerImg.iterator
+    decoded.map(_.map(_ => it.next()))
   }
 
   private[operators] def detect(img: BufferedImage)
@@ -318,16 +314,11 @@ final case class OcrFilter(boxesColumn: String = "text_boxes",
           boxes.map(cropTensor(img, _))
         }
         val flat = crops.flatten
+        // model load / forward / class-count errors THROW and fail
+        // the task (the OnnxScoreFilter contract) — per-row errors
+        // above are for bad DATA only
         val texts: Seq[String] =
-          if (flat.isEmpty) Nil
-          else try recognizeOnnx(path, flat)
-          catch { case e: Exception =>
-            // loud per-row failure below
-            return prepped.map {
-              case Left(err) => Some(err)
-              case Right(_) => Some(Seq(false, null, e.toString))
-            }
-          }
+          if (flat.isEmpty) Nil else recognizeOnnx(path, flat)
         val it = texts.iterator
         prepped.map {
           case Left(err) => Some(err)

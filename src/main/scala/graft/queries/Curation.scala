@@ -846,16 +846,17 @@ object Curation {
     * Scale shape (the [[dsirWeights]] discipline): the unigram table
     * is vocab-sized (sublinear, Heaps' law) and broadcasts; the
     * BIGRAM type table grows near-linearly with the corpus, so its
-    * broadcast is SIZE-GATED — counted once (the count table is
-    * persisted bigram-type-sized, spilling, never corpus-sized), and
-    * broadcast only below [[LmBigramBroadcastMaxTypes]] types. Above
-    * the gate the ratio join degrades to a plain shuffle join on
-    * (w1, w2): one extra corpus-wide pair shuffle, but bounded driver
-    * memory at any corpus size. The word/bigram explodes stay
-    * map-side (explode preserves row locality, so the per-doc mean
-    * partial-aggregates before the one narrow per-doc shuffle), and
-    * the scoring-pass bigram stream is re-derived from the narrow
-    * (doc_id, text) scan. */
+    * broadcast is SIZE-GATED on the free upper bound v² (v = unigram
+    * vocab size, already computed for smoothing — no extra counting
+    * pass, nothing bigram-sized persisted): broadcast only when
+    * v² ≤ [[LmBigramBroadcastMaxTypes]]. Above the gate the ratio
+    * join degrades to a plain shuffle join on (w1, w2): one extra
+    * corpus-wide pair shuffle, but bounded driver memory at any
+    * corpus size. The word/bigram explodes stay map-side (explode
+    * preserves row locality, so the per-doc mean partial-aggregates
+    * before the one narrow per-doc shuffle), and the scoring-pass
+    * bigram stream is re-derived from the narrow (doc_id, text)
+    * scan. */
   def lmFluency(spark: SparkSession, dir: String): DataFrame =
     lmFluency(spark, dir, LmBigramBroadcastMaxTypes)
 
@@ -883,13 +884,7 @@ object Curation {
       .persist() // vocab-sized: totals aggregate + two ratio joins
     val tot = uni.agg(coalesce(sum(col("nw")), lit(0L)), count(lit(1))).head()
     val (totW, v) = (tot.getLong(0), tot.getLong(1))
-    // bigram-type-sized (near-linear in corpus): persist so the gate
-    // count and the ratio join share one counting pass over the
-    // corpus-sized pair explode
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
-      .persist()
-    val nBig = big.count()
-    val terms = big
+    val terms = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
       .join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
       .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
       .select(col("w1"), col("w2"),
@@ -897,8 +892,17 @@ object Curation {
           ((col("n2") + lit(1L)) / lit(totW + v))).as("r"))
       .select(col("w1"), col("w2"),
         ((col("r") - lit(1.0)) / (col("r") + lit(1.0))).as("term"))
+    // gate on the FREE upper bound v² (v = unigram vocab, already an
+    // action above) rather than counting bigram types: no extra
+    // corpus pass and nothing bigram-sized to persist (a persisted
+    // count table would leak for the session — the returned plan
+    // keeps referencing it, so the caller can never unpersist).
+    // Conservative by design: a corpus whose true type count is far
+    // below v² loses the broadcast, never the other way round.
     val build =
-      if (nBig <= broadcastMaxTypes) broadcast(terms) else terms
+      if (v <= math.sqrt(broadcastMaxTypes.toDouble).toLong)
+        broadcast(terms)
+      else terms
     pairs.join(build, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(r6(avg(col("term"))).as("lm_score"))

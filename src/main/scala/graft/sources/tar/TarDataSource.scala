@@ -233,7 +233,7 @@ case class TarReaderFactory(required: StructType,
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TarInputPartition]
     if (TarTable.isCompressed(p.archivePath))
-      new TarStreamReader(p, required, conf)
+      new TarStreamReader(p, required, conf, chunkHuge, chunkBytes)
     else new TarSplitReader(p, required, conf, chunkHuge, chunkBytes)
   }
 }
@@ -640,7 +640,9 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
   * price of .tgz shards, which is why the writers emit plain .tar).
   */
 class TarStreamReader(part: TarInputPartition, required: StructType,
-    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+    conf: SerializableHadoopConf, chunkHuge: Boolean = false,
+    chunkBytes: Long = graft.sources.TarChunks.DefaultChunkBytes)
+    extends PartitionReader[InternalRow] {
 
   private val needContent = required.fieldNames.contains("content")
   private val fieldOrder = required.fieldNames.toSeq
@@ -656,14 +658,67 @@ class TarStreamReader(part: TarInputPartition, required: StructType,
   }
   private var current: InternalRow = _
 
+  // in-flight huge member being emitted as chunk rows
+  // (hugeMemberMode=chunks — works on the stream too: chunks arrive
+  // sequentially as the decompressor produces them)
+  private var chunkName: String = null
+  private var chunkBase = 0L // decompressed-stream offset of the payload
+  private var chunkTotal = 0L
+  private var chunkNext = 0L
+
+  /** Read and emit the next sequential chunk of the in-flight huge
+    * member; same row contract as the split reader's chunk rows
+    * (`size` = this row's bytes, `offset` = payload start + chunk
+    * offset — a decompressed-stream offset here). */
+  private def emitStreamChunk(): Unit = {
+    val want = math.min(chunkBytes, chunkTotal - chunkNext).toInt
+    val bytes = new Array[Byte](want)
+    var got = 0
+    var n = 0
+    while (got < want && n >= 0) {
+      n = in.read(bytes, got, want - got)
+      if (n > 0) got += n
+    }
+    require(got == want,
+      s"truncated tar entry $chunkName in ${part.archivePath}: " +
+        s"expected $want more bytes at chunk offset $chunkNext, got $got")
+    val values = fieldOrder.map {
+      case "archive" => UTF8String.fromString(part.archivePath)
+      case "member" => UTF8String.fromString(chunkName)
+      case "size" => want.toLong
+      case "offset" => chunkBase + chunkNext
+      case "content" => bytes
+    }
+    current = InternalRow.fromSeq(values)
+    chunkNext += want
+    if (chunkNext >= chunkTotal) chunkName = null
+  }
+
   override def next(): Boolean = {
+    if (chunkName != null) { emitStreamChunk(); return true }
     var entry = in.getNextEntry
     while (entry != null && !entry.isFile) entry = in.getNextEntry
     if (entry == null) { current = null; return false }
     // bytes consumed so far in the DECOMPRESSED tar stream = this
-    // entry's data start (header just finished); informational only —
-    // gzip allows no pread, so TarChunks rejects compressed archives
+    // entry's data start (header just finished) — the chunk-offset
+    // base; gzip allows no pread, so TarChunks rejects compressed
+    // archives and chunk rows here are produced sequentially instead
     val dataOff = in.getBytesRead
+    if (needContent && chunkHuge && entry.getSize > chunkBytes) {
+      chunkName = entry.getName
+      chunkBase = dataOff
+      chunkTotal = entry.getSize
+      chunkNext = 0L
+      emitStreamChunk()
+      return true
+    }
+    if (needContent && entry.getSize > Int.MaxValue - 8)
+      throw new java.io.IOException(
+        s"tar member payload too large for one row: ${entry.getSize} " +
+          s"bytes in ${part.archivePath} — re-read with " +
+          ".option(\"hugeMemberMode\", \"chunks\") to emit it as " +
+          "sequential content-range rows (gzip archives stream; " +
+          "re-shard to plain .tar for the distributed fetch)")
     val content: Array[Byte] =
       if (!needContent) null
       else {

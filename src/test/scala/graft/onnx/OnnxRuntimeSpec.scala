@@ -339,13 +339,29 @@ class OnnxRuntimeSpec extends AnyFunSuite {
   test("ReduceMean over the last axis, keepdims on and off") {
     def g(keep: Long) = model(
       nodes = Seq(node("ReduceMean", Seq("x"), Seq("y"),
-        Seq(attrInt("keepdims", keep)))),
+        Seq(attrInts("axes", Seq(-1L)), attrInt("keepdims", keep)))),
       inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
     val x = Onnx.Tensor(Seq(2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f))
     val kept = OnnxModel.parseBytes(g(1L)).forward(x)
     assert(kept.dims == Seq(2, 1) && kept.data.toSeq == Seq(2f, 5f))
     val dropped = OnnxModel.parseBytes(g(0L)).forward(x)
     assert(dropped.dims == Seq(2) && dropped.data.toSeq == Seq(2f, 5f))
+  }
+
+  test("Reduce with ABSENT axes reduces over ALL axes (ONNX default)") {
+    // x.sum() exports as ReduceSum with no axes at all — the result
+    // is a global scalar, not per-row values
+    def g(op: String, keep: Long) = model(
+      nodes = Seq(node(op, Seq("x"), Seq("y"),
+        Seq(attrInt("keepdims", keep)))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val x = Onnx.Tensor(Seq(2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f))
+    val s = OnnxModel.parseBytes(g("ReduceSum", 0L)).forward(x)
+    assert(s.dims == Seq(1) && s.data.toSeq == Seq(21f))
+    val m = OnnxModel.parseBytes(g("ReduceMean", 1L)).forward(x)
+    assert(m.dims == Seq(1, 1) && m.data.toSeq == Seq(3.5f))
+    val mx = OnnxModel.parseBytes(g("ReduceMax", 0L)).forward(x)
+    assert(mx.data.toSeq == Seq(6f))
   }
 
   test("Conv: basic 2x2 kernel with bias, hand-computed") {

@@ -51,7 +51,8 @@ class ClipLabelsOnnxSpec extends AnyFunSuite {
       TestOnnx.node("Transpose", Seq("g"), Seq("t"),
         Seq(TestOnnx.attrInts("perm", Seq(0L, 2L, 1L)))),
       TestOnnx.node("ReduceMean", Seq("t"), Seq("y"),
-        Seq(TestOnnx.attrInt("keepdims", 0L)))),
+        Seq(TestOnnx.attrInts("axes", Seq(-1L)),
+          TestOnnx.attrInt("keepdims", 0L)))),
     inits = Seq(TestOnnx.tensor("emb", Seq(V, E),
       (0 until V * E).map(i =>
         (((i * 2654435761L) % 13) - 6).toFloat * 0.15f))),

@@ -164,7 +164,8 @@ class OcrOnnxSpec extends SparkSpec {
     assert(again("text1.png") == t1)
   }
 
-  test("model failure is loud per-row, not a crash or a silent digest") {
+  test("model failure fails the TASK loudly — never a silent digest " +
+      "or a corpus of error rows") {
     // recognizer head with an impossible class count for the alphabet
     val bad = TestOnnx.model(
       nodes = Seq(
@@ -180,12 +181,15 @@ class OcrOnnxSpec extends SparkSpec {
     val o = new FileOutputStream(f)
     try o.write(bad.toArray) finally o.close()
     val ocr = OcrFilter(modelPath = Some(f.getAbsolutePath))
-    val res = ocr.processBatch(Seq(FilterInput("k",
-      Map(graft.core.Modality.Image.name -> png(page(Seq(8)))),
-      Map("text_boxes" -> "[[4,8,60,14]]"))))
-    val row = res.head.get
-    assert(row(0) == false)
-    assert(row(2).asInstanceOf[String].contains("classes"),
-      s"expected a loud class-count error, got: ${row(2)}")
+    // the OnnxScoreFilter contract: a broken MODEL fails the task
+    // (per-row errors are reserved for bad data) — a typo'd model
+    // over a 100M-image corpus must not "succeed" as error rows
+    val e = intercept[Exception] {
+      ocr.processBatch(Seq(FilterInput("k",
+        Map(graft.core.Modality.Image.name -> png(page(Seq(8)))),
+        Map("text_boxes" -> "[[4,8,60,14]]"))))
+    }
+    assert(e.getMessage.contains("classes"),
+      s"expected a loud class-count error, got: ${e.getMessage}")
   }
 }

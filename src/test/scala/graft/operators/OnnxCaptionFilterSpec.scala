@@ -86,7 +86,8 @@ class OnnxCaptionFilterSpec extends SparkSpec {
       TestOnnx.node("Transpose", Seq("g"), Seq("gt"),
         Seq(TestOnnx.attrInts("perm", Seq(0L, 2L, 1L)))),
       TestOnnx.node("ReduceMean", Seq("gt"), Seq("cm"),
-        Seq(TestOnnx.attrInt("keepdims", 1L))),
+        Seq(TestOnnx.attrInts("axes", Seq(-1L)),
+          TestOnnx.attrInt("keepdims", 1L))),
       TestOnnx.node("Transpose", Seq("cm"), Seq("ctx0"),
         Seq(TestOnnx.attrInts("perm", Seq(0L, 2L, 1L)))),
       // amplified so a one-token prompt difference (1/L of the mean)

@@ -55,6 +55,27 @@ class TarGzipSpec extends SparkSpec {
     assert(df.count() == entries.length.toLong)
   }
 
+  test("hugeMemberMode=chunks works on gzip streams: sequential " +
+      "chunk rows reassemble byte-identically") {
+    val d = Files.createTempDirectory("graft-tgz-chunks").toFile
+    val big = Array.tabulate[Byte](5000)(k => ((k * 131) % 251).toByte)
+    writeTar(new File(d, "0.tar.gz"), gz = true,
+      Seq("big.bin" -> big, "small.bin" -> Array[Byte](1, 2, 3)))
+    val rows = spark.read.format("tar")
+      .option("hugeMemberMode", "chunks").option("chunkBytes", "512")
+      .load(d.getPath).collect()
+    val bigRows = rows.filter(_.getAs[String]("member") == "big.bin")
+    assert(bigRows.length == 10, s"expected 10 chunk rows")
+    val reassembled = bigRows.sortBy(_.getAs[Long]("offset"))
+      .flatMap(_.getAs[Array[Byte]]("content"))
+    assert(reassembled.sameElements(big))
+    assert(bigRows.map(_.getAs[Long]("size")).sum == big.length.toLong)
+    val smallRows = rows.filter(_.getAs[String]("member") == "small.bin")
+    assert(smallRows.length == 1 &&
+      smallRows.head.getAs[Array[Byte]]("content")
+        .sameElements(Array[Byte](1, 2, 3)))
+  }
+
   test("mixed plain and compressed shard directories read together") {
     val d = Files.createTempDirectory("graft-tgz-mixed").toFile
     writeTar(new File(d, "0.tar"), gz = false, entries.take(10))
