@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
-import graft.queries.Num.{r6, sqlR}
+import graft.queries.Num.{r2, r6, sqlR}
 
 /** Dataset-curation operators over `documents` — the train-set
   * assembly steps of an LLM data pipeline (no analog in the
@@ -54,6 +54,111 @@ object Curation {
          CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
            % $SplitBuckets AS b
          FROM documents)
+       GROUP BY 1"""
+
+  /** Char budget for [[mixEpochs]]' mixture plan. */
+  val MixBudgetChars = 2000000L
+  /** Repeat cap: no source contributes more than 4 epochs of itself
+    * (the standard small-source up-sampling limit — past ~4 repeats,
+    * memorization outpaces the mixture gain). */
+  val MaxMixEpochs = 4.0
+
+  /** Data-mixture EPOCH planning (the DoReMi/Pile-style recipe step:
+    * given target mixture weights and what each source actually has,
+    * how many times does each source repeat?): weights here are doc-
+    * count shares, target chars = weight · [[MixBudgetChars]], epochs
+    * = target / available capped at [[MaxMixEpochs]], effective chars
+    * = what the cap leaves. Every cross-row aggregate is INTEGER
+    * (doc/char counts) and every double derives from the same integer
+    * divisions on both engines — no float-summation-order exposure.
+    * One map-side-combined groupBy over sources + a scalar total;
+    * nothing corpus-sized moves. */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+    val totDocs = per.agg(coalesce(sum(col("n_docs")), lit(0L)))
+      .head().getLong(0)
+    val target = (col("n_docs") * lit(MixBudgetChars)).cast("double") /
+      lit(totDocs.toDouble)
+    per
+      .withColumn("weight", r6(col("n_docs") / lit(totDocs.toDouble)))
+      .withColumn("epochs",
+        r6(least(lit(MaxMixEpochs), target / col("chars"))))
+      .withColumn("eff_chars",
+        r2(least(target, lit(MaxMixEpochs) * col("chars"))))
+      .select(col("source"), col("n_docs"), col("chars"),
+        col("weight"), col("epochs"), col("eff_chars"))
+  }
+
+  val mixEpochsSql: String =
+    s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td FROM per)
+       SELECT source, n_docs, chars,
+         ${sqlR("n_docs / (td * 1.0)", 6)} AS weight,
+         ${sqlR(
+        s"least($MaxMixEpochs, ((n_docs * $MixBudgetChars) * 1.0 / td) / chars)",
+        6)} AS epochs,
+         ${sqlR(
+        s"least((n_docs * $MixBudgetChars) * 1.0 / td, $MaxMixEpochs * chars)",
+        2)} AS eff_chars
+       FROM per CROSS JOIN tot"""
+
+  /** Dataset snapshot DIFF — the audit a versioned corpus runs
+    * between ingests ("what changed since v1?"): a deterministic v2
+    * is derived from the same table (md5-die bucket 0 of 20 deleted,
+    * bucket 1 grows by 1000 chars, bucket 2 re-ingested under fresh
+    * ids), then ONE full-outer join on doc_id classifies every key
+    * as added / removed / changed / unchanged and aggregates counts
+    * + the signed char delta. All integers; the join is the only
+    * shuffle and both sides are id+chars-narrow. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = t(spark, dir, "documents").select(col("doc_id"),
+      col("n_chars").cast("long").as("n1"))
+    val die = pmod(hash32(col("doc_id").cast("string")), lit(20))
+    val v2base = v1.withColumn("b", die)
+    val v2 = v2base.filter(col("b") =!= 0)
+      .select(col("doc_id"),
+        when(col("b") === 1, col("n1") + 1000L).otherwise(col("n1"))
+          .as("n2"))
+      .unionAll(v2base.filter(col("b") === 2)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("n1").as("n2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("n1").isNull, "added")
+          .when(col("n2").isNull, "removed")
+          .when(col("n1") =!= col("n2"), "changed")
+          .otherwise("unchanged").as("side"),
+        (coalesce(col("n2"), lit(0L)) - coalesce(col("n1"), lit(0L)))
+          .as("delta"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("delta")).cast("long").as("delta_chars"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, n_chars::BIGINT AS n1 FROM documents),
+       d AS (SELECT doc_id, n1,
+         CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+           % 20 AS b FROM v1),
+       v2 AS (SELECT doc_id,
+                CASE WHEN b = 1 THEN n1 + 1000 ELSE n1 END AS n2
+              FROM d WHERE b <> 0
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, n1 AS n2
+              FROM d WHERE b = 2)
+       SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                   WHEN v2.doc_id IS NULL THEN 'removed'
+                   WHEN n1 <> n2 THEN 'changed'
+                   ELSE 'unchanged' END AS side,
+         count(*)::BIGINT AS n_keys,
+         CAST(sum(coalesce(n2, 0) - coalesce(n1, 0)) AS BIGINT)
+           AS delta_chars
+       FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
        GROUP BY 1"""
 
   /** Target bucket count for the packing cumsum. Pack ids are
@@ -1083,6 +1188,8 @@ object Curation {
     "q_sample_stratified" -> (sampleStratified _),
     "q_weighted_sample" -> (weightedSample _),
     "q_split_assign" -> (splitAssign _),
+    "q_mix_epochs" -> (mixEpochs _),
+    "q_snapshot_diff" -> (snapshotDiff _),
     "q_pack_sequences" -> (packSequences _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_ngram" -> (decontaminateNgram _),
@@ -1102,6 +1209,8 @@ object Curation {
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_split_assign" -> splitAssignSql,
+    "q_mix_epochs" -> mixEpochsSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_ngram" -> decontaminateNgramSql,

@@ -981,7 +981,35 @@ object TextAnalysis {
          md5(red) AS fp
        FROM r"""
 
+  /** Power-of-two document-length histogram — the power-law sanity
+    * check a corpus profile opens with (a web crawl's length
+    * distribution should decay smoothly; a spike in one bucket marks
+    * truncation or boilerplate). Bucket = ⌊log₂ n_chars⌋ computed in
+    * INTEGER space as length(bin(n)) − 1 — both engines strip
+    * leading zeros from bin(), so no libm log in the key. One
+    * map-side-combined groupBy; the histogram is ≤ 63 rows at any
+    * corpus size. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(t(spark, dir, "documents"))
+      .filter(col("n_chars") >= 1)
+      .withColumn("bucket",
+        (length(bin(col("n_chars"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+
+  val lengthHistogramSql: String =
+    """SELECT length(bin(n_chars)) - 1 AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents WHERE n_chars >= 1 GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "q_length_histogram" -> (lengthHistogram _),
     "q_tfidf_keywords" -> (tfidfKeywords _),
     "q_bm25_topk" -> (bm25TopK _),
     "q_bm25_join" -> (bm25TopKJoin _),
@@ -1003,6 +1031,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_length_histogram" -> lengthHistogramSql,
     "q_tfidf_keywords" -> tfidfKeywordsSql,
     "q_bm25_topk" -> bm25TopKSql,
     // postings-join plan ≡ column plan: same oracle verbatim — the
