@@ -86,6 +86,21 @@ object TarChunksProbe {
     }
     println(s"bytes=${stats.getLong(0)} tasks=${stats.getLong(1)} " +
       s"chunks=${stats.getLong(2)}")
+    // (c) inline hugeMemberMode=chunks: same scan, no manual branch —
+    // rows still originate in the header-owning task but each is
+    // ≤ chunkBytes (row-size safe); compare against (a) and (b)
+    val inline = timed(s"hugeMemberMode=chunks inline read") {
+      spark.read.format("tar")
+        .option("hugeMemberMode", "chunks")
+        .option("chunkBytes", (chunkMb.toLong * 1024 * 1024).toString)
+        .load(tarPath.getPath)
+        .select(sum(length(col("content"))).as("bytes"),
+          count(lit(1)).as("rows"))
+        .collect().head
+    }
+    println(s"inline bytes=${inline.getLong(0)} rows=${inline.getLong(1)}")
+    require(inline.getLong(0) == stats.getLong(0),
+      "inline chunk bytes must equal the TarChunks path")
     spark.stop()
   }
 }

@@ -151,6 +151,51 @@ object EventStreams {
       }
   }
 
+  /** Latest-version state/output row of [[compactStream]]. */
+  final case class LatestVersion(user_id: Long, event_type: String,
+      last_event_id: Long, last_us: Long, last_value: Double,
+      n_versions: Long)
+
+  /** Streaming CDC / upsert compaction — the unbounded twin of
+    * [[graft.queries.TimeSeries.eventsCompact]]: per (user_id,
+    * event_type) key, state holds the LATEST record (µs-truncated ts
+    * with event_id tiebreak — the batch query's exact cross-engine
+    * ordering convention) plus the version count; every micro-batch
+    * that touches a key emits its then-current latest row (Update
+    * mode), so the final row per key equals the batch compaction of
+    * everything ingested. State is one fixed-width record per LIVE
+    * KEY — the natural bound of a keep-latest table (it IS the
+    * compacted table) — and n_versions grows monotonically per key,
+    * which is what lets a downstream consumer pick each key's final
+    * row without ordering guarantees. */
+  def compactStream(events: DataFrame): Dataset[LatestVersion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events.as[Event]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[LatestVersion, LatestVersion](
+        GroupStateTimeout.NoTimeout) {
+        case ((user, typ), it, state) =>
+          var cur = state.getOption.getOrElse(
+            LatestVersion(user, typ, Long.MinValue, Long.MinValue,
+              0.0, 0L))
+          it.foreach { e =>
+            val us = toUs(e.ts)
+            val newer = us > cur.last_us ||
+              (us == cur.last_us && e.event_id > cur.last_event_id)
+            cur = LatestVersion(user, typ,
+              if (newer) e.event_id else cur.last_event_id,
+              if (newer) us else cur.last_us,
+              if (newer) e.value else cur.last_value,
+              cur.n_versions + 1)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Run a bounded backfill of a streaming query into an in-memory
     * table and block until complete — the test/verification harness
     * (AvailableNow processes all existing files then stops, so the
