@@ -50,6 +50,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("q_events_rolling: ONE exchange serves the grain aggregate " +
+      "and the RANGE window") {
+    val p = plan(TimeSeries.eventsRolling(spark, dir))
+    assert(p.contains("Window"), p.take(1500))
+    // hash(user_id) satisfies both the (user, day) grouping and the
+    // window partitioning — a second grain-sized exchange is the
+    // measured 2.3× regression (RollProbe, NOTES.md)
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p.take(2000))
+  }
+
   test("q_grouping_sets expands in a single aggregation pass") {
     val p = plan(Relational.groupingSetsAgg(spark, dir))
     assert(p.contains("Expand"), p.take(1500))
