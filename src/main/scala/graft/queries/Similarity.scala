@@ -1179,7 +1179,144 @@ object Similarity {
        SELECT cluster, vec_id, rk::BIGINT AS rk, csim FROM r
        WHERE rk <= $ProtoKeep"""
 
+  /** Vectors whose SQ8 codes [[sq8Encode]] emits (bounds the oracle
+    * row count; every vector is encoded in [[sq8Recall]]). */
+  val Sq8SampleVecs = 50
+
+  /** Per-dimension corpus min/max — the SQ8 codebook (64 rows at any
+    * corpus size; one map-side-combined aggregate). */
+  private def sq8Dims(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .select(posexplode(col("v")))
+      .groupBy((col("pos") + 1).as("d"))
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+
+  /** Exploded SQ8 codes for every vector: code_d = round-half-up of
+    * (x − min_d) · 255 / (max_d − min_d), clamped to [0, 255]
+    * (constant dimensions encode 0). floor(u + 0.5) keeps the
+    * rounding identical on both engines (no banker's-rounding
+    * divergence); everything downstream of the codes is INTEGER. */
+  private def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    e.select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), (col("pos") + 1).as("d"), col("col").as("x"))
+      .join(broadcast(sq8Dims(spark, dir)), Seq("d"))
+      .select(col("vec_id"), col("d"),
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(lit(255.0), greatest(lit(0.0),
+            floor((col("x") - col("mn")) * 255.0 /
+              (col("mx") - col("mn")) + 0.5))).cast("long"))
+          .as("code"))
+  }
+
+  private val sqlSq8CodesCte: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       ds AS (SELECT ud.d, min(e.v[ud.d]) AS mn, max(e.v[ud.d]) AS mx
+              FROM e CROSS JOIN
+                (SELECT unnest(generate_series(1, $Dim)) AS d) ud
+              GROUP BY 1),
+       codes AS (SELECT e.vec_id, ds.d,
+           CASE WHEN ds.mx = ds.mn THEN 0
+                ELSE CAST(least(255, greatest(0,
+                  floor((e.v[ds.d] - ds.mn) * 255 / (ds.mx - ds.mn)
+                    + 0.5))) AS BIGINT) END AS code
+         FROM e CROSS JOIN ds)"""
+
+  /** SQ8 scalar quantization — the memory-bandwidth ANN path PQ does
+    * not cover (4 bits/dim-class coarser than PQ's codebooks but with
+    * NO codebook training and exact per-dim dequantization bounds;
+    * FAISS's SQ8 index family): emit the integer codes for the
+    * sample. At 100 TB the codes pack 64 B/vector vs 512 B of
+    * doubles — an 8× scan-bandwidth cut for brute-force reranking. */
+  def sq8Encode(spark: SparkSession, dir: String): DataFrame =
+    sq8Codes(spark, dir).filter(col("vec_id") < Sq8SampleVecs)
+      .select(col("vec_id"), col("d"), col("code"))
+
+  val sq8EncodeSql: String =
+    s"""$sqlSq8CodesCte
+       SELECT vec_id, d, code FROM codes WHERE vec_id < $Sq8SampleVecs"""
+
+  /** SQ8 search quality: top-[[TopK]] by integer L2² over codes vs
+    * the exact float-L2 top-k, per query — the recall number that
+    * decides whether the 8× bandwidth cut is free. Code distances
+    * are INTEGER (no float exposure); the exact baseline uses the
+    * r6'd index-ordered square sum both engines reproduce. The
+    * relational (d-join) code distance is the oracle-friendly
+    * formulation; a production path packs codes into binary and
+    * fuses the distance like [[graft.functions.expressions
+    * .AdcDistance]]. */
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val codes = sq8Codes(spark, dir)
+    val qc = codes.filter(col("vec_id") < NumQueries)
+      .select(col("d"), col("vec_id").as("query_id"),
+        col("code").as("qcode"))
+    val d2 = codes.join(broadcast(qc), Seq("d"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum((col("qcode") - col("code")) * (col("qcode") - col("code")))
+        .cast("long").as("d2"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id"))
+    val sq8Top = d2.withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exactD = r6(aggregate(
+      zip_with(col("qv"), col("v"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, z) => acc + z))
+    val wX = Window.partitionBy(col("query_id"))
+      .orderBy(col("xd").asc, col("vec_id"))
+    val exactTop = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("xd", exactD)
+      .withColumn("rk", row_number().over(wX))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"))
+    exactTop.join(sq8Top, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_overlap"),
+        r6(count(col("hit")) / lit(TopK.toDouble)).as("recall"))
+  }
+
+  val sq8RecallSql: String =
+    s"""$sqlSq8CodesCte,
+       qc AS (SELECT d, vec_id AS query_id, code AS qcode FROM codes
+              WHERE vec_id < $NumQueries),
+       sd AS (SELECT qc.query_id, c.vec_id,
+                CAST(sum((qc.qcode - c.code) * (qc.qcode - c.code))
+                  AS BIGINT) AS d2
+              FROM codes c JOIN qc ON c.d = qc.d
+              WHERE c.vec_id <> qc.query_id GROUP BY 1, 2),
+       sr AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+                FROM sd) WHERE rk <= $TopK),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id < $NumQueries),
+       xd AS (SELECT q.query_id, e2.vec_id,
+               ${sqlR(
+        s"""coalesce(list_sum(list_transform(generate_series(1, $Dim),
+             j -> (q.qv[j] - e2.v[j]) * (q.qv[j] - e2.v[j]))), 0)""", 6)}
+                 AS xd
+             FROM e e2 CROSS JOIN q WHERE e2.vec_id <> q.query_id),
+       xr AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY xd, vec_id) AS rk
+                FROM xd) WHERE rk <= $TopK)
+       SELECT xr.query_id,
+         count(sr.vec_id)::BIGINT AS n_overlap,
+         ${sqlR(s"count(sr.vec_id) / ($TopK * 1.0)", 6)} AS recall
+       FROM xr LEFT JOIN sr
+         ON xr.query_id = sr.query_id AND xr.vec_id = sr.vec_id
+       GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "q_sq8_encode" -> (sq8Encode _),
+    "q_sq8_recall" -> (sq8Recall _),
     "q_cluster_prototypes" -> (clusterPrototypes _),
     "q_embed_drift" -> (embedDrift _),
     "q_hard_negatives" -> (hardNegatives _),
@@ -1201,6 +1338,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sq8_encode" -> sq8EncodeSql,
+    "q_sq8_recall" -> sq8RecallSql,
     "q_cluster_prototypes" -> clusterPrototypesSql,
     "q_embed_drift" -> embedDriftSql,
     "q_hard_negatives" -> hardNegativesSql,
