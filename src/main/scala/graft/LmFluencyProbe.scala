@@ -47,11 +47,15 @@ object LmFluencyProbe {
            (x, y) -> struct(x AS w1, y AS w2))""")).as("z"))
       .select("z.w1", "z.w2").distinct().count()
     val gate = graft.queries.Curation.LmBigramBroadcastMaxTypes
-    // mirror lmFluency's actual rule: broadcast iff v² <= gate
-    // (v = distinct unigrams — the free bound; nBig printed for the
-    // growth evidence)
+    // mirror lmFluency's actual rule: broadcast iff v² <= gate, with
+    // v the MEASURED distinct-unigram count (the generator parameter
+    // overstates it when few draws land; nBig printed for the growth
+    // evidence)
+    val vMeasured = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").select("w").distinct().count()
     val path =
-      if (vocab <= math.sqrt(gate.toDouble).toLong) "broadcast"
+      if (vMeasured <= math.sqrt(gate.toDouble).toLong) "broadcast"
       else "shuffle-join"
 
     val t0 = System.nanoTime()
@@ -59,7 +63,7 @@ object LmFluencyProbe {
     val checksum = out.agg(sum(hash(col("doc_id"),
       col("lm_score"))).cast("long")).head().getLong(0)
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"docs=$nDocs%,d vocab=$vocab%,d bigramTypes=$nBig%,d " +
+    println(f"docs=$nDocs%,d vocab=$vMeasured%,d bigramTypes=$nBig%,d " +
       f"gate=$gate%,d path=$path secs=$secs%.1f checksum=$checksum")
     spark.stop()
   }

@@ -375,6 +375,8 @@ final class OnnxModel(val graph: Onnx.Graph) {
   /** Rows of length `c` folded to one value each per `n.opType`. */
   private def reduceRows(n: Node, data: Array[Float],
       c: Int): Array[Float] = {
+    require(c > 0,
+      s"${n.opType} over an empty tensor/axis is undefined here")
     val rows = data.length / c
     val out = new Array[Float](rows)
     var r = 0

@@ -118,6 +118,11 @@ object Curation {
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val v1 = t(spark, dir, "documents").select(col("doc_id"),
       col("n_chars").cast("long").as("n1"))
+    // fresh ids start past the corpus maximum — a fixed offset would
+    // collide with real ids on a large corpus and silently corrupt
+    // the census (and the oracle, mirroring it, would not notice)
+    val freshBase = v1.agg(coalesce(max(col("doc_id")), lit(0L)))
+      .head().getLong(0) + 1L
     val die = pmod(hash32(col("doc_id").cast("string")), lit(20))
     val v2base = v1.withColumn("b", die)
     val v2 = v2base.filter(col("b") =!= 0)
@@ -125,12 +130,16 @@ object Curation {
         when(col("b") === 1, col("n1") + 1000L).otherwise(col("n1"))
           .as("n2"))
       .unionAll(v2base.filter(col("b") === 2)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        .select((col("doc_id") + lit(freshBase)).as("doc_id"),
           col("n1").as("n2")))
-    v1.join(v2, Seq("doc_id"), "full_outer")
+    // presence markers, NOT value-column nullness: a NULL n_chars row
+    // must not read as absent (the oracle classifies on join-side
+    // doc_id nullness — these markers are its Spark equivalent)
+    v1.withColumn("p1", lit(1))
+      .join(v2.withColumn("p2", lit(1)), Seq("doc_id"), "full_outer")
       .select(
-        when(col("n1").isNull, "added")
-          .when(col("n2").isNull, "removed")
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
           .when(col("n1") =!= col("n2"), "changed")
           .otherwise("unchanged").as("side"),
         (coalesce(col("n2"), lit(0L)) - coalesce(col("n1"), lit(0L)))
@@ -145,11 +154,13 @@ object Curation {
        d AS (SELECT doc_id, n1,
          CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
            % 20 AS b FROM v1),
+       fresh AS (SELECT coalesce(max(doc_id), 0) + 1 AS base FROM v1),
        v2 AS (SELECT doc_id,
                 CASE WHEN b = 1 THEN n1 + 1000 ELSE n1 END AS n2
               FROM d WHERE b <> 0
               UNION ALL
-              SELECT doc_id + 10000000 AS doc_id, n1 AS n2
+              SELECT doc_id + (SELECT base FROM fresh) AS doc_id,
+                n1 AS n2
               FROM d WHERE b = 2)
        SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
                    WHEN v2.doc_id IS NULL THEN 'removed'

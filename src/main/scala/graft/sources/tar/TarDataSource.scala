@@ -73,7 +73,9 @@ import graft.operators.SerializableHadoopConf
   *     `chunkBytes` emit INLINE as multiple content-range rows —
   *     `size` is each row's byte count, `offset` the chunk's
   *     absolute archive offset — so mixed archives read in one scan
-  *     with no manual branch. The chunks of one member still
+  *     with no manual branch. Pruned scans emit the SAME chunk rows
+  *     as descriptor-only rows (no payload bytes touched), so row
+  *     multiplicity never depends on column pruning. The chunks of one member still
   *     originate in the task that owns its header (rows ≤ chunkBytes
   *     each, so they spill and redistribute on the next shuffle);
   *   - [[graft.sources.TarChunks.chunkedContent]] stays the fully
@@ -417,8 +419,16 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
     * offset and sums sizes to the member total. */
   private def emitChunk(): Unit = {
     val len = math.min(chunkBytes, chunkTotal - chunkNext).toInt
-    val bytes = new Array[Byte](len)
-    in.readFully(chunkBase + chunkNext, bytes, 0, len)
+    // pruned scans emit the same chunk DESCRIPTOR rows without
+    // touching payload bytes — multiplicity must not depend on which
+    // columns survive pruning (count() vs collect() would disagree)
+    val bytes =
+      if (!needContent) null
+      else {
+        val b = new Array[Byte](len)
+        in.readFully(chunkBase + chunkNext, b, 0, len)
+        b
+      }
     val values = fieldOrder.map {
       case "archive" => UTF8String.fromString(part.archivePath)
       case "member" => UTF8String.fromString(chunkName)
@@ -595,10 +605,11 @@ class TarSplitReader(part: TarInputPartition, required: StructType,
           if (nameOverride != null) nameOverride else memberName(hdr, 0)
         nameOverride = null
         sizeOverride = -1L
-        // content-projected huge members become chunk rows inline
-        // (hugeMemberMode=chunks); pruned listings never chunk — a
-        // content-less row has no row-size problem to solve
-        if (needContent && chunkHuge && size > chunkBytes) {
+        // huge members become chunk rows inline (hugeMemberMode=
+        // chunks) — in pruned scans too (descriptor rows, no bytes
+        // read), so row multiplicity is identical whichever columns
+        // survive pruning
+        if (chunkHuge && size > chunkBytes) {
           chunkName = name
           chunkBase = contentOff
           chunkTotal = size
@@ -672,16 +683,25 @@ class TarStreamReader(part: TarInputPartition, required: StructType,
     * offset — a decompressed-stream offset here). */
   private def emitStreamChunk(): Unit = {
     val want = math.min(chunkBytes, chunkTotal - chunkNext).toInt
-    val bytes = new Array[Byte](want)
-    var got = 0
-    var n = 0
-    while (got < want && n >= 0) {
-      n = in.read(bytes, got, want - got)
-      if (n > 0) got += n
-    }
-    require(got == want,
-      s"truncated tar entry $chunkName in ${part.archivePath}: " +
-        s"expected $want more bytes at chunk offset $chunkNext, got $got")
+    // pruned scans emit descriptor rows without reading the body
+    // (getNextEntry skips it) — same multiplicity rule as the split
+    // reader
+    val bytes =
+      if (!needContent) null
+      else {
+        val b = new Array[Byte](want)
+        var got = 0
+        var n = 0
+        while (got < want && n >= 0) {
+          n = in.read(b, got, want - got)
+          if (n > 0) got += n
+        }
+        require(got == want,
+          s"truncated tar entry $chunkName in ${part.archivePath}: " +
+            s"expected $want more bytes at chunk offset $chunkNext, " +
+            s"got $got")
+        b
+      }
     val values = fieldOrder.map {
       case "archive" => UTF8String.fromString(part.archivePath)
       case "member" => UTF8String.fromString(chunkName)
@@ -704,7 +724,7 @@ class TarStreamReader(part: TarInputPartition, required: StructType,
     // base; gzip allows no pread, so TarChunks rejects compressed
     // archives and chunk rows here are produced sequentially instead
     val dataOff = in.getBytesRead
-    if (needContent && chunkHuge && entry.getSize > chunkBytes) {
+    if (chunkHuge && entry.getSize > chunkBytes) {
       chunkName = entry.getName
       chunkBase = dataOff
       chunkTotal = entry.getSize

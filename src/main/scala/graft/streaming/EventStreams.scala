@@ -32,6 +32,12 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Timestamp → epoch µs — the ONE µs-truncation helper shared by
+    * every stateful operator; must stay in lockstep with the batch
+    * catalog's `ts div 1000` ordering convention. */
+  private def toUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
   /** File-based event stream: every parquet file dropped into `dir`
     * becomes a micro-batch (readStream analog of the batch reader). */
   def readEventStream(spark: SparkSession, dir: String,
@@ -108,9 +114,6 @@ object EventStreams {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def toUs(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
-
     events.withWatermark("ts", watermark).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSessions, Session](
@@ -171,8 +174,6 @@ object EventStreams {
   def compactStream(events: DataFrame): Dataset[LatestVersion] = {
     val spark = events.sparkSession
     import spark.implicits._
-    def toUs(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
     events.as[Event]
       .groupByKey(e => (e.user_id, e.event_type))
       .mapGroupsWithState[LatestVersion, LatestVersion](

@@ -118,13 +118,16 @@ class TarChunksSpec extends SparkSpec {
     val emptyRows = rows.filter(_.getAs[String]("member") == "empty.bin")
     assert(emptyRows.length == 1 &&
       emptyRows.head.getAs[Long]("size") == 0L)
-    // a pruned (no-content) scan never chunks — listings unchanged
+    // a pruned (no-content) scan emits the SAME chunk rows as
+    // descriptor-only rows — multiplicity must not depend on which
+    // columns survive pruning (else count() and collect() disagree)
     val pruned = spark.read.format("tar")
       .option("hugeMemberMode", "chunks").option("chunkBytes", "512")
       .load(dir).select("member", "size").collect()
-    assert(pruned.length == 3)
-    assert(pruned.find(_.getString(0) == "big.bin").get
-      .getLong(1) == big.length.toLong)
+    assert(pruned.length == rows.length,
+      s"pruned row count ${pruned.length} != content scan ${rows.length}")
+    assert(pruned.filter(_.getString(0) == "big.bin")
+      .map(_.getLong(1)).sum == big.length.toLong)
     // and the default mode stays one-member-one-row
     assert(spark.read.format("tar").load(dir).count() == 3L)
   }

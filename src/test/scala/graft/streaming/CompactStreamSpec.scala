@@ -88,9 +88,12 @@ class CompactStreamSpec extends SparkSpec {
     assert(streamFinal == batchFinal,
       s"stream $streamFinal\nbatch $batchFinal")
     // and the planted semantics explicitly:
-    assert(streamFinal((1L, "click")) == ((14L, 1704103500L, 5.0, 3L))
-      || streamFinal((1L, "click"))._1 == 14L,
+    assert(streamFinal((1L, "click"))._1 == 14L,
       "equal-ts tiebreak must elect the larger event_id")
+    assert(streamFinal((1L, "click"))._3 == 5.0 &&
+      streamFinal((1L, "click"))._4 == 3L,
+      "the tiebreak winner must carry its own value and the full " +
+        "version count")
     assert(streamFinal((2L, "view"))._1 == 12L,
       "an older late event must not displace the newer version")
   }
