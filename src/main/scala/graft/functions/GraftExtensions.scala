@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{AdcDistance, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
+import graft.functions.expressions.{AdcDistance, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
 import graft.operators.SerializableHadoopConf
 import graft.plans.HoistPayloadLoad
 
@@ -57,6 +57,12 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("l2_dist_sq"),
+      new ExpressionInfo(classOf[L2DistanceSq].getName, "l2_dist_sq"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "l2_dist_sq takes exactly 2 arguments")
+        L2DistanceSq(args.head, args(1))
       }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
@@ -193,6 +199,13 @@ object GraftFunctions {
     * [[VectorFunctions.cosine]]. */
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+
+  /** Codegen'd squared L2 distance (see
+    * [[graft.functions.expressions.L2DistanceSq]]); bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0d, _+_)`;
+    * requires [[register]] on the session first. */
+  def l2DistSq(a: Column, b: Column): Column =
+    call_function("l2_dist_sq", a, b)
 
   /** Fused PQ encoder (see
     * [[graft.functions.expressions.PqCodes]]); bit-identical to the

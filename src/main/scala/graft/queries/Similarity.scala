@@ -1266,9 +1266,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val exactD = r6(aggregate(
-      zip_with(col("qv"), col("v"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, z) => acc + z))
+    // native codegen'd kernel — bit-identical to the HOF
+    // aggregate(zip_with(...)) formulation (parity spec'd), which
+    // Spark would evaluate interpreted on this hottest loop
+    val exactD = r6(GraftFunctions.l2DistSq(col("qv"), col("v")))
     val wX = Window.partitionBy(col("query_id"))
       .orderBy(col("xd").asc, col("vec_id"))
     val exactTop = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
