@@ -77,5 +77,23 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
           if isDoubleArray(a) &&
             x.exprId == p.exprId && y.exprId == p.exprId =>
         DotProduct(a, a)
+
+      // aggregate(zip_with(a, b, (x, y) => (x−y)*(x−y)), 0.0, _+_)
+      // → the fused L2 kernel; both factors must be the SAME
+      // orientation ((y−x)² matches too — equal value — but the
+      // mixed (x−y)(y−x) form is the NEGATED square and must not)
+      case ArrayAggregate(
+          ZipWith(l, r, LambdaFunction(
+            Multiply(
+              Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+              Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _),
+              _),
+            Seq(p1: NamedLambdaVariable, p2: NamedLambdaVariable), _)),
+          ZeroLiteral(), SumLambda(), IdentityLambda())
+          if isDoubleArray(l) && isDoubleArray(r) &&
+            x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+            ((x1.exprId == p1.exprId && y1.exprId == p2.exprId) ||
+              (x1.exprId == p2.exprId && y1.exprId == p1.exprId)) =>
+        L2DistanceSq(l, r)
     }
 }

@@ -1315,9 +1315,83 @@ object Similarity {
          ON xr.query_id = sr.query_id AND xr.vec_id = sr.vec_id
        GROUP BY 1"""
 
+  /** Coarse-candidate count for [[annSq8Rerank]]'s first stage. */
+  val Sq8RerankCoarse = 20
+
+  /** Two-stage SQ8 search — the deployment pattern the recall audit
+    * motivates: a COARSE top-[[Sq8RerankCoarse]] scan on integer code
+    * distances (the 8×-cheaper pass that touches every vector), then
+    * an EXACT rerank of only those candidates with the native
+    * codegen'd L2 kernel to the final top-[[TopK]]. Full vectors
+    * re-attach to the bounded candidate set by key join — the
+    * candidate-semi-join discipline: doubles never ride the coarse
+    * scan, codes never ride the rerank. With coarse ≥ 4× final k the
+    * rerank recovers nearly everything the quantized scan ranked
+    * slightly wrong ([[sq8Recall]] measures what it misses at
+    * coarse = k). */
+  def annSq8Rerank(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val codes = sq8Codes(spark, dir)
+    val qc = codes.filter(col("vec_id") < NumQueries)
+      .select(col("d"), col("vec_id").as("query_id"),
+        col("code").as("qcode"))
+    val d2 = codes.join(broadcast(qc), Seq("d"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum((col("qcode") - col("code")) * (col("qcode") - col("code")))
+        .cast("long").as("d2"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id"))
+    val coarse = d2.withColumn("rk", row_number().over(wC))
+      .filter(col("rk") <= Sq8RerankCoarse)
+      .select(col("query_id"), col("vec_id"))
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("xd").asc, col("vec_id"))
+    coarse.join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("xd", r6(GraftFunctions.l2DistSq(col("qv"), col("v"))))
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("xd"))
+  }
+
+  val annSq8RerankSql: String =
+    s"""$sqlSq8CodesCte,
+       qc AS (SELECT d, vec_id AS query_id, code AS qcode FROM codes
+              WHERE vec_id < $NumQueries),
+       sd AS (SELECT qc.query_id, c.vec_id,
+                CAST(sum((qc.qcode - c.code) * (qc.qcode - c.code))
+                  AS BIGINT) AS d2
+              FROM codes c JOIN qc ON c.d = qc.d
+              WHERE c.vec_id <> qc.query_id GROUP BY 1, 2),
+       coarse AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id, row_number() OVER (
+                      PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+                    FROM sd) WHERE rk <= $Sq8RerankCoarse),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id < $NumQueries),
+       rr AS (SELECT coarse.query_id, coarse.vec_id,
+               ${sqlR(
+        s"""coalesce(list_sum(list_transform(generate_series(1, $Dim),
+             j -> (q.qv[j] - e2.v[j]) * (q.qv[j] - e2.v[j]))), 0)""", 6)}
+                 AS xd
+             FROM coarse
+             JOIN e e2 ON coarse.vec_id = e2.vec_id
+             JOIN q ON coarse.query_id = q.query_id)
+       SELECT query_id, rk, vec_id AS neighbor_id, xd FROM (
+         SELECT query_id, vec_id, xd, row_number() OVER (
+           PARTITION BY query_id ORDER BY xd, vec_id) AS rk
+         FROM rr) WHERE rk <= $TopK"""
+
   val queries: Map[String, Q] = Map(
     "q_sq8_encode" -> (sq8Encode _),
     "q_sq8_recall" -> (sq8Recall _),
+    "q_ann_sq8_rerank" -> (annSq8Rerank _),
     "q_cluster_prototypes" -> (clusterPrototypes _),
     "q_embed_drift" -> (embedDrift _),
     "q_hard_negatives" -> (hardNegatives _),
@@ -1341,6 +1415,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_sq8_encode" -> sq8EncodeSql,
     "q_sq8_recall" -> sq8RecallSql,
+    "q_ann_sq8_rerank" -> annSq8RerankSql,
     "q_cluster_prototypes" -> clusterPrototypesSql,
     "q_embed_drift" -> embedDriftSql,
     "q_hard_negatives" -> hardNegativesSql,

@@ -34,6 +34,40 @@ class RewriteHofDotProductSpec extends SparkSpec {
       math.sqrt(14.0)) < 1e-12)
   }
 
+  test("composable L2 pattern rewrites to the native L2DistanceSq") {
+    GraftFunctions.register(spark)
+    def hasNativeL2(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[
+          graft.functions.expressions.L2DistanceSq]))
+    val df = spark.range(1, 3).select(
+      transform(sequence(lit(1), lit(3)),
+        i => (col("id") * i).cast("double")).as("a"),
+      transform(sequence(lit(1), lit(3)),
+        i => (col("id") + i).cast("double")).as("b"))
+    val l2 = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z).as("d"))
+    assert(hasNativeL2(l2), l2.queryExecution.optimizedPlan.toString)
+    // id=1: a=[1,2,3], b=[2,3,4] → 1+1+1 = 3
+    // id=2: a=[2,4,6], b=[3,4,5] → 1+0+1 = 2
+    assert(l2.collect().map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0))
+    // flipped orientation (y−x)² is the same square and also rewrites
+    val flipped = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (y - x) * (y - x)),
+      lit(0.0), (acc, z) => acc + z).as("d"))
+    assert(hasNativeL2(flipped))
+    assert(flipped.collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(2.0, 3.0))
+    // the MIXED form (x−y)(y−x) is the NEGATED square — must NOT match
+    val mixed = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (y - x)),
+      lit(0.0), (acc, z) => acc + z).as("d"))
+    assert(!hasNativeL2(mixed))
+    assert(mixed.collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(-3.0, -2.0))
+  }
+
   test("rewrite preserves null semantics of the HOF form") {
     GraftFunctions.register(spark)
     val df = Seq(
