@@ -633,6 +633,36 @@ final class OnnxModel(val graph: Onnx.Graph) {
       Tensor(x.dims, out)
     case "ReduceMean" | "ReduceSum" | "ReduceMax" | "ReduceMin" =>
       reduceLast(n, ins)
+    case "ArgMax" =>
+      // the greedy-decode terminal op (logits → token id). Last axis
+      // only; indices emit as floats (the interpreter is float-only —
+      // Cast is a no-op, so index tensors flow like everything else).
+      val x = ins(0)
+      val ax = attrI(n, "axis", 0L)
+      require(ax == -1L || ax == x.dims.length - 1,
+        s"ArgMax axis $ax unsupported — last axis only")
+      require(attrI(n, "select_last_index", 0L) == 0L,
+        "ArgMax select_last_index=1 unsupported (first max wins)")
+      val c = x.dims.last
+      require(c > 0, "ArgMax over an empty axis is undefined")
+      val rows = x.data.length / c
+      val out = new Array[Float](rows)
+      var r = 0
+      while (r < rows) {
+        var best = 0
+        var bestV = x.data(r * c)
+        var j = 1
+        while (j < c) {
+          val v = x.data(r * c + j)
+          if (v > bestV) { bestV = v; best = j }
+          j += 1
+        }
+        out(r) = best.toFloat
+        r += 1
+      }
+      Tensor(
+        if (attrI(n, "keepdims", 1L) == 1L) x.dims.init :+ 1
+        else x.dims.init, out)
     case "Conv" =>
       require(attrS(n, "auto_pad", "NOTSET") == "NOTSET",
         "Conv auto_pad unsupported — export with explicit pads")
@@ -1303,7 +1333,7 @@ object OnnxModel {
     "Greater", "GreaterOrEqual", "Less", "LessOrEqual", "Equal",
     "Not", "And", "Or", "Where",
     "BatchNormalization", "LayerNormalization",
-    "ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin",
+    "ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin", "ArgMax",
     "Conv", "MaxPool", "AveragePool", "GlobalAveragePool",
     "GridSample", "Transpose", "Concat", "Slice", "Gather", "Split",
     "Unsqueeze", "Squeeze", "Flatten", "Reshape", "Identity",

@@ -982,6 +982,28 @@ class OnnxRuntimeSpec extends AnyFunSuite {
       s"identity warp must reproduce the input, got ${out.data.toSeq}")
   }
 
+  test("ArgMax: last-axis first-wins indices as floats, keepdims") {
+    def g(keep: Long) = model(
+      nodes = Seq(node("ArgMax", Seq("x"), Seq("y"),
+        Seq(attrInt("axis", -1L), attrInt("keepdims", keep)))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    // row 2 has a TIE at the max (first occurrence must win)
+    val x = Onnx.Tensor(Seq(2, 3), Array(1f, 5f, 3f, 7f, 2f, 7f))
+    val kept = OnnxModel.parseBytes(g(1L)).forward(x)
+    assert(kept.dims == Seq(2, 1) && kept.data.toSeq == Seq(1f, 0f))
+    val dropped = OnnxModel.parseBytes(g(0L)).forward(x)
+    assert(dropped.dims == Seq(2) && dropped.data.toSeq == Seq(1f, 0f))
+    // a non-last axis must fail loudly, not silently transpose
+    val bad = model(
+      nodes = Seq(node("ArgMax", Seq("x"), Seq("y"),
+        Seq(attrInt("axis", 0L)))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val e = intercept[IllegalArgumentException] {
+      OnnxModel.parseBytes(bad).forward(x)
+    }
+    assert(e.getMessage.contains("ArgMax"))
+  }
+
   test("unsupportedOps reports the complete missing-op list") {
     val g = model(
       nodes = Seq(
