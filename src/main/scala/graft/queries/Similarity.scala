@@ -1197,18 +1197,38 @@ object Similarity {
     * (constant dimensions encode 0). floor(u + 0.5) keeps the
     * rounding identical on both engines (no banker's-rounding
     * divergence); everything downstream of the codes is INTEGER. */
-  private def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.fanOut(t(spark, dir, "embeddings")
+  private def sq8Codes(spark: SparkSession, dir: String): DataFrame =
+    sq8CodeArrays(spark, dir)
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), (col("pos") + 1).as("d"),
+        col("col").cast("long").as("code"))
+
+  /** One code ARRAY per vector — the search-side layout: the 64-row
+    * codebook collects to the driver (the logreg-weights discipline:
+    * bounded by [[Dim]], never corpus-sized) and broadcasts back as
+    * per-dim literal arrays, so encoding is one fused `transform`
+    * per vector with no join, and code distances run as ONE
+    * codegen'd [[graft.functions.expressions.L2DistanceSq]] loop per
+    * pair instead of a 64-row-per-vector d-join (measured: the
+    * relational coarse scan streamed 1.28B (code, qcode) pairs at 2M
+    * vectors). Codes are kept as integer-VALUED doubles (≤ 255;
+    * squares sum ≤ 64·255² ≪ 2⁵³) so the shared double L2 kernel is
+    * exact — element formula identical to the relational oracle
+    * CTE. */
+  private def sq8CodeArrays(spark: SparkSession, dir: String): DataFrame = {
+    val stats = sq8Dims(spark, dir).orderBy(col("d")).collect()
+    require(stats.length == Dim, s"expected $Dim dims, got ${stats.length}")
+    val mins = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val maxs = typedLit(stats.map(_.getDouble(2)).toSeq)
+    Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-    e.select(col("vec_id"), posexplode(col("v")))
-      .select(col("vec_id"), (col("pos") + 1).as("d"), col("col").as("x"))
-      .join(broadcast(sq8Dims(spark, dir)), Seq("d"))
-      .select(col("vec_id"), col("d"),
-        when(col("mx") === col("mn"), lit(0L)).otherwise(
+      .select(col("vec_id"), transform(col("v"), (x, i) => {
+        val mn = element_at(mins, i + 1)
+        val mx = element_at(maxs, i + 1)
+        when(mx === mn, lit(0.0)).otherwise(
           least(lit(255.0), greatest(lit(0.0),
-            floor((col("x") - col("mn")) * 255.0 /
-              (col("mx") - col("mn")) + 0.5))).cast("long"))
-          .as("code"))
+            floor((x - mn) * 255.0 / (mx - mn) + 0.5))))
+      }).as("codes"))
   }
 
   private val sqlSq8CodesCte: String =
@@ -1248,15 +1268,15 @@ object Similarity {
     * fuses the distance like [[graft.functions.expressions
     * .AdcDistance]]. */
   def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
-    val codes = sq8Codes(spark, dir)
-    val qc = codes.filter(col("vec_id") < NumQueries)
-      .select(col("d"), col("vec_id").as("query_id"),
-        col("code").as("qcode"))
-    val d2 = codes.join(broadcast(qc), Seq("d"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum((col("qcode") - col("code")) * (col("qcode") - col("code")))
-        .cast("long").as("d2"))
+    GraftFunctions.register(spark)
+    val ca = sq8CodeArrays(spark, dir)
+    val qa = ca.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    // one fused codegen'd loop per (query, vector) pair — integer-
+    // valued doubles, exactly the relational oracle's d2
+    val d2 = ca.join(broadcast(qa), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.l2DistSq(col("qcodes"), col("codes")).as("d2"))
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("vec_id"))
     val sq8Top = d2.withColumn("rk", row_number().over(wS))
@@ -1331,15 +1351,12 @@ object Similarity {
     * coarse = k). */
   def annSq8Rerank(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val codes = sq8Codes(spark, dir)
-    val qc = codes.filter(col("vec_id") < NumQueries)
-      .select(col("d"), col("vec_id").as("query_id"),
-        col("code").as("qcode"))
-    val d2 = codes.join(broadcast(qc), Seq("d"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum((col("qcode") - col("code")) * (col("qcode") - col("code")))
-        .cast("long").as("d2"))
+    val ca = sq8CodeArrays(spark, dir)
+    val qa = ca.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val d2 = ca.join(broadcast(qa), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.l2DistSq(col("qcodes"), col("codes")).as("d2"))
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("vec_id"))
     val coarse = d2.withColumn("rk", row_number().over(wC))
