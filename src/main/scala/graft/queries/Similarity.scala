@@ -1218,6 +1218,9 @@ object Similarity {
   private def sq8CodeArrays(spark: SparkSession, dir: String): DataFrame = {
     val stats = sq8Dims(spark, dir).orderBy(col("d")).collect()
     require(stats.length == Dim, s"expected $Dim dims, got ${stats.length}")
+    require(stats.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      "per-dim min/max contains NULL — a dimension is null in every " +
+        "vector; clean the embeddings before encoding")
     val mins = typedLit(stats.map(_.getDouble(1)).toSeq)
     val maxs = typedLit(stats.map(_.getDouble(2)).toSeq)
     Tables.fanOut(t(spark, dir, "embeddings")
@@ -1260,13 +1263,16 @@ object Similarity {
 
   /** SQ8 search quality: top-[[TopK]] by integer L2² over codes vs
     * the exact float-L2 top-k, per query — the recall number that
-    * decides whether the 8× bandwidth cut is free. Code distances
-    * are INTEGER (no float exposure); the exact baseline uses the
-    * r6'd index-ordered square sum both engines reproduce. The
-    * relational (d-join) code distance is the oracle-friendly
-    * formulation; a production path packs codes into binary and
-    * fuses the distance like [[graft.functions.expressions
-    * .AdcDistance]]. */
+    * decides whether the quantization is free. The Spark coarse
+    * scan runs ONE codegen'd [[graft.functions.expressions
+    * .L2DistanceSq]] loop per pair over integer-VALUED doubles
+    * (exact — squares sum ≪ 2⁵³); the DuckDB oracle keeps the
+    * relational d-join formulation of the same integers, and the
+    * exact baseline uses the r6'd index-ordered square sum both
+    * engines reproduce. A production path additionally packs codes
+    * into binary for the 8× scan-bandwidth cut (the
+    * [[graft.functions.expressions.AdcDistance]] discipline); here
+    * the measured win is the fused kernel, not bandwidth. */
   def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val ca = sq8CodeArrays(spark, dir)
@@ -1277,6 +1283,10 @@ object Similarity {
     val d2 = ca.join(broadcast(qa), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.l2DistSq(col("qcodes"), col("codes")).as("d2"))
+      // a malformed (ragged / null-holed) vector yields a NULL
+      // distance, which ascending order would rank FIRST in every
+      // top-k — exclude it instead of electing it
+      .filter(col("d2").isNotNull)
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("vec_id"))
     val sq8Top = d2.withColumn("rk", row_number().over(wS))
@@ -1339,8 +1349,9 @@ object Similarity {
   val Sq8RerankCoarse = 20
 
   /** Two-stage SQ8 search — the deployment pattern the recall audit
-    * motivates: a COARSE top-[[Sq8RerankCoarse]] scan on integer code
-    * distances (the 8×-cheaper pass that touches every vector), then
+    * motivates: a COARSE top-[[Sq8RerankCoarse]] scan on quantized
+    * code distances (one fused codegen'd loop per pair — see
+    * [[sq8Recall]] on the integer-valued-doubles layout), then
     * an EXACT rerank of only those candidates with the native
     * codegen'd L2 kernel to the final top-[[TopK]]. Full vectors
     * re-attach to the bounded candidate set by key join — the
@@ -1357,6 +1368,7 @@ object Similarity {
     val d2 = ca.join(broadcast(qa), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.l2DistSq(col("qcodes"), col("codes")).as("d2"))
+      .filter(col("d2").isNotNull) // see sq8Recall: never elect NULLs
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("vec_id"))
     val coarse = d2.withColumn("rk", row_number().over(wC))
