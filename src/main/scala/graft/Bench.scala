@@ -45,11 +45,20 @@ object Bench {
     // plan shape, not per data volume — so it adds seconds, not a
     // second full-scale pass. SPARK_GRAFT_WARMUP=off skips (dev
     // loops only; driver runs keep the default).
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "on") != "off") {
+    val timedSpark = if (
+        sys.env.getOrElse("SPARK_GRAFT_WARMUP", "on") != "off") {
       val warmDir = {
         val sibling = new java.io.File(
           new java.io.File(sfDir).getParentFile, "sf0.001")
-        if (sibling.isDirectory) sibling.getAbsolutePath else sfDir
+        if (sibling.isDirectory) sibling.getAbsolutePath
+        else {
+          // an untimed FULL-SCALE pass doubles wall time — say so,
+          // don't let the operator attribute it to the queries
+          System.err.println(s"[bench] WARNING: no sf0.001 sibling " +
+            s"next to $sfDir — warm-up runs at FULL scale (untimed " +
+            "duplicate of the benchmark pass)")
+          sfDir
+        }
       }
       selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try force(fn(spark, warmDir))
@@ -58,12 +67,32 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
-    }
+      // The warm-up exists for JVM-GLOBAL state (JIT, the codegen'd
+      // class cache) — but it also leaves SESSION state behind:
+      // BlockManager entries, shuffle files, and an old-gen full of
+      // warm-up tenure that the first heavy timed queries then pay
+      // GC for (BENCH_r05 read untouched iterative queries 1.5-2.5x
+      // slow right after warm-up landed). Restart the session so the
+      // timed pass starts with a clean executor while keeping the
+      // JIT/codegen caches warm-up bought, and give the collector one
+      // explicit chance to drop the tenured garbage before timing.
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    } else spark
+    timedSpark.sparkContext.setLogLevel("WARN")
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { force(fn(spark, sfDir)); true } catch {
+          try { force(fn(timedSpark, sfDir)); true } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
@@ -76,11 +105,11 @@ object Bench {
         // Queries persist() their reused sketch tables; dropping them
         // between queries keeps storage memory from starving later
         // queries' execution memory (isolated, stable numbers).
-        spark.catalog.clearCache()
+        timedSpark.catalog.clearCache()
         // clearCache only covers CacheManager entries — localCheckpoint
         // blocks are plain persistent RDDs and would otherwise pile up
         // in the BlockManager across the whole run
-        spark.sparkContext.getPersistentRDDs.values
+        timedSpark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         name -> dt
     }
@@ -90,6 +119,6 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    spark.stop()
+    timedSpark.stop()
   }
 }

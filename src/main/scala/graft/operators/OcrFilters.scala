@@ -246,10 +246,17 @@ final case class TextDetectionFilter(cellSize: Int = 8,
   * Crops each box from the real pixels.
   *
   * With `modelPath` set, a REAL `.onnx` recognizer runs on the
-  * interpreter (the reference's vendored `ocr_model/` CRNN shape:
+  * interpreter, following the generic CRNN/CTC recognizer convention:
   * grayscale crop resized to `cropH`×`cropW` → net → per-timestep
   * class logits → greedy CTC decode over `alphabet`, class 0 =
-  * blank). ALL crops of the batch run as ONE [M, 1, H, W] forward —
+  * blank. (The reference's vendored `ocr_model/` defaults to a
+  * TPS-ResNet-BiLSTM-Attn head with ATTENTION decoding over 100×32
+  * crops — ocr_filter.py + ocr_model/; attention decode is
+  * autoregressive and needs that model's learned embedding, so the
+  * bring-your-own-model contract here is the CTC convention any
+  * CRNN-family export satisfies, with crop geometry configurable to
+  * the reference's 100×32 via `cropW`/`cropH`.) ALL crops of the
+  * batch run as ONE [M, 1, H, W] forward —
   * the per-box work batches across images, not per image. Accepted
   * head shapes: [M, T, C] sequence logits, or [M, C] single-step.
   *

@@ -409,16 +409,19 @@ final case class OnnxFlowFilter(modelPath: Option[String] = None,
         val m = graft.onnx.OnnxModel.forPath(p, hadoopConf.get())
         // a flow net using ops outside the interpreter subset (a
         // genuine RAFT export needs e.g. correlation lookups beyond
-        // GridSample) reports the COMPLETE op list up front in the
-        // error column — not a mid-forward crash on the first one
+        // GridSample) is a MODEL problem, not a data problem: fail
+        // the task loudly with the COMPLETE op list up front — not a
+        // mid-forward crash on the first one, and not per-row error
+        // rows (which would let a misconfigured model over a huge
+        // corpus complete "successfully" as all-error output; the
+        // OnnxScoreFilter/TextDetectionFilter contract)
         val missing = m.unsupportedOps
-        if (missing.nonEmpty) {
-          val err = s"flow model $p uses ${missing.length} ops " +
-            s"outside the interpreter subset: ${missing.mkString(", ")}" +
-            " — plug a full runtime behind OnnxModel.run, or drop " +
-            "modelPath to fall back to Farneback"
-          return batch.map(_ => Some(Seq(false, null, err)))
-        }
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"flow model $p uses ${missing.length} ops " +
+              s"outside the interpreter subset: ${missing.mkString(", ")}" +
+              " — plug a full runtime behind OnnxModel.run, or drop " +
+              "modelPath to fall back to Farneback")
         batch.map { in =>
           in.payloads.get(Modality.Video.name) match {
             case None => Some(Seq(false, null, "payload missing"))

@@ -252,6 +252,19 @@ object Similarity {
   def appendToIvfIndex(spark: SparkSession, indexPath: String,
       newVecs: DataFrame, numCentroids: Int = NumCentroids): Unit = {
     GraftFunctions.register(spark)
+    // the layout convention IS the centroid identity (vec_id <
+    // numCentroids rows are centroids), so an id collision doesn't
+    // just mislabel a row — it installs a FAKE CENTROID that corrupts
+    // every future append's assignment. Fail loudly before writing;
+    // the extra pass scans only the (bounded) ingest batch.
+    val clash = newVecs.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id")).limit(1).collect()
+    require(clash.isEmpty,
+      s"appendToIvfIndex: new vec_id ${clash.headOption.map(_.get(0))
+        .getOrElse("")} falls inside the centroid-row id range " +
+        s"[0, $numCentroids) — such a row would be read back as a " +
+        "centroid and corrupt future assignments; remap new vector " +
+        "ids above the range")
     val cent = spark.read.parquet(indexPath)
       .filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -1304,6 +1317,12 @@ object Similarity {
       .orderBy(col("xd").asc, col("vec_id"))
     val exactTop = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("xd", exactD)
+      // mirror the coarse-scan guard: a malformed vector's NULL exact
+      // distance sorts NULLS FIRST ascending and would be elected into
+      // the exact top-k, while the oracle coalesces it to 0 — exclude
+      // it on BOTH sides so parity holds on exactly the inputs the
+      // guard targets
+      .filter(col("xd").isNotNull)
       .withColumn("rk", row_number().over(wX))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("vec_id"))
@@ -1383,6 +1402,7 @@ object Similarity {
     coarse.join(e, Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("xd", r6(GraftFunctions.l2DistSq(col("qv"), col("v"))))
+      .filter(col("xd").isNotNull) // see sq8Recall: never elect NULLs
       .withColumn("rk", row_number().over(wR).cast("long"))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("rk"),

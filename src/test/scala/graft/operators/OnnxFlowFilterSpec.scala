@@ -95,15 +95,18 @@ class OnnxFlowFilterSpec extends SparkSpec {
       e.getMessage.contains("flow model"))
   }
 
-  test("a model with ops outside the subset reports the COMPLETE op " +
-      "list per row, before any decode") {
-    // a genuine-RAFT-style graph using ops the interpreter lacks
+  test("a model with ops outside the subset fails the task with the " +
+      "COMPLETE op list, before any decode") {
+    // a genuine-RAFT-style graph using ops the interpreter lacks: a
+    // bad MODEL is a job error (the OnnxScoreFilter contract), not
+    // per-row error rows — those would let a misconfigured model
+    // complete "successfully" as all-error output over a huge corpus
     val raftish = TestOnnx.model(
       nodes = Seq(
         TestOnnx.node("Conv", Seq("x", "w"), Seq("c"),
           Seq(TestOnnx.attrInts("kernel_shape", Seq(1L, 1L)))),
         TestOnnx.node("ScatterND", Seq("c"), Seq("s")),
-        TestOnnx.node("GRU", Seq("s"), Seq("y"))),
+        TestOnnx.node("NonMaxSuppression", Seq("s"), Seq("y"))),
       inits = Seq(TestOnnx.tensor("w", Seq(2, 6, 1, 1),
         Seq.fill(12)(0.1f))),
       inputs = Seq("x"), outputs = Seq("y"))
@@ -112,11 +115,11 @@ class OnnxFlowFilterSpec extends SparkSpec {
     try o.write(raftish) finally o.close()
     val filter = OnnxFlowFilter(modelPath = Some(f.getAbsolutePath))
     val moving = Mjpeg.write(Seq(frame(0), frame(4)), 64, 64, 10)
-    val res = filter.processBatch(Seq(in(moving)))
-    val row = res.head.get
-    assert(row(0) == false)
-    val err = row(2).asInstanceOf[String]
-    assert(err.contains("GRU") && err.contains("ScatterND"),
+    val e = intercept[IllegalArgumentException] {
+      filter.processBatch(Seq(in(moving)))
+    }
+    val err = e.getMessage
+    assert(err.contains("NonMaxSuppression") && err.contains("ScatterND"),
       s"error must list every missing op: $err")
     assert(err.contains("Farneback"), "error should point at the fallback")
   }
