@@ -31,13 +31,26 @@ final case class FilesConfig(
 ) extends DatasetConfig
 
 /** Directory of N.csv + N.tar shard pairs
-  * (DPF/configs/shards_config.py:9). */
+  * (DPF/configs/shards_config.py:9).
+  *
+  * `hugeMemberMode` / `chunkBytes` configure the member-level archive
+  * scan ([[graft.sources.DatasetReader.readShardMembers]]) without
+  * touching the tar source API: `"error"` (default) fails loudly on a
+  * member larger than one row should carry; `"chunks"` emits such
+  * members as multiple inline content-range rows (`offset` column
+  * gives each chunk's absolute archive position), so mixed archives
+  * read in ONE scan. */
 final case class ShardsConfig(
     path: String, // directory containing the shards
     payloads: Seq[PayloadType],
     datafilesExt: String = "csv",
     archivesExt: String = "tar",
-) extends DatasetConfig
+    hugeMemberMode: String = "error",
+    chunkBytes: Option[Long] = None,
+) extends DatasetConfig {
+  require(hugeMemberMode == "error" || hugeMemberMode == "chunks",
+    s"hugeMemberMode must be 'error' or 'chunks', got $hugeMemberMode")
+}
 
 /** Directory of N.csv + N/ folder pairs
   * (DPF/configs/sharded_files_config.py:9). */

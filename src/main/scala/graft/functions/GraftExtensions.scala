@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{AdcDistance, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
+import graft.functions.expressions.{AdcDistance, BoundedTopK, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
 import graft.operators.SerializableHadoopConf
 import graft.plans.HoistPayloadLoad
 
@@ -147,6 +147,14 @@ object GraftFunctions {
           "bloom_might_contain takes (bloom binary literal, long value)")
         BloomFilterMightContain(args.head, args(1))
       }),
+    (FunctionIdentifier("bounded_topk"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_topk"),
+      { args: Seq[Expression] =>
+        require(args.length == 3,
+          "bounded_topk takes (struct, k literal, sortSpec literal)")
+        BoundedTopK(args.head, foldableInt(args(1), "bounded_topk"),
+          foldableString(args(2), "bounded_topk"))
+      }),
     (FunctionIdentifier("load_bytes"),
       new ExpressionInfo(classOf[LoadBytes].getName, "load_bytes"),
       { args: Seq[Expression] =>
@@ -174,6 +182,16 @@ object GraftFunctions {
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(
         s"$fn count argument must be an integer literal, got $other")
+    }
+  }
+
+  /** Extract a string from a foldable literal argument. */
+  private def foldableString(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn spec argument must be a literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn spec argument must be a string literal, got $other")
     }
   }
 
@@ -320,6 +338,19 @@ object GraftFunctions {
     * drop-on-error discipline; follow with a null filter. */
   def tryLoadBytes(path: Column): Column =
     call_function("try_load_bytes", path)
+
+  /** Exact per-group top-k aggregate (see
+    * [[graft.functions.expressions.BoundedTopK]]): bounded
+    * per-partition heaps + map-side combine, so the exchange carries
+    * at most partitions·groups·k rows instead of the full input —
+    * the scale-path replacement for a corpus-sized
+    * `row_number() OVER (PARTITION BY …)` window. Prefer
+    * [[graft.operators.GroupTopK]] for the DataFrame-level form;
+    * requires [[register]]. */
+  def boundedTopK(fields: Column, k: Int, sortSpec: String): Column =
+    call_function("bounded_topk", fields,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(sortSpec))
 
   /** Map-side membership probe against a serialized
     * `org.apache.spark.util.sketch.BloomFilter` — Spark's own

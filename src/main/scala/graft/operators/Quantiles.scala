@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,11 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Default ceiling on histogram size (distinct values). A million
+    * histogram rows still cumsum in milliseconds on one reducer; a
+    * CORPUS-sized histogram (someone passed a raw continuous double)
+    * must fail loudly instead of silently single-threading — see
+    * [[guarded]]. */
+  val DefaultMaxBins: Int = 1 << 20
+
+  /** Enforce the bounded-value-domain license at RUNTIME with zero
+    * good-case overhead: `bins` (a count over the same full-frame
+    * window the quantile math already pays for — no extra exchange,
+    * no extra action) guards the value column through `raise_error`,
+    * so a caller who hands a raw continuous double gets a loud
+    * per-job failure naming the fix (quantize/round first, or raise
+    * maxBins) instead of a silently single-partition corpus sort. */
+  private def guarded(v: Column, bins: Column, maxBins: Int): Column =
+    when(bins > maxBins, raise_error(concat(
+      lit("Quantiles: histogram has "), bins.cast("string"),
+      lit(s" distinct values > maxBins=$maxBins — the exact-quantile " +
+        "license is a BOUNDED value domain (quantize/round the column " +
+        "first, e.g. integer cents or r4 scores), or raise maxBins if " +
+        "the domain really is bounded"))))
+      .otherwise(v)
+
   /** Exact quantiles of `valueCol` at ranks num/den (e.g. 1/10,
     * 1/2, 9/10). Returns one row per requested quantile:
-    * (q_num, q_den, value). */
+    * (q_num, q_den, value). Fails loudly if the value domain exceeds
+    * `maxBins` distinct values (the bounded-histogram license). */
   def exactQuantiles(df: DataFrame, valueCol: String,
-      qs: Seq[(Int, Int)]): DataFrame = {
+      qs: Seq[(Int, Int)], maxBins: Int = DefaultMaxBins): DataFrame = {
     require(qs.nonEmpty, "no quantiles requested")
     qs.foreach { case (n, d) =>
       require(n > 0 && n <= d, s"quantile $n/$d outside (0, 1]")
@@ -38,12 +62,13 @@ object Quantiles {
     val hist = df.groupBy(col(valueCol).as("v"))
       .agg(count(lit(1)).as("n"))
     val byV = Window.orderBy(col("v"))
+    val full = byV.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val cum = hist
       .withColumn("cum", sum(col("n")).over(
         byV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("n")).over(
-        byV.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+      .withColumn("total", sum(col("n")).over(full))
+      .withColumn("v", guarded(col("v"), count(lit(1)).over(full), maxBins))
     // ceil(q·N) in integer math: (N·num + den − 1) div den. ALL
     // quantiles resolve in ONE pass over the histogram — a branch per
     // quantile would re-aggregate the full input per q (a 5-quantile
@@ -78,18 +103,21 @@ object Quantiles {
     * `ntile(n) OVER (PARTITION BY …)` single-reducer-per-partition
     * window: 27.2s vs 119.9s at 100M rows (NOTES.md). */
   def tileOverlaps(df: DataFrame, valueCol: String, n: Int,
-      partitionCols: Seq[String] = Nil): DataFrame = {
+      partitionCols: Seq[String] = Nil,
+      maxBins: Int = DefaultMaxBins): DataFrame = {
     require(n > 0, s"ntile bucket count must be positive, got $n")
     val parts = partitionCols.map(col)
     val w = if (parts.isEmpty) Window.orderBy(col("v"))
             else Window.partitionBy(parts: _*).orderBy(col("v"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     df.groupBy(parts :+ col(valueCol).as("v"): _*)
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("cnt")).over(
-        w.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+      .withColumn("total", sum(col("cnt")).over(full))
+      // per-PARTITION histogram bound — the license is per serial step
+      .withColumn("v", guarded(col("v"), count(lit(1)).over(full), maxBins))
       .select(col("*"), explode(expr(s"sequence(1, $n)")).as("tile"))
       .withColumn("rlo", expr(
         s"(tile - 1) * (total div $n) + least(tile - 1, total % $n) + 1"))
@@ -107,8 +135,9 @@ object Quantiles {
     * its DuckDB oracle keeps the literal ntile window, so the hash
     * gate proves the rank arithmetic reproduces ntile exactly). */
   def ntileBuckets(df: DataFrame, valueCol: String, n: Int,
-      partitionCols: Seq[String] = Nil): DataFrame =
-    tileOverlaps(df, valueCol, n, partitionCols)
+      partitionCols: Seq[String] = Nil,
+      maxBins: Int = DefaultMaxBins): DataFrame =
+    tileOverlaps(df, valueCol, n, partitionCols, maxBins)
       .groupBy(partitionCols.map(col) :+ col("tile"): _*)
       .agg(sum(col("ov")).cast("long").as("n_rows"),
         min(col("v")).as("lo"), max(col("v")).as("hi"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.GroupTopK
 import graft.queries.Num.{r2, r4, r6, sqlR}
 
 /** Relational operator catalog (SURVEY.md §2.2–2.5): each entry is one
@@ -140,16 +141,19 @@ object Relational {
       .select("l_partkey", "l_orderkey", "l_linenumber")
   }
 
-  /** Top-k per group with total tie-break (rank family). */
-  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    t(spark, dir, "orders")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+  /** Top-k per group with total tie-break (rank family). Routed
+    * through [[graft.operators.GroupTopK]] — row_number-identical
+    * output, but the exchange carries bounded per-partition heaps
+    * (groups·k rows per task) instead of every order in the group's
+    * window partition. */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame =
+    GroupTopK.topK(
+      t(spark, dir, "orders")
+        .select("o_orderpriority", "o_totalprice", "o_orderkey"),
+      Seq("o_orderpriority"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
       .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
         col("o_totalprice"))
-  }
 
   /** Running (cumulative) aggregate per key — the ordered-window
     * analytics shape. */

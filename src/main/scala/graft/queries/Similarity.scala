@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
 import graft.functions.GraftFunctions
+import graft.operators.GroupTopK
 import graft.queries.Num._
 
 /** Similarity-search operator catalog over the `embeddings` table
@@ -71,14 +72,17 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", r6(GraftFunctions.cosineSim(col("qv"), col("v"))))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
-        col("sim"))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    // exact by construction, but the top-k runs on bounded heaps
+    // (GroupTopK), not a per-query window whose partitions are the
+    // whole corpus — the exchange carries partitions·Q·k rows, so the
+    // "baseline" stays runnable at the scales it is supposed to audit
+    GroupTopK.topK(pairs, Seq("query_id"),
+        Seq(("sim", true), ("vec_id", false)), TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("sim"))
   }
 
   val annBruteForceSql: String =
@@ -1300,10 +1304,11 @@ object Similarity {
       // distance, which ascending order would rank FIRST in every
       // top-k — exclude it instead of electing it
       .filter(col("d2").isNotNull)
-    val wS = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col("vec_id"))
-    val sq8Top = d2.withColumn("rk", row_number().over(wS))
-      .filter(col("rk") <= TopK)
+    // exact top-k via bounded per-partition heaps (GroupTopK), not a
+    // per-query window over corpus-sized partitions — same election,
+    // the exchange carries partitions·Q·k rows instead of N·Q
+    val sq8Top = GroupTopK.topK(d2, Seq("query_id"),
+        Seq(("d2", false), ("vec_id", false)), TopK)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
@@ -1313,9 +1318,7 @@ object Similarity {
     // aggregate(zip_with(...)) formulation (parity spec'd), which
     // Spark would evaluate interpreted on this hottest loop
     val exactD = r6(GraftFunctions.l2DistSq(col("qv"), col("v")))
-    val wX = Window.partitionBy(col("query_id"))
-      .orderBy(col("xd").asc, col("vec_id"))
-    val exactTop = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val exactPairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("xd", exactD)
       // mirror the coarse-scan guard: a malformed vector's NULL exact
       // distance sorts NULLS FIRST ascending and would be elected into
@@ -1323,8 +1326,9 @@ object Similarity {
       // it on BOTH sides so parity holds on exactly the inputs the
       // guard targets
       .filter(col("xd").isNotNull)
-      .withColumn("rk", row_number().over(wX))
-      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("xd"))
+    val exactTop = GroupTopK.topK(exactPairs, Seq("query_id"),
+        Seq(("xd", false), ("vec_id", false)), TopK)
       .select(col("query_id"), col("vec_id"))
     exactTop.join(sq8Top, Seq("query_id", "vec_id"), "left")
       .groupBy(col("query_id"))
@@ -1388,10 +1392,14 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.l2DistSq(col("qcodes"), col("codes")).as("d2"))
       .filter(col("d2").isNotNull) // see sq8Recall: never elect NULLs
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col("vec_id"))
-    val coarse = d2.withColumn("rk", row_number().over(wC))
-      .filter(col("rk") <= Sq8RerankCoarse)
+    // bounded-heap top-k, NOT a per-query window: every query's window
+    // partition is corpus-sized, so the window plan exchanges N·Q
+    // distance rows to rank and discard all but coarse·Q — the
+    // scale-killer of the deployment pattern at 100×. GroupTopK's
+    // partial aggregate cuts the exchange to partitions·Q·coarse rows
+    // (decade sweep in NOTES.md; plan shape pinned in PlanShapeSpec).
+    val coarse = GroupTopK.topK(d2, Seq("query_id"),
+        Seq(("d2", false), ("vec_id", false)), Sq8RerankCoarse)
       .select(col("query_id"), col("vec_id"))
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.GroupTopK
 import graft.queries.Num._
 
 /** Event-stream analytics over the `events` table (`event_id, ts,
@@ -369,10 +370,13 @@ object TimeSeries {
     val perUser = t(spark, dir, "events")
       .groupBy(col("event_type"), col("user_id"))
       .agg(r2(sum(col("value"))).as("user_value"), count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("user_value").desc, col("user_id"))
-    perUser.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    // the rank runs on GroupTopK's bounded heaps: an event_type's
+    // window partition is all-its-users-sized (millions at 100×) and
+    // there are only ~5 event types, so the window plan funnels the
+    // whole aggregate through 5 reducers; the heap plan exchanges
+    // partitions·types·5 rows
+    GroupTopK.topK(perUser, Seq("event_type"),
+        Seq(("user_value", true), ("user_id", false)), k = 5)
       .select(col("event_type"), col("rk"), col("user_id"),
         col("user_value"), col("n"))
   }

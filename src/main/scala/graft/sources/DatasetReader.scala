@@ -83,6 +83,28 @@ object DatasetReader {
   def fromDataFrame(df: DataFrame, config: DatasetConfig): Processor =
     Processor(renameToCanonical(df, config), config)
 
+  /** Member-level scan of a shards dataset's ARCHIVES through the tar
+    * DSv2 source — the query-over-members path ([[readShards]] reads
+    * the metadata CSVs; this reads the payloads themselves), with the
+    * huge-member policy taken from the CONFIG so pipeline users never
+    * touch reader options: `config.hugeMemberMode = "chunks"` (+
+    * optional `config.chunkBytes`) reads mixed archives — normal and
+    * multi-GiB members — in one scan, huge members arriving as inline
+    * content-range rows. Shard pairing is validated exactly as
+    * [[readShards]] does, so a stray unpaired archive fails here too.
+    * Returns (archive, member, size, offset, content) rows. */
+  def readShardMembers(spark: SparkSession,
+      config: ShardsConfig): DataFrame = {
+    // same driver-side pairing contract as the metadata path
+    listPairs(spark, config.path,
+      config.datafilesExt, config.archivesExt, archiveIsDir = false)
+    val reader = spark.read.format("tar")
+      .option("hugeMemberMode", config.hugeMemberMode)
+    config.chunkBytes.fold(reader)(b =>
+        reader.option("chunkBytes", b.toString))
+      .load(config.path)
+  }
+
   // ------------------------------------------------------------------
 
   /** Driver-side shard pairing: every `N.csv` must have its `N.tar`

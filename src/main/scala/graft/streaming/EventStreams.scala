@@ -197,6 +197,68 @@ object EventStreams {
       }
   }
 
+  /** [[compactStream]] with an EVENT-TIME retention TTL — the
+    * bounded-retention deployment: a key whose latest version is
+    * older than `ttl` (by the watermark clock, so retention is
+    * data-time, not wall-time, and replays expire identically) drops
+    * from the state store. [[compactStream]] keeps one record per
+    * live key FOREVER, which is correct for a keep-latest table but
+    * unbounded when keys churn (session tokens, one-shot upload ids);
+    * here the state is O(keys active within the TTL horizon).
+    *
+    * Requires a watermark on `ts` (set here from `watermark`).
+    * Expiry is silent (no tombstone row — downstream reads absence);
+    * a key re-ingested after expiry starts a fresh history:
+    * n_versions counts from 1 again, exactly as if the key were new.
+    */
+  def compactStreamWithTtl(events: DataFrame, ttl: String = "30 days",
+      watermark: String = "1 hour"): Dataset[LatestVersion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .safeStringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+      require(iv != null, s"bad ttl interval: '$ttl'")
+      require(iv.months == 0, s"ttl must be day/time-based, got $ttl")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    require(ttlMs > 0, s"ttl must be positive, got $ttl")
+    events.withWatermark("ts", watermark).as[Event]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LatestVersion, LatestVersion](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, typ), it, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_us + ttl: retention horizon over
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(
+              LatestVersion(user, typ, Long.MinValue, Long.MinValue,
+                0.0, 0L))
+            it.foreach { e =>
+              val us = toUs(e.ts)
+              val newer = us > cur.last_us ||
+                (us == cur.last_us && e.event_id > cur.last_event_id)
+              cur = LatestVersion(user, typ,
+                if (newer) e.event_id else cur.last_event_id,
+                if (newer) us else cur.last_us,
+                if (newer) e.value else cur.last_value,
+                cur.n_versions + 1)
+            }
+            state.update(cur)
+            // expire at latest-version event time + ttl; a very late
+            // key (already inside the horizon's tail) still needs a
+            // timeout STRICTLY above the current watermark
+            state.setTimeoutTimestamp(math.max(
+              cur.last_us / 1000L + ttlMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(cur)
+          }
+      }
+  }
+
   /** Run a bounded backfill of a streaming query into an in-memory
     * table and block until complete — the test/verification harness
     * (AvailableNow processes all existing files then stops, so the

@@ -72,6 +72,30 @@ class QuantilesSpec extends SparkSpec {
       3 -> ((1L, 5L, 5L))))
   }
 
+  test("a histogram past maxBins fails LOUDLY — the bounded-domain " +
+      "license is enforced, not assumed") {
+    // 5000 distinct raw values (a 'continuous' column) with a tiny cap
+    val continuous = (0 until 5000).map(i => (i.toLong, i * 1.000001))
+      .toDF("id", "v")
+    val e = intercept[Exception] {
+      Quantiles.exactQuantiles(continuous, "v", Seq((1, 2)), maxBins = 100)
+        .collect()
+    }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("\n")
+    assert(msg(e).contains("maxBins=100"), msg(e))
+    assert(msg(e).contains("quantize"), msg(e))
+    val e2 = intercept[Exception] {
+      Quantiles.ntileBuckets(continuous, "v", 4, Nil, maxBins = 100)
+        .collect()
+    }
+    assert(msg(e2).contains("maxBins=100"), msg(e2))
+    // same shapes under the default cap still work (existing oracles
+    // unchanged: bounded domains sail through)
+    assert(Quantiles.exactQuantiles(df, "v", Seq((1, 2))).count() == 1)
+  }
+
   test("keepAboveQuantile audit: kept mass >= 1 - q, groups partition N") {
     val audit = Quantiles.keepAboveQuantile(df, "v", "grp", 1, 10).collect()
     val total = audit.map(_.getLong(2)).sum

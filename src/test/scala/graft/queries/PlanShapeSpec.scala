@@ -141,6 +141,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(countIn(p, "HashAggregate") >= 4, p.take(2000))
   }
 
+  test("q_window_topk ranks on bounded heaps — no Window, one exchange") {
+    val p = plan(Relational.windowTopK(spark, dir))
+    assert(p.contains("bounded_topk"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // partial ObjectHashAggregate below the single exchange: the
+    // shuffle carries groups·k-row heaps per task, never the orders
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p.take(2000))
+    val below = p.substring(p.indexOf("Exchange hashpartitioning"))
+    assert(below.contains("ObjectHashAggregate"), p.take(2000))
+  }
+
+  test("q_events_topk_users ranks the per-user aggregate on bounded heaps") {
+    val p = plan(TimeSeries.eventsTopkUsers(spark, dir))
+    assert(p.contains("bounded_topk"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("ANN exact scans (bruteforce / sq8 coarse+recall) never window " +
+      "corpus-sized per-query partitions") {
+    for (df <- Seq(Similarity.annBruteForce(spark, dir),
+        Similarity.sq8Recall(spark, dir))) {
+      val p = plan(df)
+      assert(p.contains("bounded_topk"), p.take(2000))
+      assert(!p.contains("Window"), p.take(2000))
+      df.sparkSession.catalog.clearCache()
+    }
+  }
+
+  test("q_ann_sq8_rerank: coarse stage is a bounded-heap aggregate; " +
+      "the only Window ranks the coarse·Q candidate set") {
+    val df = Similarity.annSq8Rerank(spark, dir)
+    val p = plan(df)
+    // coarse scan: partial bounded_topk below its exchange — the N·Q
+    // distance rows never ride a shuffle (round-5 What's-wrong #2)
+    assert(p.contains("bounded_topk"), p.take(3000))
+    // exactly one Window exec remains ("Window [" — WindowGroupLimit
+    // pushdown nodes for its rank filter don't count): the exact
+    // rerank over at most Sq8RerankCoarse·Q joined candidates
+    // (bounded by construction)
+    assert(countIn(p, "Window [") == 1, p.take(3000))
+    df.sparkSession.catalog.clearCache()
+  }
+
   test("q_data_profile is one scan through one Expand — not a pass " +
       "per column") {
     val p = plan(Relational.dataProfile(spark, dir))

@@ -132,6 +132,39 @@ class TarChunksSpec extends SparkSpec {
     assert(spark.read.format("tar").load(dir).count() == 3L)
   }
 
+  test("readShardMembers: the ShardsConfig knob drives the chunked " +
+      "mixed-archive scan — no reader options at the call site") {
+    import graft.core.{Modality, ShardedPayload, ShardsConfig}
+    // a proper shards layout: N.csv + N.tar pair (readShardMembers
+    // enforces the same pairing contract as the metadata path)
+    val d = Files.createTempDirectory("graft-shard-members").toFile
+    writeTar(new File(d, "0.tar"),
+      Seq("big.bin" -> big, "small.bin" -> small))
+    val csv = new FileOutputStream(new File(d, "0.csv"))
+    csv.write("image_name,caption\nbig.bin,a\nsmall.bin,b\n".getBytes("UTF-8"))
+    csv.close()
+    val cfg = ShardsConfig(d.getAbsolutePath,
+      Seq(ShardedPayload(Modality.Image, "image_name")),
+      hugeMemberMode = "chunks", chunkBytes = Some(512L))
+    val rows = DatasetReader.readShardMembers(spark, cfg).collect()
+    val bigRows = rows.filter(_.getAs[String]("member") == "big.bin")
+    assert(bigRows.length == 10, s"got ${bigRows.length} chunk rows")
+    assert(bigRows.sortBy(_.getAs[Long]("offset"))
+      .flatMap(_.getAs[Array[Byte]]("content")).sameElements(big))
+    assert(rows.count(_.getAs[String]("member") == "small.bin") == 1)
+    // a config asking for the default strict mode keeps
+    // one-member-one-row on the same layout
+    val strict = cfg.copy(hugeMemberMode = "error", chunkBytes = None)
+    assert(DatasetReader.readShardMembers(spark, strict).count() == 2L)
+    // an unpaired archive fails the config path at plan time —
+    // the shards pairing contract holds for the member scan too
+    writeTar(new File(d, "1.tar"), Seq("x.bin" -> small))
+    val e2 = intercept[IllegalArgumentException] {
+      DatasetReader.readShardMembers(spark, cfg)
+    }
+    assert(e2.getMessage.contains("unpaired"), e2.getMessage)
+  }
+
   test("gzip archives are rejected with a pointer at the streaming source") {
     val d = Files.createTempDirectory("graft-tar-chunks-gz").toFile
     // fake listing row — the reject fires before any byte is read

@@ -97,4 +97,77 @@ class CompactStreamSpec extends SparkSpec {
     assert(streamFinal((2L, "view"))._1 == 12L,
       "an older late event must not displace the newer version")
   }
+
+  test("compactStreamWithTtl: an expired key re-ingests with " +
+      "n_versions from 1; keys inside the horizon match batch") {
+    val dir = Files.createTempDirectory("graft-compact-ttl").toString
+    // four micro-batches (one file each, modification times forced
+    // increasing so FileStreamSource replays them in order):
+    //  b0: key (1,click) twice (n_versions reaches 2), key (2,view)
+    //  b1: day+2 event → watermark jumps past key1/key2's ttl horizon
+    //  b2: unrelated key — the batch in which the timeouts FIRE
+    //      (timeouts only run for keys with no data in the batch)
+    //  b3: key (1,click) re-ingested AFTER expiry → fresh history
+    val batches = Seq(
+      Seq((10L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+        (11L, ts("2024-01-01 10:05:00"), 1L, "click", 2.0, "{}"),
+        (20L, ts("2024-01-01 10:00:00"), 2L, "view", 3.0, "{}")),
+      Seq((30L, ts("2024-01-03 10:00:00"), 3L, "buy", 4.0, "{}")),
+      Seq((40L, ts("2024-01-03 10:30:00"), 4L, "click", 5.0, "{}")),
+      Seq((50L, ts("2024-01-03 11:00:00"), 1L, "click", 6.0, "{}")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory(s"graft-ttl-b$i").toString + "/o"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(dir, s"events.parquet_part$i")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val stream = EventStreams.readEventStream(spark, dir,
+      maxFilesPerTrigger = 1)
+    val q = EventStreams
+      .compactStreamWithTtl(stream, ttl = "1 day", watermark = "1 hour")
+      .toDF()
+      .writeStream.format("memory").queryName("compact_ttl")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val updates = spark.table("compact_ttl")
+    // rebirth breaks n_versions monotonicity BY DESIGN; the final row
+    // per key is the one with the latest version (last_us, then
+    // n_versions for late-arrival ties)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("last_us").desc, col("n_versions").desc)
+    val fin = updates
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(4), r.getLong(5)))).toMap
+
+    // pre-expiry life accumulated versions…
+    assert(updates.filter(col("user_id") === 1 && col("n_versions") === 2)
+      .count() == 1, "key 1's first life must reach n_versions=2")
+    // …and the post-expiry life starts over: state was really dropped
+    assert(fin((1L, "click")) == ((50L, 6.0, 1L)),
+      s"re-ingested key must count from 1, got ${fin((1L, "click"))}")
+
+    // keys inside the retention horizon == batch compaction over the
+    // retained events
+    val batchDir = Files.createTempDirectory("graft-ttl-batch").toString
+    new java.io.File(batchDir, "events.parquet").mkdirs()
+    batches.drop(1).flatten
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$batchDir/events.parquet")
+    val batchFin = graft.queries.TimeSeries.eventsCompact(spark, batchDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(4), r.getLong(5)))).toMap
+    Seq((1L, "click"), (3L, "buy"), (4L, "click")).foreach { k =>
+      assert(fin(k) == batchFin(k), s"$k: ${fin(k)} != ${batchFin(k)}")
+    }
+  }
 }
