@@ -107,12 +107,18 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val cent = e.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    e.crossJoin(broadcast(cent))
+    // keep-best via GroupTopK's bounded heaps, NOT a per-vector
+    // window: the window formulation exchanged all N·C scored rows
+    // WITH the full vector riding each one (measured 65s at 2M
+    // vectors ≈ a 70 GB shuffle at 100×); the k=1 heap folds the C
+    // centroid rows per vector map-side, so the exchange carries one
+    // buffer per vector — the N·C term never crosses the wire.
+    // Election is row_number-identical: (csim desc, cid asc).
+    val scored = e.crossJoin(broadcast(cent))
       .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("csim"), col("cid"), col("v"))
+    GroupTopK.topK(scored, Seq("vec_id"),
+        Seq(("csim", true), ("cid", false)), k = 1)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"))
       // the assignment is consumed twice per search (query side +
       // candidate side); assign-once is the IVF contract at any scale
@@ -272,13 +278,14 @@ object Similarity {
     val cent = spark.read.parquet(indexPath)
       .filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    newVecs.select(col("vec_id"), col("v"))
+    // same keep-best-heap plan as ivfAssign (bit-identical election,
+    // no batch·C exchange with vectors riding it)
+    val scored = newVecs.select(col("vec_id"), col("v"))
       .crossJoin(broadcast(cent))
       .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("csim"), col("cid"), col("v"))
+    GroupTopK.topK(scored, Seq("vec_id"),
+        Seq(("csim", true), ("cid", false)), k = 1)
       .select(col("vec_id"), col("v"), col("cid").as("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(indexPath)
   }
@@ -1232,7 +1239,21 @@ object Similarity {
     * squares sum ≤ 64·255² ≪ 2⁵³) so the shared double L2 kernel is
     * exact — element formula identical to the relational oracle
     * CTE. */
-  private def sq8CodeArrays(spark: SparkSession, dir: String): DataFrame = {
+  private def sq8CodeArrays(spark: SparkSession, dir: String): DataFrame =
+    sq8WithCodes(spark, dir,
+      Tables.fanOut(t(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))))
+      .select(col("vec_id"), col("codes"))
+
+  /** Attach a `codes` column to ANY frame carrying the corpus's `v`
+    * vectors (the [[annIvfSq8]] composition point: encode the IVF
+    * assignment table in place — no corpus-to-corpus join to marry
+    * codes to clusters). The codebook is the corpus per-dim min/max,
+    * collected (64 rows at any scale) and broadcast back as per-dim
+    * literals; see [[sq8CodeArrays]] for the exactness argument. */
+  private def sq8WithCodes(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
     val stats = sq8Dims(spark, dir).orderBy(col("d")).collect()
     require(stats.length == Dim, s"expected $Dim dims, got ${stats.length}")
     require(stats.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
@@ -1240,20 +1261,20 @@ object Similarity {
         "vector; clean the embeddings before encoding")
     val mins = typedLit(stats.map(_.getDouble(1)).toSeq)
     val maxs = typedLit(stats.map(_.getDouble(2)).toSeq)
-    Tables.fanOut(t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-      .select(col("vec_id"), transform(col("v"), (x, i) => {
-        val mn = element_at(mins, i + 1)
-        val mx = element_at(maxs, i + 1)
-        when(mx === mn, lit(0.0)).otherwise(
-          least(lit(255.0), greatest(lit(0.0),
-            floor((x - mn) * 255.0 / (mx - mn) + 0.5))))
-      }).as("codes"))
+    vecs.withColumn("codes", transform(col("v"), (x, i) => {
+      val mn = element_at(mins, i + 1)
+      val mx = element_at(maxs, i + 1)
+      when(mx === mn, lit(0.0)).otherwise(
+        least(lit(255.0), greatest(lit(0.0),
+          floor((x - mn) * 255.0 / (mx - mn) + 0.5))))
+    }))
   }
 
-  private val sqlSq8CodesCte: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       ds AS (SELECT ud.d, min(e.v[ud.d]) AS mn, max(e.v[ud.d]) AS mx
+  /** The ds/codes fragment alone (references an `e` CTE) — shared by
+    * [[sqlSq8CodesCte]] and the IVF-composed [[annIvfSq8Sql]], whose
+    * WITH-chain starts from the assignment CTE instead. */
+  private val sqlSq8DsCodes: String =
+    s"""ds AS (SELECT ud.d, min(e.v[ud.d]) AS mn, max(e.v[ud.d]) AS mx
               FROM e CROSS JOIN
                 (SELECT unnest(generate_series(1, $Dim)) AS d) ud
               GROUP BY 1),
@@ -1263,6 +1284,10 @@ object Similarity {
                   floor((e.v[ds.d] - ds.mn) * 255 / (ds.mx - ds.mn)
                     + 0.5))) AS BIGINT) END AS code
          FROM e CROSS JOIN ds)"""
+
+  private val sqlSq8CodesCte: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       $sqlSq8DsCodes"""
 
   /** SQ8 scalar quantization — the memory-bandwidth ANN path PQ does
     * not cover (4 bits/dim-class coarser than PQ's codebooks but with
@@ -1445,8 +1470,84 @@ object Similarity {
            PARTITION BY query_id ORDER BY xd, vec_id) AS rk
          FROM rr) WHERE rk <= $TopK"""
 
+  /** SQ8 composed INSIDE the IVF index — the 100 TB search shape the
+    * round-5 audit asked for: the PROBE prunes candidates to the
+    * query's posting list (on a materialized [[buildIvfIndex]]
+    * layout, partition pruning — nothing outside the probed cluster
+    * is even read), the QUANTIZED code scan ranks within the cluster
+    * (8× the scan bandwidth of doubles, one codegen'd integer-exact
+    * L2 loop per pair), and only the coarse survivors pay the exact
+    * double rerank. The coarse election runs on [[GroupTopK]]'s
+    * bounded heaps, and codes — never doubles — ride the coarse
+    * stage; full vectors re-attach to the ≤ coarse·Q survivors by
+    * key join (the candidate-semi-join discipline of
+    * [[annSq8Rerank]]). */
+  def annIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val ac = sq8WithCodes(spark, dir, ivfAssign(spark, dir))
+    val qa = ac.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("v").as("qv"), col("codes").as("qcodes"))
+    val cand = ac.select(col("vec_id"), col("cluster"), col("codes"))
+      .join(broadcast(qa.select(col("query_id"), col("cluster"),
+        col("qcodes"))), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.l2DistSq(col("qcodes"), col("codes")).as("d2"))
+      .filter(col("d2").isNotNull) // never elect NULLs (sq8Recall rule)
+    val coarse = GroupTopK.topK(cand, Seq("query_id"),
+        Seq(("d2", false), ("vec_id", false)), Sq8RerankCoarse)
+      .select(col("query_id"), col("vec_id"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("xd").asc, col("vec_id"))
+    coarse.join(ac.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(qa.select(col("query_id"), col("qv"))),
+        Seq("query_id"))
+      .withColumn("xd", r6(GraftFunctions.l2DistSq(col("qv"), col("v"))))
+      .filter(col("xd").isNotNull)
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("query_id"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("xd"))
+  }
+
+  val annIvfSq8Sql: String =
+    s"""$sqlIvfAssignCte,
+       $sqlSq8DsCodes,
+       qa AS (SELECT vec_id AS query_id, cluster, v AS qv FROM assign
+              WHERE vec_id < $NumQueries),
+       qc AS (SELECT vec_id AS query_id, d, code AS qcode FROM codes
+              WHERE vec_id < $NumQueries),
+       cand AS (SELECT qa.query_id, a.vec_id
+                FROM assign a JOIN qa ON a.cluster = qa.cluster
+                WHERE a.vec_id <> qa.query_id),
+       cd AS (SELECT cand.query_id, cand.vec_id,
+                CAST(sum((qc.qcode - c.code) * (qc.qcode - c.code))
+                  AS BIGINT) AS d2
+              FROM cand
+              JOIN codes c ON c.vec_id = cand.vec_id
+              JOIN qc ON qc.query_id = cand.query_id AND qc.d = c.d
+              GROUP BY 1, 2),
+       coarse AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id, row_number() OVER (
+                      PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+                    FROM cd) WHERE rk <= $Sq8RerankCoarse),
+       rr AS (SELECT coarse.query_id, coarse.vec_id,
+               ${sqlR(
+      s"""coalesce(list_sum(list_transform(generate_series(1, $Dim),
+             j -> (qa.qv[j] - e2.v[j]) * (qa.qv[j] - e2.v[j]))), 0)""", 6)}
+                 AS xd
+             FROM coarse
+             JOIN e e2 ON coarse.vec_id = e2.vec_id
+             JOIN qa ON coarse.query_id = qa.query_id)
+       SELECT query_id, rk, vec_id AS neighbor_id, xd FROM (
+         SELECT query_id, vec_id, xd, row_number() OVER (
+           PARTITION BY query_id ORDER BY xd, vec_id) AS rk
+         FROM rr) WHERE rk <= $IvfTopK"""
+
   val queries: Map[String, Q] = Map(
     "q_sq8_encode" -> (sq8Encode _),
+    "q_ann_ivf_sq8" -> (annIvfSq8 _),
     "q_sq8_recall" -> (sq8Recall _),
     "q_ann_sq8_rerank" -> (annSq8Rerank _),
     "q_cluster_prototypes" -> (clusterPrototypes _),
@@ -1473,6 +1574,7 @@ object Similarity {
     "q_sq8_encode" -> sq8EncodeSql,
     "q_sq8_recall" -> sq8RecallSql,
     "q_ann_sq8_rerank" -> annSq8RerankSql,
+    "q_ann_ivf_sq8" -> annIvfSq8Sql,
     "q_cluster_prototypes" -> clusterPrototypesSql,
     "q_embed_drift" -> embedDriftSql,
     "q_hard_negatives" -> hardNegativesSql,

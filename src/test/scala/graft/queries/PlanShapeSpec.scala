@@ -184,6 +184,24 @@ class PlanShapeSpec extends SparkSpec {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("q_ann_ivf_sq8: probe-pruned candidates, heap coarse election, " +
+      "one bounded rerank Window") {
+    val df = Similarity.annIvfSq8(spark, dir)
+    val p = plan(df)
+    // candidates come from the query's cluster via an equi-join on a
+    // broadcast query side — never a cross/cartesian pairing
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // quantized coarse scan elects on bounded heaps (codes only); the
+    // single PER-QUERY Window ranks the <= coarse·Q exact-rerank
+    // candidates (ivfAssign's own per-VECTOR window — 64 bounded rows
+    // per partition — reprints once per reuse of the assign subtree
+    // and is not what this pin is about)
+    assert(p.contains("bounded_topk"), p.take(3000))
+    assert(countIn(p, "windowspecdefinition(query_id") == 1, p.take(3000))
+    df.sparkSession.catalog.clearCache()
+  }
+
   test("q_data_profile is one scan through one Expand — not a pass " +
       "per column") {
     val p = plan(Relational.dataProfile(spark, dir))
