@@ -290,8 +290,14 @@ final class OnnxModel(val graph: Onnx.Graph) {
             s"${n.opType}: missing input $i — graph not topological?"))
       }
       if (n.opType == "Split") {
-        // the one multi-output op in the subset
         n.outputs.zip(evalSplit(n, ins)).foreach {
+          case (name, t) => env += name -> t
+        }
+      } else if (n.opType == "GRU") {
+        // two positional outputs (Y, Y_h), each optional: an exporter
+        // wanting only Y_h writes ["", "Y_h"] — skip the empty slots
+        n.outputs.zip(evalGru(n, ins)).foreach {
+          case ("", _) => ()
           case (name, t) => env += name -> t
         }
       } else env += n.outputs.head -> eval(n, ins)
@@ -613,18 +619,23 @@ final class OnnxModel(val graph: Onnx.Graph) {
       map1(ins(0), v => math.min(math.max(v, lo), hi))
     case "Dropout" | "Cast" => ins(0) // eval-mode no-op / float-only
     case "BatchNormalization" =>
-      // eval mode over [N, C]: y = scale·(x−mean)/√(var+ε) + bias,
-      // per channel (the last axis)
+      // eval mode: y = scale·(x−mean)/√(var+ε) + bias, per channel.
+      // ONNX BN channels live at AXIS 1 for any rank — [N, C] (where
+      // axis 1 is also the last axis, the MLP case) and [N, C, H, W]
+      // (the conv case, channel stride = H·W) share this one loop.
       val eps = attrF(n, "epsilon", 1e-5f)
       val Seq(x, scale, bias, mean, variance) = ins.take(5)
-      val c = x.cols
+      require(x.dims.length >= 2,
+        s"BatchNormalization needs rank >= 2, got ${x.dims}")
+      val c = x.dims(1)
+      val inner = x.dims.drop(2).product
       require(scale.data.length == c && mean.data.length == c &&
         variance.data.length == c && bias.data.length == c,
         s"BatchNormalization param length != $c channels")
       val out = new Array[Float](x.data.length)
       var i = 0
       while (i < out.length) {
-        val ch = i % c
+        val ch = (i / inner) % c
         out(i) = ((x.data(i) - mean.data(ch)) /
           math.sqrt((variance.data(ch) + eps).toDouble).toFloat) *
           scale.data(ch) + bias.data(ch)
@@ -1247,6 +1258,124 @@ final class OnnxModel(val graph: Onnx.Graph) {
     Tensor(od ++ Seq(m, nc), out)
   }
 
+  /** Single-direction GRU — the recurrent tier a RAFT-class flow
+    * export needs (DPF/filters/videos/raft_filter.py:73 vendors
+    * raft_core/, whose update block is a GRU). ONNX GRU semantics at
+    * the opset-14 defaults:
+    *
+    *   z_t = σ(X_t·W_z' + H_{t−1}·R_z' + Wb_z + Rb_z)
+    *   r_t = σ(X_t·W_r' + H_{t−1}·R_r' + Wb_r + Rb_r)
+    *   h̃_t = tanh(X_t·W_h' + (r_t ⊙ H_{t−1})·R_h' + Wb_h + Rb_h)
+    *         (linear_before_reset=1: tanh(X_t·W_h' + Wb_h +
+    *          r_t ⊙ (H_{t−1}·R_h' + Rb_h)) — the torch export form)
+    *   H_t = (1 − z_t) ⊙ h̃_t + z_t ⊙ H_{t−1}
+    *
+    * Gate stacking order in W/R/B is [z, r, h]; B = [Wb | Rb].
+    * Supported: forward direction, default σ/tanh activations,
+    * optional B and initial_h, both linear_before_reset values.
+    * sequence_lens, bidirectional/reverse, and custom activations
+    * fail loudly. Outputs (both optional, positional):
+    * Y [T, 1, B, H] and Y_h [1, B, H]. Math in doubles per element,
+    * rounded to float at each gate — deterministic and
+    * spec-pinned against hand-computed values. */
+  private def evalGru(n: Node, ins: Seq[Tensor]): Seq[Tensor] = {
+    val x = ins(0)
+    val w = ins(1)
+    val r = ins(2)
+    val dir = attrS(n, "direction", "forward")
+    require(dir == "forward",
+      s"GRU direction '$dir' unsupported — single forward direction only")
+    require(!n.attrs.contains("activations"),
+      "GRU custom activations unsupported — Sigmoid/Tanh defaults only")
+    require(x.dims.length == 3, s"GRU X must be [T, B, I], got ${x.dims}")
+    val Seq(tLen, bSz, inSz) = x.dims
+    require(r.dims.length == 3 && r.dims.head == 1,
+      s"GRU R must be [1, 3H, H] (forward), got ${r.dims}")
+    val hid = r.dims(2)
+    val hAttr = attrI(n, "hidden_size", hid.toLong)
+    require(hAttr == hid.toLong,
+      s"GRU hidden_size attr $hAttr disagrees with R dims ${r.dims}")
+    require(w.dims == Seq(1, 3 * hid, inSz), s"GRU W dims ${w.dims} " +
+      s"!= [1, ${3 * hid}, $inSz]")
+    require(r.dims == Seq(1, 3 * hid, hid), s"GRU R dims ${r.dims}")
+    val lbr = attrI(n, "linear_before_reset", 0L) != 0L
+    val bias =
+      if (ins.length > 3 && ins(3).data.nonEmpty) {
+        require(ins(3).dims == Seq(1, 6 * hid), s"GRU B dims ${ins(3).dims}")
+        ins(3).data
+      } else new Array[Float](6 * hid)
+    require(ins.length <= 4 || ins(4).data.isEmpty,
+      "GRU sequence_lens unsupported — equal-length batches only")
+    val hPrev =
+      if (ins.length > 5 && ins(5).data.nonEmpty) {
+        require(ins(5).dims == Seq(1, bSz, hid),
+          s"GRU initial_h dims ${ins(5).dims}")
+        ins(5).data.clone()
+      } else new Array[Float](bSz * hid)
+    def sig(v: Double): Double = 1.0 / (1.0 + math.exp(-v))
+    // gate g row j: W row (g·H + j) over input, R row (g·H + j) over
+    // hidden; Wb at g·H + j, Rb at (3 + g)·H + j
+    val y = new Array[Float](tLen * bSz * hid)
+    val zv = new Array[Double](hid)
+    val rv = new Array[Double](hid)
+    val hNew = new Array[Float](hid)
+    var t = 0
+    while (t < tLen) {
+      var b = 0
+      while (b < bSz) {
+        val xOff = (t * bSz + b) * inSz
+        val hOff = b * hid
+        def wx(g: Int, j: Int): Double = {
+          var s = bias(g * hid + j).toDouble
+          var k = 0
+          val row = (g * hid + j) * inSz
+          while (k < inSz) { s += w.data(row + k) * x.data(xOff + k); k += 1 }
+          s
+        }
+        def rh(g: Int, j: Int): Double = {
+          var s = 0.0
+          var k = 0
+          val row = (g * hid + j) * hid
+          while (k < hid) { s += r.data(row + k) * hPrev(hOff + k); k += 1 }
+          s
+        }
+        var j = 0
+        while (j < hid) {
+          zv(j) = sig(wx(0, j) + rh(0, j) + bias(3 * hid + j))
+          rv(j) = sig(wx(1, j) + rh(1, j) + bias(4 * hid + j))
+          j += 1
+        }
+        j = 0
+        while (j < hid) {
+          val hCand =
+            if (lbr) math.tanh(wx(2, j) +
+              rv(j) * (rh(2, j) + bias(5 * hid + j)))
+            else {
+              // (r ⊙ H_{t−1})·R_h' — reset applied BEFORE the
+              // recurrent matmul
+              var s = wx(2, j) + bias(5 * hid + j)
+              var k = 0
+              val row = (2 * hid + j) * hid
+              while (k < hid) {
+                s += r.data(row + k) * (rv(k) * hPrev(hOff + k))
+                k += 1
+              }
+              math.tanh(s)
+            }
+          hNew(j) =
+            ((1.0 - zv(j)) * hCand + zv(j) * hPrev(hOff + j)).toFloat
+          j += 1
+        }
+        System.arraycopy(hNew, 0, hPrev, hOff, hid)
+        System.arraycopy(hNew, 0, y, (t * bSz + b) * hid, hid)
+        b += 1
+      }
+      t += 1
+    }
+    Seq(Tensor(Seq(tLen, 1, bSz, hid), y),
+      Tensor(Seq(1, bSz, hid), hPrev))
+  }
+
   /** Split along an axis into this node's output count (equal parts)
     * or the explicit sizes from the `split` attr (opset 11) / second
     * input (opset 13). */
@@ -1337,7 +1466,7 @@ object OnnxModel {
     "Conv", "MaxPool", "AveragePool", "GlobalAveragePool",
     "GridSample", "Transpose", "Concat", "Slice", "Gather", "Split",
     "Unsqueeze", "Squeeze", "Flatten", "Reshape", "Identity",
-    "Constant", "ConstantOfShape", "Expand", "Tile", "Range")
+    "Constant", "ConstantOfShape", "Expand", "Tile", "Range", "GRU")
 
   private val cache = new ConcurrentHashMap[String, OnnxModel]()
   /** number of cold loads — observable session-per-executor reuse */

@@ -162,6 +162,70 @@ object TestOnnx {
       inputs = Seq("ids"), outputs = Seq("y"))
   }
 
+  /** Realistic score-head TOPOLOGY at real input dims — the
+    * bring-your-own-model throughput fixture (an NSFW/aesthetic-class
+    * conv head: `[N, 3, 224, 224] → [N, 1]`): five strided 3×3 conv
+    * blocks with BatchNorm + Relu (16→32→64→64→128 channels, each
+    * halving the spatial grid), GlobalAveragePool, a Gemm score head,
+    * Sigmoid. ~47M MACs/image. Every op is in the interpreter subset
+    * — the shape a converted public score model lands in after the
+    * tools/export_model.py recipe. */
+  def realisticConvHead(salt: Int): Array[Byte] = {
+    // PROPERLY MIXED seed (splitmix-style): the other fixtures'
+    // quadratic-mod-13 pattern is distributionally biased (a
+    // quadratic map mod a prime is non-uniform), which gives every
+    // weight row a consistent non-zero mean — activations then
+    // compound layer over layer until a ReLU goes entirely dead and
+    // the head output turns input-INDEPENDENT. Small nets shrug that
+    // off; a 5-deep stack does not.
+    def seededAmp(n: Int, s: Int, amp: Float): Seq[Float] =
+      (0 until n).map { i =>
+        val h0 = i.toLong * 2654435761L + s.toLong * 7919L
+        val h1 = (h0 ^ (h0 >>> 31)) * 0x9E3779B97F4A7C15L
+        (Math.floorMod(h1 ^ (h1 >>> 33), 13L) - 6) * amp
+      }
+    def seeded(n: Int, s: Int): Seq[Float] = seededAmp(n, s, 0.047f)
+    val chans = Seq(3, 16, 32, 64, 64, 128)
+    val convs = (0 until 5).flatMap { i =>
+      val (ci, co) = (chans(i), chans(i + 1))
+      val in = if (i == 0) "x" else s"a${i - 1}"
+      Seq(
+        node("Conv", Seq(in, s"w$i", s"cb$i"), Seq(s"c$i"),
+          Seq(attrInts("kernel_shape", Seq(3L, 3L)),
+            attrInts("strides", Seq(2L, 2L)),
+            attrInts("pads", Seq(1L, 1L, 1L, 1L)))),
+        node("BatchNormalization",
+          Seq(s"c$i", s"g$i", s"b$i", s"m$i", s"v$i"), Seq(s"n$i")),
+        node("Relu", Seq(s"n$i"), Seq(s"a$i")))
+    }
+    val convInits = (0 until 5).flatMap { i =>
+      val (ci, co) = (chans(i), chans(i + 1))
+      // fan-in-scaled weights (the Kaiming discipline): unnormalized
+      // seeds compounded ~8× per layer until one layer's ReLU went
+      // entirely dead and the head output turned input-INDEPENDENT
+      val wAmp = (0.4 / math.sqrt(ci * 9.0)).toFloat
+      Seq(
+        tensor(s"w$i", Seq(co, ci, 3, 3),
+          seededAmp(co * ci * 9, salt + i, wAmp)),
+        tensor(s"cb$i", Seq(co), seeded(co, salt + 10 + i)),
+        tensor(s"g$i", Seq(co), Seq.fill(co)(1.01f)),
+        tensor(s"b$i", Seq(co), seeded(co, salt + 20 + i)),
+        tensor(s"m$i", Seq(co), seeded(co, salt + 30 + i)),
+        tensor(s"v$i", Seq(co), Seq.fill(co)(0.9f)))
+    }
+    model(
+      nodes = convs ++ Seq(
+        node("GlobalAveragePool", Seq("a4"), Seq("p")),
+        node("Flatten", Seq("p"), Seq("f")),
+        node("Gemm", Seq("f", "wh", "bh"), Seq("z"),
+          Seq(attrInt("transB", 1L))),
+        node("Sigmoid", Seq("z"), Seq("y"))),
+      inits = convInits ++ Seq(
+        tensor("wh", Seq(1, 128), seeded(128, salt + 40)),
+        tensor("bh", Seq(1), Seq(0.05f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+  }
+
   /** Tiny REAL caption decoder `(img [1,e], ids [1,l]) → [1,l,v]`
     * logits: token embedding + position embedding + image
     * conditioning through Gelu into a vocab projection. */
@@ -1002,6 +1066,78 @@ class OnnxRuntimeSpec extends AnyFunSuite {
       OnnxModel.parseBytes(bad).forward(x)
     }
     assert(e.getMessage.contains("ArgMax"))
+  }
+
+  // shared GRU fixture: H=2, I=2, gate stacking [z, r, h], B=[Wb|Rb]
+  private val gruW = tensor("W", Seq(1, 6, 2), Seq(
+    0.1f, 0.2f, 0.3f, 0.4f, // W_z
+    0.5f, -0.1f, 0.2f, 0.1f, // W_r
+    0.3f, 0.2f, -0.2f, 0.4f)) // W_h
+  private val gruR = tensor("R", Seq(1, 6, 2), Seq(
+    0.1f, 0f, 0f, 0.1f, // R_z
+    0.2f, 0f, 0f, 0.2f, // R_r
+    0.3f, 0f, 0f, 0.3f)) // R_h
+  private val gruB = tensor("B", Seq(1, 12), Seq(
+    0.01f, 0.02f, 0.03f, 0.04f, 0.05f, 0.06f, // Wb z,r,h
+    0f, 0f, 0f, 0f, 0.07f, 0.08f)) // Rb z,r,h
+
+  test("GRU: hand-computed recurrence over two timesteps (Y and Y_h)") {
+    // expected values from the spec equations computed independently:
+    //   z=σ(Wz·x+Rz·h+Wbz+Rbz), r=σ(Wr·x+Rr·h+Wbr+Rbr),
+    //   h̃=tanh(Wh·x+Rh·(r⊙h)+Wbh+Rbh), H=(1−z)⊙h̃+z⊙h, h0=0
+    //   x1=[1,.5]  → H1=[0.2138625, 0.0518609]
+    //   x2=[−.5,1] → H2=[0.2053418, 0.2756393]
+    val g = model(
+      nodes = Seq(node("GRU", Seq("x", "W", "R", "B"), Seq("Y", "Yh"),
+        Seq(attrInt("hidden_size", 2L)))),
+      inits = Seq(gruW, gruR, gruB),
+      inputs = Seq("x"), outputs = Seq("Y", "Yh"))
+    val x = Onnx.Tensor(Seq(2, 1, 2), Array(1f, 0.5f, -0.5f, 1f))
+    val out = OnnxModel.parseBytes(g).run(Map("x" -> x))
+    val y = out("Y")
+    assert(y.dims == Seq(2, 1, 1, 2), y.dims)
+    val want = Seq(0.2138625f, 0.0518609f, 0.2053418f, 0.2756393f)
+    y.data.zip(want).foreach { case (got, w) =>
+      assert(math.abs(got - w) < 1e-6, s"Y ${y.data.toSeq} != $want")
+    }
+    val yh = out("Yh")
+    assert(yh.dims == Seq(1, 1, 2))
+    assert(math.abs(yh.data(0) - 0.2053418f) < 1e-6 &&
+      math.abs(yh.data(1) - 0.2756393f) < 1e-6, yh.data.toSeq)
+  }
+
+  test("GRU: linear_before_reset=1 with initial_h over a 2-batch; " +
+      "unsupported variants fail loudly") {
+    // h̃=tanh(Wh·x+Wbh+r⊙(Rh·h+Rbh)) — the torch export form:
+    //   b0: x=[1,−1],  h0=[.5,−.5] → [0.3928493, −0.5104004]
+    //   b1: x=[0, 2],  h0=[.1, .2] → [0.2424163,  0.3613516]
+    val g = model(
+      nodes = Seq(node("GRU", Seq("x", "W", "R", "B", "", "h0"),
+        Seq("", "Yh"), // Y omitted — positional optional output
+        Seq(attrInt("hidden_size", 2L),
+          attrInt("linear_before_reset", 1L)))),
+      inits = Seq(gruW, gruR, gruB,
+        tensor("h0", Seq(1, 2, 2), Seq(0.5f, -0.5f, 0.1f, 0.2f))),
+      inputs = Seq("x"), outputs = Seq("Yh"))
+    val x = Onnx.Tensor(Seq(1, 2, 2), Array(1f, -1f, 0f, 2f))
+    val yh = OnnxModel.parseBytes(g).run(Map("x" -> x))("Yh")
+    assert(yh.dims == Seq(1, 2, 2))
+    val want = Seq(0.3928493f, -0.5104004f, 0.2424163f, 0.3613516f)
+    yh.data.zip(want).foreach { case (got, w) =>
+      assert(math.abs(got - w) < 1e-6, s"Yh ${yh.data.toSeq} != $want")
+    }
+    // reverse/bidirectional is a loud unsupported, not a wrong answer
+    val rev = model(
+      nodes = Seq(node("GRU", Seq("x", "W", "R"), Seq("Y"),
+        Seq(attrInt("hidden_size", 2L),
+          attrString("direction", "reverse")))),
+      inits = Seq(gruW, gruR), inputs = Seq("x"), outputs = Seq("Y"))
+    val e = intercept[IllegalArgumentException] {
+      OnnxModel.parseBytes(rev).run(Map("x" -> x))
+    }
+    assert(e.getMessage.contains("direction"), e.getMessage)
+    // and the op now counts as supported for flow-net gating
+    assert(OnnxModel.SupportedOps.contains("GRU"))
   }
 
   test("unsupportedOps reports the complete missing-op list") {
