@@ -27,7 +27,16 @@ object ModelCheck {
     println(s"unsupported ops: " +
       (if (missing.isEmpty) "none — runs on the interpreter"
        else missing.mkString(", ")))
-    val timing: Option[(Int, Double)] = args.lift(1).map { spec =>
+    val timing: Option[(Int, Double)] = args.lift(1)
+      .filter { _ =>
+        // a model with missing ops can't forward — timing it would
+        // die mid-eval with a stack trace instead of the documented
+        // JSON summary + exit 1
+        if (missing.nonEmpty)
+          println("skipping timed forwards — model has unsupported ops")
+        missing.isEmpty
+      }
+      .map { spec =>
       val dims = spec.split("x").map(_.trim.toInt).toSeq
       require(dims.nonEmpty && dims.forall(_ > 0), s"bad dims: $spec")
       val reps = args.lift(2).map(_.toInt).getOrElse(3)

@@ -52,7 +52,17 @@ case class BoundedTopK(
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case s: StructType if s.length >= sortSpec.length =>
-      TypeCheckResult.TypeCheckSuccess
+      // unorderable ranking fields (maps) would otherwise fail at the
+      // first heap comparison in a 2+-row group — a runtime task
+      // error deep in the aggregate instead of an analysis error
+      val bad = s.fields.take(sortSpec.length).filterNot(f =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType))
+      if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"bounded_topk ranking fields must be orderable; " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}")
+            .mkString(", ") + " are not")
     case s: StructType => TypeCheckResult.TypeCheckFailure(
       s"bounded_topk struct has ${s.length} fields but sortSpec " +
         s"'$sortSpec' names ${sortSpec.length} ranking fields")

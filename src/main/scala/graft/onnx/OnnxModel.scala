@@ -1287,6 +1287,14 @@ final class OnnxModel(val graph: Onnx.Graph) {
       s"GRU direction '$dir' unsupported — single forward direction only")
     require(!n.attrs.contains("activations"),
       "GRU custom activations unsupported — Sigmoid/Tanh defaults only")
+    // layout=1 ([B,T,I], the tf2onnx/keras export form) passes every
+    // dims check below — rank 3 either way — and would read wrong
+    // rows silently; reject rather than mis-evaluate. Same for clip.
+    require(attrI(n, "layout", 0L) == 0L,
+      "GRU layout=1 (batch-major) unsupported — export with the " +
+        "default [T, B, I] layout")
+    require(!n.attrs.contains("clip"),
+      "GRU clip attribute unsupported — export without cell clipping")
     require(x.dims.length == 3, s"GRU X must be [T, B, I], got ${x.dims}")
     val Seq(tLen, bSz, inSz) = x.dims
     require(r.dims.length == 3 && r.dims.head == 1,

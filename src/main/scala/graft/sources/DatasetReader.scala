@@ -95,6 +95,12 @@ object DatasetReader {
     * Returns (archive, member, size, offset, content) rows. */
   def readShardMembers(spark: SparkSession,
       config: ShardsConfig): DataFrame = {
+    // the tar source reads tar-family archives only; any other
+    // declared extension would pass the pairing check and then scan
+    // ZERO files silently
+    require(Set("tar", "tar.gz", "tgz").contains(config.archivesExt),
+      s"readShardMembers reads tar-family archives; archivesExt " +
+        s"'${config.archivesExt}' is not one of tar / tar.gz / tgz")
     // same driver-side pairing contract as the metadata path
     listPairs(spark, config.path,
       config.datafilesExt, config.archivesExt, archiveIsDir = false)
@@ -102,7 +108,11 @@ object DatasetReader {
       .option("hugeMemberMode", config.hugeMemberMode)
     config.chunkBytes.fold(reader)(b =>
         reader.option("chunkBytes", b.toString))
-      .load(config.path)
+      // glob on the DECLARED extension, so the scan covers exactly
+      // the archive set the pairing check validated (a directory
+      // load would also read e.g. stray .tar files a .tgz-configured
+      // pairing never saw)
+      .load(s"${config.path}/*.${config.archivesExt}")
   }
 
   // ------------------------------------------------------------------

@@ -159,6 +159,28 @@ object EventStreams {
       last_event_id: Long, last_us: Long, last_value: Double,
       n_versions: Long)
 
+  /** The ONE newer-version fold shared by [[compactStream]] and
+    * [[compactStreamWithTtl]] — the (µs-truncated ts, event_id)
+    * tiebreak convention is the cross-engine contract hash-gated
+    * against the batch oracle, so it must not fork between the two
+    * streaming variants. */
+  private def foldLatest(user: Long, typ: String,
+      prior: Option[LatestVersion], it: Iterator[Event]): LatestVersion = {
+    var cur = prior.getOrElse(
+      LatestVersion(user, typ, Long.MinValue, Long.MinValue, 0.0, 0L))
+    it.foreach { e =>
+      val us = toUs(e.ts)
+      val newer = us > cur.last_us ||
+        (us == cur.last_us && e.event_id > cur.last_event_id)
+      cur = LatestVersion(user, typ,
+        if (newer) e.event_id else cur.last_event_id,
+        if (newer) us else cur.last_us,
+        if (newer) e.value else cur.last_value,
+        cur.n_versions + 1)
+    }
+    cur
+  }
+
   /** Streaming CDC / upsert compaction — the unbounded twin of
     * [[graft.queries.TimeSeries.eventsCompact]]: per (user_id,
     * event_type) key, state holds the LATEST record (µs-truncated ts
@@ -179,19 +201,7 @@ object EventStreams {
       .mapGroupsWithState[LatestVersion, LatestVersion](
         GroupStateTimeout.NoTimeout) {
         case ((user, typ), it, state) =>
-          var cur = state.getOption.getOrElse(
-            LatestVersion(user, typ, Long.MinValue, Long.MinValue,
-              0.0, 0L))
-          it.foreach { e =>
-            val us = toUs(e.ts)
-            val newer = us > cur.last_us ||
-              (us == cur.last_us && e.event_id > cur.last_event_id)
-            cur = LatestVersion(user, typ,
-              if (newer) e.event_id else cur.last_event_id,
-              if (newer) us else cur.last_us,
-              if (newer) e.value else cur.last_value,
-              cur.n_versions + 1)
-          }
+          val cur = foldLatest(user, typ, state.getOption, it)
           state.update(cur)
           cur
       }
@@ -234,19 +244,7 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
-            var cur = state.getOption.getOrElse(
-              LatestVersion(user, typ, Long.MinValue, Long.MinValue,
-                0.0, 0L))
-            it.foreach { e =>
-              val us = toUs(e.ts)
-              val newer = us > cur.last_us ||
-                (us == cur.last_us && e.event_id > cur.last_event_id)
-              cur = LatestVersion(user, typ,
-                if (newer) e.event_id else cur.last_event_id,
-                if (newer) us else cur.last_us,
-                if (newer) e.value else cur.last_value,
-                cur.n_versions + 1)
-            }
+            val cur = foldLatest(user, typ, state.getOption, it)
             state.update(cur)
             // expire at latest-version event time + ttl; a very late
             // key (already inside the horizon's tail) still needs a

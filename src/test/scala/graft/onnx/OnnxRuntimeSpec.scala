@@ -1136,6 +1136,16 @@ class OnnxRuntimeSpec extends AnyFunSuite {
       OnnxModel.parseBytes(rev).run(Map("x" -> x))
     }
     assert(e.getMessage.contains("direction"), e.getMessage)
+    // layout=1 ([B,T,I]) passes every dims check — rank 3 either
+    // way — and would silently read wrong rows; must reject
+    val bt = model(
+      nodes = Seq(node("GRU", Seq("x", "W", "R"), Seq("Y"),
+        Seq(attrInt("hidden_size", 2L), attrInt("layout", 1L)))),
+      inits = Seq(gruW, gruR), inputs = Seq("x"), outputs = Seq("Y"))
+    val e2 = intercept[IllegalArgumentException] {
+      OnnxModel.parseBytes(bt).run(Map("x" -> x))
+    }
+    assert(e2.getMessage.contains("layout"), e2.getMessage)
     // and the op now counts as supported for flow-net gating
     assert(OnnxModel.SupportedOps.contains("GRU"))
   }

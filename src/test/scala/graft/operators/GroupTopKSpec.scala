@@ -85,6 +85,17 @@ class GroupTopKSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("an unorderable ranking field fails at ANALYSIS, not as a " +
+      "runtime task error in 2+-row groups") {
+    val df = Seq(("a", 1L), ("a", 2L)).toDF("g", "id")
+      .withColumn("m", map(col("id"), col("id")))
+    val e = intercept[Exception] {
+      GroupTopK.topK(df, Seq("g"), Seq(("m", false), ("id", false)), 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("orderable"), e.getMessage)
+  }
+
   test("multi-column group keys and ascending ranks") {
     val df = Seq(
       ("x", 1, 10L, 2.0), ("x", 1, 11L, 1.0), ("x", 2, 12L, 5.0),

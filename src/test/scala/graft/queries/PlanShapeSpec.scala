@@ -193,10 +193,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     // quantized coarse scan elects on bounded heaps (codes only); the
-    // single PER-QUERY Window ranks the <= coarse·Q exact-rerank
-    // candidates (ivfAssign's own per-VECTOR window — 64 bounded rows
-    // per partition — reprints once per reuse of the assign subtree
-    // and is not what this pin is about)
+    // single PER-QUERY window function ranks the <= coarse·Q
+    // exact-rerank candidates (counted via its windowspecdefinition
+    // partition key so the pin survives WindowGroupLimit nodes and
+    // any future bounded non-query windows elsewhere in the plan)
     assert(p.contains("bounded_topk"), p.take(3000))
     assert(countIn(p, "windowspecdefinition(query_id") == 1, p.take(3000))
     df.sparkSession.catalog.clearCache()

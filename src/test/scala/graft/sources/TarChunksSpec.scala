@@ -156,6 +156,12 @@ class TarChunksSpec extends SparkSpec {
     // one-member-one-row on the same layout
     val strict = cfg.copy(hugeMemberMode = "error", chunkBytes = None)
     assert(DatasetReader.readShardMembers(spark, strict).count() == 2L)
+    // a non-tar-family archivesExt would pair fine and then scan
+    // ZERO files silently — must reject up front
+    val e1 = intercept[IllegalArgumentException] {
+      DatasetReader.readShardMembers(spark, cfg.copy(archivesExt = "zip"))
+    }
+    assert(e1.getMessage.contains("tar-family"), e1.getMessage)
     // an unpaired archive fails the config path at plan time —
     // the shards pairing contract holds for the member scan too
     writeTar(new File(d, "1.tar"), Seq("x.bin" -> small))
