@@ -372,11 +372,14 @@ object Farneback {
   * scaled back to input pixels. RAFT itself is a learned model —
   * without its weights there is nothing to compute — so this filter
   * is exactly the production contract: drop in a flow `.onnx` within
-  * the interpreter's conv tier (or a full runtime behind
-  * [[graft.onnx.OnnxModel.run]]) and the pipeline side (frame pair
-  * scheduling, stacking, magnitude reduction, null semantics) is
-  * already real and tested. No model → [[Farneback]] (the classical
-  * algorithm, no weights needed) computes the flow instead. */
+  * the interpreter subset (conv encoder + `GridSample` warps + the
+  * single-direction `GRU` recurrent-update tier — a GRU-bearing
+  * refinement net runs END TO END through this filter, spec-pinned)
+  * or a full runtime behind [[graft.onnx.OnnxModel.run]], and the
+  * pipeline side (frame pair scheduling, stacking, magnitude
+  * reduction, null semantics) is already real and tested. No model →
+  * [[Farneback]] (the classical algorithm, no weights needed)
+  * computes the flow instead. */
 final case class OnnxFlowFilter(modelPath: Option[String] = None,
     flowColumn: String = "optical_flow_raft",
     nFrames: Int = 4,

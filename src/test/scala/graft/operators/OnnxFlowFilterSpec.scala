@@ -78,6 +78,67 @@ class OnnxFlowFilterSpec extends SparkSpec {
     assert(math.abs(got - total / count) < 1e-9)
   }
 
+  test("a RAFT-style GRU-bearing flow net runs END TO END through the " +
+      "filter — recurrent update inside the subset") {
+    // the RAFT execution shape in miniature: conv feature encoder →
+    // T=3 recurrent GRU refinement steps over the (flattened)
+    // feature state → project the final hidden state to a coarse
+    // [1, 2, 4, 4] flow field. Every op inside the interpreter
+    // subset — this is the graph class the GRU tier exists for.
+    def seeded(n: Int, s: Int, amp: Float): Seq[Float] =
+      (0 until n).map { i =>
+        val h0 = i.toLong * 2654435761L + s.toLong * 7919L
+        val h1 = (h0 ^ (h0 >>> 31)) * 0x9E3779B97F4A7C15L
+        (Math.floorMod(h1 ^ (h1 >>> 33), 13L) - 6) * amp
+      }
+    val i512 = 8 * 8 * 8 // conv features flattened
+    val hid = 16
+    val net = TestOnnx.model(
+      nodes = Seq(
+        TestOnnx.node("Conv", Seq("x", "cw"), Seq("c"),
+          Seq(TestOnnx.attrInts("kernel_shape", Seq(3L, 3L)),
+            TestOnnx.attrInts("strides", Seq(2L, 2L)),
+            TestOnnx.attrInts("pads", Seq(1L, 1L, 1L, 1L)))),
+        TestOnnx.node("Reshape", Seq("c", "seqshape"), Seq("f")),
+        TestOnnx.node("Concat", Seq("f", "f", "f"), Seq("seq"),
+          Seq(TestOnnx.attrInt("axis", 0L))),
+        TestOnnx.node("GRU", Seq("seq", "W", "R"), Seq("", "hT"),
+          Seq(TestOnnx.attrInt("hidden_size", hid.toLong))),
+        TestOnnx.node("Reshape", Seq("hT", "flatshape"), Seq("h")),
+        TestOnnx.node("Gemm", Seq("h", "proj"), Seq("z"),
+          Seq(TestOnnx.attrInt("transB", 1L))),
+        TestOnnx.node("Reshape", Seq("z", "flowshape"), Seq("y"))),
+      inits = Seq(
+        TestOnnx.tensor("cw", Seq(8, 6, 3, 3), seeded(8 * 6 * 9, 1, 0.02f)),
+        TestOnnx.tensor("seqshape", Seq(3), Seq(1f, 1f, i512.toFloat)),
+        TestOnnx.tensor("W", Seq(1, 3 * hid, i512),
+          seeded(3 * hid * i512, 2, 0.004f)),
+        TestOnnx.tensor("R", Seq(1, 3 * hid, hid),
+          seeded(3 * hid * hid, 3, 0.02f)),
+        TestOnnx.tensor("flatshape", Seq(2), Seq(1f, hid.toFloat)),
+        TestOnnx.tensor("proj", Seq(32, hid), seeded(32 * hid, 4, 0.05f)),
+        TestOnnx.tensor("flowshape", Seq(4), Seq(1f, 2f, 4f, 4f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    assert(OnnxModel.parseBytes(net).unsupportedOps.isEmpty,
+      s"GRU flow net outside subset: " +
+        OnnxModel.parseBytes(net).unsupportedOps)
+    val f = new File(dir, "gru-flow.onnx")
+    val o = new FileOutputStream(f)
+    try o.write(net) finally o.close()
+    val filter = OnnxFlowFilter(Some(f.getAbsolutePath), nFrames = 2,
+      inputSize = 16)
+    val still = Mjpeg.write(Seq(frame(0), frame(0)), 64, 64, 10)
+    val moving = Mjpeg.write(Seq(frame(0), frame(8)), 64, 64, 10)
+    val rs = filter.processBatch(Seq(in(still))).head.get
+    val rm = filter.processBatch(Seq(in(moving))).head.get
+    assert(rs(0) == true && rm(0) == true, (rs, rm))
+    val (ms, mm) = (rs(1).asInstanceOf[Double], rm(1).asInstanceOf[Double])
+    assert(!ms.isNaN && !mm.isNaN && ms >= 0 && mm >= 0, (ms, mm))
+    // the recurrent net must actually SEE the frames: a motion pair
+    // and a still pair stack to different tensors → different flow
+    assert(ms != mm, s"GRU flow net ignored its input: $ms == $mm")
+  }
+
   test("a mis-shaped model fails the task loudly, not as silent row errors") {
     // scoring head [N,E], not a flow net: model misconfiguration
     // must not be swallowed into per-row nulls (the OnnxScoreFilter
