@@ -322,6 +322,58 @@ object Similarity {
            AS n_vecs
        FROM assign GROUP BY cluster"""
 
+  /** [[buildIvfIndex]] with SQ8 codes materialized INTO the postings
+    * — the storage layout [[annIvfSq8FromIndex]] searches: each
+    * cluster partition carries (vec_id, v, codes), so a probe reads
+    * one directory, and the coarse scan projects ONLY (vec_id,
+    * codes) — the 8× bandwidth cut happens at the parquet column
+    * level, not just in compute. */
+  def buildIvfSq8Index(spark: SparkSession, dir: String,
+      outPath: String): Unit = {
+    val assign = ivfAssign(spark, dir)
+    try sq8WithCodes(spark, dir, assign).write.mode("overwrite")
+      .partitionBy("cluster").parquet(outPath)
+    finally assign.unpersist()
+  }
+
+  /** Probe-1 two-stage SQ8 search against a materialized
+    * [[buildIvfSq8Index]] layout — [[annIvfSq8]]'s deployment form:
+    * the cluster predicate partition-prunes BOTH scans to the probed
+    * posting directory; the coarse stage is a TakeOrdered over
+    * integer-code distances reading only (vec_id, codes); the exact
+    * rerank re-joins `v` for just the coarse survivors. */
+  def annIvfSq8FromIndex(spark: SparkSession, indexPath: String,
+      queryCluster: Long, qv: Array[Double], qcodes: Array[Double],
+      topK: Int = IvfTopK, coarse: Int = Sq8RerankCoarse,
+      excludeId: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val postings = spark.read.parquet(indexPath)
+      .filter(col("cluster") === queryCluster)
+    val cand = excludeId match {
+      case Some(id) => postings.filter(col("vec_id") =!= id)
+      case None => postings
+    }
+    // single-query entry point: orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition heaps + driver merge —
+    // the GroupTopK discipline for the one-group case)
+    val coarseIds = cand
+      .select(col("vec_id"),
+        GraftFunctions.l2DistSq(
+          lit(qcodes).cast("array<double>"), col("codes")).as("d2"))
+      .filter(col("d2").isNotNull) // never elect NULLs (sq8Recall rule)
+      .orderBy(col("d2").asc, col("vec_id"))
+      .limit(coarse)
+      .select(col("vec_id"))
+    coarseIds
+      .join(postings.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("xd", r6(GraftFunctions.l2DistSq(
+        lit(qv).cast("array<double>"), col("v"))))
+      .filter(col("xd").isNotNull)
+      .orderBy(col("xd").asc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id").as("neighbor_id"), col("xd"))
+  }
+
   /** Probe-1 search against a materialized [[buildIvfIndex]] layout:
     * the query vector's cluster selects one partition directory; the
     * scan never opens any other posting list. `excludeId` removes the

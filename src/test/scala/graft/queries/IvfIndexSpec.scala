@@ -55,6 +55,53 @@ class IvfIndexSpec extends SparkSpec {
     assert(fromIndex == expected, s"$fromIndex vs $expected")
   }
 
+  test("SQ8 postings: two-stage probe prunes both scans to one " +
+      "partition; the coarse scan never reads the vectors; results " +
+      "== the in-memory composition") {
+    val idxPath = Files.createTempDirectory("graft-ivf-sq8").toString + "/idx"
+    Similarity.buildIvfSq8Index(spark, dir, idxPath)
+    val q = spark.read.parquet(idxPath).filter(col("vec_id") === 0)
+      .select(col("cluster"), col("v"), col("codes")).collect().head
+    val qCluster = q.getAs[Number](0).longValue()
+    val qv = q.getSeq[Double](1).toArray
+    val qcodes = q.getSeq[Double](2).toArray
+
+    val res = Similarity.annIvfSq8FromIndex(spark, idxPath, qCluster,
+      qv, qcodes, excludeId = Some(0L))
+
+    // joins/limits make this plan adaptive — unwrap to reach the scans
+    val root = res.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = root.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+    scans.foreach { scan =>
+      assert(scan.partitionFilters.nonEmpty, scan.treeString.take(800))
+      val selected = scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters)
+      assert(selected.length == 1,
+        s"expected 1 pruned partition, got ${selected.length}")
+    }
+    // the coarse scan's parquet projection excludes the 512-byte
+    // vector column — the bandwidth claim lives in ReadSchema
+    assert(scans.exists(s => s.requiredSchema.fieldNames.contains("codes")
+        && !s.requiredSchema.fieldNames.contains("v")),
+      scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+
+    // same election as the in-memory composition for this query
+    val fromIndex = res.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = Similarity.annIvfSq8(spark, dir)
+      .filter(col("query_id") === 0)
+      .orderBy(col("rk"))
+      .select(col("neighbor_id"), col("xd")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == expected, s"$fromIndex vs $expected")
+    spark.catalog.clearCache()
+  }
+
   test("append: new vectors join their twin's cluster; other " +
       "partitions untouched; search finds them") {
     val idxPath = Files.createTempDirectory("graft-ivf-app").toString + "/idx"
