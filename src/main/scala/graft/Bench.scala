@@ -98,6 +98,19 @@ object Bench {
       try fresh.read.parquet(s"$warmDir/region.parquet")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      // the restart also emptied the SESSION-scoped file-status and
+      // parquet-footer caches; without re-warming them every timed
+      // query pays a re-list + schema-infer per table (~0.1-0.2s x
+      // 131 queries read as a catalog-wide drift). Touching each
+      // table's schema fills both caches without scanning data.
+      val sfRoot = new java.io.File(sfDir)
+      if (sfRoot.isDirectory)
+        sfRoot.listFiles().filter(f =>
+            f.isDirectory && f.getName.endsWith(".parquet"))
+          .foreach { t =>
+            try fresh.read.parquet(t.getAbsolutePath).schema
+            catch { case _: Throwable => () }
+          }
       fresh
     } else spark
     timedSpark.sparkContext.setLogLevel("WARN")

@@ -390,6 +390,38 @@ object TimeSeries {
          FROM events GROUP BY event_type, user_id)
        WHERE rk <= 5"""
 
+  /** Latest-k events per user — the last-N-actions extraction every
+    * feature/serving pipeline runs (recency features, replay
+    * buffers): keep each user's [[LatestK]] most recent events. The
+    * per-user rank partition is the user's FULL history —
+    * heavy-tailed and unbounded at 100 TB — so the election runs on
+    * [[GroupTopK]]'s bounded heaps (≤ k rows per user per task cross
+    * the exchange), not a row_number window. Ordering is the
+    * [[eventsCompact]] cross-engine convention: µs-truncated ts
+    * desc, event_id desc. */
+  def eventsLatestK(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        col("event_id"), col("event_type"), r2(col("value")).as("value"))
+    GroupTopK.topK(ev, Seq("user_id"),
+        Seq(("us", true), ("event_id", true)), k = LatestK)
+      .select(col("user_id"), col("rk"), col("event_id"),
+        expr("us div 1000000").as("event_sec"), col("event_type"),
+        col("value"))
+  }
+
+  val LatestK = 3
+
+  val eventsLatestKSql: String =
+    s"""SELECT user_id, rk, event_id,
+         (epoch_us(ts)::BIGINT // 1000000) AS event_sec,
+         event_type, ${sqlR("value", 2)} AS value
+       FROM (SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts)::BIGINT DESC, event_id DESC) AS rk
+             FROM events)
+       WHERE rk <= $LatestK"""
+
   /** As-of (point-in-time) join: each purchase attributed to the same
     * user's most recent STRICTLY PRIOR view. A self-join would shuffle
     * events twice and explode on hot users; the scalable plan is one
@@ -763,6 +795,7 @@ object TimeSeries {
     "q_value_quantiles" -> (eventsValueQuantiles _),
     "q_events_value_buckets" -> (eventsValueBuckets _),
     "q_events_topk_users" -> (eventsTopkUsers _),
+    "q_events_latest_k" -> (eventsLatestK _),
     "q_events_asof" -> (eventsAsofAttribution _),
     "q_events_retention" -> (eventsRetention _),
     "q_events_rolling" -> (eventsRolling _),
@@ -785,6 +818,7 @@ object TimeSeries {
     "q_value_quantiles" -> eventsValueQuantilesSql,
     "q_events_value_buckets" -> eventsValueBucketsSql,
     "q_events_topk_users" -> eventsTopkUsersSql,
+    "q_events_latest_k" -> eventsLatestKSql,
     "q_events_asof" -> eventsAsofSql,
     "q_events_retention" -> eventsRetentionSql,
     "q_events_rolling" -> eventsRollingSql,
