@@ -155,14 +155,18 @@ object Similarity {
     val qa = assign.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("cluster"),
         col("v").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    assign.join(broadcast(qa), Seq("cluster"))
+    // rank on GroupTopK heaps: a query's candidate partition is its
+    // whole POSTING LIST (N/C rows — grows with the corpus), so the
+    // row_number window would exchange N/C·Q scored rows per search;
+    // the heaps cross with ≤ partitions·Q·k
+    val cand = assign.join(broadcast(qa), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", r6(GraftFunctions.cosineSim(col("qv"), col("v"))))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= IvfTopK)
-      .select(col("query_id"), col("cluster"), col("rk"),
+      .select(col("query_id"), col("sim"), col("vec_id"), col("cluster"))
+    GroupTopK.topK(cand, Seq("query_id"),
+        Seq(("sim", true), ("vec_id", false)), IvfTopK)
+      .select(col("query_id"), col("cluster"),
+        col("rk").cast("long").as("rk"),
         col("vec_id").as("neighbor_id"), col("sim"))
   }
 
@@ -201,15 +205,15 @@ object Similarity {
       .filter(col("crk") <= 2)
       .select(col("vec_id").as("query_id"), col("cid").as("cluster"),
         col("v").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    assign.join(broadcast(qprobes), Seq("cluster"))
+    // two posting lists per query — same heap discipline as annIvf
+    val cand = assign.join(broadcast(qprobes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", r6(GraftFunctions.cosineSim(col("qv"), col("v"))))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= IvfTopK)
-      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
-        col("sim"))
+      .select(col("query_id"), col("sim"), col("vec_id"))
+    GroupTopK.topK(cand, Seq("query_id"),
+        Seq(("sim", true), ("vec_id", false)), IvfTopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("sim"))
   }
 
   val annIvfProbe2Sql: String =
@@ -595,26 +599,26 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val coarse = e.filter(col("vec_id") < numCoarse)
       .select(col("vec_id").as("gid"), col("v").as("gv"))
-    val wf = Window.partitionBy(col("cid"))
-      .orderBy(col("gsim").desc, col("gid"))
-    val fineGroups = fine.crossJoin(broadcast(coarse))
-      .withColumn("gsim", r6(GraftFunctions.cosineSim(col("cv"), col("gv"))))
-      .withColumn("rk", row_number().over(wf))
-      .filter(col("rk") === 1)
+    // all three keep-best elections run on GroupTopK heaps (the
+    // ivfAssign lesson): the window forms exchanged rows·candidates
+    // pairs WITH the vectors riding each one
+    val fineGroups = GroupTopK.topK(
+      fine.crossJoin(broadcast(coarse))
+        .withColumn("gsim", r6(GraftFunctions.cosineSim(col("cv"), col("gv"))))
+        .select(col("cid"), col("gsim"), col("gid"), col("cv")),
+      Seq("cid"), Seq(("gsim", true), ("gid", false)), k = 1)
       .select(col("gid"), col("cid"), col("cv"))
-    val wv = Window.partitionBy(col("vec_id"))
-      .orderBy(col("vsim").desc, col("gid"))
-    val vGroups = e.crossJoin(broadcast(coarse))
-      .withColumn("vsim", r6(GraftFunctions.cosineSim(col("v"), col("gv"))))
-      .withColumn("rk", row_number().over(wv))
-      .filter(col("rk") <= probeCoarse)
+    val vGroups = GroupTopK.topK(
+      e.crossJoin(broadcast(coarse))
+        .withColumn("vsim", r6(GraftFunctions.cosineSim(col("v"), col("gv"))))
+        .select(col("vec_id"), col("vsim"), col("gid"), col("v")),
+      Seq("vec_id"), Seq(("vsim", true), ("gid", false)), k = probeCoarse)
       .select(col("vec_id"), col("v"), col("gid"))
-    val wa = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    vGroups.join(broadcast(fineGroups), Seq("gid"))
-      .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
-      .withColumn("crk", row_number().over(wa))
-      .filter(col("crk") === 1)
+    GroupTopK.topK(
+      vGroups.join(broadcast(fineGroups), Seq("gid"))
+        .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
+        .select(col("vec_id"), col("csim"), col("cid"), col("v")),
+      Seq("vec_id"), Seq(("csim", true), ("cid", false)), k = 1)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"))
       // same twice-consumed contract as ivfAssign
       .persist()
@@ -891,18 +895,19 @@ object Similarity {
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"),
         pqLut(col("segs"), cbSegLit).as("qlut"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("vec_id"))
     // the corpus side of the join carries only (vec_id, codes) — 8
     // small ints per vector, the PQ memory story; segments and LUTs
-    // stay on the tiny broadcast query side
-    c.select(col("vec_id"), col("codes"))
+    // stay on the tiny broadcast query side. The top-k runs on
+    // GroupTopK heaps: each query's rank partition is the WHOLE
+    // corpus here, the N·Q-exchange shape the bounded heaps exist for
+    val cand = c.select(col("vec_id"), col("codes"))
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("adist", pqAdcDist(col("qlut"), col("codes")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
-        col("adist"))
+      .select(col("query_id"),
+        pqAdcDist(col("qlut"), col("codes")).as("adist"), col("vec_id"))
+    GroupTopK.topK(cand, Seq("query_id"),
+        Seq(("adist", false), ("vec_id", false)), TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("adist"))
   }
 
   val annPqAdcSql: String =
@@ -971,15 +976,15 @@ object Similarity {
     val q = assign.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("cluster"),
         pqLut(pqSegs(col("v")), cbSegLit).as("qlut"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("vec_id"))
-    coded.join(broadcast(q), Seq("cluster"))
+    // posting-list-sized rank partitions (N/C per query) → heaps
+    val cand = coded.join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adist", pqAdcDist(col("qlut"), col("codes")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= IvfTopK)
-      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
-        col("adist"))
+      .select(col("query_id"),
+        pqAdcDist(col("qlut"), col("codes")).as("adist"), col("vec_id"))
+    GroupTopK.topK(cand, Seq("query_id"),
+        Seq(("adist", false), ("vec_id", false)), IvfTopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("adist"))
   }
 
   val annIvfPqSql: String =
@@ -1038,15 +1043,15 @@ object Similarity {
     val q = withResid.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("cluster"),
         pqLut(pqSegs(col("rv")), rcbSegLit).as("qlut"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("vec_id"))
-    coded.join(broadcast(q), Seq("cluster"))
+    // posting-list-sized rank partitions (N/C per query) → heaps
+    val cand = coded.join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adist", pqAdcDist(col("qlut"), col("codes")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= IvfTopK)
-      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
-        col("adist"))
+      .select(col("query_id"),
+        pqAdcDist(col("qlut"), col("codes")).as("adist"), col("vec_id"))
+    GroupTopK.topK(cand, Seq("query_id"),
+        Seq(("adist", false), ("vec_id", false)), IvfTopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("adist"))
   }
 
   val annIvfPqResidualSql: String =
@@ -1101,14 +1106,13 @@ object Similarity {
       zip_with(col("qsegs"), col("segs"),
         (qseg, seg) => subDistSq(qseg, seg)),
       lit(0.0), (acc, z) => acc + z))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d").asc, col("vec_id"))
-    val exact = c.select(col("vec_id"), col("segs"))
-      .join(broadcast(q.select(col("query_id"), col("qsegs"))),
-        col("vec_id") =!= col("query_id"))
-      .withColumn("d", exactD)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+    val exact = GroupTopK.topK(
+      c.select(col("vec_id"), col("segs"))
+        .join(broadcast(q.select(col("query_id"), col("qsegs"))),
+          col("vec_id") =!= col("query_id"))
+        .withColumn("d", exactD)
+        .select(col("query_id"), col("d"), col("vec_id")),
+      Seq("query_id"), Seq(("d", false), ("vec_id", false)), TopK)
       .select(col("query_id"), col("vec_id"))
     val adc = annPqAdc(spark, dir)
       .select(col("query_id"), col("neighbor_id").as("vec_id"),
@@ -1175,15 +1179,17 @@ object Similarity {
     val qa = al.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("cluster"),
         col("v").as("qv"), col("label").as("qlabel"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    al.join(broadcast(qa), Seq("cluster"))
+    // posting-list-sized rank partitions per query → GroupTopK heaps
+    val cand = al.join(broadcast(qa), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id") &&
         col("label") =!= col("qlabel"))
       .withColumn("sim", r6(GraftFunctions.cosineSim(col("qv"), col("v"))))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= IvfTopK)
-      .select(col("query_id"), col("qlabel"), col("rk"),
+      .select(col("query_id"), col("sim"), col("vec_id"),
+        col("qlabel"), col("label"))
+    GroupTopK.topK(cand, Seq("query_id"),
+        Seq(("sim", true), ("vec_id", false)), IvfTopK)
+      .select(col("query_id"), col("qlabel"),
+        col("rk").cast("long").as("rk"),
         col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
         col("sim"))
   }
@@ -1233,12 +1239,14 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("cv")))
       .filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("cv"))
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("csim").desc, col("vec_id"))
-    assign.join(broadcast(cent), col("cluster") === col("cid"))
+    // cluster-sized rank partitions (N/C — grows with the corpus) →
+    // GroupTopK heaps
+    val scored = assign
+      .join(broadcast(cent), col("cluster") === col("cid"))
       .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= ProtoKeep)
+      .select(col("cluster"), col("csim"), col("vec_id"))
+    GroupTopK.topK(scored, Seq("cluster"),
+        Seq(("csim", true), ("vec_id", false)), ProtoKeep)
       .select(col("cluster"), col("vec_id"),
         col("rk").cast("long").as("rk"), col("csim"))
   }
