@@ -104,8 +104,11 @@ object Bench {
       // 131 queries read as a catalog-wide drift). Touching each
       // table's schema fills both caches without scanning data.
       val sfRoot = new java.io.File(sfDir)
+      // listFiles() returns null on listing I/O errors even after a
+      // true isDirectory — an unwarmed cache must degrade the numbers,
+      // not crash the bench before any timed query
       if (sfRoot.isDirectory)
-        sfRoot.listFiles().filter(f =>
+        Option(sfRoot.listFiles()).getOrElse(Array.empty).filter(f =>
             f.isDirectory && f.getName.endsWith(".parquet"))
           .foreach { t =>
             try fresh.read.parquet(t.getAbsolutePath).schema

@@ -122,12 +122,16 @@ case class BoundedTopK(
     buf
   }
 
+  // NON-destructive (no poll-drain): the registry makes this function
+  // usable as a window aggregate (`bounded_topk(...) OVER (...)`),
+  // where the engine calls eval repeatedly on a LIVE buffer that will
+  // still receive updates — draining it would silently corrupt every
+  // later frame.
   override def eval(buf: TopKBuffer): Any = {
-    val rows = new Array[AnyRef](buf.heap.size)
-    var i = rows.length - 1
-    // poll() drains worst-first — fill back-to-front for rank order
-    while (i >= 0) { rows(i) = buf.heap.poll(); i -= 1 }
-    new GenericArrayData(rows)
+    val rows = buf.heap.toArray(new Array[UnsafeRow](buf.heap.size))
+    java.util.Arrays.sort(rows,
+      (a: UnsafeRow, b: UnsafeRow) => ordering.compare(a, b))
+    new GenericArrayData(rows.asInstanceOf[Array[AnyRef]])
   }
 
   override def serialize(buf: TopKBuffer): Array[Byte] = {

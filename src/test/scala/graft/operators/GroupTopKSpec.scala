@@ -85,6 +85,27 @@ class GroupTopKSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("bounded_topk survives WINDOW-aggregate usage — eval must not " +
+      "drain the live buffer") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("a", 1L, 3.0), ("a", 2L, 1.0), ("a", 3L, 2.0))
+      .toDF("g", "id", "v").createOrReplaceTempView("btk_win")
+    // running top-2 per row: eval fires once per frame on the SAME
+    // buffer that keeps receiving updates — a destructive eval would
+    // return shrinking/empty arrays on later frames
+    val rows = spark.sql(
+      """SELECT id, transform(
+           bounded_topk(struct(v, id), 2, 'a') OVER (
+             PARTITION BY g ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           s -> s.id) AS top_ids
+         FROM btk_win ORDER BY id""").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(rows(1L) == List(1L), rows)
+    assert(rows(2L) == List(2L, 1L), rows) // v=1.0 now best
+    assert(rows(3L) == List(2L, 3L), rows) // running top-2 of {3,1,2}
+  }
+
   test("an unorderable ranking field fails at ANALYSIS, not as a " +
       "runtime task error in 2+-row groups") {
     val df = Seq(("a", 1L), ("a", 2L)).toDF("g", "id")

@@ -64,7 +64,9 @@ class TopkStreamSpec extends SparkSpec {
     val perUser = spark.table("topk_stream")
       .withColumn("rk0", row_number().over(w)).filter(col("rk0") === 1)
       .select(col("event_type"), col("user_id"),
-        round(col("sv") + lit(1e-9), 2).as("user_value"), col("n"))
+        // the SHARED rounding helper, so this spec cannot drift from
+        // the batch side's epsilon policy
+        graft.queries.Num.r2(col("sv")).as("user_value"), col("n"))
     val got = GroupTopK.topK(perUser, Seq("event_type"),
         Seq(("user_value", true), ("user_id", false)), k = 5)
       .select("event_type", "rk", "user_id", "user_value", "n")
