@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{AdcDistance, BoundedTopK, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
+import graft.functions.expressions.{AdcDistance, BitPack, BoundedTopK, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
 import graft.operators.SerializableHadoopConf
 import graft.plans.HoistPayloadLoad
 
@@ -57,6 +57,12 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("bit_pack"),
+      new ExpressionInfo(classOf[BitPack].getName, "bit_pack"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "bit_pack takes (vector, thresholds)")
+        BitPack(args.head, args(1))
       }),
     (FunctionIdentifier("l2_dist_sq"),
       new ExpressionInfo(classOf[L2DistanceSq].getName, "l2_dist_sq"),
@@ -224,6 +230,14 @@ object GraftFunctions {
     * requires [[register]] on the session first. */
   def l2DistSq(a: Column, b: Column): Column =
     call_function("l2_dist_sq", a, b)
+
+  /** Codegen'd 1-bit quantizer (see
+    * [[graft.functions.expressions.BitPack]]): packs a ≤64-dim
+    * `array<double>` against per-dim thresholds into one long — the
+    * binary-ANN encode; pair with `bit_count(a ^ b)` for Hamming
+    * distance. Requires [[register]] on the session first. */
+  def bitPack(vector: Column, thresholds: Column): Column =
+    call_function("bit_pack", vector, thresholds)
 
   /** Fused PQ encoder (see
     * [[graft.functions.expressions.PqCodes]]); bit-identical to the

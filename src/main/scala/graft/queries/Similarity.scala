@@ -1312,13 +1312,22 @@ object Similarity {
     * codes to clusters). The codebook is the corpus per-dim min/max,
     * collected (64 rows at any scale) and broadcast back as per-dim
     * literals; see [[sq8CodeArrays]] for the exactness argument. */
-  private def sq8WithCodes(spark: SparkSession, dir: String,
-      vecs: DataFrame): DataFrame = {
+  /** Collected per-dim (d, min, max) rows — bounded by [[Dim]] at any
+    * corpus size (the logreg-weights discipline); shared by the SQ8
+    * codebook and the binary-quantization thresholds. */
+  private def sq8Stats(spark: SparkSession, dir: String)
+      : Array[org.apache.spark.sql.Row] = {
     val stats = sq8Dims(spark, dir).orderBy(col("d")).collect()
     require(stats.length == Dim, s"expected $Dim dims, got ${stats.length}")
     require(stats.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
       "per-dim min/max contains NULL — a dimension is null in every " +
         "vector; clean the embeddings before encoding")
+    stats
+  }
+
+  private def sq8WithCodes(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
+    val stats = sq8Stats(spark, dir)
     val mins = typedLit(stats.map(_.getDouble(1)).toSeq)
     val maxs = typedLit(stats.map(_.getDouble(2)).toSeq)
     vecs.withColumn("codes", transform(col("v"), (x, i) => {
@@ -1395,30 +1404,35 @@ object Similarity {
     val sq8Top = GroupTopK.topK(d2, Seq("query_id"),
         Seq(("d2", false), ("vec_id", false)), TopK)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exactL2TopK(spark, dir).join(sq8Top, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_overlap"),
+        r6(count(col("hit")) / lit(TopK.toDouble)).as("recall"))
+  }
+
+  /** Exact float-L2 top-[[TopK]] per query (`query_id`, `vec_id`) —
+    * the shared ground-truth baseline of the quantization recall
+    * audits ([[sq8Recall]], [[binaryRecall]]). The distance is the
+    * native codegen'd kernel — bit-identical to the HOF
+    * `aggregate(zip_with(...))` formulation (parity spec'd), which
+    * Spark would evaluate interpreted on this hottest loop. A
+    * malformed vector's NULL exact distance sorts NULLS FIRST
+    * ascending and would be elected into the exact top-k, while the
+    * oracle coalesces it to 0 — exclude it on BOTH sides so parity
+    * holds on exactly the inputs the guard targets. */
+  private def exactL2TopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    // native codegen'd kernel — bit-identical to the HOF
-    // aggregate(zip_with(...)) formulation (parity spec'd), which
-    // Spark would evaluate interpreted on this hottest loop
-    val exactD = r6(GraftFunctions.l2DistSq(col("qv"), col("v")))
     val exactPairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("xd", exactD)
-      // mirror the coarse-scan guard: a malformed vector's NULL exact
-      // distance sorts NULLS FIRST ascending and would be elected into
-      // the exact top-k, while the oracle coalesces it to 0 — exclude
-      // it on BOTH sides so parity holds on exactly the inputs the
-      // guard targets
+      .withColumn("xd", r6(GraftFunctions.l2DistSq(col("qv"), col("v"))))
       .filter(col("xd").isNotNull)
       .select(col("query_id"), col("vec_id"), col("xd"))
-    val exactTop = GroupTopK.topK(exactPairs, Seq("query_id"),
+    GroupTopK.topK(exactPairs, Seq("query_id"),
         Seq(("xd", false), ("vec_id", false)), TopK)
       .select(col("query_id"), col("vec_id"))
-    exactTop.join(sq8Top, Seq("query_id", "vec_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(count(col("hit")).as("n_overlap"),
-        r6(count(col("hit")) / lit(TopK.toDouble)).as("recall"))
   }
 
   val sq8RecallSql: String =
@@ -1605,8 +1619,176 @@ object Similarity {
            PARTITION BY query_id ORDER BY xd, vec_id) AS rk
          FROM rr) WHERE rk <= $IvfTopK"""
 
+  // ---- binary (1-bit) quantization — the coarsest member of the
+  // PQ / SQ8 / binary family ----
+
+  /** Coarse-candidate count for [[annBinaryRerank]]'s Hamming stage —
+    * 20× the final k, far wider than [[Sq8RerankCoarse]] because
+    * 1 bit/dim ranks far coarser than 8 (Hamming over [[Dim]] dims
+    * takes only 65 distinct values, so ties are broad and the true
+    * neighbors sit deeper). Measured on the sf0.01 synthetic corpus
+    * (500 vectors — random-ish embeddings, near-worst-case for sign
+    * codes): rerank recall@5 vs exact L2 reads 0.52 / 0.72 / 0.80 /
+    * 0.98 at coarse 30 / 60 / 100 / 200. */
+  val BinaryCoarse = 100
+
+  /** Corpus vectors with a 1-bit packed `code` long: bit d−1 set iff
+    * v_d > the per-dim threshold. Thresholds are the SQ8 grid's
+    * CENTER, (min_d + max_d) / 2 — exact arithmetic on exact
+    * extremes, so both engines compute bit-identical thresholds with
+    * no summation-order epsilon story (a mean threshold would hang
+    * the sign of borderline dims on cross-engine sum order). The
+    * 64-row stats collect to the driver and ride as literals; the
+    * encode is ONE codegen'd [[graft.functions.expressions.BitPack]]
+    * pass per vector. At 100 TB the codes are 8 B/vector versus
+    * 512 B of doubles — a 64× scan-bandwidth cut, and Hamming
+    * distance is `bit_count(code ^ qcode)`: two integer instructions
+    * per pair. */
+  private def binaryCodes(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val thr = typedLit(sq8Stats(spark, dir)
+      .map(r => (r.getDouble(1) + r.getDouble(2)) / 2.0).toSeq)
+    Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .withColumn("code", graft.functions.GraftFunctions
+        .bitPack(col("v"), thr))
+  }
+
+  /** Hamming distances of every corpus vector to the broadcast query
+    * codes — only (vec_id, code) ride the scan; a NULL code (malformed
+    * vector) is dropped, never elected. */
+  private def hammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bc = binaryCodes(spark, dir).select(col("vec_id"), col("code"))
+    val qb = bc.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    bc.join(broadcast(qb), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("code").bitwiseXOR(col("qcode")))
+          .cast("long").as("hd"))
+      .filter(col("hd").isNotNull)
+  }
+
+  /** The shared oracle prefix: per-dim midpoint thresholds + exploded
+    * sign bits (the relational mirror of the packed-long layout — the
+    * oracle proves the SEMANTICS, per-dim sign comparison and
+    * mismatch counting, not the bit-twiddling). */
+  private val sqlBinaryBitsCte: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       thr AS (SELECT ud.d,
+                 (min(e.v[ud.d]) + max(e.v[ud.d])) / 2.0 AS th
+               FROM e CROSS JOIN
+                 (SELECT unnest(generate_series(1, $Dim)) AS d) ud
+               GROUP BY 1),
+       bits AS (SELECT e.vec_id, thr.d,
+                  CASE WHEN e.v[thr.d] > thr.th THEN 1 ELSE 0 END AS b
+                FROM e CROSS JOIN thr),
+       qb AS (SELECT vec_id AS query_id, d, b AS qbit FROM bits
+              WHERE vec_id < $NumQueries),
+       hds AS (SELECT qb.query_id, b2.vec_id,
+                 CAST(sum(CASE WHEN b2.b <> qb.qbit THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hd
+               FROM bits b2 JOIN qb ON b2.d = qb.d
+               WHERE b2.vec_id <> qb.query_id GROUP BY 1, 2)"""
+
+  /** Binary-quantization search quality: top-[[TopK]] by Hamming
+    * distance over 1-bit codes vs the exact float-L2 top-k, per query
+    * — the recall number that decides how much rerank headroom the
+    * 64× bandwidth cut costs (compare [[sq8Recall]] at 8 bits). */
+  def binaryRecall(spark: SparkSession, dir: String): DataFrame = {
+    val binTop = GroupTopK.topK(hammingPairs(spark, dir), Seq("query_id"),
+        Seq(("hd", false), ("vec_id", false)), TopK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exactL2TopK(spark, dir).join(binTop, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_overlap"),
+        r6(count(col("hit")) / lit(TopK.toDouble)).as("recall"))
+  }
+
+  val binaryRecallSql: String =
+    s"""$sqlBinaryBitsCte,
+       sr AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY hd, vec_id) AS rk
+                FROM hds) WHERE rk <= $TopK),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id < $NumQueries),
+       xd AS (SELECT q.query_id, e2.vec_id,
+               ${sqlR(
+        s"""coalesce(list_sum(list_transform(generate_series(1, $Dim),
+             j -> (q.qv[j] - e2.v[j]) * (q.qv[j] - e2.v[j]))), 0)""", 6)}
+                 AS xd
+             FROM e e2 CROSS JOIN q WHERE e2.vec_id <> q.query_id),
+       xr AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY xd, vec_id) AS rk
+                FROM xd) WHERE rk <= $TopK)
+       SELECT xr.query_id,
+         count(sr.vec_id)::BIGINT AS n_overlap,
+         ${sqlR(s"count(sr.vec_id) / ($TopK * 1.0)", 6)} AS recall
+       FROM xr LEFT JOIN sr
+         ON xr.query_id = sr.query_id AND xr.vec_id = sr.vec_id
+       GROUP BY 1"""
+
+  /** Two-stage binary search — [[annSq8Rerank]]'s deployment pattern
+    * at 1 bit/dim: a COARSE top-[[BinaryCoarse]] Hamming scan over
+    * packed longs (8 B/vector rides the scan; `bit_count(xor)` per
+    * pair), then an EXACT rerank of only those candidates with the
+    * native codegen'd L2 kernel to the final top-[[TopK]]. The coarse
+    * election runs on [[GroupTopK]]'s bounded heaps — the exchange
+    * carries partitions·Q·coarse rows, never N·Q — and full vectors
+    * re-attach to the bounded candidate set by key join (the
+    * candidate-semi-join discipline: doubles never ride the coarse
+    * scan, codes never ride the rerank). This is the scan-bandwidth
+    * extreme of the quantization family: where SQ8 cuts 8×, binary
+    * cuts 64× and buys it back with the wider coarse set
+    * ([[binaryRecall]] measures what Hamming-only misses). */
+  def annBinaryRerank(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = GroupTopK.topK(hammingPairs(spark, dir), Seq("query_id"),
+        Seq(("hd", false), ("vec_id", false)), BinaryCoarse)
+      .select(col("query_id"), col("vec_id"))
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // bounded rerank set (≤ coarse·Q rows) — a window here is fine,
+    // matching annSq8Rerank's rerank stage
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("xd").asc, col("vec_id"))
+    coarse.join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("xd", r6(GraftFunctions.l2DistSq(col("qv"), col("v"))))
+      .filter(col("xd").isNotNull) // see sq8Recall: never elect NULLs
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("xd"))
+  }
+
+  val annBinaryRerankSql: String =
+    s"""$sqlBinaryBitsCte,
+       coarse AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id, row_number() OVER (
+                      PARTITION BY query_id ORDER BY hd, vec_id) AS rk
+                    FROM hds) WHERE rk <= $BinaryCoarse),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id < $NumQueries),
+       rr AS (SELECT coarse.query_id, coarse.vec_id,
+               ${sqlR(
+        s"""coalesce(list_sum(list_transform(generate_series(1, $Dim),
+             j -> (q.qv[j] - e2.v[j]) * (q.qv[j] - e2.v[j]))), 0)""", 6)}
+                 AS xd
+             FROM coarse
+             JOIN e e2 ON coarse.vec_id = e2.vec_id
+             JOIN q ON coarse.query_id = q.query_id)
+       SELECT query_id, rk, vec_id AS neighbor_id, xd FROM (
+         SELECT query_id, vec_id, xd, row_number() OVER (
+           PARTITION BY query_id ORDER BY xd, vec_id) AS rk
+         FROM rr) WHERE rk <= $TopK"""
+
   val queries: Map[String, Q] = Map(
     "q_sq8_encode" -> (sq8Encode _),
+    "q_binary_recall" -> (binaryRecall _),
+    "q_ann_binary_rerank" -> (annBinaryRerank _),
     "q_ann_ivf_sq8" -> (annIvfSq8 _),
     "q_sq8_recall" -> (sq8Recall _),
     "q_ann_sq8_rerank" -> (annSq8Rerank _),
@@ -1632,6 +1814,8 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sq8_encode" -> sq8EncodeSql,
+    "q_binary_recall" -> binaryRecallSql,
+    "q_ann_binary_rerank" -> annBinaryRerankSql,
     "q_sq8_recall" -> sq8RecallSql,
     "q_ann_sq8_rerank" -> annSq8RerankSql,
     "q_ann_ivf_sq8" -> annIvfSq8Sql,

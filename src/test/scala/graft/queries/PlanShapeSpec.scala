@@ -202,6 +202,29 @@ class PlanShapeSpec extends SparkSpec {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("q_ann_binary_rerank: Hamming coarse on bounded heaps (8-byte " +
+      "codes ride the scan); one bounded rerank Window") {
+    val df = Similarity.annBinaryRerank(spark, dir)
+    val p = plan(df)
+    // coarse stage: packed-long codes + bit_count, elected on bounded
+    // heaps — never a corpus-sized per-query window, and the double
+    // vectors never ride the Hamming scan (they re-attach to the
+    // coarse·Q survivors by key join)
+    assert(p.contains("bit_pack"), p.take(3000))
+    assert(p.contains("bit_count"), p.take(3000))
+    assert(p.contains("bounded_topk"), p.take(3000))
+    assert(countIn(p, "windowspecdefinition(query_id") == 1, p.take(3000))
+    df.sparkSession.catalog.clearCache()
+  }
+
+  test("q_binary_recall elects both sides on bounded heaps") {
+    val p = plan(Similarity.binaryRecall(spark, dir))
+    assert(p.contains("bit_pack"), p.take(3000))
+    assert(p.contains("bounded_topk"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("q_data_profile is one scan through one Expand — not a pass " +
       "per column") {
     val p = plan(Relational.dataProfile(spark, dir))
