@@ -259,6 +259,66 @@ object Curation {
        FROM c GROUP BY source, pack_id"""
   }
 
+  /** Sliding-window chunk geometry: [[ChunkTokens]]-token windows
+    * every [[ChunkStride]] tokens (25% overlap) — the RAG / context-
+    * window chunking shape. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Overlapping-window document chunking — the retrieval-side prep
+    * step ([[packSequences]] is the training-side one): each doc's
+    * whitespace tokens split into [[ChunkTokens]]-token windows every
+    * [[ChunkStride]] tokens, so consecutive chunks share
+    * `ChunkTokens - ChunkStride` tokens and no token is ever dropped
+    * at a boundary. Chunk count = ceil((ntok − W)/S) + 1 (one chunk
+    * when ntok ≤ W; zero-token docs emit nothing). Emits (doc_id,
+    * chunk_id, n_tokens, chunk_text).
+    *
+    * Scale shape: a pure per-row projection + explode — NO shuffle at
+    * any corpus size (plan-shape-pinned: zero exchanges); the chunk
+    * fan-out is bounded by ntok/S per doc. Token arrays never ride a
+    * shuffle; chunk text re-joins from the in-row slice. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val W = ChunkTokens
+    val S = ChunkStride
+    t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .withColumn("ntok", size(col("ts")))
+      .filter(col("ntok") > 0)
+      // ceil((ntok-W)/S) via integer arithmetic; ≤ W tokens → 1 chunk
+      .withColumn("n_chunks",
+        when(col("ntok") <= W, lit(1L)).otherwise(
+          expr(s"(ntok - $W + $S - 1) div $S").cast("long") + 1L))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("ck", slice(col("ts"),
+        (col("chunk_id") * S + 1).cast("int"), lit(W)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_tokens"),
+        array_join(col("ck"), " ").as("chunk_text"))
+  }
+
+  val chunkDocsSql: String = {
+    import TextAnalysis.SqlToks
+    val (w, s) = (ChunkTokens, ChunkStride)
+    s"""WITH d AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+       n AS (SELECT doc_id, ts, length(ts) AS ntok FROM d
+             WHERE length(ts) > 0),
+       c AS (SELECT doc_id, ts,
+               CASE WHEN ntok <= $w THEN 1
+                    ELSE (ntok - $w + $s - 1) // $s + 1 END AS nc
+             FROM n),
+       x AS (SELECT doc_id, ts, g.chunk_id
+             FROM c CROSS JOIN LATERAL (
+               SELECT unnest(generate_series(0, nc - 1)) AS chunk_id) g)
+       SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+         length(list_slice(ts, chunk_id * $s + 1,
+           chunk_id * $s + $w))::BIGINT AS n_tokens,
+         array_to_string(list_slice(ts, chunk_id * $s + 1,
+           chunk_id * $s + $w), ' ') AS chunk_text
+       FROM x"""
+  }
+
   /** Train/eval decontamination, NEAR-DUP flavor: flag train docs
     * that are verified MinHash near-duplicates of an eval doc — the
     * contamination audit run before any training job (exact-match
@@ -1202,6 +1262,7 @@ object Curation {
     "q_mix_epochs" -> (mixEpochs _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_pack_sequences" -> (packSequences _),
+    "q_chunk_docs" -> (chunkDocs _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_ngram" -> (decontaminateNgram _),
     "q_decontaminate_bloom" -> (decontaminateBloom _),
@@ -1223,6 +1284,7 @@ object Curation {
     "q_mix_epochs" -> mixEpochsSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_chunk_docs" -> chunkDocsSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_ngram" -> decontaminateNgramSql,
     // Bloom prefilter + exact verify ≡ exact: same oracle verbatim.
