@@ -96,26 +96,76 @@ object Layout {
         max(unZ(col("v"), odd = false)).as("vb_hi"))
   }
 
-  val zorderLayoutSql: String = {
+  /** The layout-stats CTE chain + per-file aggregate body, shared by
+    * [[zorderLayoutSql]] and [[statsPruneSql]]. */
+  private val sqlLayoutStats: String = {
     val ub = "(user_id % 256)"
     val vb = "least(floor(value / 2.0), 255)::BIGINT"
-    s"""WITH k AS (SELECT (${sqlZ("ub", "vb")})::BIGINT AS z FROM
+    s"""k AS (SELECT (${sqlZ("ub", "vb")})::BIGINT AS z FROM
            (SELECT $ub AS ub, $vb AS vb FROM events)),
-       tl AS (SELECT z, ntile($ZTiles) OVER (ORDER BY z) AS file_id FROM k)
-       SELECT file_id::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
-         min(z) AS z_lo, max(z) AS z_hi,
-         min(${sqlUnZ("z", odd = true)})::BIGINT AS ub_lo,
-         max(${sqlUnZ("z", odd = true)})::BIGINT AS ub_hi,
-         min(${sqlUnZ("z", odd = false)})::BIGINT AS vb_lo,
-         max(${sqlUnZ("z", odd = false)})::BIGINT AS vb_hi
-       FROM tl GROUP BY 1"""
+       tl AS (SELECT z, ntile($ZTiles) OVER (ORDER BY z) AS file_id FROM k),
+       stats AS (
+         SELECT file_id::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
+           min(z) AS z_lo, max(z) AS z_hi,
+           min(${sqlUnZ("z", odd = true)})::BIGINT AS ub_lo,
+           max(${sqlUnZ("z", odd = true)})::BIGINT AS ub_hi,
+           min(${sqlUnZ("z", odd = false)})::BIGINT AS vb_lo,
+           max(${sqlUnZ("z", odd = false)})::BIGINT AS vb_hi
+         FROM tl GROUP BY 1)"""
   }
+
+  val zorderLayoutSql: String =
+    s"""WITH $sqlLayoutStats SELECT * FROM stats"""
+
+  /** The box predicate [[statsPrune]] audits: a user-bucket range ×
+    * value-bucket range, each ~1/16 of its dimension's domain. */
+  val PruneUbLo = 32L
+  val PruneUbHi = 47L
+  val PruneVbLo = 100L
+  val PruneVbHi = 131L
+
+  /** Stats-based file skipping — the READ side of [[zorderLayout]]'s
+    * write-side story, the exact decision a lakehouse scan planner
+    * makes from footer/manifest ranges: a file survives a box
+    * predicate iff its per-dimension [lo, hi] ranges overlap the box.
+    * Emits every file's verdict plus its row count, so the result IS
+    * the pruning audit: `sum(n_rows) where kept=0` is the IO the
+    * layout saved at this selectivity (the companion ScalaTest proves
+    * the same box keeps ~all files under a 1-D layout).
+    *
+    * Scale shape: the stats table is one row per FILE (corpus-size /
+    * file-size rows — thousands at 100 TB, never corpus-sized), so
+    * the pruning decision is a broadcast-scale computation regardless
+    * of data volume; the expensive part (building stats) is the
+    * already-histogram-bounded [[zorderLayout]] pass. */
+  def statsPrune(spark: SparkSession, dir: String): DataFrame =
+    zorderLayout(spark, dir)
+      .withColumn("kept",
+        (col("ub_hi") >= PruneUbLo && col("ub_lo") <= PruneUbHi &&
+          col("vb_hi") >= PruneVbLo && col("vb_lo") <= PruneVbHi)
+          .cast("long"))
+      .select(col("file_id"), col("kept"), col("n_rows"))
+
+  val statsPruneSql: String =
+    s"""WITH $sqlLayoutStats
+       SELECT file_id,
+         CASE WHEN ub_hi >= $PruneUbLo AND ub_lo <= $PruneUbHi
+               AND vb_hi >= $PruneVbLo AND vb_lo <= $PruneVbHi
+              THEN 1 ELSE 0 END::BIGINT AS kept,
+         n_rows
+       FROM stats"""
+
+  /** The row-level z key over raw `events` columns — exposed for the
+    * ZorderSpec containment proof. */
+  private[queries] def zExprForTest: Column = zOf(ubCol, vbCol)
 
   val queries: Map[String, Q] = Map(
     "q_zorder_layout" -> (zorderLayout _),
+    "q_stats_prune" -> (statsPrune _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_zorder_layout" -> zorderLayoutSql,
+    "q_stats_prune" -> statsPruneSql,
   )
 }

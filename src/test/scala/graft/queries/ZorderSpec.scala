@@ -41,6 +41,48 @@ class ZorderSpec extends SparkSpec {
       s"z layout should prune at least half the files, touched $zTouched")
   }
 
+  test("statsPrune never false-prunes: kept files hold every row " +
+      "matching the box predicate") {
+    // rows matching the box, re-derived from raw events
+    val ub = pmod(col("user_id"), lit(256L)).cast("long")
+    val vb = least(floor(col("value") / 2.0), lit(255L)).cast("long")
+    val matchRows = Tables.t(spark, sf, "events")
+      .filter(ub.between(Layout.PruneUbLo, Layout.PruneUbHi) &&
+        vb.between(Layout.PruneVbLo, Layout.PruneVbHi))
+      .count()
+    assert(matchRows > 0, "box predicate selects nothing — dead test")
+    // kept-file row mass must be able to contain them (stats skipping
+    // may over-read, never under-read)
+    val pruned = Layout.statsPrune(spark, sf).collect()
+    val keptRows = pruned.filter(_.getAs[Long]("kept") == 1L)
+      .map(_.getAs[Long]("n_rows")).sum
+    assert(keptRows >= matchRows,
+      s"kept files hold $keptRows rows < $matchRows matching rows")
+    // containment: every matching row's z value lies inside some KEPT
+    // file's z range (needs the full stats row set, so re-read the
+    // layout audit rather than the 3-column statsPrune projection)
+    val stats = Layout.zorderLayout(spark, sf).collect()
+      .map(r => (r.getAs[Long]("file_id"),
+        r.getAs[Long]("z_lo"), r.getAs[Long]("z_hi"),
+        r.getAs[Long]("ub_lo"), r.getAs[Long]("ub_hi"),
+        r.getAs[Long]("vb_lo"), r.getAs[Long]("vb_hi")))
+    val keptIds = pruned.filter(_.getAs[Long]("kept") == 1L)
+      .map(_.getAs[Long]("file_id")).toSet
+    val keptRanges = stats.filter(s => keptIds.contains(s._1))
+      .map(s => (s._2, s._3))
+    val matchZ = Tables.t(spark, sf, "events")
+      .filter(ub.between(Layout.PruneUbLo, Layout.PruneUbHi) &&
+        vb.between(Layout.PruneVbLo, Layout.PruneVbHi))
+      .select(Layout.zExprForTest.as("z"))
+      .distinct().collect().map(_.getLong(0))
+    matchZ.foreach { z =>
+      assert(keptRanges.exists { case (lo, hi) => lo <= z && z <= hi },
+        s"matching z=$z not covered by any kept file's z range")
+    }
+    // and the audit is a real cut, not keep-everything
+    assert(pruned.count(_.getAs[Long]("kept") == 1L) < pruned.length / 2)
+  }
+
   test("file counts cover the corpus exactly and ranges nest in z") {
     val files = Layout.zorderLayout(spark, sf).collect()
     val total = files.map(_.getAs[Long]("n_rows")).sum
