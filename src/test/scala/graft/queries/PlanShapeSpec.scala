@@ -217,6 +217,16 @@ class PlanShapeSpec extends SparkSpec {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("q_ann_trunc_rerank: prefix slice is a map-side projection; " +
+      "coarse on bounded heaps, one bounded rerank Window") {
+    val df = Similarity.annTruncRerank(spark, dir)
+    val p = plan(df)
+    assert(p.contains("slice"), p.take(3000))
+    assert(p.contains("bounded_topk"), p.take(3000))
+    assert(countIn(p, "windowspecdefinition(query_id") == 1, p.take(3000))
+    df.sparkSession.catalog.clearCache()
+  }
+
   test("q_binary_recall elects both sides on bounded heaps") {
     val p = plan(Similarity.binaryRecall(spark, dir))
     assert(p.contains("bit_pack"), p.take(3000))
