@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ TimeSeries.queries ++ Curation.queries ++
-      RoundTrip.queries ++ Graph.queries ++ Layout.queries
+      RoundTrip.queries ++ Graph.queries ++ Layout.queries ++
+      Spectral.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TimeSeries.oracles ++ Curation.oracles ++
-      RoundTrip.oracles ++ Graph.oracles ++ Layout.oracles
+      RoundTrip.oracles ++ Graph.oracles ++ Layout.oracles ++
+      Spectral.oracles
 }

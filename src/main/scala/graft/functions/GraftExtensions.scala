@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{AdcDistance, BitPack, BoundedTopK, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, WordGramHashes, WordShingles}
+import graft.functions.expressions.{AdcDistance, BitPack, BoundedTopK, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, VectorGram, WordGramHashes, WordShingles}
 import graft.operators.SerializableHadoopConf
 import graft.plans.HoistPayloadLoad
 
@@ -160,6 +160,13 @@ object GraftFunctions {
           "bounded_topk takes (struct, k literal, sortSpec literal)")
         BoundedTopK(args.head, foldableInt(args(1), "bounded_topk"),
           foldableString(args(2), "bounded_topk"))
+      }),
+    (FunctionIdentifier("vector_gram"),
+      new ExpressionInfo(classOf[VectorGram].getName, "vector_gram"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "vector_gram takes (array<double> vector, dim literal)")
+        VectorGram(args.head, foldableInt(args(1), "vector_gram"))
       }),
     (FunctionIdentifier("load_bytes"),
       new ExpressionInfo(classOf[LoadBytes].getName, "load_bytes"),
@@ -365,6 +372,15 @@ object GraftFunctions {
     call_function("bounded_topk", fields,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(sortSpec))
+
+  /** One-pass Gram / second-moment aggregate (see
+    * [[graft.functions.expressions.VectorGram]]): O(d²) state per
+    * partition regardless of corpus size — struct
+    * `(n, sums[d], prods[d·d])` with `prods` the full row-major
+    * second-moment matrix. Requires [[register]]. */
+  def vectorGram(vector: Column, dim: Int): Column =
+    call_function("vector_gram", vector,
+      org.apache.spark.sql.functions.lit(dim))
 
   /** Map-side membership probe against a serialized
     * `org.apache.spark.util.sketch.BloomFilter` — Spark's own

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+import graft.functions.GraftFunctions
+import graft.queries.Num._
+
+/** Spectral statistics of the embedding corpus — the covariance /
+  * PCA tier of a vector pipeline (whitening before product
+  * quantization, drift monitoring, OPQ-style rotations all start
+  * here).
+  *
+  * Scale shape: everything reduces through
+  * [[graft.functions.expressions.VectorGram]] — one corpus pass whose
+  * aggregation state is O(d²) doubles per task (2 080 at d = 64) and
+  * whose exchange carries one buffer per partition, never a row per
+  * (i, j, vector) triple. The covariance matrix itself is
+  * dimension-sized (64×64), so the eigen step runs on the driver over
+  * ONE collected row — bounded by the embedding dimension, not the
+  * corpus, the same license as the PQ codebook collects. The
+  * alternative declarative plan (posexplode twice → groupBy (i, j))
+  * shuffles the same 4 096 aggregates but pays a hash probe per
+  * (i, j) pair per row — measured slower at every scale, and its
+  * explode blows the row count through whole-stage codegen.
+  *
+  * Reference anchor: DPF's embedding tooling computes moments with
+  * single-node numpy; this is the distributed re-expression.
+  */
+object Spectral {
+  import Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Embedding dimension of the `embeddings` table (TESTDATA.md). */
+  val Dim = 64
+
+  /** Power-iteration steps for the dominant eigenvector — enough for
+    * a clearly-separated top eigenvalue (the labeled-cluster synthetic
+    * corpus has one); both engines run the SAME arithmetic from the
+    * same start vector, so the result is deterministic cross-engine
+    * to far below the 6-dp gate. */
+  val PowerIters = 8
+
+  private def gramRow(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.fanOut(t(spark, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v")))
+    e.agg(GraftFunctions.vectorGram(col("v"), Dim).as("g"))
+  }
+
+  /** Full d×d second-moment + covariance audit: one row per (i, j)
+    * with the raw product sum and the centered covariance. */
+  def embedGram(spark: SparkSession, dir: String): DataFrame =
+    gramRow(spark, dir)
+      .select(col("g.n").as("n"), col("g.sums").as("s"),
+        posexplode(col("g.prods")).as(Seq("idx", "m2raw")))
+      .select(
+        expr(s"CAST(idx DIV $Dim AS BIGINT)").as("i"),
+        expr(s"CAST(idx % $Dim AS BIGINT)").as("j"),
+        col("n"), col("s"), col("m2raw"))
+      .select(col("i"), col("j"),
+        r6(col("m2raw")).as("m2"),
+        r6(col("m2raw") / col("n") -
+          (element_at(col("s"), col("i").cast("int") + 1) / col("n")) *
+            (element_at(col("s"), col("j").cast("int") + 1) / col("n")))
+          .as("cov"))
+
+  /** Shared oracle CTE chain: raw moments + centered covariance in
+    * DuckDB, mirroring the aggregate's arithmetic. MATERIALIZED:
+    * DuckDB inlines CTEs by default, and the power-iteration chain
+    * below references each step more than once — inlined, the
+    * corpus-sized moment scan would re-evaluate exponentially. */
+  private val sqlMoments: String =
+    s"""e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       nn AS (SELECT count(*)::BIGINT AS n FROM e),
+       dims AS (SELECT i.range::BIGINT AS i, j.range::BIGINT AS j
+                FROM range($Dim) AS i, range($Dim) AS j),
+       m AS (SELECT i, j, sum(v[i + 1] * v[j + 1]) AS m2
+             FROM e CROSS JOIN dims GROUP BY i, j),
+       s AS (SELECT r.range::BIGINT AS i, sum(v[r.range + 1]) AS si
+             FROM e CROSS JOIN range($Dim) AS r GROUP BY 1),
+       cov AS MATERIALIZED (SELECT m.i, m.j,
+                 m.m2 / nn.n - (sa.si / nn.n) * (sb.si / nn.n) AS c,
+                 m.m2 AS m2
+               FROM m, nn, s sa, s sb
+               WHERE sa.i = m.i AND sb.i = m.j)"""
+
+  val embedGramSql: String =
+    s"""WITH $sqlMoments
+       SELECT i, j, ${sqlR("m2", 6)} AS m2, ${sqlR("c", 6)} AS cov
+       FROM cov"""
+
+  /** Dominant principal component by power iteration: the gram
+    * aggregate reduces the corpus to one O(d²) row, the driver runs
+    * [[PowerIters]] mat-vec + normalize steps on the 64×64 covariance
+    * (collect bounded by DIMENSION, not corpus — the PQ-codebook
+    * license), and the result is re-submitted as a 64-row DataFrame so
+    * the rounding runs through the engine's own `round`. Output:
+    * per-dim component, the Rayleigh-quotient eigenvalue, and the
+    * variance-explained ratio (eigval / trace). */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val row = gramRow(spark, dir)
+      .select(col("g.n"), col("g.sums"), col("g.prods")).head()
+    val n = row.getLong(0)
+    require(n > 0, "pca_power: empty embeddings corpus")
+    val s = row.getSeq[Double](1).toArray
+    val p = row.getSeq[Double](2).toArray
+    val cov = Array.tabulate(Dim, Dim) { (i, j) =>
+      p(i * Dim + j) / n - (s(i) / n) * (s(j) / n)
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(Dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < Dim) { acc += cov(i)(j) * v(j); j += 1 }
+        acc
+      }
+    var v = Array.fill(Dim)(1.0 / math.sqrt(Dim.toDouble))
+    var it = 0
+    while (it < PowerIters) {
+      val w = matvec(v)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+      it += 1
+    }
+    val w = matvec(v)
+    val eig = v.zip(w).map { case (a, b) => a * b }.sum
+    val trace = (0 until Dim).map(i => cov(i)(i)).sum
+    val rows = (0 until Dim).map { i =>
+      Row(i.toLong, v(i), eig, eig / trace)
+    }
+    val schema = StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("raw_component", DoubleType, nullable = false),
+      StructField("raw_eigval", DoubleType, nullable = false),
+      StructField("raw_ve", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .select(col("i"),
+        r6(col("raw_component")).as("component"),
+        r6(col("raw_eigval")).as("eigval"),
+        r6(col("raw_ve")).as("var_explained"))
+  }
+
+  val pcaPowerSql: String = {
+    val iters = (1 to PowerIters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT cov.i AS i, sum(cov.c * v${k - 1}.x) AS x
+            FROM cov JOIN v${k - 1} ON cov.j = v${k - 1}.i GROUP BY 1),
+         v$k AS MATERIALIZED (SELECT i,
+            x / (SELECT sqrt(sum(x * x)) FROM w$k) AS x FROM w$k)"""
+    }.mkString(",\n")
+    s"""WITH $sqlMoments,
+       v0 AS (SELECT r.range::BIGINT AS i,
+                1.0 / sqrt(${Dim}.0) AS x FROM range($Dim) AS r),
+       $iters,
+       wr AS (SELECT cov.i AS i, sum(cov.c * v$PowerIters.x) AS x
+              FROM cov JOIN v$PowerIters ON cov.j = v$PowerIters.i
+              GROUP BY 1),
+       eig AS (SELECT sum(v$PowerIters.x * wr.x) AS ev
+               FROM v$PowerIters JOIN wr ON v$PowerIters.i = wr.i),
+       tr AS (SELECT sum(c) AS t FROM cov WHERE i = j)
+       SELECT v$PowerIters.i AS i,
+         ${sqlR(s"v$PowerIters.x", 6)} AS component,
+         ${sqlR("eig.ev", 6)} AS eigval,
+         ${sqlR("eig.ev / tr.t", 6)} AS var_explained
+       FROM v$PowerIters, eig, tr"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_embed_gram" -> (embedGram _),
+    "q_pca_power" -> (pcaPower _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_embed_gram" -> embedGramSql,
+    "q_pca_power" -> pcaPowerSql,
+  )
+}
