@@ -159,13 +159,164 @@ object Layout {
     * ZorderSpec containment proof. */
   private[queries] def zExprForTest: Column = zOf(ubCol, vbCol)
 
+  // ---------------------------------------------------------------
+  // Bloom-filter file skipping
+  // ---------------------------------------------------------------
+
+  /** Bloom geometry: 16 words × 62 usable bits (bits 62/63 never set,
+    * so the words stay non-negative in BOTH engines — no sign-bit
+    * divergence between Java's arithmetic shift and DuckDB's), k = 4
+    * probes by double hashing off the shared [[TextFunctions.hash60]]
+    * die. */
+  val BloomWords = 16
+  val BloomBits = 62
+  val BloomM: Long = BloomWords.toLong * BloomBits // 992
+  val BloomK = 4
+  /** Target rows per modeled file: blooms are sized PER FILE, so the
+    * file count grows with the corpus and the bits-per-key ratio (and
+    * with it the false-positive rate) stays constant at any scale —
+    * exactly how a real table's file population behaves. */
+  val BloomFileRows = 256L
+  /** Deterministic probe ids: the 8 smallest event_ids ≡ 7 (mod 1000)
+    * — data-derived, present at every scale factor. */
+  val ProbeMod = 1000L
+  val ProbeRem = 7L
+  val ProbeLimit = 8
+
+  /** Bloom-filter file skipping for POINT lookups on a column the
+    * sort/z layout gives no min/max signal for — the other half of
+    * the read-side pruning story next to [[statsPrune]]. Files are
+    * modeled hash-partitioned on the lookup key's own 60-bit die
+    * (`file = h mod T`, `T = ceil(N / 256)` — the layout a shuffled
+    * write produces), so every file's [min, max] range on `event_id`
+    * spans ~the whole domain and range stats keep everything; the
+    * per-file bloom is what prunes.
+    *
+    * Output: one row per (probe, file) with the bloom verdict and the
+    * file's true match count. No false negatives BY CONSTRUCTION
+    * (every inserted key's bits are set); false positives are the
+    * `kept = 1, n_match = 0` rows — at 992 bits / ~256 keys / k = 4
+    * the expected FP rate is (1 − e^(−kn/m))^k ≈ 0.17, so a point
+    * lookup touches ~1 + 0.17·(T−1) of T files.
+    *
+    * Scale shape: the bloom build is one groupBy over per-row bit
+    * contributions (16 `bit_or` aggregates — map-side combined, the
+    * exchange carries 17 longs per file per partition); the verdict
+    * join is probes × files, both metadata-sized. The N·probes term
+    * exists only in the n_match audit and is bounded by a broadcast
+    * semi-join on 8 keys. */
+  def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val ev = t(spark, dir, "events").select(col("event_id"))
+    // file count: metadata-scale driver action (same license as the
+    // PQ-codebook collects — one long, not data)
+    val n = ev.count()
+    val tFiles = math.max(1L, math.ceil(n / BloomFileRows.toDouble).toLong)
+    val hashed = ev
+      .withColumn("h", hash60(col("event_id").cast("string")))
+      .withColumn("fid", pmod(col("h"), lit(tFiles)))
+      .withColumn("h1", pmod(col("h"), lit(BloomM)))
+      .withColumn("h2", lit(1L) +
+        pmod(expr(s"h div $BloomM"), lit(BloomM - 1L)))
+    val withPos = (0 until BloomK).foldLeft(hashed) { (df, i) =>
+      df.withColumn(s"p$i", pmod(col("h1") + lit(i.toLong) * col("h2"),
+        lit(BloomM)))
+    }
+    // per-row word contributions: bit i of word (p div 62) per probe
+    val withContrib = (0 until BloomWords).foldLeft(withPos) { (df, w) =>
+      df.withColumn(s"c$w",
+        (0 until BloomK).map { i =>
+          when(expr(s"p$i div $BloomBits") === lit(w.toLong),
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p$i % $BloomBits AS INT))"))
+            .otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)))
+    }
+    val bloomAggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      (0 until BloomWords).map(w => expr(s"bit_or(c$w)").as(s"w$w"))
+    val blooms = withContrib.groupBy(col("fid").as("file_id"))
+      .agg(bloomAggs.head, bloomAggs.tail: _*)
+    val probes = withPos
+      .filter(pmod(col("event_id"), lit(ProbeMod)) === lit(ProbeRem))
+      .orderBy(col("event_id")).limit(ProbeLimit)
+      .select(col("event_id").as("probe_id") +:
+        (0 until BloomK).map(i => col(s"p$i").as(s"q$i")): _*)
+    // bloom verdict: all k probe bits set in the file's words
+    def wordAt(posDiv: Column, b: DataFrame): Column =
+      (0 until BloomWords).foldLeft(lit(0L)) { (acc, w) =>
+        when(posDiv === lit(w.toLong), b(s"w$w")).otherwise(acc)
+      }
+    val crossed = probes.crossJoin(broadcast(blooms))
+    // variable shift amounts need SQL `shiftright` (the Scala API
+    // only takes an Int literal) — select the word first, then test
+    val verdictDf = crossed
+      .withColumns((0 until BloomK).map(i => s"sel$i" ->
+        wordAt(expr(s"q$i div $BloomBits"), crossed)).toMap)
+      .withColumn("kept",
+        (0 until BloomK).map(i =>
+          expr(s"(shiftright(sel$i, CAST(q$i % $BloomBits AS INT)) & 1) = 1"))
+          .reduce(_ && _).cast("long"))
+      .select(col("probe_id"), col("file_id"), col("kept"))
+    val matches = withPos
+      .join(broadcast(probes.select(col("probe_id"))),
+        col("event_id") === col("probe_id"))
+      .groupBy(col("fid").as("file_id"), col("probe_id"))
+      .agg(count(lit(1)).as("nm"))
+    verdictDf
+      .join(matches, Seq("probe_id", "file_id"), "left")
+      .select(col("probe_id"), col("file_id"), col("kept"),
+        coalesce(col("nm"), lit(0L)).cast("long").as("n_match"))
+  }
+
+  val bloomPruneSql: String = {
+    val h60 = "CAST(concat('0x', substring(md5(event_id::VARCHAR), 1, 15)) AS BIGINT)"
+    def contrib(w: Int): String =
+      (0 until BloomK).map { i =>
+        s"(CASE WHEN (p$i // $BloomBits) = $w THEN (CAST(1 AS BIGINT) << (p$i % $BloomBits)) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" | ")
+    def wordCase(p: String): String =
+      s"(CASE (${p} // $BloomBits) " +
+        (0 until BloomWords).map(w => s"WHEN $w THEN w.w$w").mkString(" ") +
+        " END)"
+    val keptPred = (0 until BloomK).map { i =>
+      s"(((${wordCase(s"pr.q$i")} >> (pr.q$i % $BloomBits)) & 1) = 1)"
+    }.mkString(" AND ")
+    s"""WITH nn AS (SELECT greatest(1, CAST(ceil(count(*) / ${BloomFileRows}.0) AS BIGINT)) AS t FROM events),
+       b AS (SELECT event_id, $h60 AS h FROM events),
+       f AS (SELECT event_id, h % (SELECT t FROM nn) AS fid,
+               h % $BloomM AS h1, 1 + ((h // $BloomM) % ${BloomM - 1}) AS h2
+             FROM b),
+       p AS MATERIALIZED (SELECT event_id, fid,
+             ${(0 until BloomK).map(i => s"(h1 + $i * h2) % $BloomM AS p$i").mkString(", ")}
+           FROM f),
+       w AS MATERIALIZED (SELECT fid AS file_id,
+             ${(0 until BloomWords).map(w => s"bit_or(${contrib(w)}) AS w$w").mkString(", ")}
+           FROM p GROUP BY 1),
+       pr AS MATERIALIZED (SELECT event_id AS probe_id,
+             ${(0 until BloomK).map(i => s"p$i AS q$i").mkString(", ")}
+           FROM p WHERE event_id % $ProbeMod = $ProbeRem
+           ORDER BY event_id LIMIT $ProbeLimit),
+       k AS (SELECT pr.probe_id, w.file_id,
+               CASE WHEN $keptPred THEN 1 ELSE 0 END::BIGINT AS kept
+             FROM pr CROSS JOIN w),
+       m AS (SELECT fid AS file_id, event_id AS probe_id,
+               count(*)::BIGINT AS n_match
+             FROM p WHERE event_id IN (SELECT probe_id FROM pr)
+             GROUP BY 1, 2)
+       SELECT k.probe_id, k.file_id, k.kept,
+         coalesce(m.n_match, 0)::BIGINT AS n_match
+       FROM k LEFT JOIN m
+         ON k.probe_id = m.probe_id AND k.file_id = m.file_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q_zorder_layout" -> (zorderLayout _),
     "q_stats_prune" -> (statsPrune _),
+    "q_bloom_prune" -> (bloomPrune _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_zorder_layout" -> zorderLayoutSql,
     "q_stats_prune" -> statsPruneSql,
+    "q_bloom_prune" -> bloomPruneSql,
   )
 }
