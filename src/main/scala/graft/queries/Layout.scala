@@ -308,15 +308,69 @@ object Layout {
          ON k.probe_id = m.probe_id AND k.file_id = m.file_id"""
   }
 
+  // ---------------------------------------------------------------
+  // Small-file compaction planning (OPTIMIZE bin-packing)
+  // ---------------------------------------------------------------
+
+  /** Output bins per compaction round: the target bin size is
+    * total/8, so the plan stays non-degenerate at every scale factor
+    * (fixed source count × growing file sizes). */
+  val CompactBins = 8L
+
+  /** Small-file compaction planning — the OPTIMIZE/rewrite step every
+    * long-lived table needs: given the current file population (here
+    * modeled from the documents table as one file per `source`, sized
+    * by its char sum), assign files to output bins of ~target bytes by
+    * cumulative-size packing over the size-descending file order.
+    *
+    * Scale shape: the whole computation runs over FILE METADATA (one
+    * row per file — thousands at 100 TB, never corpus-sized), so the
+    * single-partition running-sum window is bounded by the file count,
+    * not the data; the only corpus pass is the per-file size
+    * aggregate, which is a plain map-side-combined groupBy. The
+    * deterministic (bytes DESC, source) total order makes the plan —
+    * and the oracle — reproducible; floor(cum_before / target) binning
+    * overfills a bin by at most one file, which the companion spec
+    * pins as the bound. */
+  def compactPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).cast("long").as("f_bytes"))
+    val total = files.agg(sum(col("f_bytes")).cast("long").as("tb"))
+    val w = Window.orderBy(col("f_bytes").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.crossJoin(broadcast(total))
+      .withColumn("target",
+        greatest(lit(1L), expr(s"tb div $CompactBins")))
+      .withColumn("cum", sum(col("f_bytes")).over(w))
+      .select(col("source"), col("f_bytes"),
+        expr("CAST((cum - f_bytes) div target AS BIGINT)").as("bin"))
+  }
+
+  val compactPlanSql: String =
+    s"""WITH files AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS f_bytes
+           FROM documents GROUP BY 1),
+       tt AS (SELECT greatest(1, CAST(sum(f_bytes) AS BIGINT) // $CompactBins) AS target FROM files),
+       c AS (SELECT source, f_bytes,
+               sum(f_bytes) OVER (ORDER BY f_bytes DESC, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM files)
+       SELECT source, f_bytes,
+         CAST((cum - f_bytes) // (SELECT target FROM tt) AS BIGINT) AS bin
+       FROM c"""
+
   val queries: Map[String, Q] = Map(
     "q_zorder_layout" -> (zorderLayout _),
     "q_stats_prune" -> (statsPrune _),
     "q_bloom_prune" -> (bloomPrune _),
+    "q_compact_plan" -> (compactPlan _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_zorder_layout" -> zorderLayoutSql,
     "q_stats_prune" -> statsPruneSql,
     "q_bloom_prune" -> bloomPruneSql,
+    "q_compact_plan" -> compactPlanSql,
   )
 }

@@ -64,8 +64,103 @@ object RoundTrip {
         lit(errors).cast("int").as("validation_errors"))
   }
 
+  /** Sources whose partitions the upsert touches — everything else
+    * must come back byte-identical (the spec pins file stability). */
+  private[queries] val UpsertTouched = Seq("src1", "src2", "src3")
+
+  /** Partitioned MERGE (upsert) executed the way a 100 TB table needs
+    * it: the base table is written Hive-partitioned by `source`, the
+    * change batch updates a keyed subset of three partitions and
+    * inserts new rows into one of them, and the merge rewrites ONLY
+    * the touched partitions via dynamic partition overwrite — the
+    * batch sibling of the streaming CDC keep-latest compaction
+    * (`streaming/EventStreams.compactStream`), and the snapshot-diff
+    * story's write side.
+    *
+    * Scale shape: the anti-join that drops superseded base rows runs
+    * only over the TOUCHED partitions (partition pruning bounds the
+    * read), with the keyed batch broadcast; untouched partitions are
+    * never read or written. The query returns engine-portable content
+    * fingerprints of the post-merge table (same die as
+    * [[roundtripShards]]), so the oracle proves the merged CONTENT —
+    * update wins over base, inserts present, everything else
+    * untouched — without SQL needing the filesystem semantics.
+    */
+  def upsertPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_upsert").toString
+    upsertWriteBase(spark, dir, out)
+    upsertMerge(spark, dir, out)
+    spark.read.parquet(s"$out/base")
+      .withColumn("fp60", fp(15))
+      .withColumn("fp32", fp(8))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        expr("bit_xor(fp60)").as("fp_xor"),
+        sum(col("fp32")).as("fp_sum"))
+  }
+
+  /** Step 1: the Hive-partitioned base snapshot. */
+  private[queries] def upsertWriteBase(spark: SparkSession, dir: String,
+      out: String): Unit =
+    t(spark, dir, "documents")
+      .write.partitionBy("source").parquet(s"$out/base")
+
+  /** Step 2: the actual merge — touched-partition base rows lose to
+    * keyed batch rows; dynamic partition overwrite rewrites only the
+    * partitions present in the merged frame. */
+  private[queries] def upsertMerge(spark: SparkSession, dir: String,
+      out: String): Unit = {
+    val docs = t(spark, dir, "documents")
+    val base = spark.read.parquet(s"$out/base")
+    val touched = UpsertTouched
+    val updates = docs
+      .filter(col("doc_id") % 7 === 0 && col("source").isin(touched: _*))
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+        col("lang"), (col("n_chars") + 3L).cast("long").as("n_chars"),
+        col("source"))
+    val inserts = docs
+      .filter(col("doc_id") % 11 === 5 && col("source") === "src1")
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"),
+        col("lang"), (col("n_chars") + 4L).cast("long").as("n_chars"),
+        col("source"))
+    val batch = updates.unionByName(inserts)
+    val merged = base
+      .filter(col("source").isin(touched: _*))
+      .join(broadcast(batch.select(col("doc_id").as("k"))),
+        col("doc_id") === col("k"), "left_anti")
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+      .unionByName(batch)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode("overwrite").partitionBy("source")
+      .parquet(s"$out/base")
+  }
+
+  private val upsertTouchedSql: String =
+    UpsertTouched.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** The merged relation, content-wise, in plain SQL. */
+  private val upsertMergedSql: String =
+    s"""merged AS (
+         SELECT doc_id, text, lang, n_chars::BIGINT AS n_chars, source
+         FROM documents
+         WHERE NOT (doc_id % 7 = 0 AND source IN $upsertTouchedSql)
+         UNION ALL
+         SELECT doc_id, concat(text, ' v2') AS text, lang,
+           (n_chars + 3)::BIGINT AS n_chars, source
+         FROM documents
+         WHERE doc_id % 7 = 0 AND source IN $upsertTouchedSql
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, concat('new ', text) AS text,
+           lang, (n_chars + 4)::BIGINT AS n_chars, source
+         FROM documents
+         WHERE doc_id % 11 = 5 AND source = 'src1')"""
+
   val queries: Map[String, Q] = Map(
-    "q_roundtrip_shards" -> (roundtripShards _))
+    "q_roundtrip_shards" -> (roundtripShards _),
+    "q_upsert_partitioned" -> (upsertPartitioned _))
 
   /** The oracle recomputes the identical fingerprints from the SOURCE
     * parquet — equality proves the tar+csv trip preserved every byte
@@ -84,5 +179,18 @@ object RoundTrip {
                      n_chars::VARCHAR, text)), 1, 8)) AS BIGINT))
            AS BIGINT) AS fp_sum,
          CAST(0 AS INT) AS validation_errors
-         FROM documents""")
+         FROM documents""",
+    "q_upsert_partitioned" ->
+      s"""WITH $upsertMergedSql
+         SELECT count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(CAST(concat('0x', substring(md5(
+             concat_ws('|', doc_id::VARCHAR, lang, source,
+                       n_chars::VARCHAR, text)), 1, 15)) AS BIGINT))
+             AS fp_xor,
+           CAST(sum(CAST(concat('0x', substring(md5(
+             concat_ws('|', doc_id::VARCHAR, lang, source,
+                       n_chars::VARCHAR, text)), 1, 8)) AS BIGINT))
+             AS BIGINT) AS fp_sum
+         FROM merged""")
 }
