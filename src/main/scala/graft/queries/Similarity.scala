@@ -1868,7 +1868,74 @@ object Similarity {
            PARTITION BY query_id ORDER BY xd, vec_id) AS rk
          FROM rr) WHERE rk <= $TopK"""
 
+  /** Ranking-quality evaluation of the probe-1 IVF search: nDCG@k of
+    * [[annIvf]]'s list against the exact cosine top-k, with graded
+    * relevance rel = k+1 − exact_rank (the standard eval a retrieval
+    * pipeline runs next to recall — recall counts overlap, nDCG also
+    * charges the index for returning the right neighbors in the wrong
+    * ORDER).
+    *
+    * Scale shape: both rankings come off the catalog's own bounded
+    * plans (heap top-k; the IVF side searches through the index), and
+    * the eval join is k·Q rows against k·Q rows — metadata-sized. The
+    * IDCG is a k-term constant, precomputed once.
+    */
+  def annNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val k = IvfTopK
+    val approx = annIvf(spark, dir)
+      .select(col("query_id"), col("rk").as("pos"),
+        col("neighbor_id"))
+    val exact = annBruteForce(spark, dir)
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(k + 1L) - col("rk")).as("rel"))
+    val idcg = (1 to k).map(i =>
+      (k + 1 - i).toDouble / (math.log(i + 1.0) / math.log(2.0))).sum
+    approx
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("gain", coalesce(col("rel"), lit(0L)).cast("double"))
+      .withColumn("disc", col("gain") / log(2.0, col("pos") + 1.0))
+      .groupBy(col("query_id"))
+      .agg(r6(sum(col("disc"))).as("dcg"),
+        r6(sum(col("disc")) / lit(idcg)).as("ndcg"))
+  }
+
+  val annNdcgSql: String = {
+    val k = IvfTopK
+    s"""$sqlIvfAssignCte,
+       qa AS (SELECT vec_id AS query_id, cluster, v AS qv FROM assign
+              WHERE vec_id < $NumQueries),
+       s AS (SELECT qa.query_id, a.vec_id,
+               ${sqlR(sqlCos("qa.qv", "a.v"), 6)} AS sim
+             FROM assign a JOIN qa ON a.cluster = qa.cluster
+             WHERE a.vec_id <> qa.query_id),
+       ar AS (SELECT query_id, vec_id, rk AS pos FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+                FROM s) WHERE rk <= $k),
+       qb AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < $NumQueries),
+       xs AS (SELECT qb.query_id, e.vec_id,
+               ${sqlR(sqlCos("qb.qv", "e.v"), 6)} AS sim
+             FROM e JOIN qb ON e.vec_id <> qb.query_id),
+       xr AS (SELECT query_id, vec_id, ${k + 1} - rk AS rel FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+                FROM xs) WHERE rk <= $k),
+       idcg AS (SELECT sum((${k + 1} - x.range)::DOUBLE
+                  / log2(x.range + 1)) AS v
+                FROM range(1, ${k + 1}) x),
+       g AS (SELECT ar.query_id,
+               coalesce(xr.rel, 0)::DOUBLE / log2(ar.pos + 1) AS disc
+             FROM ar LEFT JOIN xr
+               ON ar.query_id = xr.query_id AND ar.vec_id = xr.vec_id)
+       SELECT query_id, ${sqlR("sum(disc)", 6)} AS dcg,
+         ${sqlR("sum(disc) / (SELECT v FROM idcg)", 6)} AS ndcg
+       FROM g GROUP BY query_id"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ann_ndcg" -> (annNdcg _),
     "q_sq8_encode" -> (sq8Encode _),
     "q_binary_recall" -> (binaryRecall _),
     "q_ann_binary_rerank" -> (annBinaryRerank _),
@@ -1897,6 +1964,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ann_ndcg" -> annNdcgSql,
     "q_sq8_encode" -> sq8EncodeSql,
     "q_binary_recall" -> binaryRecallSql,
     "q_ann_binary_rerank" -> annBinaryRerankSql,
