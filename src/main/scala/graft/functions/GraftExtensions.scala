@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{AdcDistance, BitPack, BoundedTopK, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, VectorGram, WordGramHashes, WordShingles}
+import graft.functions.expressions.{AdcDistance, BitPack, BloomOrAgg, BoundedTopK, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, VectorGram, WordGramHashes, WordShingles}
 import graft.operators.SerializableHadoopConf
 import graft.plans.HoistPayloadLoad
 
@@ -160,6 +160,15 @@ object GraftFunctions {
           "bounded_topk takes (struct, k literal, sortSpec literal)")
         BoundedTopK(args.head, foldableInt(args(1), "bounded_topk"),
           foldableString(args(2), "bounded_topk"))
+      }),
+    (FunctionIdentifier("bloom_or_agg"),
+      new ExpressionInfo(classOf[BloomOrAgg].getName, "bloom_or_agg"),
+      { args: Seq[Expression] =>
+        require(args.length == 4,
+          "bloom_or_agg takes (hash, words, bitsPerWord, k literals)")
+        BloomOrAgg(args.head, foldableInt(args(1), "bloom_or_agg"),
+          foldableInt(args(2), "bloom_or_agg"),
+          foldableInt(args(3), "bloom_or_agg"))
       }),
     (FunctionIdentifier("vector_gram"),
       new ExpressionInfo(classOf[VectorGram].getName, "vector_gram"),
@@ -372,6 +381,17 @@ object GraftFunctions {
     call_function("bounded_topk", fields,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(sortSpec))
+
+  /** Bloom-filter build aggregate (see
+    * [[graft.functions.expressions.BloomOrAgg]]): folds a pre-hashed
+    * non-negative key column into `words` 62-bit bloom words by
+    * double hashing; map-side combine ships one long[] per group per
+    * partition. Requires [[register]]. */
+  def bloomOrAgg(hash: Column, words: Int, bitsPerWord: Int,
+      k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("bloom_or_agg", hash, lit(words), lit(bitsPerWord), lit(k))
+  }
 
   /** One-pass Gram / second-moment aggregate (see
     * [[graft.functions.expressions.VectorGram]]): O(d²) state per

@@ -222,19 +222,18 @@ object Layout {
       df.withColumn(s"p$i", pmod(col("h1") + lit(i.toLong) * col("h2"),
         lit(BloomM)))
     }
-    // per-row word contributions: bit i of word (p div 62) per probe
-    val withContrib = (0 until BloomWords).foldLeft(withPos) { (df, w) =>
-      df.withColumn(s"c$w",
-        (0 until BloomK).map { i =>
-          when(expr(s"p$i div $BloomBits") === lit(w.toLong),
-            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p$i % $BloomBits AS INT))"))
-            .otherwise(lit(0L))
-        }.reduce(_.bitwiseOR(_)))
-    }
-    val bloomAggs: Seq[Column] = count(lit(1)).as("n_rows") +:
-      (0 until BloomWords).map(w => expr(s"bit_or(c$w)").as(s"w$w"))
-    val blooms = withContrib.groupBy(col("fid").as("file_id"))
-      .agg(bloomAggs.head, bloomAggs.tail: _*)
+    // native bloom build: ONE aggregate sets all k bits per row
+    // (the declarative per-word bit_or-over-CASE form evaluated
+    // words·k CASEs per row — measured 3× slower at 100M events);
+    // bit semantics identical, so the DuckDB oracle is unchanged
+    graft.functions.GraftFunctions.register(spark)
+    val blooms = hashed.groupBy(col("fid").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.GraftFunctions
+          .bloomOrAgg(col("h"), BloomWords, BloomBits, BloomK).as("warr"))
+      .select(Seq(col("file_id"), col("n_rows")) ++
+        (0 until BloomWords).map(w =>
+          element_at(col("warr"), w + 1).as(s"w$w")): _*)
     val probes = withPos
       .filter(pmod(col("event_id"), lit(ProbeMod)) === lit(ProbeRem))
       .orderBy(col("event_id")).limit(ProbeLimit)
