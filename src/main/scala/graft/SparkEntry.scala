@@ -21,7 +21,7 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ TimeSeries.queries ++ Curation.queries ++
       RoundTrip.queries ++ Graph.queries ++ Layout.queries ++
-      Spectral.queries
+      Spectral.queries ++ Factorize.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -29,5 +29,5 @@ object SparkEntry {
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TimeSeries.oracles ++ Curation.oracles ++
       RoundTrip.oracles ++ Graph.oracles ++ Layout.oracles ++
-      Spectral.oracles
+      Spectral.oracles ++ Factorize.oracles
 }

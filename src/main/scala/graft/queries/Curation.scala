@@ -1252,7 +1252,74 @@ object Curation {
          ${sqlR("w1.w1 - grad2", 6)} AS w2
        FROM w1 JOIN g2 USING (f)"""
 
+  /** Difficulty buckets for [[curriculumOrder]] (length-decile proxy;
+    * swap in any integer difficulty score). Domain ≤ 10 by
+    * construction — the driver-collected histogram is bounded by the
+    * bucket count, never the corpus. */
+  val CurriculumBuckets = 10
+
+  /** Stratified-interleave training order: assign each document a
+    * difficulty bucket, rank within its bucket, and emit the global
+    * epoch position that cycles one document from each bucket per
+    * round (rn = 1 of every bucket, then rn = 2, …) — the ordering
+    * that keeps every difficulty stratum uniformly spread through the
+    * epoch instead of clumped (training-order control is a curation
+    * op: a length-sorted epoch skews every late batch long).
+    *
+    * Scale shape: ONE range-partitioned sort pays for everything.
+    * [[graft.operators.GlobalRank]] ranks (bucket, doc_id) with the
+    * two-pass prefix-offset discipline (no single-reducer window);
+    * the within-bucket rank falls out by subtracting the bucket's
+    * start offset, and the interleave position is CLOSED FORM from
+    * the 10-row bucket histogram (driver-collected literals), so the
+    * second global sort a naive plan would run never happens. The
+    * DuckDB oracle computes both ranks with literal row_number
+    * windows, so the hash gate re-proves rank arithmetic ≡
+    * row_number. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalRank
+    val b = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"CAST(least(n_chars div 100, ${CurriculumBuckets - 1}) AS BIGINT)")
+          .as("bucket"))
+    val g = GlobalRank.rank(b, Seq(col("bucket"), col("doc_id")), "gr")
+    // bucket histogram: ≤ CurriculumBuckets rows (bounded collect)
+    val cnts = b.groupBy(col("bucket")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val buckets = cnts.keys.toSeq.sorted
+    val cumBefore: Map[Long, Long] = buckets.zip(
+      buckets.scanLeft(0L)((acc, bb) => acc + cnts(bb))).toMap
+    val rn = col("gr") - buckets.foldLeft(lit(0L)) { (acc, bb) =>
+      when(col("bucket") === bb, lit(cumBefore(bb))).otherwise(acc)
+    }
+    val withRn = g.withColumn("rn", rn)
+    // rows strictly before (rn, bucket) in (rn, bucket) lex order:
+    // every bucket contributes min(cnt, rn−1) earlier-round rows,
+    // lower buckets add one more if they reach this round
+    val earlierRounds = buckets.map(bb =>
+      least(lit(cnts(bb)), col("rn") - 1L)).reduce(_ + _)
+    val sameRound = buckets.foldLeft(lit(0L)) { (acc, bb) =>
+      when(col("bucket") === bb,
+        buckets.filter(_ < bb).map(b2 =>
+          when(lit(cnts(b2)) >= col("rn"), 1L).otherwise(0L))
+          .foldLeft(lit(0L))(_ + _))
+        .otherwise(acc)
+    }
+    withRn.select(col("doc_id"), col("bucket"), col("rn"),
+      (lit(1L) + earlierRounds + sameRound).as("ord"))
+  }
+
+  val curriculumOrderSql: String =
+    s"""WITH b AS (SELECT doc_id,
+           least(n_chars // 100, ${CurriculumBuckets - 1})::BIGINT AS bucket
+         FROM documents),
+       r AS (SELECT doc_id, bucket, row_number() OVER (
+               PARTITION BY bucket ORDER BY doc_id)::BIGINT AS rn FROM b)
+       SELECT doc_id, bucket, rn,
+         row_number() OVER (ORDER BY rn, bucket)::BIGINT AS ord FROM r"""
+
   val queries: Map[String, Q] = Map(
+    "q_curriculum_order" -> (curriculumOrder _),
     "q_logreg_step" -> (logregStep _),
     "q_token_budget" -> (tokenBudget _),
     "q_quality_threshold" -> (qualityThreshold _),
@@ -1275,6 +1342,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_curriculum_order" -> curriculumOrderSql,
     "q_logreg_step" -> logregStepSql,
     "q_token_budget" -> tokenBudgetSql,
     "q_quality_threshold" -> qualityThresholdSql,
