@@ -1008,7 +1008,102 @@ object TextAnalysis {
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
        FROM documents WHERE n_chars >= 1 GROUP BY 1"""
 
+  /** Minimum bigram count for [[wordPmi]] — the sparsity floor every
+    * collocation extractor applies (a 1-count pair's PMI is noise). */
+  val PmiMinCount = 5L
+
+  /** Word-level PMI collocations over adjacent token pairs — the
+    * phrase/collocation detector (word2vec's phrase pass, Mikolov et
+    * al. arXiv:1310.4546 §4 uses exactly this score shape) that
+    * complements the event-graph [[Graph.itemPmi]].
+    *
+    * pmi(a,b) = ln(c(a,b)·N / (lm(a)·rm(b))) over bigram occurrences,
+    * with left/right marginals from the same bigram table so the
+    * probabilities are consistent positionwise.
+    *
+    * Scale shape: one corpus pass explodes adjacent pairs (pipelined,
+    * no materialization), then three map-side-combined aggregates
+    * whose keys are vocabulary-sized; the marginal joins broadcast
+    * (vocab ≪ corpus). The count floor prunes before the joins. */
+  def wordPmi(spark: SparkSession, dir: String): DataFrame = {
+    val ts = graft.functions.TextFunctions.tokens(lower(col("text")))
+    val pairs = t(spark, dir, "documents")
+      .select(ts.as("ts"))
+      .select(explode(when(size(col("ts")) < 2,
+        array().cast("array<struct<a:string,b:string>>"))
+        .otherwise(transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i + 1).as("a"),
+            element_at(col("ts"), i + 2).as("b"))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val c = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val lm = pairs.groupBy(col("a")).agg(count(lit(1)).as("lm"))
+    val rm = pairs.groupBy(col("b")).agg(count(lit(1)).as("rm"))
+    val tot = pairs.agg(count(lit(1)).as("n"))
+    c.filter(col("n_ab") >= PmiMinCount)
+      .join(broadcast(lm), "a").join(broadcast(rm), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"),
+        r6(log(col("n_ab").cast("double") * col("n") /
+          (col("lm").cast("double") * col("rm")))).as("pmi"))
+  }
+
+  val wordPmiSql: String =
+    s"""WITH tk AS (SELECT $SqlToksLower AS ts FROM documents),
+       bgp AS (SELECT unnest(list_transform(
+                 generate_series(1, greatest(length(ts) - 1, 0)),
+                 i -> {'a': ts[i], 'b': ts[i + 1]})) AS p FROM tk),
+       bg AS (SELECT p.a AS a, p.b AS b FROM bgp),
+       c AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM bg GROUP BY 1, 2),
+       lm AS (SELECT a, count(*)::BIGINT AS lm FROM bg GROUP BY 1),
+       rm AS (SELECT b, count(*)::BIGINT AS rm FROM bg GROUP BY 1),
+       tt AS (SELECT count(*)::BIGINT AS n FROM bg)
+       SELECT a, b, n_ab,
+         ${sqlR("ln(n_ab::DOUBLE * n / (lm::DOUBLE * rm))", 6)} AS pmi
+       FROM c JOIN lm USING (a) JOIN rm USING (b) CROSS JOIN tt
+       WHERE n_ab >= $PmiMinCount"""
+
+  /** Unigram^0.75 negative-sampling table — the noise distribution of
+    * word2vec / NCE training (Mikolov et al. arXiv:1310.4546 §2.2):
+    * per-token probability ∝ count^0.75 plus the cumulative upper
+    * edge, so a uniform draw u ∈ [0,1) binary-searches its token by
+    * `cum`. The cumulative window is VOCABULARY-sized (bounded by the
+    * token domain, not the corpus — same license as the bounded
+    * histograms); the corpus contributes only through the one
+    * map-side-combined count. */
+  def negSampleTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = graft.functions.TextFunctions.tokens(lower(col("text")))
+    val counts = t(spark, dir, "documents")
+      .select(explode(ts).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(pow(col("n").cast("double"), 0.75)).as("z"))
+    val w = Window.orderBy(col("n").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", pow(col("n").cast("double"), 0.75) / col("z"))
+      .withColumn("cum",
+        sum(pow(col("n").cast("double"), 0.75)).over(w) / col("z"))
+      .select(col("w"), col("n"), r6(col("p")).as("p"),
+        r6(col("cum")).as("cum"))
+  }
+
+  val negSampleTableSql: String =
+    s"""WITH tk AS (SELECT $SqlToksLower AS ts FROM documents),
+       u AS (SELECT unnest(ts) AS w FROM tk),
+       c AS (SELECT w, count(*)::BIGINT AS n FROM u GROUP BY 1),
+       z AS (SELECT sum(pow(n::DOUBLE, 0.75)) AS z FROM c)
+       SELECT w, n,
+         ${sqlR("pow(n::DOUBLE, 0.75) / z.z", 6)} AS p,
+         ${sqlR(
+      """sum(pow(n::DOUBLE, 0.75)) OVER (ORDER BY n DESC, w
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / z.z""",
+      6)} AS cum
+       FROM c, z"""
+
   val queries: Map[String, Q] = Map(
+    "q_word_pmi" -> (wordPmi _),
+    "q_neg_table" -> (negSampleTable _),
     "q_length_histogram" -> (lengthHistogram _),
     "q_tfidf_keywords" -> (tfidfKeywords _),
     "q_bm25_topk" -> (bm25TopK _),
@@ -1031,6 +1126,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_word_pmi" -> wordPmiSql,
+    "q_neg_table" -> negSampleTableSql,
     "q_length_histogram" -> lengthHistogramSql,
     "q_tfidf_keywords" -> tfidfKeywordsSql,
     "q_bm25_topk" -> bm25TopKSql,
