@@ -42,4 +42,33 @@ object VectorStreams {
         Similarity.appendToIvfIndex(batch.sparkSession, indexPath,
           batch, numCentroids)
     }
+
+  /** Continuously-maintained Gram/covariance state over a vector
+    * stream (`v: array<double>` column): the same native
+    * [[graft.functions.expressions.VectorGram]] aggregate as the
+    * batch [[graft.queries.Spectral]] tier, run as a streaming
+    * aggregation — Structured Streaming persists the O(d²) aggregate
+    * BUFFER in the state store between micro-batches and folds each
+    * batch in through the aggregate's own merge, so the drift/whiten
+    * statistics stay current without ever rescanning the corpus.
+    * State is one 2 081-double buffer total (a single global group);
+    * callers run `outputMode("complete")` (or "update") and read
+    * `(n, sums, prods)`.
+    *
+    * This is also the serialize/merge proof for the aggregate: the
+    * streaming state path exercises exactly the code the map-side
+    * combine uses. Fold ORDER differs between the streaming and batch
+    * plans, so double sums agree only to accumulation error; the
+    * companion spec pins exact stream == batch equality on
+    * integer-valued vectors, where every fold order is exact. */
+  def gramStream(vecStream: DataFrame, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecStream.sparkSession)
+    import org.apache.spark.sql.functions.col
+    vecStream
+      .select(col("v").cast("array<double>").as("v"))
+      .agg(graft.functions.GraftFunctions.vectorGram(col("v"), dim)
+        .as("g"))
+      .select(col("g.n").as("n"), col("g.sums").as("sums"),
+        col("g.prods").as("prods"))
+  }
 }

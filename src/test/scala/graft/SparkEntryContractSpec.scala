@@ -25,7 +25,11 @@ class SparkEntryContractSpec extends AnyFunSuite {
     "Graph" -> (queries.Graph.queries.keySet,
       queries.Graph.oracles.keySet),
     "Layout" -> (queries.Layout.queries.keySet,
-      queries.Layout.oracles.keySet))
+      queries.Layout.oracles.keySet),
+    "Spectral" -> (queries.Spectral.queries.keySet,
+      queries.Spectral.oracles.keySet),
+    "Factorize" -> (queries.Factorize.queries.keySet,
+      queries.Factorize.oracles.keySet))
 
   test("no query name collides across catalog objects") {
     val all = catalogs.flatMap(_._2._1.toSeq)
