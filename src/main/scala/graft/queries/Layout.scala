@@ -199,12 +199,12 @@ object Layout {
     * the expected FP rate is (1 − e^(−kn/m))^k ≈ 0.17, so a point
     * lookup touches ~1 + 0.17·(T−1) of T files.
     *
-    * Scale shape: the bloom build is one groupBy over per-row bit
-    * contributions (16 `bit_or` aggregates — map-side combined, the
-    * exchange carries 17 longs per file per partition); the verdict
-    * join is probes × files, both metadata-sized. The N·probes term
-    * exists only in the n_match audit and is bounded by a broadcast
-    * semi-join on 8 keys. */
+    * Scale shape: the bloom build is ONE native `bloom_or_agg`
+    * aggregate (map-side combined — the exchange carries one 16-long
+    * buffer per file per partition); the verdict join is probes ×
+    * files, both metadata-sized. The N·probes term exists only in
+    * the n_match audit and is bounded by a broadcast semi-join on 8
+    * keys. */
   def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.hash60
     val ev = t(spark, dir, "events").select(col("event_id"))
@@ -228,31 +228,23 @@ object Layout {
     // bit semantics identical, so the DuckDB oracle is unchanged
     graft.functions.GraftFunctions.register(spark)
     val blooms = hashed.groupBy(col("fid").as("file_id"))
-      .agg(count(lit(1)).as("n_rows"),
-        graft.functions.GraftFunctions
-          .bloomOrAgg(col("h"), BloomWords, BloomBits, BloomK).as("warr"))
-      .select(Seq(col("file_id"), col("n_rows")) ++
-        (0 until BloomWords).map(w =>
-          element_at(col("warr"), w + 1).as(s"w$w")): _*)
+      .agg(graft.functions.GraftFunctions
+        .bloomOrAgg(col("h"), BloomWords, BloomBits, BloomK).as("warr"))
     val probes = withPos
       .filter(pmod(col("event_id"), lit(ProbeMod)) === lit(ProbeRem))
       .orderBy(col("event_id")).limit(ProbeLimit)
       .select(col("event_id").as("probe_id") +:
         (0 until BloomK).map(i => col(s"p$i").as(s"q$i")): _*)
-    // bloom verdict: all k probe bits set in the file's words
-    def wordAt(posDiv: Column, b: DataFrame): Column =
-      (0 until BloomWords).foldLeft(lit(0L)) { (acc, w) =>
-        when(posDiv === lit(w.toLong), b(s"w$w")).otherwise(acc)
-      }
-    val crossed = probes.crossJoin(broadcast(blooms))
-    // variable shift amounts need SQL `shiftright` (the Scala API
-    // only takes an Int literal) — select the word first, then test
-    val verdictDf = crossed
-      .withColumns((0 until BloomK).map(i => s"sel$i" ->
-        wordAt(expr(s"q$i div $BloomBits"), crossed)).toMap)
+    // bloom verdict: all k probe bits set in the file's words — the
+    // word is an array index (the per-word w0..w15 expansion lives
+    // only in the SQL oracle, whose dialect has no arrays of this
+    // shape); variable shift amounts need SQL `shiftright` (the Scala
+    // API only takes an Int literal)
+    val verdictDf = probes.crossJoin(broadcast(blooms))
       .withColumn("kept",
         (0 until BloomK).map(i =>
-          expr(s"(shiftright(sel$i, CAST(q$i % $BloomBits AS INT)) & 1) = 1"))
+          expr(s"(shiftright(element_at(warr, CAST(q$i div $BloomBits AS INT) + 1), " +
+            s"CAST(q$i % $BloomBits AS INT)) & 1) = 1"))
           .reduce(_ && _).cast("long"))
       .select(col("probe_id"), col("file_id"), col("kept"))
     val matches = withPos

@@ -64,9 +64,19 @@ object RoundTrip {
         lit(errors).cast("int").as("validation_errors"))
   }
 
-  /** Sources whose partitions the upsert touches — everything else
-    * must come back byte-identical (the spec pins file stability). */
-  private[queries] val UpsertTouched = Seq("src1", "src2", "src3")
+  /** Sources whose partitions the upsert touches — the three
+    * lexicographically-smallest distinct sources, DERIVED FROM THE
+    * DATA so the query exercises real merge work on any corpus
+    * (a hardcoded list silently no-ops on corpora with a different
+    * source domain — the trivially-green trap). Driver collect is
+    * bounded by the source domain, not the corpus. Everything outside
+    * these partitions must come back byte-identical (the spec pins
+    * file stability). */
+  private[queries] def upsertTouched(spark: SparkSession,
+      dir: String): Seq[String] =
+    t(spark, dir, "documents").select(col("source")).distinct()
+      .orderBy(col("source")).limit(3)
+      .collect().map(_.getString(0)).toSeq
 
   /** Partitioned MERGE (upsert) executed the way a 100 TB table needs
     * it: the base table is written Hive-partitioned by `source`, the
@@ -106,21 +116,26 @@ object RoundTrip {
     t(spark, dir, "documents")
       .write.partitionBy("source").parquet(s"$out/base")
 
-  /** Step 2: the actual merge — touched-partition base rows lose to
-    * keyed batch rows; dynamic partition overwrite rewrites only the
-    * partitions present in the merged frame. */
+  /** Step 2: the actual merge — in the touched partitions, BASE ROWS
+    * WHOSE KEY APPEARS IN THE BATCH lose to the batch row (the
+    * keep-latest MERGE rule, applied uniformly whether the batch row
+    * is an update of an old key or an insert of a new one — keying on
+    * "update keys only" would silently duplicate a base row that
+    * happens to collide with an insert key on a large-id corpus);
+    * dynamic partition overwrite rewrites only the partitions present
+    * in the merged frame. */
   private[queries] def upsertMerge(spark: SparkSession, dir: String,
       out: String): Unit = {
     val docs = t(spark, dir, "documents")
     val base = spark.read.parquet(s"$out/base")
-    val touched = UpsertTouched
+    val touched = upsertTouched(spark, dir)
     val updates = docs
       .filter(col("doc_id") % 7 === 0 && col("source").isin(touched: _*))
       .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
         col("lang"), (col("n_chars") + 3L).cast("long").as("n_chars"),
         col("source"))
     val inserts = docs
-      .filter(col("doc_id") % 11 === 5 && col("source") === "src1")
+      .filter(col("doc_id") % 11 === 5 && col("source") === touched.head)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("new "), col("text")).as("text"),
         col("lang"), (col("n_chars") + 4L).cast("long").as("n_chars"),
@@ -133,30 +148,49 @@ object RoundTrip {
       .select(col("doc_id"), col("text"), col("lang"),
         col("n_chars").cast("long").as("n_chars"), col("source"))
       .unionByName(batch)
+    // scope the overwrite-mode switch to THIS write: the session is
+    // shared across the whole catalog, and leaking dynamic mode turns
+    // every later partitioned overwrite (e.g. an index rebuild) into
+    // a partial one that can leave stale partitions on disk
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy("source")
+    try merged.write.mode("overwrite").partitionBy("source")
       .parquet(s"$out/base")
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
-  private val upsertTouchedSql: String =
-    UpsertTouched.map(s => s"'$s'").mkString("(", ", ", ")")
-
-  /** The merged relation, content-wise, in plain SQL. */
+  /** The merged relation, content-wise, in plain SQL: touched = the
+    * three smallest distinct sources (mirrors [[upsertTouched]]);
+    * base rows in touched partitions whose key appears in the batch
+    * (update OR insert) are superseded. */
   private val upsertMergedSql: String =
-    s"""merged AS (
-         SELECT doc_id, text, lang, n_chars::BIGINT AS n_chars, source
-         FROM documents
-         WHERE NOT (doc_id % 7 = 0 AND source IN $upsertTouchedSql)
-         UNION ALL
-         SELECT doc_id, concat(text, ' v2') AS text, lang,
+    s"""tch AS (SELECT source FROM (
+           SELECT DISTINCT source FROM documents ORDER BY source LIMIT 3)),
+       upd AS (SELECT doc_id, concat(text, ' v2') AS text, lang,
            (n_chars + 3)::BIGINT AS n_chars, source
          FROM documents
-         WHERE doc_id % 7 = 0 AND source IN $upsertTouchedSql
-         UNION ALL
-         SELECT doc_id + 1000000 AS doc_id, concat('new ', text) AS text,
+         WHERE doc_id % 7 = 0 AND source IN (SELECT source FROM tch)),
+       ins AS (SELECT doc_id + 1000000 AS doc_id,
+           concat('new ', text) AS text,
            lang, (n_chars + 4)::BIGINT AS n_chars, source
          FROM documents
-         WHERE doc_id % 11 = 5 AND source = 'src1')"""
+         WHERE doc_id % 11 = 5
+           AND source = (SELECT min(source) FROM documents)),
+       bkeys AS (SELECT doc_id FROM upd UNION SELECT doc_id FROM ins),
+       merged AS (
+         SELECT doc_id, text, lang, n_chars::BIGINT AS n_chars, source
+         FROM documents
+         WHERE NOT (source IN (SELECT source FROM tch)
+                    AND doc_id IN (SELECT doc_id FROM bkeys))
+         UNION ALL
+         SELECT * FROM upd
+         UNION ALL
+         SELECT * FROM ins)"""
 
   val queries: Map[String, Q] = Map(
     "q_roundtrip_shards" -> (roundtripShards _),

@@ -71,9 +71,12 @@ object Spectral {
     * DuckDB, mirroring the aggregate's arithmetic. MATERIALIZED:
     * DuckDB inlines CTEs by default, and the power-iteration chain
     * below references each step more than once — inlined, the
-    * corpus-sized moment scan would re-evaluate exponentially. */
+    * corpus-sized moment scan would re-evaluate exponentially. The
+    * null filter mirrors vector_gram's null-skip so `n` counts the
+    * same rows in both engines. */
   private val sqlMoments: String =
-    s"""e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
        nn AS (SELECT count(*)::BIGINT AS n FROM e),
        dims AS (SELECT i.range::BIGINT AS i, j.range::BIGINT AS j
                 FROM range($Dim) AS i, range($Dim) AS j),

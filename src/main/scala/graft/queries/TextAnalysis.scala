@@ -1035,11 +1035,14 @@ object TextAnalysis {
           i => struct(element_at(col("ts"), i + 1).as("a"),
             element_at(col("ts"), i + 2).as("b"))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    // ONE corpus pass: marginals and the total are re-aggregations of
+    // the vocab²-sized count table, not fresh corpus scans (c is
+    // persisted — it feeds four consumers)
     val c = pairs.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab"))
-    val lm = pairs.groupBy(col("a")).agg(count(lit(1)).as("lm"))
-    val rm = pairs.groupBy(col("b")).agg(count(lit(1)).as("rm"))
-    val tot = pairs.agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_ab")).persist()
+    val lm = c.groupBy(col("a")).agg(sum(col("n_ab")).as("lm"))
+    val rm = c.groupBy(col("b")).agg(sum(col("n_ab")).as("rm"))
+    val tot = c.agg(sum(col("n_ab")).as("n"))
     c.filter(col("n_ab") >= PmiMinCount)
       .join(broadcast(lm), "a").join(broadcast(rm), "b")
       .crossJoin(broadcast(tot))
@@ -1054,10 +1057,11 @@ object TextAnalysis {
                  generate_series(1, greatest(length(ts) - 1, 0)),
                  i -> {'a': ts[i], 'b': ts[i + 1]})) AS p FROM tk),
        bg AS (SELECT p.a AS a, p.b AS b FROM bgp),
-       c AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM bg GROUP BY 1, 2),
-       lm AS (SELECT a, count(*)::BIGINT AS lm FROM bg GROUP BY 1),
-       rm AS (SELECT b, count(*)::BIGINT AS rm FROM bg GROUP BY 1),
-       tt AS (SELECT count(*)::BIGINT AS n FROM bg)
+       c AS MATERIALIZED (SELECT a, b, count(*)::BIGINT AS n_ab
+            FROM bg GROUP BY 1, 2),
+       lm AS (SELECT a, sum(n_ab)::BIGINT AS lm FROM c GROUP BY 1),
+       rm AS (SELECT b, sum(n_ab)::BIGINT AS rm FROM c GROUP BY 1),
+       tt AS (SELECT sum(n_ab)::BIGINT AS n FROM c)
        SELECT a, b, n_ab,
          ${sqlR("ln(n_ab::DOUBLE * n / (lm::DOUBLE * rm))", 6)} AS pmi
        FROM c JOIN lm USING (a) JOIN rm USING (b) CROSS JOIN tt
@@ -1077,10 +1081,15 @@ object TextAnalysis {
     val counts = t(spark, dir, "documents")
       .select(explode(ts).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    val tot = counts.agg(sum(pow(col("n").cast("double"), 0.75)).as("z"))
+    // ONE corpus pass: the normalizer z is a full-frame window over
+    // the vocabulary-sized count table (same bounded license as the
+    // ordered cum window), not a second corpus aggregate
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val w = Window.orderBy(col("n").desc, col("w"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts.crossJoin(broadcast(tot))
+    counts
+      .withColumn("z", sum(pow(col("n").cast("double"), 0.75)).over(full))
       .withColumn("p", pow(col("n").cast("double"), 0.75) / col("z"))
       .withColumn("cum",
         sum(pow(col("n").cast("double"), 0.75)).over(w) / col("z"))
@@ -1091,7 +1100,7 @@ object TextAnalysis {
   val negSampleTableSql: String =
     s"""WITH tk AS (SELECT $SqlToksLower AS ts FROM documents),
        u AS (SELECT unnest(ts) AS w FROM tk),
-       c AS (SELECT w, count(*)::BIGINT AS n FROM u GROUP BY 1),
+       c AS MATERIALIZED (SELECT w, count(*)::BIGINT AS n FROM u GROUP BY 1),
        z AS (SELECT sum(pow(n::DOUBLE, 0.75)) AS z FROM c)
        SELECT w, n,
          ${sqlR("pow(n::DOUBLE, 0.75) / z.z", 6)} AS p,

@@ -41,7 +41,8 @@ class UpsertSpec extends SparkSpec with Matchers {
     val before = parquetFiles(s"$out/base")
     RoundTrip.upsertMerge(spark, d, out)
     val after = parquetFiles(s"$out/base")
-    val touched = RoundTrip.UpsertTouched
+    val touched = RoundTrip.upsertTouched(spark, d)
+    touched shouldBe Seq("src1", "src2", "src3") // 3 smallest of src1..src6
     import org.apache.spark.sql.functions._
     val untouchedBefore = before.filter(!_._1.contains("source=src1"))
       .filter(!_._1.contains("source=src2"))
