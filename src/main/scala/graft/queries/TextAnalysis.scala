@@ -1110,7 +1110,59 @@ object TextAnalysis {
       6)} AS cum
        FROM c, z"""
 
+  /** Per-source KL divergence from the corpus token distribution —
+    * the domain-shift monitor behind mixture reweighting (a source
+    * whose KL spikes is drifting away from the corpus it is supposed
+    * to represent; DoReMi-style domain weighting starts from exactly
+    * these divergences).
+    *
+    * KL(P_s ‖ Q) = Σ_w P_s(w) · ln(P_s(w)/Q(w)), where P_s is source
+    * s's token distribution and Q the whole corpus's. Every source
+    * token is in the corpus vocabulary by construction, so Q(w) > 0
+    * wherever P_s(w) > 0 and the sum is finite.
+    *
+    * Scale shape: ONE corpus pass builds the (source, token) count
+    * table (map-side combined, persisted — it feeds three
+    * re-aggregations); everything downstream is source×vocab-sized
+    * with the corpus marginals broadcast. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val ts = graft.functions.TextFunctions.tokens(lower(col("text")))
+    val sw = t(spark, dir, "documents")
+      .select(col("source"), explode(ts).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      .persist()
+    val perSource = sw.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+    val corpus = sw.groupBy(col("w")).agg(sum(col("n")).as("nw"))
+    val tot = sw.agg(sum(col("n")).as("nt"))
+    sw.join(broadcast(corpus), "w")
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        (col("n") / col("ns")) *
+          log((col("n") / col("ns")) / (col("nw") / col("nt"))))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).cast("long").as("n_tokens"),
+        r6(sum(col("term"))).as("kl"))
+  }
+
+  val sourceKlSql: String =
+    s"""WITH tk AS (SELECT source, $SqlToksLower AS ts FROM documents),
+       u AS (SELECT source, unnest(ts) AS w FROM tk),
+       sw AS MATERIALIZED (SELECT source, w, count(*)::BIGINT AS n
+            FROM u GROUP BY 1, 2),
+       ps AS (SELECT source, sum(n)::BIGINT AS ns FROM sw GROUP BY 1),
+       cw AS (SELECT w, sum(n)::BIGINT AS nw FROM sw GROUP BY 1),
+       tt AS (SELECT sum(n)::BIGINT AS nt FROM sw)
+       SELECT sw.source, max(ps.ns)::BIGINT AS n_tokens,
+         ${sqlR(
+      """sum((sw.n::DOUBLE / ps.ns) *
+           ln((sw.n::DOUBLE / ps.ns) / (cw.nw::DOUBLE / tt.nt)))""", 6)}
+         AS kl
+       FROM sw JOIN cw USING (w) JOIN ps USING (source) CROSS JOIN tt
+       GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "q_source_kl" -> (sourceKl _),
     "q_word_pmi" -> (wordPmi _),
     "q_neg_table" -> (negSampleTable _),
     "q_length_histogram" -> (lengthHistogram _),
@@ -1135,6 +1187,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_source_kl" -> sourceKlSql,
     "q_word_pmi" -> wordPmiSql,
     "q_neg_table" -> negSampleTableSql,
     "q_length_histogram" -> lengthHistogramSql,
