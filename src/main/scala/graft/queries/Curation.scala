@@ -1318,7 +1318,44 @@ object Curation {
        SELECT doc_id, bucket, rn,
          row_number() OVER (ORDER BY rn, bucket)::BIGINT AS ord FROM r"""
 
+  /** Exact per-stratum quota for [[quotaSample]]. */
+  val QuotaK = 5
+
+  /** Exact-quota stratified sampling: EXACTLY k documents per source,
+    * elected by a deterministic md5 die with doc_id tie-break — the
+    * "give me 5 eval examples from every domain" op.
+    * [[Curation.sampleStratified]] samples at a per-class RATE (count
+    * varies with the stratum); this variant guarantees the count,
+    * which is what few-shot eval-set assembly needs.
+    *
+    * Scale shape: election by [[graft.operators.GroupTopK]] heaps —
+    * a stratum's rank partition is its full slice of the corpus, so
+    * the row_number window would exchange every row; the heaps cross
+    * with at most partitions·strata·k rows. */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GroupTopK
+    val d = Tables.t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        hash60(concat(lit("quota|"), col("doc_id").cast("string")))
+          .as("die"))
+    GroupTopK.topK(d, Seq("source"),
+        Seq(("die", false), ("doc_id", false)), QuotaK)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("die"))
+  }
+
+  val quotaSampleSql: String =
+    s"""SELECT source, rk, doc_id, die FROM (
+         SELECT source, doc_id, die, row_number() OVER (
+           PARTITION BY source ORDER BY die, doc_id)::BIGINT AS rk
+         FROM (SELECT source, doc_id,
+           CAST(concat('0x', substring(md5(
+             concat('quota|', doc_id::VARCHAR)), 1, 15)) AS BIGINT) AS die
+           FROM documents))
+       WHERE rk <= $QuotaK"""
+
   val queries: Map[String, Q] = Map(
+    "q_quota_sample" -> (quotaSample _),
     "q_curriculum_order" -> (curriculumOrder _),
     "q_logreg_step" -> (logregStep _),
     "q_token_budget" -> (tokenBudget _),
@@ -1342,6 +1379,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quota_sample" -> quotaSampleSql,
     "q_curriculum_order" -> curriculumOrderSql,
     "q_logreg_step" -> logregStepSql,
     "q_token_budget" -> tokenBudgetSql,

@@ -574,7 +574,51 @@ object Relational {
        FROM po FULL OUTER JOIN customer c ON po.o_custkey = c.c_custkey
        GROUP BY 1"""
 
+  /** Hot keys reported by [[joinProfile]]. */
+  val ProfileTopKeys = 20
+
+  /** Join cardinality / skew profiler — the pre-flight a 100 TB
+    * self-join needs BEFORE running: per join key, the per-side row
+    * counts and the estimated output pairs (n², since both sides are
+    * the events table keyed on user_id), plus each key's share of
+    * the total estimated output. A key carrying a dominant share is
+    * the one to salt ([[graft.operators.SkewJoin]]) — this query IS
+    * the "hot-key profile" input that operator consumes, exposed as
+    * a catalog audit.
+    *
+    * Scale shape: one map-side-combined count per key (the only
+    * corpus pass), then everything is key-cardinality-sized; the
+    * top-20 election runs on [[GroupTopK]] heaps (single group —
+    * bounded exchange), and the total is a broadcast scalar. */
+  def joinProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("est_pairs", col("n") * col("n"))
+    val tot = counts.agg(sum(col("est_pairs")).as("tp"))
+    val top = GroupTopK.topK(
+      counts.select(lit(1L).as("g"), col("est_pairs"), col("user_id"),
+        col("n")),
+      Seq("g"), Seq(("est_pairs", true), ("user_id", false)),
+      ProfileTopKeys)
+    top.crossJoin(broadcast(tot))
+      .select(col("rk").cast("long").as("rk"), col("user_id"),
+        col("n"), col("est_pairs"),
+        r6(col("est_pairs").cast("double") / col("tp")).as("share"))
+  }
+
+  val joinProfileSql: String =
+    s"""WITH c AS (SELECT user_id, count(*)::BIGINT AS n,
+           (count(*) * count(*))::BIGINT AS est_pairs
+         FROM events GROUP BY 1),
+       tt AS (SELECT sum(est_pairs)::BIGINT AS tp FROM c),
+       r AS (SELECT user_id, n, est_pairs, row_number() OVER (
+               ORDER BY est_pairs DESC, user_id)::BIGINT AS rk FROM c)
+       SELECT rk, user_id, n, est_pairs,
+         ${sqlR("est_pairs::DOUBLE / tp", 6)} AS share
+       FROM r, tt WHERE rk <= $ProfileTopKeys"""
+
   val queries: Map[String, Q] = Map(
+    "q_join_profile" -> (joinProfile _),
     "q_join_full" -> (joinFullAudit _),
     "q_data_profile" -> (dataProfile _),
     "q_fuzzy_join" -> (fuzzyJoinParts _),
@@ -626,6 +670,7 @@ object Relational {
        HAVING sum(l.l_quantity) > 200"""
 
   val oracles: Map[String, String] = Map(
+    "q_join_profile" -> joinProfileSql,
     "q_join_full" -> joinFullAuditSql,
     "q_data_profile" -> dataProfileSql,
     "q_fuzzy_join" ->

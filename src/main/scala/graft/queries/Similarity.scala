@@ -1934,7 +1934,63 @@ object Similarity {
        FROM g GROUP BY query_id"""
   }
 
+  /** k-NN label accuracy through the exact cosine top-k — the
+    * embedding-quality eval (a linear-probe-lite): each query vector
+    * is classified by the majority label of its [[TopK]] nearest
+    * neighbors (ties broken toward the smaller label id) and scored
+    * against its own label. Low accuracy = the embedding space does
+    * not cluster by label, the signal that gates every
+    * label-dependent downstream op (SemDeDup prototypes,
+    * hard-negative mining).
+    *
+    * Scale shape: rides [[annBruteForce]]'s heap-bounded exact
+    * ranking; the vote is a k·Q-row aggregate and the label joins
+    * broadcast the Q-row query set (neighbor labels attach by a
+    * co-keyed join on the corpus labels before the vote). */
+  def knnAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val labels = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = annBruteForce(spark, dir)
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nlabel"), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("nv"))
+    val pred = GroupTopK.topK(votes, Seq("query_id"),
+        Seq(("nv", true), ("nlabel", false)), k = 1)
+      .select(col("query_id"), col("nlabel").as("pred_label"))
+    pred
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "true_label"), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        (col("true_label") === col("pred_label")).cast("long")
+          .as("correct"))
+  }
+
+  val knnAccuracySql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           label::BIGINT AS label FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e
+             WHERE vec_id < $NumQueries),
+       s AS (SELECT q.query_id, e.vec_id, e.label AS nlabel,
+               ${sqlR(sqlCos("q.qv", "e.v"), 6)} AS sim
+             FROM q JOIN e ON e.vec_id <> q.query_id),
+       r AS (SELECT query_id, nlabel FROM (
+               SELECT query_id, nlabel, row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+               FROM s) WHERE rk <= $TopK),
+       v AS (SELECT query_id, nlabel, count(*)::BIGINT AS nv
+             FROM r GROUP BY 1, 2),
+       p AS (SELECT query_id, nlabel AS pred_label FROM (
+               SELECT query_id, nlabel, row_number() OVER (
+                 PARTITION BY query_id ORDER BY nv DESC, nlabel) AS pk
+               FROM v) WHERE pk = 1)
+       SELECT p.query_id, q.qlabel AS true_label, p.pred_label,
+         CASE WHEN q.qlabel = p.pred_label THEN 1 ELSE 0 END::BIGINT
+           AS correct
+       FROM p JOIN q ON p.query_id = q.query_id"""
+
   val queries: Map[String, Q] = Map(
+    "q_knn_accuracy" -> (knnAccuracy _),
     "q_ann_ndcg" -> (annNdcg _),
     "q_sq8_encode" -> (sq8Encode _),
     "q_binary_recall" -> (binaryRecall _),
@@ -1964,6 +2020,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_knn_accuracy" -> knnAccuracySql,
     "q_ann_ndcg" -> annNdcgSql,
     "q_sq8_encode" -> sq8EncodeSql,
     "q_binary_recall" -> binaryRecallSql,
