@@ -171,13 +171,111 @@ object Spectral {
        FROM v$PowerIters, eig, tr"""
   }
 
+  /** MAD-fence multiplier for [[vectorNorms]] (the Hampel 3σ-robust
+    * convention, same as TimeSeries.eventsAnomaly). */
+  val NormFenceK = 3L
+
+  /** Embedding-norm hygiene: the distributional screen every encoder
+    * feed needs — a vector whose L2 norm sits far outside the
+    * corpus's robust band is a broken row (truncated write, zeroed
+    * buffer, fp overflow), and norm drift is the cheapest encoder
+    * regression signal. Reports the robust center (median), spread
+    * (MAD), and the outlier census outside median ± 3·MAD.
+    *
+    * Scale shape: ONE corpus pass quantizes each norm to an integer
+    * milli-grid and histograms it (map-side combined; the grid is
+    * value-bounded, and a loud guard fails the job past 2²⁰ bins —
+    * the Quantiles license made explicit); median, the
+    * absolute-deviation histogram, MAD, and both outlier counts all
+    * derive from that histogram — bounded windows, zero further
+    * corpus passes. Integer milli-units end to end, so the fence
+    * arithmetic is exact cross-engine. */
+  def vectorNorms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val nm = Tables.fanOut(t(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("embedding").cast("array<double>").as("v")))
+      .select((round(
+        sqrt(org.apache.spark.sql.functions.call_function(
+          "dot_product", col("v"), col("v"))) * 1000.0 + lit(Num.Eps), 0))
+        .cast("long").as("nm"))
+    val hist = nm.groupBy(col("nm")).agg(count(lit(1)).as("n"))
+    val byV = Window.orderBy(col("nm"))
+    val full = byV.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val guarded = hist
+      .withColumn("nbins", count(lit(1)).over(full))
+      .withColumn("nm", when(col("nbins") > (1 << 20),
+        raise_error(lit("vector_norms: norm histogram exceeds 2^20 bins " +
+          "— quantize coarser"))).otherwise(col("nm")))
+      .withColumn("cum", sum(col("n")).over(
+        byV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(full))
+    val med = guarded
+      .agg(min(when(col("cum") >= expr("(total + 1) div 2"), col("nm")))
+        .as("med"), max(col("total")).as("ntot"))
+    val withMed = hist.crossJoin(broadcast(med))
+    val devHist = withMed
+      .groupBy(abs(col("nm") - col("med")).as("ad"))
+      .agg(sum(col("n")).as("dn"), max(col("ntot")).as("ntot"))
+    val byAd = Window.orderBy(col("ad"))
+    // MAD via the same ceil-rank rule as the median
+    val madRow = devHist
+      .withColumn("tt", sum(col("dn")).over(
+        byAd.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("cum", sum(col("dn")).over(
+        byAd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(min(when(col("cum") >= expr("(tt + 1) div 2"), col("ad")))
+        .as("mad"))
+    withMed.crossJoin(broadcast(madRow))
+      .agg(max(col("ntot")).as("n"),
+        max(col("med")).as("med_milli"),
+        max(col("mad")).as("mad_milli"),
+        sum(when(col("nm") < col("med") - lit(NormFenceK) * col("mad"),
+          col("n")).otherwise(0L)).cast("long").as("n_low"),
+        sum(when(col("nm") > col("med") + lit(NormFenceK) * col("mad"),
+          col("n")).otherwise(0L)).cast("long").as("n_high"))
+  }
+
+  val vectorNormsSql: String =
+    s"""WITH nm AS MATERIALIZED (SELECT CAST(round(
+           sqrt(coalesce(list_sum(list_transform(embedding::DOUBLE[],
+             x -> x * x)), 0)) * 1000.0 + ${Num.Eps}, 0) AS BIGINT) AS nm
+         FROM embeddings WHERE embedding IS NOT NULL),
+       h AS MATERIALIZED (SELECT nm, count(*)::BIGINT AS n
+            FROM nm GROUP BY 1),
+       c AS (SELECT nm, n,
+               sum(n) OVER (ORDER BY nm
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(n) OVER () AS total FROM h),
+       med AS (SELECT min(CASE WHEN cum >= (total + 1) // 2
+                 THEN nm END) AS med, max(total)::BIGINT AS ntot FROM c),
+       dh AS MATERIALIZED (SELECT abs(h.nm - med.med) AS ad,
+               sum(h.n)::BIGINT AS dn FROM h, med GROUP BY 1),
+       dc AS (SELECT ad, dn,
+               sum(dn) OVER (ORDER BY ad
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(dn) OVER () AS tt FROM dh),
+       mad AS (SELECT min(CASE WHEN cum >= (tt + 1) // 2
+                 THEN ad END) AS mad FROM dc)
+       SELECT med.ntot AS n, med.med AS med_milli, mad.mad AS mad_milli,
+         (SELECT coalesce(sum(n), 0)::BIGINT FROM h, med, mad
+            WHERE nm < med.med - $NormFenceK * mad.mad) AS n_low,
+         (SELECT coalesce(sum(n), 0)::BIGINT FROM h, med, mad
+            WHERE nm > med.med + $NormFenceK * mad.mad) AS n_high
+       FROM med, mad"""
+
   val queries: Map[String, Q] = Map(
     "q_embed_gram" -> (embedGram _),
     "q_pca_power" -> (pcaPower _),
+    "q_vector_norms" -> (vectorNorms _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_embed_gram" -> embedGramSql,
     "q_pca_power" -> pcaPowerSql,
+    "q_vector_norms" -> vectorNormsSql,
   )
 }
