@@ -1950,17 +1950,20 @@ object Similarity {
   def knnAccuracy(spark: SparkSession, dir: String): DataFrame = {
     val labels = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val votes = annBruteForce(spark, dir)
-      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
-        .withColumnRenamed("label", "nlabel"), Seq("neighbor_id"))
+    // the k·Q ranking (and later the Q-row prediction) is the tiny
+    // side of each label join — broadcast it so the corpus-sized
+    // labels never shuffle
+    val votes = labels.withColumnRenamed("vec_id", "neighbor_id")
+      .withColumnRenamed("label", "nlabel")
+      .join(broadcast(annBruteForce(spark, dir)), Seq("neighbor_id"))
       .groupBy(col("query_id"), col("nlabel"))
       .agg(count(lit(1)).as("nv"))
     val pred = GroupTopK.topK(votes, Seq("query_id"),
         Seq(("nv", true), ("nlabel", false)), k = 1)
       .select(col("query_id"), col("nlabel").as("pred_label"))
-    pred
-      .join(labels.withColumnRenamed("vec_id", "query_id")
-        .withColumnRenamed("label", "true_label"), Seq("query_id"))
+    labels.withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("label", "true_label")
+      .join(broadcast(pred), Seq("query_id"))
       .select(col("query_id"), col("true_label"), col("pred_label"),
         (col("true_label") === col("pred_label")).cast("long")
           .as("correct"))

@@ -193,6 +193,11 @@ object Spectral {
   def vectorNorms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
+    // dot_product returns NULL on a null ELEMENT (a truncated/corrupt
+    // write — exactly the breakage this screen hunts), so those rows
+    // land in the histogram's NULL bin: counted as n_bad, excluded
+    // from the stats. The SQL mirror detects element nulls explicitly
+    // (DuckDB's list_sum would silently skip them).
     val nm = Tables.fanOut(t(spark, dir, "embeddings")
       .filter(col("embedding").isNotNull)
       .select(col("embedding").cast("array<double>").as("v")))
@@ -200,15 +205,24 @@ object Spectral {
         sqrt(org.apache.spark.sql.functions.call_function(
           "dot_product", col("v"), col("v"))) * 1000.0 + lit(Num.Eps), 0))
         .cast("long").as("nm"))
-    val hist = nm.groupBy(col("nm")).agg(count(lit(1)).as("n"))
+    val allHist = nm.groupBy(col("nm")).agg(count(lit(1)).as("n"))
+      .persist() // one corpus pass; consumed by stats + bad census
+    val badRow = allHist.filter(col("nm").isNull)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_bad"))
+    val hist = allHist.filter(col("nm").isNotNull)
     val byV = Window.orderBy(col("nm"))
     val full = byV.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
+    // hand-rolled rather than Quantiles.exactQuantiles ONLY because
+    // both medians here must derive from one already-built histogram
+    // (exactQuantiles takes the raw frame and would re-scan the
+    // corpus per call); same guard bound, same ceil-rank rule
+    val maxBins = graft.operators.Quantiles.DefaultMaxBins
     val guarded = hist
       .withColumn("nbins", count(lit(1)).over(full))
-      .withColumn("nm", when(col("nbins") > (1 << 20),
-        raise_error(lit("vector_norms: norm histogram exceeds 2^20 bins " +
-          "— quantize coarser"))).otherwise(col("nm")))
+      .withColumn("nm", when(col("nbins") > maxBins,
+        raise_error(lit("vector_norms: norm histogram exceeds " +
+          s"$maxBins bins — quantize coarser"))).otherwise(col("nm")))
       .withColumn("cum", sum(col("n")).over(
         byV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("total", sum(col("n")).over(full))
@@ -218,7 +232,7 @@ object Spectral {
     val withMed = hist.crossJoin(broadcast(med))
     val devHist = withMed
       .groupBy(abs(col("nm") - col("med")).as("ad"))
-      .agg(sum(col("n")).as("dn"), max(col("ntot")).as("ntot"))
+      .agg(sum(col("n")).as("dn"))
     val byAd = Window.orderBy(col("ad"))
     // MAD via the same ceil-rank rule as the median
     val madRow = devHist
@@ -229,29 +243,42 @@ object Spectral {
         byAd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .agg(min(when(col("cum") >= expr("(tt + 1) div 2"), col("ad")))
         .as("mad"))
-    withMed.crossJoin(broadcast(madRow))
-      .agg(max(col("ntot")).as("n"),
+    // global agg first (ONE row even over an empty histogram), THEN
+    // attach the bad census — crossJoining badRow before aggregating
+    // would lose n_bad on an all-bad corpus (empty × 1 row = empty)
+    val statsRow = withMed.crossJoin(broadcast(madRow))
+      .agg(coalesce(max(col("ntot")), lit(0L)).as("n"),
         max(col("med")).as("med_milli"),
         max(col("mad")).as("mad_milli"),
-        sum(when(col("nm") < col("med") - lit(NormFenceK) * col("mad"),
-          col("n")).otherwise(0L)).cast("long").as("n_low"),
-        sum(when(col("nm") > col("med") + lit(NormFenceK) * col("mad"),
-          col("n")).otherwise(0L)).cast("long").as("n_high"))
+        coalesce(sum(when(
+          col("nm") < col("med") - lit(NormFenceK) * col("mad"),
+          col("n")).otherwise(0L)).cast("long"), lit(0L)).as("n_low"),
+        coalesce(sum(when(
+          col("nm") > col("med") + lit(NormFenceK) * col("mad"),
+          col("n")).otherwise(0L)).cast("long"), lit(0L)).as("n_high"))
+    statsRow.crossJoin(broadcast(badRow))
+      .select(col("n"), col("med_milli"), col("mad_milli"),
+        col("n_low"), col("n_high"), col("n_bad").cast("long").as("n_bad"))
   }
 
   val vectorNormsSql: String =
-    s"""WITH nm AS MATERIALIZED (SELECT CAST(round(
-           sqrt(coalesce(list_sum(list_transform(embedding::DOUBLE[],
-             x -> x * x)), 0)) * 1000.0 + ${Num.Eps}, 0) AS BIGINT) AS nm
+    s"""WITH nm AS MATERIALIZED (SELECT CASE
+           WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
+           ELSE CAST(round(
+             sqrt(coalesce(list_sum(list_transform(embedding::DOUBLE[],
+               x -> x * x)), 0)) * 1000.0 + ${Num.Eps}, 0) AS BIGINT)
+           END AS nm
          FROM embeddings WHERE embedding IS NOT NULL),
+       bad AS (SELECT count(*)::BIGINT AS n_bad FROM nm WHERE nm IS NULL),
        h AS MATERIALIZED (SELECT nm, count(*)::BIGINT AS n
-            FROM nm GROUP BY 1),
+            FROM nm WHERE nm IS NOT NULL GROUP BY 1),
        c AS (SELECT nm, n,
                sum(n) OVER (ORDER BY nm
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                sum(n) OVER () AS total FROM h),
        med AS (SELECT min(CASE WHEN cum >= (total + 1) // 2
-                 THEN nm END) AS med, max(total)::BIGINT AS ntot FROM c),
+                 THEN nm END) AS med,
+               coalesce(max(total), 0)::BIGINT AS ntot FROM c),
        dh AS MATERIALIZED (SELECT abs(h.nm - med.med) AS ad,
                sum(h.n)::BIGINT AS dn FROM h, med GROUP BY 1),
        dc AS (SELECT ad, dn,
@@ -264,8 +291,9 @@ object Spectral {
          (SELECT coalesce(sum(n), 0)::BIGINT FROM h, med, mad
             WHERE nm < med.med - $NormFenceK * mad.mad) AS n_low,
          (SELECT coalesce(sum(n), 0)::BIGINT FROM h, med, mad
-            WHERE nm > med.med + $NormFenceK * mad.mad) AS n_high
-       FROM med, mad"""
+            WHERE nm > med.med + $NormFenceK * mad.mad) AS n_high,
+         bad.n_bad AS n_bad
+       FROM med, mad, bad"""
 
   val queries: Map[String, Q] = Map(
     "q_embed_gram" -> (embedGram _),
