@@ -244,4 +244,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(countIn(p, "Exchange") <= 2, p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
+
+  test("q_embed_gram reduces through partial vector_gram buffers — " +
+      "no explode before the exchange") {
+    val p = plan(Spectral.embedGram(spark, dir))
+    // partial + final pair: the O(d²) buffer, not rows, crosses the
+    // exchange; the 4096-cell expansion happens on ONE row after
+    assert(countIn(p, "vector_gram") >= 2, p.take(3000))
+    // Generate (the 4096-cell expansion) is DOWNSTREAM of the final
+    // aggregate — printed above it in the tree text
+    assert(p.indexOf("Generate") < p.indexOf("vector_gram"), p.take(3000))
+    assert(p.indexOf("Generate") >= 0, p.take(3000))
+  }
+
+  test("q_bloom_prune builds blooms in one map-side-combined aggregate") {
+    val p = plan(Layout.bloomPrune(spark, dir))
+    assert(countIn(p, "bloom_or_agg") >= 2, p.take(3000)) // partial+final
+    assert(p.contains("BroadcastExchange"), p.take(3000)) // verdict join
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q_knn_accuracy label joins broadcast the small ranking side") {
+    val p = plan(Similarity.knnAccuracy(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    spark.catalog.clearCache()
+  }
 }
