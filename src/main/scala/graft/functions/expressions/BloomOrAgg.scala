@@ -18,10 +18,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * One update = k bit-sets into a long[] buffer; the declarative
   * formulation (one `bit_or` aggregate per word over per-row CASE
   * contributions) pays words·k CASE evaluations per row — measured
-  * 5× slower at 100M rows. Merge is a word-wise OR, so map-side
-  * combine ships words+0 longs per group per partition. Only bits
-  * below `bitsPerWord ≤ 62` are ever set: words stay non-negative,
-  * avoiding sign-bit divergence between Java and SQL engines. */
+  * 3× slower end-to-end at 100M rows (154 s → 49 s). Merge is a
+  * word-wise OR, so map-side combine ships words+0 longs per group
+  * per partition. Only bits below `bitsPerWord ≤ 62` are ever set:
+  * words stay non-negative, avoiding sign-bit divergence between
+  * Java and SQL engines.
+  *
+  * The hash DIE feeding this aggregate is the caller's choice: the
+  * catalog uses the md5-based hash60 so the DuckDB oracle can mirror
+  * it; `graft.BloomProbe` measured the die as second-order at 100M
+  * rows (xxhash64 22.9 s vs md5 23.9 s JIT-warm — the per-group
+  * buffer aggregation dominates), so there is no production reason
+  * to leave the oracle-friendly die. */
 case class BloomOrAgg(
     child: Expression,
     words: Int,

@@ -299,6 +299,77 @@ object Layout {
          ON k.probe_id = m.probe_id AND k.file_id = m.file_id"""
   }
 
+  /** Materialized bloom skip-index: [[bloomPrune]] EXECUTED — the
+    * keyed table lands Hive-partitioned by its hash-file id with a
+    * side table of per-file blooms, and [[bloomLookup]] reads ONLY
+    * the files whose bloom admits the probed keys. The side table is
+    * file-count-sized; the kept-file list is a metadata-scale driver
+    * collect feeding an `isin` partition filter, so the data scan is
+    * partition-pruned before any IO. */
+  def buildBloomIndex(spark: SparkSession, dir: String,
+      out: String): Unit = {
+    import graft.functions.TextFunctions.hash60
+    graft.functions.GraftFunctions.register(spark)
+    val ev = t(spark, dir, "events")
+    val n = ev.count()
+    val tFiles = math.max(1L, math.ceil(n / BloomFileRows.toDouble).toLong)
+    val keyed = ev
+      .withColumn("h", hash60(col("event_id").cast("string")))
+      .withColumn("fid", pmod(col("h"), lit(tFiles)))
+    keyed.drop("h").write.partitionBy("fid").parquet(s"$out/data")
+    keyed.groupBy(col("fid"))
+      .agg(graft.functions.GraftFunctions
+        .bloomOrAgg(col("h"), BloomWords, BloomBits, BloomK).as("warr"))
+      .write.parquet(s"$out/bloom")
+  }
+
+  /** Point lookup through the materialized index: probe the bloom
+    * side table (file-count rows), collect the admitted file ids
+    * (bounded by file count — metadata scale), and scan only those
+    * partitions. No false negatives by bloom construction; false
+    * positives only cost extra partitions read. */
+  def bloomLookup(spark: SparkSession, out: String,
+      keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "bloomLookup needs at least one key")
+    val keptFids = bloomAdmittedFids(spark, out, keys)
+    spark.read.parquet(s"$out/data")
+      .filter(col("fid").isin(keptFids: _*))
+      .filter(col("event_id").isin(keys: _*))
+  }
+
+  /** The file ids the bloom side table admits for `keys` — the
+    * pruning decision itself (exposed so the spec can assert the
+    * scan set is smaller than the table; `DataFrame.inputFiles`
+    * reports the UNPRUNED listing and cannot see partition filters). */
+  def bloomAdmittedFids(spark: SparkSession, out: String,
+      keys: Seq[Long]): Seq[Long] = {
+    // driver-side twin of the hash60 die (md5 of the utf8 decimal
+    // string, first 15 hex digits base-16) — probes are a handful of
+    // keys, no job needed
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val probes = keys.map { kv =>
+      val h = h60(kv.toString)
+      val h1 = h % BloomM
+      val h2 = 1L + (h / BloomM) % (BloomM - 1L)
+      (kv, (0 until BloomK).map(i => (h1 + i * h2) % BloomM))
+    }
+    spark.read.parquet(s"$out/bloom").collect().iterator.flatMap { r =>
+      val fid = r.getAs[Long]("fid")
+      val words = r.getSeq[Long](r.fieldIndex("warr"))
+      val admitsAny = probes.exists { case (_, ps) =>
+        ps.forall(p =>
+          ((words((p / BloomBits).toInt) >> (p % BloomBits).toInt) & 1L)
+            == 1L)
+      }
+      if (admitsAny) Some(fid) else None
+    }.toSeq
+  }
+
   // ---------------------------------------------------------------
   // Small-file compaction planning (OPTIMIZE bin-packing)
   // ---------------------------------------------------------------

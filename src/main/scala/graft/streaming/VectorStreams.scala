@@ -71,4 +71,25 @@ object VectorStreams {
       .select(col("g.n").as("n"), col("g.sums").as("sums"),
         col("g.prods").as("prods"))
   }
+
+  /** Continuously-maintained per-file bloom filters over a keyed
+    * ingest stream (`fid: bigint, h: bigint` rows — the file id and
+    * the key's non-negative hash): the same
+    * [[graft.functions.expressions.BloomOrAgg]] as the batch
+    * [[graft.queries.Layout.bloomPrune]] build, run as a streaming
+    * aggregation so the skip-index stays current as files receive
+    * rows. Unlike the gram twin, stream == batch here is BIT-EXACT on
+    * ANY input: bloom bits merge by OR, which is order- and
+    * duplication-insensitive — replayed micro-batches (at-least-once
+    * sources) cannot corrupt the filter, only re-set already-set
+    * bits. State is `words` longs per live file id. */
+  def bloomStream(keyed: DataFrame, words: Int, bitsPerWord: Int,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(keyed.sparkSession)
+    import org.apache.spark.sql.functions.col
+    keyed
+      .groupBy(col("fid"))
+      .agg(graft.functions.GraftFunctions
+        .bloomOrAgg(col("h"), words, bitsPerWord, k).as("warr"))
+  }
 }
