@@ -234,6 +234,14 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Driver/JVM-side twin of [[hash60]] — THE shared die
+    * implementation ([[expressions.MinhashSignature.hash60]]), so a
+    * driver-computed probe (e.g. a bloom lookup) can never drift from
+    * the engine-side value. */
+  def hash60Jvm(s: String): Long =
+    expressions.MinhashSignature.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => hash60(s))
 

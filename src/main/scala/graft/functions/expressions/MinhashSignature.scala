@@ -120,7 +120,7 @@ object MinhashSignature {
     * big-endian, logically shifted right 4 — equal to parsing the
     * first 15 hex chars base-16, so any engine with md5 reproduces
     * the value (the shared base-hash recipe of every sketch here). */
-  private[expressions] def hash60(
+  private[functions] def hash60(
       s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val md = md5Digest
     md.reset()

@@ -313,21 +313,34 @@ object Layout {
     val ev = t(spark, dir, "events")
     val n = ev.count()
     val tFiles = math.max(1L, math.ceil(n / BloomFileRows.toDouble).toLong)
+    // persisted: the keyed frame (with its md5 die) feeds BOTH the
+    // partitioned data write and the bloom aggregation — without it
+    // the hash pass runs twice over the corpus
     val keyed = ev
       .withColumn("h", hash60(col("event_id").cast("string")))
       .withColumn("fid", pmod(col("h"), lit(tFiles)))
-    keyed.drop("h").write.partitionBy("fid").parquet(s"$out/data")
-    keyed.groupBy(col("fid"))
-      .agg(graft.functions.GraftFunctions
-        .bloomOrAgg(col("h"), BloomWords, BloomBits, BloomK).as("warr"))
-      .write.parquet(s"$out/bloom")
+      .persist()
+    try {
+      keyed.drop("h").write.partitionBy("fid").parquet(s"$out/data")
+      keyed.groupBy(col("fid"))
+        .agg(graft.functions.GraftFunctions
+          .bloomOrAgg(col("h"), BloomWords, BloomBits, BloomK).as("warr"))
+        .write.parquet(s"$out/bloom")
+    } finally keyed.unpersist(blocking = false)
+    // the file-count the lookup's home derivation needs — stored, not
+    // re-derived (a max(fid) guess breaks if the top hash slot is empty)
+    spark.range(1)
+      .select(lit(n).as("n"), lit(tFiles).as("t_files"))
+      .write.parquet(s"$out/meta")
   }
 
-  /** Point lookup through the materialized index: probe the bloom
-    * side table (file-count rows), collect the admitted file ids
-    * (bounded by file count — metadata scale), and scan only those
-    * partitions. No false negatives by bloom construction; false
-    * positives only cost extra partitions read. */
+  /** Point lookup through the materialized index. The layout is
+    * hash-partitioned on the key's own die, so each key's HOME file
+    * is known arithmetically — the bloom's job is the miss path:
+    * rejecting the home-file read when the key was never ingested.
+    * Only admitted home partitions are scanned: at most one per key,
+    * regardless of key count. No false negatives by construction;
+    * a false positive costs one extra partition read on a miss. */
   def bloomLookup(spark: SparkSession, out: String,
       keys: Seq[Long]): DataFrame = {
     require(keys.nonEmpty, "bloomLookup needs at least one key")
@@ -337,37 +350,36 @@ object Layout {
       .filter(col("event_id").isin(keys: _*))
   }
 
-  /** The file ids the bloom side table admits for `keys` — the
+  /** The home-file ids the bloom side table admits for `keys` — the
     * pruning decision itself (exposed so the spec can assert the
-    * scan set is smaller than the table; `DataFrame.inputFiles`
-    * reports the UNPRUNED listing and cannot see partition filters). */
+    * scan set; `DataFrame.inputFiles` reports the UNPRUNED listing
+    * and cannot see partition filters). Each key is tested ONLY
+    * against its home file's bloom — testing every file against
+    * every key would admit ~1−(1−fp)^|keys| of the table and degrade
+    * toward a full scan as the key count grows. Bounded work: one
+    * collect of the file-count-sized bloom table. */
   def bloomAdmittedFids(spark: SparkSession, out: String,
       keys: Seq[Long]): Seq[Long] = {
-    // driver-side twin of the hash60 die (md5 of the utf8 decimal
-    // string, first 15 hex digits base-16) — probes are a handful of
-    // keys, no job needed
-    def h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.lang.Long.parseLong(
-        d.map(b => f"$b%02x").mkString.take(15), 16)
-    }
-    val probes = keys.map { kv =>
-      val h = h60(kv.toString)
+    import graft.functions.TextFunctions.hash60Jvm
+    val tFiles = spark.read.parquet(s"$out/meta")
+      .head().getAs[Long]("t_files")
+    val blooms = spark.read.parquet(s"$out/bloom").collect().iterator
+      .map(r => r.getAs[Long]("fid") ->
+        r.getSeq[Long](r.fieldIndex("warr")))
+      .toMap
+    keys.flatMap { kv =>
+      val h = hash60Jvm(kv.toString)
+      val home = h % tFiles
       val h1 = h % BloomM
       val h2 = 1L + (h / BloomM) % (BloomM - 1L)
-      (kv, (0 until BloomK).map(i => (h1 + i * h2) % BloomM))
-    }
-    spark.read.parquet(s"$out/bloom").collect().iterator.flatMap { r =>
-      val fid = r.getAs[Long]("fid")
-      val words = r.getSeq[Long](r.fieldIndex("warr"))
-      val admitsAny = probes.exists { case (_, ps) =>
-        ps.forall(p =>
-          ((words((p / BloomBits).toInt) >> (p % BloomBits).toInt) & 1L)
-            == 1L)
-      }
-      if (admitsAny) Some(fid) else None
-    }.toSeq
+      blooms.get(home).filter { words =>
+        (0 until BloomK).forall { i =>
+          val p = (h1 + i * h2) % BloomM
+          (((words((p / BloomBits).toInt) >>
+            (p % BloomBits).toInt) & 1L)) == 1L
+        }
+      }.map(_ => home)
+    }.distinct
   }
 
   // ---------------------------------------------------------------

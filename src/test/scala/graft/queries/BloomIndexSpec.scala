@@ -35,26 +35,29 @@ class BloomIndexSpec extends SparkSpec with Matchers {
       .map(r => (r._1, r._3)).sortBy(_._1)
     got shouldBe expected
 
-    // the pruning decision admits fewer partitions than the table
-    // holds (DataFrame.inputFiles reports the unpruned listing, so
-    // assert on the admitted-fid set the scan filter is built from);
-    // 4 probes admit their ~4 true homes + FP extras
+    // home-file admission: at most ONE partition per key, regardless
+    // of table size (a per-key×every-file test would admit
+    // ~1−(1−fp)^|keys| of the table — the review-caught degradation)
     val admitted = Layout.bloomAdmittedFids(spark, out, keys)
+    admitted.length should be <= keys.length
+    admitted.length should be >= 1
     val totalParts = spark.read.parquet(s"$out/bloom").count()
     admitted.length.toLong should be < totalParts
-    admitted.length should be >= 2 // at least some true homes, deduped
   }
 
-  test("missing keys return empty without a full scan") {
+  test("missing keys: home blooms reject most reads, result is empty") {
     val d = java.nio.file.Files.createTempDirectory("bloomidx2").toString
     (0L until 1000L).map(i => (i, i, i % 5, "c", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$d/events.parquet")
     val out = java.nio.file.Files.createTempDirectory("bloomout2").toString
     Layout.buildBloomIndex(spark, d, out)
-    // keys far outside the ingested domain: blooms may FP-admit a few
-    // files but the exact filter returns nothing
-    val looked = Layout.bloomLookup(spark, out, Seq(999999L, 888888L))
-    looked.count() shouldBe 0L
+    // keys far outside the ingested domain: each key probes only its
+    // home file's bloom; an FP admits at most that one partition,
+    // and the exact filter returns nothing either way
+    val misses = (999990L to 999999L).toSeq
+    val admitted = Layout.bloomAdmittedFids(spark, out, misses)
+    admitted.length should be <= misses.length
+    Layout.bloomLookup(spark, out, misses).count() shouldBe 0L
   }
 }

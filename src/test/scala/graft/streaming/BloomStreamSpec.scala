@@ -51,14 +51,36 @@ class BloomStreamSpec extends SparkSpec {
     }
   }
 
-  test("at-least-once replay: duplicated rows leave the bloom unchanged") {
+  test("at-least-once replay THROUGH THE STREAM: a re-delivered " +
+      "micro-batch leaves the state-store blooms unchanged") {
     val rows = (0L until 200L).map(i => (i % 3, i * 977L))
-    val once = VectorStreams.bloomStream(rows.toDF("fid", "h"),
-      Words, Bits, K).collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
-      .toMap
-    val twice = VectorStreams.bloomStream(
-      (rows ++ rows).toDF("fid", "h"), Words, Bits, K).collect()
+    val src = rows.toDF("fid", "h")
+    // three files where the third REPLAYS the first's rows — the
+    // streaming aggregation must fold the duplicate delivery into
+    // existing state without changing any bloom word
+    val flat = Files.createTempDirectory("bloomreplay").toString
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val part = Files.createTempDirectory(s"brp$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(part)
+      val f = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(flat, s"$name.parquet"))
+    }
+    val firstHalf = src.filter(col("h") % 2 === 0)
+    dump(firstHalf, "b0")
+    dump(src.filter(col("h") % 2 === 1), "b1")
+    dump(firstHalf, "b2_replay")
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat)
+    val q = VectorStreams.bloomStream(stream, Words, Bits, K)
+      .writeStream.format("memory").queryName("bloom_replay")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("bloom_replay").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(once == twice)
+    val batch = VectorStreams.bloomStream(src, Words, Bits, K).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == batch,
+      "replayed micro-batch changed the bloom state")
   }
 }
