@@ -434,6 +434,45 @@ object Layout {
          CAST((cum - f_bytes) // (SELECT target FROM tt) AS BIGINT) AS bin
        FROM c"""
 
+  /** Executed small-file compaction — [[compactPlan]]'s planning rule
+    * APPLIED to a real parquet directory: list the files (driver-side
+    * metadata, bounded by file count), pack them into
+    * cumulative-size bins over the (bytes DESC, path) total order,
+    * and rewrite each multi-file bin as one file in `out`
+    * (single-file bins are copied through unchanged — OPTIMIZE never
+    * rewrites what it cannot improve). Each bin's rewrite is its own
+    * distributed job; the driver only orchestrates the bin list.
+    * Returns (files_before, files_after, bins) for the caller's
+    * audit; content parity is the companion spec's job. */
+  def compactFiles(spark: SparkSession, tableDir: String, out: String,
+      targetBytes: Long): (Int, Int, Int) = {
+    require(targetBytes > 0, "compactFiles needs targetBytes > 0")
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy { case (p, len) => (-len, p) }
+    require(files.nonEmpty, s"compactFiles: no parquet files in $tableDir")
+    // floor(cum_before / target) — the exact q_compact_plan rule
+    val bins = files.zip(files.scanLeft(0L)(_ + _._2))
+      .map { case ((p, len), cumBefore) =>
+        (p, cumBefore / targetBytes)
+      }
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    bins.zipWithIndex.foreach { case (paths, i) =>
+      val df = spark.read.parquet(paths: _*)
+      val writer = if (paths.length > 1) df.coalesce(1) else df
+      writer.write.mode("overwrite").parquet(f"$out/bin_$i%05d")
+    }
+    val after = bins.zipWithIndex.map { case (paths, i) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(f"$out/bin_$i%05d"))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }.sum
+    (files.length, after, bins.length)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_zorder_layout" -> (zorderLayout _),
     "q_stats_prune" -> (statsPrune _),
