@@ -306,13 +306,21 @@ object Layout {
     * file-count-sized; the kept-file list is a metadata-scale driver
     * collect feeding an `isin` partition filter, so the data scan is
     * partition-pruned before any IO. */
-  def buildBloomIndex(spark: SparkSession, dir: String,
-      out: String): Unit = {
+  /** Build the materialized index. `fileRows` and `words` scale
+    * TOGETHER: real indexes size the bloom with the file (parquet's
+    * own column blooms are KB-scale per file), so the bits-per-key
+    * ratio — and with it the FP rate — is a free parameter
+    * independent of file size. The defaults match [[bloomPrune]]'s
+    * audit geometry; a production table uses bigger files with
+    * proportionally bigger blooms (e.g. 4096 rows × 256 words keeps
+    * the same ~16 bits/key). */
+  def buildBloomIndex(spark: SparkSession, dir: String, out: String,
+      fileRows: Long = BloomFileRows, words: Int = BloomWords): Unit = {
     import graft.functions.TextFunctions.hash60
     graft.functions.GraftFunctions.register(spark)
     val ev = t(spark, dir, "events")
     val n = ev.count()
-    val tFiles = math.max(1L, math.ceil(n / BloomFileRows.toDouble).toLong)
+    val tFiles = math.max(1L, math.ceil(n / fileRows.toDouble).toLong)
     // persisted: the keyed frame (with its md5 die) feeds BOTH the
     // partitioned data write and the bloom aggregation — without it
     // the hash pass runs twice over the corpus
@@ -324,13 +332,15 @@ object Layout {
       keyed.drop("h").write.partitionBy("fid").parquet(s"$out/data")
       keyed.groupBy(col("fid"))
         .agg(graft.functions.GraftFunctions
-          .bloomOrAgg(col("h"), BloomWords, BloomBits, BloomK).as("warr"))
+          .bloomOrAgg(col("h"), words, BloomBits, BloomK).as("warr"))
         .write.parquet(s"$out/bloom")
     } finally keyed.unpersist(blocking = false)
-    // the file-count the lookup's home derivation needs — stored, not
-    // re-derived (a max(fid) guess breaks if the top hash slot is empty)
+    // the geometry the lookup's derivations need — stored, not
+    // re-derived (a max(fid) guess breaks if the top hash slot is
+    // empty; the word count decides the position arithmetic)
     spark.range(1)
-      .select(lit(n).as("n"), lit(tFiles).as("t_files"))
+      .select(lit(n).as("n"), lit(tFiles).as("t_files"),
+        lit(words.toLong).as("words"))
       .write.parquet(s"$out/meta")
   }
 
@@ -361,8 +371,9 @@ object Layout {
   def bloomAdmittedFids(spark: SparkSession, out: String,
       keys: Seq[Long]): Seq[Long] = {
     import graft.functions.TextFunctions.hash60Jvm
-    val tFiles = spark.read.parquet(s"$out/meta")
-      .head().getAs[Long]("t_files")
+    val meta = spark.read.parquet(s"$out/meta").head()
+    val tFiles = meta.getAs[Long]("t_files")
+    val m = meta.getAs[Long]("words") * BloomBits
     val blooms = spark.read.parquet(s"$out/bloom").collect().iterator
       .map(r => r.getAs[Long]("fid") ->
         r.getSeq[Long](r.fieldIndex("warr")))
@@ -370,11 +381,11 @@ object Layout {
     keys.flatMap { kv =>
       val h = hash60Jvm(kv.toString)
       val home = h % tFiles
-      val h1 = h % BloomM
-      val h2 = 1L + (h / BloomM) % (BloomM - 1L)
+      val h1 = h % m
+      val h2 = 1L + (h / m) % (m - 1L)
       blooms.get(home).filter { words =>
         (0 until BloomK).forall { i =>
-          val p = (h1 + i * h2) % BloomM
+          val p = (h1 + i * h2) % m
           (((words((p / BloomBits).toInt) >>
             (p % BloomBits).toInt) & 1L)) == 1L
         }
@@ -473,10 +484,43 @@ object Layout {
     (files.length, after, bins.length)
   }
 
+  /** The EXECUTED index round trip as a harness-gated query: build
+    * the materialized bloom index in a temp dir, look up the same
+    * deterministic probe keys [[bloomPrune]] audits, and return the
+    * rows the pruned scan produced. The filesystem side effects
+    * (partitioned write, side table, meta, home-probe pruning) are
+    * not SQL-expressible, but the RESULT is a plain filter — so the
+    * hash gate proves the whole executed path returns exactly what a
+    * full scan would, the same proof shape as q_upsert_partitioned
+    * and q_roundtrip_shards. */
+  def bloomIndexRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val keys = t(spark, dir, "events")
+      .filter(pmod(col("event_id"), lit(ProbeMod)) === lit(ProbeRem))
+      .orderBy(col("event_id")).limit(ProbeLimit)
+      .select(col("event_id"))
+      .collect().map(_.getLong(0)).toSeq // ≤ ProbeLimit keys
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bloomidx").toString
+    // production geometry: bigger files, proportionally bigger blooms
+    // (same bits/key, ~25 partitions at sf0.1 instead of 391 — the
+    // dynamic-partition write dominates this round trip's cost)
+    buildBloomIndex(spark, dir, out, fileRows = 4096L, words = 256)
+    bloomLookup(spark, out, keys)
+      .select(col("event_id"), col("user_id"))
+  }
+
+  val bloomIndexRoundTripSql: String =
+    s"""SELECT event_id, user_id FROM events
+       WHERE event_id IN (
+         SELECT event_id FROM events
+         WHERE event_id % $ProbeMod = $ProbeRem
+         ORDER BY event_id LIMIT $ProbeLimit)"""
+
   val queries: Map[String, Q] = Map(
     "q_zorder_layout" -> (zorderLayout _),
     "q_stats_prune" -> (statsPrune _),
     "q_bloom_prune" -> (bloomPrune _),
+    "q_bloom_index" -> (bloomIndexRoundTrip _),
     "q_compact_plan" -> (compactPlan _),
   )
 
@@ -484,6 +528,7 @@ object Layout {
     "q_zorder_layout" -> zorderLayoutSql,
     "q_stats_prune" -> statsPruneSql,
     "q_bloom_prune" -> bloomPruneSql,
+    "q_bloom_index" -> bloomIndexRoundTripSql,
     "q_compact_plan" -> compactPlanSql,
   )
 }
