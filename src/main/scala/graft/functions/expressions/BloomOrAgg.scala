@@ -43,6 +43,11 @@ case class BloomOrAgg(
   require(bitsPerWord > 0 && bitsPerWord <= 62,
     s"bloom_or_agg: bitsPerWord must be in [1, 62], got $bitsPerWord")
   require(k > 0 && k <= 16, s"bloom_or_agg: bad k=$k")
+  // m = 1 would make the double-hash stride `(h div m) % (m − 1)` a
+  // divide-by-zero deep inside update(); reject the degenerate
+  // geometry at construction time
+  require(words.toLong * bitsPerWord >= 2,
+    s"bloom_or_agg: need words*bitsPerWord >= 2, got $words*$bitsPerWord")
 
   private val m: Long = words.toLong * bitsPerWord
 

@@ -35,10 +35,18 @@ object GlobalRank {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .persist() // consumed twice: zipWithIndex's count job + map job
     val schema = sorted.schema.add(
       StructField(rankCol, LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+    // persist at the RDD level, not Dataset.persist: the cache is
+    // consumed twice (zipWithIndex's count job + map job), but a
+    // CacheManager entry would pin the blocks for the session's
+    // lifetime. A plain RDD persist is tracked by the ContextCleaner —
+    // once the returned frame (and its lineage) is unreferenced, the
+    // blocks are reclaimed automatically, so long-lived sessions
+    // don't accumulate one cached sort per rank() call.
+    val cached = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = cached.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     spark.createDataFrame(ranked, schema)

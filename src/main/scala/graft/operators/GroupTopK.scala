@@ -33,6 +33,15 @@ object GroupTopK {
       rankCol: String = "rk"): DataFrame = {
     require(groupCols.nonEmpty, "GroupTopK needs at least one group column")
     require(sortCols.nonEmpty, "GroupTopK needs at least one sort column")
+    require(!df.columns.contains(rankCol),
+      s"GroupTopK: rank column '$rankCol' already exists in the input")
+    // internal scratch names must not shadow input columns (a column
+    // literally named _topk/_pos/_row would otherwise yield ambiguous
+    // output) — uniquify against the input schema
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_")
+        .find(n => !df.columns.contains(n)).get
+    val (cTopk, cPos, cRow) = (fresh("_topk"), fresh("_pos"), fresh("_row"))
     GraftFunctions.register(df.sparkSession)
     val sortNames = sortCols.map(_._1)
     val rest = df.columns.toSeq
@@ -46,13 +55,13 @@ object GroupTopK {
     val topk = df
       .groupBy(g: _*)
       .agg(GraftFunctions.boundedTopK(struct(fields: _*), k, spec)
-        .as("_topk"))
-      .select(g :+ posexplode(col("_topk")).as(Seq("_pos", "_row")): _*)
+        .as(cTopk))
+      .select(g :+ posexplode(col(cTopk)).as(Seq(cPos, cRow)): _*)
     val out: Seq[Column] =
       groupCols.map(col) ++
-        Seq((col("_pos") + 1).as(rankCol)) ++
+        Seq((col(cPos) + 1).as(rankCol)) ++
         df.columns.toSeq.filterNot(groupCols.contains)
-          .map(n => col(s"_row.`$n`").as(n))
+          .map(n => col(s"`$cRow`.`$n`").as(n))
     topk.select(out: _*)
   }
 }

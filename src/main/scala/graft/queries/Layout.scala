@@ -366,24 +366,45 @@ object Layout {
     * and cannot see partition filters). Each key is tested ONLY
     * against its home file's bloom — testing every file against
     * every key would admit ~1−(1−fp)^|keys| of the table and degrade
-    * toward a full scan as the key count grows. Bounded work: one
-    * collect of the file-count-sized bloom table. */
+    * toward a full scan as the key count grows. */
   def bloomAdmittedFids(spark: SparkSession, out: String,
-      keys: Seq[Long]): Seq[Long] = {
+      keys: Seq[Long]): Seq[Long] =
+    bloomAdmission(spark, out, keys).admitted
+
+  /** Admission verdict plus the lookup's own IO audit: how many bloom
+    * rows crossed to the driver. The spec pins `bloomRowsRead ≤
+    * |keys|` — the invariant that keeps a point lookup's driver work
+    * O(|keys|) at any table size. */
+  final case class BloomAdmission(admitted: Seq[Long], bloomRowsRead: Long)
+
+  /** Driver work is O(|keys|), never O(n_files): each key's HOME file
+    * id is pure arithmetic (`h mod t_files` — no data needed), so the
+    * home set is computed FIRST and pushed into the bloom-table read
+    * as a `fid IN (homes)` filter. The collect then transfers at most
+    * one bloom row per distinct home (≤ |keys| rows of words·8 B) —
+    * at 100 TB (10⁵–10⁶ files × up to KBs of bloom words each) an
+    * unfiltered collect of the side table would move GBs to the
+    * driver per point lookup to answer an O(|keys|) question. */
+  def bloomAdmission(spark: SparkSession, out: String,
+      keys: Seq[Long]): BloomAdmission = {
     import graft.functions.TextFunctions.hash60Jvm
     val meta = spark.read.parquet(s"$out/meta").head()
     val tFiles = meta.getAs[Long]("t_files")
     val m = meta.getAs[Long]("words") * BloomBits
-    val blooms = spark.read.parquet(s"$out/bloom").collect().iterator
+    val hashed = keys.map(kv => kv -> hash60Jvm(kv.toString))
+    val homes = hashed.map(_._2 % tFiles).distinct
+    val blooms = spark.read.parquet(s"$out/bloom")
+      .filter(col("fid").isin(homes: _*))
+      .collect()
+    val byFid = blooms.iterator
       .map(r => r.getAs[Long]("fid") ->
         r.getSeq[Long](r.fieldIndex("warr")))
       .toMap
-    keys.flatMap { kv =>
-      val h = hash60Jvm(kv.toString)
+    val admitted = hashed.flatMap { case (_, h) =>
       val home = h % tFiles
       val h1 = h % m
       val h2 = 1L + (h / m) % (m - 1L)
-      blooms.get(home).filter { words =>
+      byFid.get(home).filter { words =>
         (0 until BloomK).forall { i =>
           val p = (h1 + i * h2) % m
           (((words((p / BloomBits).toInt) >>
@@ -391,6 +412,7 @@ object Layout {
         }
       }.map(_ => home)
     }.distinct
+    BloomAdmission(admitted, blooms.length.toLong)
   }
 
   // ---------------------------------------------------------------
@@ -449,39 +471,74 @@ object Layout {
     * APPLIED to a real parquet directory: list the files (driver-side
     * metadata, bounded by file count), pack them into
     * cumulative-size bins over the (bytes DESC, path) total order,
-    * and rewrite each multi-file bin as one file in `out`
-    * (single-file bins are copied through unchanged — OPTIMIZE never
-    * rewrites what it cannot improve). Each bin's rewrite is its own
-    * distributed job; the driver only orchestrates the bin list.
+    * and rewrite every bin as one file in `out/bin_NNNNN`.
+    *
+    * Execution is ONE distributed job, never a per-bin driver loop: a
+    * real OPTIMIZE pass over a fragmented 100 TB table yields 10³–10⁵
+    * bins, and bins × (job-submission latency + a single-task write)
+    * serializes the cluster while it idles. Instead the file→bin map
+    * (file-count-sized metadata) broadcast-joins onto ONE read of all
+    * source files keyed by `input_file_name`, rows hash-shuffle to
+    * one task per bin, and a partitioned write emits each bin's
+    * single file; bin directories are then driver renames (metadata
+    * ops, O(bins)). Wall time is the largest bin's write, not the bin
+    * count — the fragmentation sweep in NOTES pins it.
+    *
     * Returns (files_before, files_after, bins) for the caller's
     * audit; content parity is the companion spec's job. */
   def compactFiles(spark: SparkSession, tableDir: String, out: String,
       targetBytes: Long): (Int, Int, Int) = {
     require(targetBytes > 0, "compactFiles needs targetBytes > 0")
-    val fs = new org.apache.hadoop.fs.Path(tableDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(hconf)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.toString, s.getLen))
       .sortBy { case (p, len) => (-len, p) }
     require(files.nonEmpty, s"compactFiles: no parquet files in $tableDir")
     // floor(cum_before / target) — the exact q_compact_plan rule
-    val bins = files.zip(files.scanLeft(0L)(_ + _._2))
-      .map { case ((p, len), cumBefore) =>
-        (p, cumBefore / targetBytes)
-      }
-      .groupBy(_._2).toSeq.sortBy(_._1)
-      .map(_._2.map(_._1))
-    bins.zipWithIndex.foreach { case (paths, i) =>
-      val df = spark.read.parquet(paths: _*)
-      val writer = if (paths.length > 1) df.coalesce(1) else df
-      writer.write.mode("overwrite").parquet(f"$out/bin_$i%05d")
+    val binOf: Seq[(String, Long)] = files.toSeq
+      .zip(files.scanLeft(0L)(_ + _._2))
+      .map { case ((p, _), cumBefore) => (p, cumBefore / targetBytes) }
+    val nBins = binOf.map(_._2).distinct.length
+    // join key is the file BASENAME: input_file_name() renders the
+    // URI scheme differently from Path.toString ("file:///" vs
+    // "file:/"), and all sources live in one directory so basenames
+    // are unique; internal columns are underscored to stay clear of
+    // table columns (guarded below)
+    Seq("_graft_bin", "_graft_fname").foreach { c =>
+      require(!spark.read.parquet(files.head._1).columns.contains(c),
+        s"compactFiles: reserved column $c present in table")
     }
-    val after = bins.zipWithIndex.map { case (paths, i) =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(f"$out/bin_$i%05d"))
-        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    }.sum
-    (files.length, after, bins.length)
+    import spark.implicits._
+    val binMap = binOf
+      .map { case (p, b) => (new org.apache.hadoop.fs.Path(p).getName, b) }
+      .toDF("_graft_fname", "_graft_bin")
+    val staged = s"$out/_graft_staged"
+    spark.read.parquet(files.map(_._1).toIndexedSeq: _*)
+      .withColumn("_graft_fname",
+        element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(binMap), "_graft_fname")
+      .drop("_graft_fname")
+      .repartition(nBins, col("_graft_bin"))
+      .write.mode("overwrite").partitionBy("_graft_bin").parquet(staged)
+    // bin dirs: _graft_bin=K → bin_%05d in dense bin order (driver
+    // metadata renames, O(bins))
+    val denseIdx = binOf.map(_._2).distinct.sorted.zipWithIndex.toMap
+    var after = 0
+    denseIdx.toSeq.sortBy(_._2).foreach { case (binId, i) =>
+      val src = new org.apache.hadoop.fs.Path(
+        s"$staged/_graft_bin=$binId")
+      val dst = new org.apache.hadoop.fs.Path(f"$out/bin_$i%05d")
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(src, dst)
+        after += fs.listStatus(dst)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    (files.length, after, nBins)
   }
 
   /** The EXECUTED index round trip as a harness-gated query: build
@@ -505,8 +562,12 @@ object Layout {
     // (same bits/key, ~25 partitions at sf0.1 instead of 391 — the
     // dynamic-partition write dominates this round trip's cost)
     buildBloomIndex(spark, dir, out, fileRows = 4096L, words = 256)
-    bloomLookup(spark, out, keys)
-      .select(col("event_id"), col("user_id"))
+    // seal: ≤ ProbeLimit rows — materialize and delete the index copy
+    // (repeated bench/oracle runs must not leak corpus-sized temp dirs)
+    Tables.sealTempResult(spark,
+      bloomLookup(spark, out, keys)
+        .select(col("event_id"), col("user_id")),
+      out)
   }
 
   val bloomIndexRoundTripSql: String =

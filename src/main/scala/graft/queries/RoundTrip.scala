@@ -52,16 +52,20 @@ object RoundTrip {
     ShardWriters.saveToShards(src, out, maxFilesInShard = 200)
     val back = DatasetReader.readShards(spark, config)
     val errors = Validators.validate(back).totalErrors
-    back.df
-      .withColumn("fp60", fp(15))
-      .withColumn("fp32", fp(8))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("lang")).as("n_langs"),
-        sum(col("n_chars").cast("long")).as("total_chars"),
-        expr("bit_xor(fp60)").as("fp_xor"),
-        sum(col("fp32")).as("fp_sum"),
-        lit(errors).cast("int").as("validation_errors"))
+    // seal: one fingerprint row — materialize, then delete the shard
+    // copy so repeated runs don't leak corpus-sized temp dirs
+    Tables.sealTempResult(spark,
+      back.df
+        .withColumn("fp60", fp(15))
+        .withColumn("fp32", fp(8))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          expr("bit_xor(fp60)").as("fp_xor"),
+          sum(col("fp32")).as("fp_sum"),
+          lit(errors).cast("int").as("validation_errors")),
+      out)
   }
 
   /** Sources whose partitions the upsert touches — the three
@@ -100,14 +104,18 @@ object RoundTrip {
     val out = Files.createTempDirectory("graft_upsert").toString
     upsertWriteBase(spark, dir, out)
     upsertMerge(spark, dir, out)
-    spark.read.parquet(s"$out/base")
-      .withColumn("fp60", fp(15))
-      .withColumn("fp32", fp(8))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars").cast("long")).as("total_chars"),
-        expr("bit_xor(fp60)").as("fp_xor"),
-        sum(col("fp32")).as("fp_sum"))
+    // seal: one fingerprint row — materialize, then delete the merged
+    // table copy (same leak discipline as roundtripShards)
+    Tables.sealTempResult(spark,
+      spark.read.parquet(s"$out/base")
+        .withColumn("fp60", fp(15))
+        .withColumn("fp32", fp(8))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          expr("bit_xor(fp60)").as("fp_xor"),
+          sum(col("fp32")).as("fp_sum")),
+      out)
   }
 
   /** Step 1: the Hive-partitioned base snapshot. */

@@ -38,6 +38,26 @@ object Tables {
     * ns-epoch long; sessions run with spark.sql.session.timeZone=UTC,
     * so the NTZ wall-clock reinterpretation is the identity and
     * matches DuckDB's naive-as-UTC `epoch_us`. */
+  /** Materialize a BOUNDED result (round-trip queries return one-row
+    * fingerprints or ≤ probe-limit rows) and delete the temp dir its
+    * plan reads from: without this every bench/oracle invocation of a
+    * round-trip query leaks a corpus-sized copy on disk. The collect
+    * is safe precisely because these results are aggregate-scale;
+    * callers with unbounded results must not use this. */
+  def sealTempResult(spark: SparkSession, df: DataFrame,
+      tmpDir: String): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= 10000,
+      s"sealTempResult: unbounded result (${rows.length} rows) — " +
+        "this helper is for fingerprint/probe-scale outputs only")
+    val schema = df.schema
+    val p = new org.apache.hadoop.fs.Path(tmpDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+  }
+
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df

@@ -38,11 +38,15 @@ class BloomIndexSpec extends SparkSpec with Matchers {
     // home-file admission: at most ONE partition per key, regardless
     // of table size (a per-key×every-file test would admit
     // ~1−(1−fp)^|keys| of the table — the review-caught degradation)
-    val admitted = Layout.bloomAdmittedFids(spark, out, keys)
-    admitted.length should be <= keys.length
-    admitted.length should be >= 1
+    val adm = Layout.bloomAdmission(spark, out, keys)
+    adm.admitted.length should be <= keys.length
+    adm.admitted.length should be >= 1
     val totalParts = spark.read.parquet(s"$out/bloom").count()
-    admitted.length.toLong should be < totalParts
+    adm.admitted.length.toLong should be < totalParts
+    // driver IO is O(|keys|), never O(n_files): only home-file bloom
+    // rows cross to the driver (the round-6 weak finding)
+    adm.bloomRowsRead should be <= keys.length.toLong
+    adm.bloomRowsRead should be < totalParts
   }
 
   test("missing keys: home blooms reject most reads, result is empty") {
@@ -56,8 +60,9 @@ class BloomIndexSpec extends SparkSpec with Matchers {
     // home file's bloom; an FP admits at most that one partition,
     // and the exact filter returns nothing either way
     val misses = (999990L to 999999L).toSeq
-    val admitted = Layout.bloomAdmittedFids(spark, out, misses)
-    admitted.length should be <= misses.length
+    val adm = Layout.bloomAdmission(spark, out, misses)
+    adm.admitted.length should be <= misses.length
+    adm.bloomRowsRead should be <= misses.length.toLong
     Layout.bloomLookup(spark, out, misses).count() shouldBe 0L
   }
 }
