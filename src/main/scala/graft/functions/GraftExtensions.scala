@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{AdcDistance, BitPack, BloomOrAgg, BoundedTopK, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, VectorGram, WordGramHashes, WordShingles}
+import graft.functions.expressions.{AdcDistance, BitPack, BloomOrAgg, BoundedTopK, CharNgrams, CompressRatio, CosineSimilarity, DotProduct, HyperplaneBuckets, JaccardSim, JsonLongField, L2DistanceSq, LangId, LoadBytes, MinhashSignature, NgramHashes, PqCodes, RewriteHofDotProduct, SimHash32, SimHashBits, TextFeatures, VectorGram, WordGramHashes, WordShingles}
 import graft.operators.SerializableHadoopConf
 import graft.plans.HoistPayloadLoad
 
@@ -176,6 +176,13 @@ object GraftFunctions {
         require(args.length == 2,
           "vector_gram takes (array<double> vector, dim literal)")
         VectorGram(args.head, foldableInt(args(1), "vector_gram"))
+      }),
+    (FunctionIdentifier("json_long"),
+      new ExpressionInfo(classOf[JsonLongField].getName, "json_long"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "json_long takes (json string column, key literal)")
+        JsonLongField(args.head, foldableString(args(1), "json_long"))
       }),
     (FunctionIdentifier("load_bytes"),
       new ExpressionInfo(classOf[LoadBytes].getName, "load_bytes"),
@@ -356,6 +363,16 @@ object GraftFunctions {
     * no SQL engine mirrors zlib, so it is not oracle-checked. */
   def compressRatio(text: Column): Column =
     call_function("compress_ratio", text)
+
+  /** Native top-level integer-field JSON extraction (see
+    * [[graft.functions.expressions.JsonLongField]]): the
+    * `get_json_object(j, '$.key').cast("long")` hot path as a direct
+    * byte scan — measured ~80% of q_als_step's cost was the Jackson
+    * parse. Integer-number fields only; float/string/bool/missing →
+    * null. Requires [[register]]. */
+  def jsonLong(json: Column, key: String): Column =
+    call_function("json_long", json,
+      org.apache.spark.sql.functions.lit(key))
 
   /** Declarative payload read (see
     * [[graft.functions.expressions.LoadBytes]]); IO failure fails the

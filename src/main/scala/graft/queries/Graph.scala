@@ -107,9 +107,10 @@ object Graph {
     * (0 forces the distributed loop). */
   private[queries] def pagerankItemsAt(spark: SparkSession, dir: String,
       fastPathMaxEdges: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val ks = t(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        graft.functions.GraftFunctions.jsonLong(col("props"), "k").as("k"))
       .filter(col("k").isNotNull)
     // edges and nodes are item-vocabulary-sized — persisted because
     // every iteration consumes them (Verify/Bench clear per query).
@@ -231,9 +232,10 @@ object Graph {
   /** `fastPathMaxEdges` exposed for the cross-path equality spec. */
   private[queries] def triangleCountsAt(spark: SparkSession, dir: String,
       fastPathMaxEdges: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val ks = t(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        graft.functions.GraftFunctions.jsonLong(col("props"), "k").as("k"))
       .filter(col("k").isNotNull)
     val wSeq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     // canonical undirected edges (u < v), deduped across directions
@@ -353,9 +355,10 @@ object Graph {
     * map-side combined from any corpus size) plus two vocab-sized
     * marginal joins — nothing corpus-sized shuffles twice. */
   def itemPmi(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val ks = t(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        graft.functions.GraftFunctions.jsonLong(col("props"), "k").as("k"))
       .filter(col("k").isNotNull)
     // lazily consumed (catalog query — per-query-clear license)
     val e = transitionEdges(ks)._1 // (src, dst, w, wout)

@@ -345,14 +345,17 @@ object TimeSeries {
     * (semi-structured payload → typed column → aggregate) — the
     * stringified-JSON pattern the reference stores for OCR boxes
     * (DPF/filters/images/ocr_filter.py:147). */
-  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+  def eventsJson(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     t(spark, dir, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k",
+        graft.functions.GraftFunctions.jsonLong(col("props"), "k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         r4(avg(col("k"))).as("avg_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
+  }
 
   val eventsJsonSql: String =
     s"""SELECT event_type, count(*) AS n,
