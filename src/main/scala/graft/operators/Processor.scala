@@ -67,6 +67,30 @@ final case class Processor(df: DataFrame, config: DatasetConfig) {
         .filter(col("__rn") === 1).drop("__rn"))
     }
 
+  /** Exact top-k rows per group — the pipeline-facing form of
+    * [[GroupTopK]]. A pipeline author reaching for `row_number()
+    * OVER (PARTITION BY …) <= k` gets the scale-safe plan without
+    * knowing the window trap exists: bounded per-partition heaps,
+    * exchange carries at most groups·k rows per task, nothing
+    * corpus-sized is sorted. `sortCols` are (column, descending)
+    * pairs compared in order; append a unique tiebreak column for
+    * deterministic ranks (same obligation the window idiom has).
+    * Adds `rankCol` (1-based, == row_number). */
+  def topKPerGroup(groupCols: Seq[String],
+      sortCols: Seq[(String, Boolean)], k: Int,
+      rankCol: String = "rk"): Processor =
+    copy(df = GroupTopK.topK(df, groupCols, sortCols, k, rankCol))
+
+  /** Global 1-based rank over a total order — the pipeline-facing
+    * form of [[GlobalRank]]. `row_number() OVER (ORDER BY …)` plans
+    * as a single-reducer window (every row through ONE task); this
+    * computes identical ranks with range partitioning + two-pass
+    * prefix offsets. The sort key must be total (append a unique
+    * tiebreak). Adds `rankCol`. */
+  def globalRank(sortCols: Seq[Column],
+      rankCol: String = "ord"): Processor =
+    copy(df = GlobalRank.rank(df, sortCols, rankCol))
+
   /** Seeded shuffle (pipeline_stages.py:27-34; seed-threaded per
     * SURVEY.md §7.4 risk 7). */
   def shuffle(seed: Long): Processor =
