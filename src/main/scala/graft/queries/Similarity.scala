@@ -279,11 +279,18 @@ object Similarity {
         s"[0, $numCentroids) — such a row would be read back as a " +
         "centroid and corrupt future assignments; remap new vector " +
         "ids above the range")
+    assignBatch(spark, indexPath, newVecs, numCentroids)
+      .write.mode("append").partitionBy("cluster").parquet(indexPath)
+  }
+
+  /** The append's assignment stage: batch × broadcast centroid rows,
+    * keep-best on k=1 heaps (same bit-identical election as
+    * [[ivfAssign]], no batch·C exchange with vectors riding it). */
+  private def assignBatch(spark: SparkSession, indexPath: String,
+      newVecs: DataFrame, numCentroids: Int): DataFrame = {
     val cent = spark.read.parquet(indexPath)
       .filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // same keep-best-heap plan as ivfAssign (bit-identical election,
-    // no batch·C exchange with vectors riding it)
     val scored = newVecs.select(col("vec_id"), col("v"))
       .crossJoin(broadcast(cent))
       .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
@@ -291,7 +298,52 @@ object Similarity {
     GroupTopK.topK(scored, Seq("vec_id"),
         Seq(("csim", true), ("cid", false)), k = 1)
       .select(col("vec_id"), col("v"), col("cid").as("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(indexPath)
+  }
+
+  /** [[appendToIvfIndex]] made IDEMPOTENT — the exactly-once-effective
+    * ingest sink: vec_ids already present in the index are dropped
+    * before the write, so a replayed micro-batch (at-least-once
+    * sources, foreachBatch crash re-runs) appends nothing the second
+    * time. The check is derived from the DATA, not a commit log, so
+    * it holds at every crash point: Spark's file-commit protocol
+    * makes a batch's append visible all-or-nothing (task files live
+    * in _temporary until job commit), so replay sees either the full
+    * prior append (every id dedups away) or none of it (full
+    * re-append) — identical final layout either way.
+    *
+    * Scale shape: the batch assigns first, then ONLY the touched
+    * cluster partitions are probed (partition-pruned) reading ONLY
+    * vec_id (column-pruned); both dedup joins broadcast the
+    * batch-sized side, so the probe cost is a bounded scan of the
+    * clusters the batch lands in regardless of index size. In-batch
+    * duplicate ids collapse to one row first (duplicates of the same
+    * stable id carry identical payloads by contract). */
+  def appendToIvfIndexIdempotent(spark: SparkSession, indexPath: String,
+      newVecs: DataFrame, numCentroids: Int = NumCentroids): Unit = {
+    GraftFunctions.register(spark)
+    val clash = newVecs.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id")).limit(1).collect()
+    require(clash.isEmpty,
+      s"appendToIvfIndex: new vec_id ${clash.headOption.map(_.get(0))
+        .getOrElse("")} falls inside the centroid-row id range " +
+        s"[0, $numCentroids) — such a row would be read back as a " +
+        "centroid and corrupt future assignments; remap new vector " +
+        "ids above the range")
+    val assigned = assignBatch(spark, indexPath,
+      newVecs.dropDuplicates("vec_id"), numCentroids)
+      .localCheckpoint(true) // consumed thrice (clusters, ids, write)
+    val touched = assigned.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val present = spark.read.parquet(indexPath)
+        .filter(col("cluster").isin(touched: _*))
+        .select(col("vec_id"))
+        .join(broadcast(assigned.select(col("vec_id"))),
+          Seq("vec_id"), "left_semi")
+      assigned.join(broadcast(present), Seq("vec_id"), "left_anti")
+        .write.mode("append").partitionBy("cluster").parquet(indexPath)
+    }
+    assigned.unpersist(blocking = false)
   }
 
   /** Number of duplicated head vectors [[ivfAppendSizes]] appends. */

@@ -28,19 +28,22 @@ object VectorStreams {
     * would corrupt future assignments must stop the stream, not
     * poison the index).
     *
-    * Delivery semantics: foreachBatch with a checkpoint re-runs a
-    * batch after a mid-batch crash, and a parquet append is not
-    * transactional — so ingest is AT-LEAST-ONCE under crash replay.
-    * vec_ids are stable, so readers get exactly-once semantics by
-    * deduping on vec_id (or compact duplicates offline); this is the
-    * standard discipline for non-transactional foreachBatch sinks.
-    * Callers attach `.option("checkpointLocation", …)` and a trigger. */
+    * Delivery semantics: EXACTLY-ONCE-EFFECTIVE. foreachBatch with a
+    * checkpoint re-runs a batch after a mid-batch crash and a parquet
+    * append is not transactional, so the sink routes through
+    * [[Similarity.appendToIvfIndexIdempotent]]: vec_ids already in
+    * the index dedup away before the write (a partition- and
+    * column-pruned probe of only the touched clusters), so a replayed
+    * or double-delivered micro-batch appends nothing the second time
+    * — the replay spec feeds the same batch twice and asserts the
+    * index files unchanged. Callers attach
+    * `.option("checkpointLocation", …)` and a trigger. */
   def ivfIngestStream(vecStream: DataFrame, indexPath: String,
       numCentroids: Int = Similarity.NumCentroids): DataStreamWriter[Row] =
     vecStream.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
-        Similarity.appendToIvfIndex(batch.sparkSession, indexPath,
-          batch, numCentroids)
+        Similarity.appendToIvfIndexIdempotent(batch.sparkSession,
+          indexPath, batch, numCentroids)
     }
 
   /** Continuously-maintained Gram/covariance state over a vector

@@ -86,6 +86,57 @@ class IvfIngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("replay: the same micro-batch delivered twice leaves the " +
+      "index files identical (exactly-once-effective)") {
+    val idx = Files.createTempDirectory("graft_ivf_replay").toString
+    val feed = Files.createTempDirectory("graft_ivf_replayfeed").toString
+    val ckpt = Files.createTempDirectory("graft_ivf_replayckpt").toString
+    Similarity.buildIvfIndex(spark, dir, idx)
+
+    def deliver(name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_ivf_rpart").toString
+      freshVecs(0, N / 2).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, java.nio.file.Paths.get(feed, name))
+    }
+    def runStream(): Unit = {
+      val schema = freshVecs(0, 1).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = VectorStreams.ivfIngestStream(stream, idx)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def indexFiles(): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.length())).toSet
+    }
+
+    deliver("b0.parquet")
+    runStream()
+    val afterFirst = indexFiles()
+    val rowsFirst = spark.read.parquet(idx).count()
+
+    // the SAME batch content again, as a new source file — the
+    // at-least-once double delivery the sink must absorb; it flows
+    // through the real streaming aggregation, not a batch stand-in
+    deliver("b0_replay.parquet")
+    runStream()
+
+    assert(indexFiles() == afterFirst,
+      "replayed batch changed the index files")
+    assert(spark.read.parquet(idx).count() == rowsFirst)
+    // and the first delivery actually landed
+    assert(spark.read.parquet(idx)
+      .filter(col("vec_id") >= 1000000L).count() == N / 2)
+  }
+
   test("a batch colliding with centroid ids fails the stream loudly") {
     val idx = Files.createTempDirectory("graft_ivf_guard").toString
     val feed = Files.createTempDirectory("graft_ivf_guardfeed").toString
