@@ -268,9 +268,11 @@ object Onnx {
   * Split, Gather, Unsqueeze/Squeeze — a small transformer encoder
   * block runs end-to-end), and the warp/shape tier (GridSample,
   * Where, Expand, Tile, Range, ConstantOfShape, the comparison and
-  * logic set as float 0/1 masks, Reduce{Mean,Sum,Max,Min}). `Shape`
-  * itself stays out: export with fixed shapes, or slot a full
-  * runtime behind [[OnnxModel.run]]. */
+  * logic set as float 0/1 masks, Reduce{Mean,Sum,Max,Min}), and the
+  * real-export residue a torch CNN/RAFT export carries (`Shape` —
+  * emitted even under static input shapes unless constant folding
+  * removed the chain, `InstanceNormalization`, constant-mode `Pad`,
+  * `Resize` nearest/linear — the `F.interpolate` flow upsampler). */
 final class OnnxModel(val graph: Onnx.Graph) {
   import Onnx._
 
@@ -1003,9 +1005,195 @@ final class OnnxModel(val graph: Onnx.Graph) {
         case _ => 0f
       }
       Tensor(want, Array.fill(math.max(want.product, 0))(fill))
+    case "Shape" =>
+      // dims emit as float data (the interpreter is float-only; real
+      // tensor dims sit far below 2^24, so the values are exact and
+      // flow into Reshape/Expand/ConstantOfShape unchanged). torch
+      // exports carry Shape→Gather→Concat chains even under static
+      // input shapes unless constant folding removed them.
+      val r = ins(0).dims.length
+      def clampAx(v: Long): Int =
+        math.max(0L, math.min(r.toLong, if (v < 0) v + r else v)).toInt
+      val s = clampAx(attrI(n, "start", 0L))
+      val e = clampAx(attrI(n, "end", r.toLong))
+      val out = ins(0).dims.slice(s, math.max(s, e))
+      Tensor(Seq(out.length), out.map(_.toFloat).toArray)
+    case "InstanceNormalization" =>
+      // y = scale·(x − mean_nc)/√(var_nc + ε) + bias — statistics per
+      // (batch, channel) over the spatial dims (vs BatchNormalization's
+      // stored population stats). The RAFT feature encoder's norm.
+      val eps = attrF(n, "epsilon", 1e-5f)
+      val Seq(x, scale, bias) = ins.take(3)
+      require(x.dims.length >= 3,
+        s"InstanceNormalization needs rank >= 3, got ${x.dims}")
+      val c = x.dims(1)
+      val inner = x.dims.drop(2).product
+      require(scale.data.length == c && bias.data.length == c,
+        s"InstanceNormalization param length != $c channels")
+      require(inner > 0, "InstanceNormalization over empty spatial dims")
+      val out = new Array[Float](x.data.length)
+      val planes = x.dims(0) * c
+      var p = 0
+      while (p < planes) {
+        val base = p * inner
+        var s1 = 0.0; var s2 = 0.0
+        var i = 0
+        while (i < inner) {
+          val v = x.data(base + i).toDouble
+          s1 += v; s2 += v * v
+          i += 1
+        }
+        val mean = s1 / inner
+        // population variance, clamped: s2/n − mean² can round
+        // fractionally negative on constant planes
+        val vr = math.max(s2 / inner - mean * mean, 0.0)
+        val inv = 1.0 / math.sqrt(vr + eps)
+        val g = scale.data(p % c); val b = bias.data(p % c)
+        i = 0
+        while (i < inner) {
+          out(base + i) =
+            (((x.data(base + i) - mean) * inv) * g + b).toFloat
+          i += 1
+        }
+        p += 1
+      }
+      Tensor(x.dims, out)
+    case "Pad" =>
+      // opset-11+ form: pads (and the optional constant) are INPUTS.
+      require(attrS(n, "mode", "constant") == "constant",
+        "Pad: only constant mode supported")
+      val x = ins(0)
+      val r = x.dims.length
+      val pv = ins(1).data.map(_.toInt)
+      require(pv.length == 2 * r,
+        s"Pad: pads length ${pv.length} != 2*rank $r")
+      require(pv.forall(_ >= 0), "Pad: negative pads unsupported")
+      val cval =
+        if (ins.length > 3 && ins(3).data.nonEmpty)
+          throw new UnsupportedOperationException(
+            "Pad: axes input unsupported — pad every axis")
+        else if (ins.length > 2 && ins(2).data.nonEmpty) ins(2).data(0)
+        else 0f
+      val outDims = x.dims.indices.map(a => x.dims(a) + pv(a) + pv(r + a))
+      val out = Array.fill(outDims.product)(cval)
+      val inStr = x.dims.scanRight(1)(_ * _).tail
+      val outStr = outDims.scanRight(1)(_ * _).tail
+      var i = 0
+      while (i < x.data.length) {
+        var o = 0
+        var rem = i
+        var a = 0
+        while (a < r) {
+          o += (rem / inStr(a) + pv(a)) * outStr(a)
+          rem %= inStr(a)
+          a += 1
+        }
+        out(o) = x.data(i)
+        i += 1
+      }
+      Tensor(outDims, out)
+    case "Resize" =>
+      evalResize(n, ins)
     case op => throw new UnsupportedOperationException(
       s"ONNX op $op outside the MLP interpreter subset — plug a full " +
         "runtime behind OnnxModel.run for this model")
+  }
+
+  /** ONNX Resize over [N, C, H, W] spatial dims — the flow-field
+    * upsampler (torch `F.interpolate` exports here: `bilinear` →
+    * linear + pytorch_half_pixel / align_corners; `nearest` →
+    * nearest + asymmetric + floor). Inputs per opset-13: (X, roi?,
+    * scales?, sizes?) — exactly one of scales/sizes present; N and C
+    * must not resize. Cubic, roi-based transforms, and the antialias
+    * attr stay loudly unsupported. */
+  private def evalResize(n: Node, ins: Seq[Tensor]): Tensor = {
+    val x = ins(0)
+    require(x.dims.length == 4, s"Resize: 4-D NCHW only, got ${x.dims}")
+    require(attrI(n, "antialias", 0L) == 0L, "Resize: antialias unsupported")
+    val mode = attrS(n, "mode", "nearest")
+    require(mode == "nearest" || mode == "linear",
+      s"Resize: mode $mode unsupported")
+    val ct = attrS(n, "coordinate_transformation_mode", "half_pixel")
+    require(Seq("half_pixel", "pytorch_half_pixel", "align_corners",
+      "asymmetric").contains(ct), s"Resize: $ct unsupported")
+    val nearestMode = attrS(n, "nearest_mode", "round_prefer_floor")
+    val Seq(nb, c, h, w) = x.dims
+    val scales = if (ins.length > 2 && ins(2).data.nonEmpty)
+      Some(ins(2).data.map(_.toDouble)) else None
+    val sizes = if (ins.length > 3 && ins(3).data.nonEmpty)
+      Some(ins(3).data.map(_.toInt)) else None
+    require(scales.isDefined != sizes.isDefined,
+      "Resize: exactly one of scales/sizes must be present")
+    val (oh, ow, sh, sw) = (scales, sizes) match {
+      case (Some(s), _) =>
+        require(s.length == 4 && s(0) == 1.0 && s(1) == 1.0,
+          s"Resize: N/C axes must not resize (scales ${s.toSeq})")
+        ((h * s(2)).floor.toInt, (w * s(3)).floor.toInt, s(2), s(3))
+      case (_, Some(sz)) =>
+        require(sz.length == 4 && sz(0) == nb && sz(1) == c,
+          s"Resize: N/C axes must not resize (sizes ${sz.toSeq})")
+        (sz(2), sz(3), sz(2).toDouble / h, sz(3).toDouble / w)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    require(oh > 0 && ow > 0, s"Resize: empty output $oh x $ow")
+    def src(out: Int, scale: Double, inLen: Int, outLen: Int): Double =
+      ct match {
+        case "half_pixel" => (out + 0.5) / scale - 0.5
+        case "pytorch_half_pixel" =>
+          if (outLen > 1) (out + 0.5) / scale - 0.5 else 0.0
+        case "align_corners" =>
+          if (outLen > 1) out.toDouble * (inLen - 1) / (outLen - 1) else 0.0
+        case "asymmetric" => out / scale
+      }
+    def nearestIdx(v: Double, inLen: Int): Int = {
+      val r = nearestMode match {
+        case "floor" => math.floor(v)
+        case "ceil" => math.ceil(v)
+        case "round_prefer_floor" => math.ceil(v - 0.5)
+        case "round_prefer_ceil" => math.floor(v + 0.5)
+        case other => throw new UnsupportedOperationException(
+          s"Resize: nearest_mode $other unsupported")
+      }
+      math.max(0, math.min(inLen - 1, r.toInt))
+    }
+    val out = new Array[Float](nb * c * oh * ow)
+    var p = 0 // (n, c) plane
+    val planes = nb * c
+    while (p < planes) {
+      val ib = p * h * w
+      val ob = p * oh * ow
+      var oy = 0
+      while (oy < oh) {
+        val sy = src(oy, sh, h, oh)
+        var ox = 0
+        while (ox < ow) {
+          val sx = src(ox, sw, w, ow)
+          val v: Float =
+            if (mode == "nearest")
+              x.data(ib + nearestIdx(sy, h) * w + nearestIdx(sx, w))
+            else {
+              // bilinear with edge clamping
+              val y0 = math.max(0, math.min(h - 1, math.floor(sy).toInt))
+              val x0 = math.max(0, math.min(w - 1, math.floor(sx).toInt))
+              val y1 = math.min(h - 1, y0 + 1)
+              val x1 = math.min(w - 1, x0 + 1)
+              val fy = math.max(0.0, math.min(1.0, sy - y0))
+              val fx = math.max(0.0, math.min(1.0, sx - x0))
+              val v00 = x.data(ib + y0 * w + x0)
+              val v01 = x.data(ib + y0 * w + x1)
+              val v10 = x.data(ib + y1 * w + x0)
+              val v11 = x.data(ib + y1 * w + x1)
+              ((v00 * (1 - fx) + v01 * fx) * (1 - fy) +
+                (v10 * (1 - fx) + v11 * fx) * fy).toFloat
+            }
+          out(ob + oy * ow + ox) = v
+          ox += 1
+        }
+        oy += 1
+      }
+      p += 1
+    }
+    Tensor(Seq(nb, c, oh, ow), out)
   }
 
   /** ONNX GridSample (opset 16+) — the RAFT-class gather op
@@ -1474,7 +1662,8 @@ object OnnxModel {
     "Conv", "MaxPool", "AveragePool", "GlobalAveragePool",
     "GridSample", "Transpose", "Concat", "Slice", "Gather", "Split",
     "Unsqueeze", "Squeeze", "Flatten", "Reshape", "Identity",
-    "Constant", "ConstantOfShape", "Expand", "Tile", "Range", "GRU")
+    "Constant", "ConstantOfShape", "Expand", "Tile", "Range", "GRU",
+    "Shape", "InstanceNormalization", "Pad", "Resize")
 
   private val cache = new ConcurrentHashMap[String, OnnxModel]()
   /** number of cold loads — observable session-per-executor reuse */

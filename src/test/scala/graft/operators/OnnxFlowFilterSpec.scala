@@ -80,11 +80,15 @@ class OnnxFlowFilterSpec extends SparkSpec {
 
   test("a RAFT-style GRU-bearing flow net runs END TO END through the " +
       "filter — recurrent update inside the subset") {
-    // the RAFT execution shape in miniature: conv feature encoder →
+    // the RAFT execution shape in miniature: conv feature encoder
+    // with INSTANCE NORM (raft_small's FeatureEncoder norm layer) →
     // T=3 recurrent GRU refinement steps over the (flattened)
     // feature state → project the final hidden state to a coarse
-    // [1, 2, 4, 4] flow field. Every op inside the interpreter
-    // subset — this is the graph class the GRU tier exists for.
+    // [1, 2, 4, 4] flow field → bilinear RESIZE upsample to
+    // [1, 2, 8, 8] (the F.interpolate flow upsampler every RAFT
+    // export ends with). Every op inside the interpreter subset —
+    // this is the graph class the GRU tier + real-export residue
+    // ops exist for.
     def seeded(n: Int, s: Int, amp: Float): Seq[Float] =
       (0 until n).map { i =>
         val h0 = i.toLong * 2654435761L + s.toLong * 7919L
@@ -99,7 +103,9 @@ class OnnxFlowFilterSpec extends SparkSpec {
           Seq(TestOnnx.attrInts("kernel_shape", Seq(3L, 3L)),
             TestOnnx.attrInts("strides", Seq(2L, 2L)),
             TestOnnx.attrInts("pads", Seq(1L, 1L, 1L, 1L)))),
-        TestOnnx.node("Reshape", Seq("c", "seqshape"), Seq("f")),
+        TestOnnx.node("InstanceNormalization",
+          Seq("c", "inscale", "inbias"), Seq("cn")),
+        TestOnnx.node("Reshape", Seq("cn", "seqshape"), Seq("f")),
         TestOnnx.node("Concat", Seq("f", "f", "f"), Seq("seq"),
           Seq(TestOnnx.attrInt("axis", 0L))),
         TestOnnx.node("GRU", Seq("seq", "W", "R"), Seq("", "hT"),
@@ -107,8 +113,15 @@ class OnnxFlowFilterSpec extends SparkSpec {
         TestOnnx.node("Reshape", Seq("hT", "flatshape"), Seq("h")),
         TestOnnx.node("Gemm", Seq("h", "proj"), Seq("z"),
           Seq(TestOnnx.attrInt("transB", 1L))),
-        TestOnnx.node("Reshape", Seq("z", "flowshape"), Seq("y"))),
+        TestOnnx.node("Reshape", Seq("z", "flowshape"), Seq("coarse")),
+        TestOnnx.node("Resize", Seq("coarse", "", "upscales"), Seq("y"),
+          Seq(TestOnnx.attrString("mode", "linear"),
+            TestOnnx.attrString("coordinate_transformation_mode",
+              "pytorch_half_pixel")))),
       inits = Seq(
+        TestOnnx.tensor("inscale", Seq(8), Seq.fill(8)(1f)),
+        TestOnnx.tensor("inbias", Seq(8), Seq.fill(8)(0f)),
+        TestOnnx.tensor("upscales", Seq(4), Seq(1f, 1f, 2f, 2f)),
         TestOnnx.tensor("cw", Seq(8, 6, 3, 3), seeded(8 * 6 * 9, 1, 0.02f)),
         TestOnnx.tensor("seqshape", Seq(3), Seq(1f, 1f, i512.toFloat)),
         TestOnnx.tensor("W", Seq(1, 3 * hid, i512),
