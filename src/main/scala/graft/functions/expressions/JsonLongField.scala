@@ -31,6 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - integer out of long range → null
   *   - first occurrence wins on duplicate keys (as Jackson streaming)
   *   - keys containing escape sequences are compared RAW (un-unescaped)
+  *   - JSON-invalid numbers and structure are rejected like Jackson:
+  *     leading zeros ("007"), a second token after the value
+  *     ({"k":1 2}), an empty value ({"a":,…}), truncation → null
   */
 case class JsonLongField(child: Expression, key: String)
     extends UnaryExpression {
@@ -126,14 +129,17 @@ object JsonScan {
       }
       -1
     } else {
-      // primitive token: number / true / false / null
+      // primitive token: number / true / false / null. An EMPTY
+      // token ({"a":,…}) is malformed — accepting it would let the
+      // scan return a value get_json_object rejects
       var i = pos
       while (i < n) {
         val c = j.getByte(i)
-        if (c == ',' || c == '}' || c == ']' || isWs(c)) return i
+        if (c == ',' || c == '}' || c == ']' || isWs(c))
+          return if (i == pos) -1 else i
         i += 1
       }
-      i
+      if (i == pos) -1 else i
     }
   }
 
@@ -160,6 +166,7 @@ object JsonScan {
     if (i >= n) return null
     var acc = 0L
     var digits = 0
+    val firstDigit = i
     var c = j.getByte(i)
     while (i < n && c >= '0' && c <= '9') {
       val d = c - '0'
@@ -170,11 +177,16 @@ object JsonScan {
       if (i < n) c = j.getByte(i)
     }
     if (digits == 0) return null
+    // JSON forbids leading zeros ("007"); Jackson rejects them too
+    if (digits > 1 && j.getByte(firstDigit) == '0') return null
     // a well-formed object always closes after the value — a number
-    // running into end-of-input means truncated JSON, not a value
+    // running into end-of-input means truncated JSON, not a value.
+    // Skip trailing ws and require the STRUCTURAL terminator, so
+    // {"k":1 2} (two tokens) is malformed, not 1
+    i = skipWs(j, i, n)
     if (i >= n) return null
     val t = j.getByte(i)
-    if (!(t == ',' || t == '}' || isWs(t))) return null // float/garbage
+    if (!(t == ',' || t == '}')) return null // float/garbage/2nd token
     if (neg) java.lang.Long.valueOf(acc)
     else if (acc == Long.MinValue) null // +9223372036854775808
     else java.lang.Long.valueOf(-acc)

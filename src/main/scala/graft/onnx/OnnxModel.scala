@@ -1110,6 +1110,14 @@ final class OnnxModel(val graph: Onnx.Graph) {
     val x = ins(0)
     require(x.dims.length == 4, s"Resize: 4-D NCHW only, got ${x.dims}")
     require(attrI(n, "antialias", 0L) == 0L, "Resize: antialias unsupported")
+    // silently ignoring these would compute per-row wrong answers —
+    // the interpreter's contract is loud failure outside the subset
+    require(attrI(n, "exclude_outside", 0L) == 0L,
+      "Resize: exclude_outside unsupported")
+    require(attrS(n, "keep_aspect_ratio_policy", "stretch") == "stretch",
+      "Resize: keep_aspect_ratio_policy unsupported")
+    require(!n.attrs.contains("axes"),
+      "Resize: axes attribute unsupported — full-rank scales/sizes only")
     val mode = attrS(n, "mode", "nearest")
     require(mode == "nearest" || mode == "linear",
       s"Resize: mode $mode unsupported")

@@ -493,29 +493,36 @@ object Layout {
     val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(hconf)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getLen))
-      .sortBy { case (p, len) => (-len, p) }
+      .map(s => (s.getPath, s.getLen))
+      .sortBy { case (p, len) => (-len, p.toString) }
     require(files.nonEmpty, s"compactFiles: no parquet files in $tableDir")
     // floor(cum_before / target) — the exact q_compact_plan rule
-    val binOf: Seq[(String, Long)] = files.toSeq
+    val binOf: Seq[(org.apache.hadoop.fs.Path, Long)] = files.toSeq
       .zip(files.scanLeft(0L)(_ + _._2))
       .map { case ((p, _), cumBefore) => (p, cumBefore / targetBytes) }
     val nBins = binOf.map(_._2).distinct.length
-    // join key is the file BASENAME: input_file_name() renders the
-    // URI scheme differently from Path.toString ("file:///" vs
-    // "file:/"), and all sources live in one directory so basenames
-    // are unique; internal columns are underscored to stay clear of
-    // table columns (guarded below)
+    // join key is the file BASENAME in input_file_name()'s OWN
+    // rendering: the function returns the scan path URI-ENCODED
+    // (Path.toUri — spaces as %20 etc.), so the driver-side map key
+    // must come from the same toUri rendering, never Path.getName's
+    // decoded form, or every row of a file with URL-encodable chars
+    // in its name silently drops out of the inner join. All sources
+    // live in one directory so basenames are unique; internal
+    // columns are underscored to stay clear of table columns
+    // (guarded below)
+    def uriBase(p: org.apache.hadoop.fs.Path): String =
+      p.toUri.toString.split('/').last
     Seq("_graft_bin", "_graft_fname").foreach { c =>
-      require(!spark.read.parquet(files.head._1).columns.contains(c),
+      require(!spark.read.parquet(files.head._1.toString)
+          .columns.contains(c),
         s"compactFiles: reserved column $c present in table")
     }
     import spark.implicits._
     val binMap = binOf
-      .map { case (p, b) => (new org.apache.hadoop.fs.Path(p).getName, b) }
+      .map { case (p, b) => (uriBase(p), b) }
       .toDF("_graft_fname", "_graft_bin")
     val staged = s"$out/_graft_staged"
-    spark.read.parquet(files.map(_._1).toIndexedSeq: _*)
+    spark.read.parquet(files.map(_._1.toString).toIndexedSeq: _*)
       .withColumn("_graft_fname",
         element_at(split(input_file_name(), "/"), -1))
       .join(broadcast(binMap), "_graft_fname")
@@ -532,7 +539,11 @@ object Layout {
       val dst = new org.apache.hadoop.fs.Path(f"$out/bin_$i%05d")
       if (fs.exists(src)) {
         if (fs.exists(dst)) fs.delete(dst, true)
-        fs.rename(src, dst)
+        // rename signals failure by RETURNING false on HDFS-like
+        // filesystems — ignoring it would delete the staged dir
+        // below with the bin's only copy still inside
+        require(fs.rename(src, dst),
+          s"compactFiles: rename $src -> $dst failed")
         after += fs.listStatus(dst)
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       }

@@ -266,11 +266,18 @@ object Similarity {
   def appendToIvfIndex(spark: SparkSession, indexPath: String,
       newVecs: DataFrame, numCentroids: Int = NumCentroids): Unit = {
     GraftFunctions.register(spark)
-    // the layout convention IS the centroid identity (vec_id <
-    // numCentroids rows are centroids), so an id collision doesn't
-    // just mislabel a row — it installs a FAKE CENTROID that corrupts
-    // every future append's assignment. Fail loudly before writing;
-    // the extra pass scans only the (bounded) ingest batch.
+    requireIdsAboveCentroids(newVecs, numCentroids)
+    assignBatch(spark, indexPath, newVecs, numCentroids)
+      .write.mode("append").partitionBy("cluster").parquet(indexPath)
+  }
+
+  /** The layout convention IS the centroid identity (vec_id <
+    * numCentroids rows are centroids), so an id collision doesn't
+    * just mislabel a row — it installs a FAKE CENTROID that corrupts
+    * every future append's assignment. Fail loudly before writing;
+    * the extra pass scans only the (bounded) ingest batch. */
+  private def requireIdsAboveCentroids(newVecs: DataFrame,
+      numCentroids: Int): Unit = {
     val clash = newVecs.filter(col("vec_id") < numCentroids)
       .select(col("vec_id")).limit(1).collect()
     require(clash.isEmpty,
@@ -279,8 +286,6 @@ object Similarity {
         s"[0, $numCentroids) — such a row would be read back as a " +
         "centroid and corrupt future assignments; remap new vector " +
         "ids above the range")
-    assignBatch(spark, indexPath, newVecs, numCentroids)
-      .write.mode("append").partitionBy("cluster").parquet(indexPath)
   }
 
   /** The append's assignment stage: batch × broadcast centroid rows,
@@ -321,29 +326,27 @@ object Similarity {
   def appendToIvfIndexIdempotent(spark: SparkSession, indexPath: String,
       newVecs: DataFrame, numCentroids: Int = NumCentroids): Unit = {
     GraftFunctions.register(spark)
-    val clash = newVecs.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id")).limit(1).collect()
-    require(clash.isEmpty,
-      s"appendToIvfIndex: new vec_id ${clash.headOption.map(_.get(0))
-        .getOrElse("")} falls inside the centroid-row id range " +
-        s"[0, $numCentroids) — such a row would be read back as a " +
-        "centroid and corrupt future assignments; remap new vector " +
-        "ids above the range")
+    requireIdsAboveCentroids(newVecs, numCentroids)
+    // persist, NOT localCheckpoint: Dataset.unpersist releases only
+    // CacheManager entries, and a checkpoint's RDD blocks are not
+    // tracked there — in a long-running ingest stream each micro-
+    // batch would leak one block set until GC got around to it
     val assigned = assignBatch(spark, indexPath,
       newVecs.dropDuplicates("vec_id"), numCentroids)
-      .localCheckpoint(true) // consumed thrice (clusters, ids, write)
-    val touched = assigned.select(col("cluster")).distinct()
-      .collect().map(_.getLong(0))
-    if (touched.nonEmpty) {
-      val present = spark.read.parquet(indexPath)
-        .filter(col("cluster").isin(touched: _*))
-        .select(col("vec_id"))
-        .join(broadcast(assigned.select(col("vec_id"))),
-          Seq("vec_id"), "left_semi")
-      assigned.join(broadcast(present), Seq("vec_id"), "left_anti")
-        .write.mode("append").partitionBy("cluster").parquet(indexPath)
-    }
-    assigned.unpersist(blocking = false)
+      .persist() // consumed thrice (clusters, ids, write)
+    try {
+      val touched = assigned.select(col("cluster")).distinct()
+        .collect().map(_.getLong(0))
+      if (touched.nonEmpty) {
+        val present = spark.read.parquet(indexPath)
+          .filter(col("cluster").isin(touched: _*))
+          .select(col("vec_id"))
+          .join(broadcast(assigned.select(col("vec_id"))),
+            Seq("vec_id"), "left_semi")
+        assigned.join(broadcast(present), Seq("vec_id"), "left_anti")
+          .write.mode("append").partitionBy("cluster").parquet(indexPath)
+      }
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Number of duplicated head vectors [[ivfAppendSizes]] appends. */

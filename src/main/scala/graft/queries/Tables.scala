@@ -29,15 +29,6 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** All event-time queries (and their DuckDB oracles, via
-    * `epoch_us(ts)`) assume `ts` is a nanosecond-epoch LONG — integer
-    * arithmetic only, because ns magnitudes overflow double precision.
-    * Testdata generations differ: TIMESTAMP(NANOS) parquet arrives as
-    * that long directly (nanosAsLong), TIMESTAMP(MICROS) arrives as
-    * TIMESTAMP_NTZ/TIMESTAMP. Fold the timestamp variants to the same
-    * ns-epoch long; sessions run with spark.sql.session.timeZone=UTC,
-    * so the NTZ wall-clock reinterpretation is the identity and
-    * matches DuckDB's naive-as-UTC `epoch_us`. */
   /** Materialize a BOUNDED result (round-trip queries return one-row
     * fingerprints or ≤ probe-limit rows) and delete the temp dir its
     * plan reads from: without this every bench/oracle invocation of a
@@ -58,6 +49,15 @@ object Tables {
       new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
   }
 
+  /** All event-time queries (and their DuckDB oracles, via
+    * `epoch_us(ts)`) assume `ts` is a nanosecond-epoch LONG — integer
+    * arithmetic only, because ns magnitudes overflow double precision.
+    * Testdata generations differ: TIMESTAMP(NANOS) parquet arrives as
+    * that long directly (nanosAsLong), TIMESTAMP(MICROS) arrives as
+    * TIMESTAMP_NTZ/TIMESTAMP. Fold the timestamp variants to the same
+    * ns-epoch long; sessions run with spark.sql.session.timeZone=UTC,
+    * so the NTZ wall-clock reinterpretation is the identity and
+    * matches DuckDB's naive-as-UTC `epoch_us`. */
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df

@@ -45,6 +45,12 @@ class JsonLongFieldSpec extends SparkSpec {
     assert(x("""{"k":--1}""") == null)
     assert(x("""{"k":-}""") == null)
     assert(x("""{"k":12a}""") == null)          // trailing garbage
+    // JSON-invalid shapes Jackson also rejects (review finding):
+    assert(x("""{"k":007}""") == null)          // leading zeros
+    assert(x("""{"k":0}""") == 0L)              // but a lone 0 is fine
+    assert(x("""{"k":1 2}""") == null)          // second token
+    assert(x("""{"k":1 }""") == 1L)             // ws then close is fine
+    assert(x("""{"a":,"k":1}""") == null)       // empty skipped value
   }
 
   test("only TOP-LEVEL keys match — nested and string decoys don't") {

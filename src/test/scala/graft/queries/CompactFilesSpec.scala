@@ -42,6 +42,30 @@ class CompactFilesSpec extends SparkSpec with Matchers {
     got shouldBe rows.toArray
   }
 
+  test("URL-encodable characters in source file names lose no rows") {
+    // input_file_name() returns the URI-ENCODED path; the bin-map key
+    // must use the same rendering or the inner join silently drops
+    // every row of such files (review-caught regression)
+    val d = java.nio.file.Files.createTempDirectory("compact-enc").toString
+    (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4).write.mode("overwrite").parquet(d)
+    val dir = new java.io.File(d)
+    dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        // spaces and '#' both URL-encode; '#' additionally breaks a
+        // naive URI round trip
+        assert(f.renameTo(new java.io.File(dir, s"part $i odd#.parquet")))
+      }
+    val out = java.nio.file.Files.createTempDirectory("compact-enco").toString
+    val total = dir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (nb, _, _) = Layout.compactFiles(spark, d, out, total / 2)
+    nb shouldBe 4
+    val back = spark.read.parquet(s"$out/bin_*")
+    back.count() shouldBe 500L
+    back.agg(sum(col("id"))).head.getLong(0) shouldBe (0L until 500L).sum
+  }
+
   test("a single oversized file passes through without a rewrite job merge") {
     val d = java.nio.file.Files.createTempDirectory("compact-one").toString
     (0L until 100L).map(i => (i, "x")).toDF("id", "v")
