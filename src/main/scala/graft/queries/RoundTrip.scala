@@ -285,9 +285,92 @@ object RoundTrip {
              FROM m)
        SELECT doc_id FROM s WHERE doc_id = keep"""
 
+  /** The versioned-table tier through the hash gate: base snapshot →
+    * copy-on-write MERGE → OPTIMIZE, all through [[TableLog]]'s
+    * manifest log, then read EVERY version back and fingerprint it.
+    * The oracle recomputes v0 from the source table, v1 from the
+    * merge relation, and v2 as v1's aggregates verbatim (compaction
+    * is content-identity) — so the gate proves log-replay isolation
+    * (v0 still reads intact after two mutations), MERGE semantics at
+    * file-level COW, and that OPTIMIZE moved bytes without changing
+    * one row. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_tablelog").toString
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+    TableLog.writeBase(spark, docs, out)
+    val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+        col("lang"), (col("n_chars") + 3).as("n_chars"), col("source"))
+    val inserts = docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"),
+        col("lang"), (col("n_chars") + 4).as("n_chars"), col("source"))
+    TableLog.upsert(spark, out, updates.unionByName(inserts), "doc_id")
+    TableLog.compact(spark, out, targetBytes = 1L << 20)
+    val perVersion = (0 to 2).map { v =>
+      TableLog.readVersion(spark, out, Some(v))
+        .withColumn("fp60", fp(15))
+        .withColumn("fp32", fp(8))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("bit_xor(fp60)").as("fp_xor"),
+          sum(col("fp32")).as("fp_sum"))
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_ unionByName _)
+    Tables.sealTempResult(spark, perVersion, out)
+  }
+
+  val timeTravelSql: String =
+    """WITH upd AS (SELECT doc_id, concat(text, ' v2') AS text, lang,
+           (n_chars + 3)::BIGINT AS n_chars, source
+         FROM documents WHERE doc_id % 7 = 0),
+       ins AS (SELECT doc_id + 1000000 AS doc_id,
+           concat('new ', text) AS text, lang,
+           (n_chars + 4)::BIGINT AS n_chars, source
+         FROM documents WHERE doc_id % 11 = 5),
+       bkeys AS (SELECT doc_id FROM upd UNION SELECT doc_id FROM ins),
+       v0 AS (SELECT doc_id, text, lang, n_chars::BIGINT AS n_chars,
+                source FROM documents),
+       v1 AS (SELECT * FROM v0
+              WHERE doc_id NOT IN (SELECT doc_id FROM bkeys)
+              UNION ALL SELECT * FROM upd
+              UNION ALL SELECT * FROM ins),
+       f0 AS (SELECT count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                bit_xor(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 15)) AS BIGINT))
+                  AS fp_xor,
+                CAST(sum(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 8)) AS BIGINT))
+                  AS BIGINT) AS fp_sum
+              FROM v0),
+       f1 AS (SELECT count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                bit_xor(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 15)) AS BIGINT))
+                  AS fp_xor,
+                CAST(sum(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 8)) AS BIGINT))
+                  AS BIGINT) AS fp_sum
+              FROM v1)
+       SELECT n_docs, total_chars, fp_xor, fp_sum, 0::BIGINT AS version
+       FROM f0
+       UNION ALL
+       SELECT n_docs, total_chars, fp_xor, fp_sum, 1::BIGINT FROM f1
+       UNION ALL
+       SELECT n_docs, total_chars, fp_xor, fp_sum, 2::BIGINT FROM f1"""
+
   val queries: Map[String, Q] = Map(
     "q_roundtrip_shards" -> (roundtripShards _),
     "q_phash_dedup" -> (phashDedup _),
+    "q_time_travel" -> (timeTravel _),
     "q_upsert_partitioned" -> (upsertPartitioned _))
 
   /** The oracle recomputes the identical fingerprints from the SOURCE
@@ -295,6 +378,7 @@ object RoundTrip {
     * of every row (the reference's write→read→validate invariant). */
   val oracles: Map[String, String] = Map(
     "q_phash_dedup" -> phashDedupSql,
+    "q_time_travel" -> timeTravelSql,
     "q_roundtrip_shards" ->
       """SELECT count(*) AS n_docs,
          count(DISTINCT lang) AS n_langs,

@@ -1,0 +1,202 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-table tier: a manifest log over plain parquet files —
+  * the Delta/Iceberg shape a 100 TB training-data pipeline actually
+  * mutates through, built on the primitives this engine already has
+  * (COW upsert, one-job compaction, file-level pruning).
+  *
+  * Layout: `dir/data/v<N>/…parquet` (files written by version N) +
+  * `dir/_log/v%05d.manifest` — one manifest per committed version,
+  * TSV lines `add\t<relpath>` / `remove\t<relpath>`. A snapshot is
+  * the log replay up to a version: metadata work bounded by FILE
+  * COUNT, never data size. Reads are `spark.read.parquet(liveFiles)`
+  * — ordinary pruned scans.
+  *
+  * The commit discipline is the standard one: data files land first,
+  * the manifest is written LAST and is the atomic commit point — a
+  * crash mid-write leaves orphan data files and an unchanged table.
+  * Single-writer by contract ([[commit]] refuses to overwrite an
+  * existing version — the optimistic-concurrency check); multi-writer
+  * arbitration (retry/rebase) is a documented cut.
+  *
+  * Mutations never touch committed files, so EVERY prior version
+  * stays readable — time travel — until a vacuum (not provided; a
+  * real deployment ages out unreferenced files after a retention
+  * window, exactly Delta's VACUUM).
+  */
+object TableLog {
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(dir: String) = new Path(dir, "_log")
+
+  /** Latest committed version, or -1 for an empty table. */
+  def currentVersion(spark: SparkSession, dir: String): Int = {
+    val fs = fsOf(spark, dir)
+    val ld = logDir(dir)
+    if (!fs.exists(ld)) -1
+    else fs.listStatus(ld).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .foldLeft(-1)(math.max)
+  }
+
+  /** Commit `adds`/`removes` (dir-relative paths) as version `v`.
+    * The manifest write is the atomic commit point; an existing
+    * manifest for `v` means a concurrent writer won — refuse. */
+  private[queries] def commit(spark: SparkSession, dir: String, v: Int,
+      adds: Seq[String], removes: Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(logDir(dir), f"v$v%05d.manifest")
+    require(!fs.exists(p),
+      s"TableLog: version $v already committed (concurrent writer?)")
+    val body = (removes.map("remove\t" + _) ++ adds.map("add\t" + _))
+      .mkString("", "\n", "\n")
+    val out = fs.create(p, false) // no overwrite — the atomicity claim
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Live dir-relative file paths at `version` (latest if None) —
+    * pure log replay, O(total log lines) driver metadata. */
+  def liveFiles(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val upTo = version.getOrElse(currentVersion(spark, dir))
+    require(upTo >= 0, s"TableLog: no committed version in $dir")
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    (0 to upTo).foreach { v =>
+      val p = new Path(logDir(dir), f"v$v%05d.manifest")
+      require(fs.exists(p), s"TableLog: missing manifest v$v (corrupt log)")
+      val in = fs.open(p)
+      val text = try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        new String(buf, StandardCharsets.UTF_8)
+      } finally in.close()
+      text.split('\n').filter(_.nonEmpty).foreach { line =>
+        val Array(action, rel) = line.split('\t')
+        action match {
+          case "add" => live += rel
+          case "remove" =>
+            require(live.remove(rel),
+              s"TableLog: v$v removes unknown file $rel")
+          case other =>
+            throw new IllegalArgumentException(
+              s"TableLog: bad manifest action $other")
+        }
+      }
+    }
+    live.toSeq
+  }
+
+  /** Snapshot read — an ordinary parquet scan over the version's
+    * explicit file list (column pruning / filter pushdown apply as
+    * on any parquet read). */
+  def readVersion(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame =
+    spark.read.parquet(
+      liveFiles(spark, dir, version).map(r => s"$dir/$r"): _*)
+
+  /** Write `df`'s files under `data/v<N>` and return their
+    * dir-relative paths. */
+  private def writeData(spark: SparkSession, df: DataFrame, dir: String,
+      v: Int): Seq[String] = {
+    val sub = f"data/v$v%05d"
+    df.write.mode("overwrite").parquet(s"$dir/$sub")
+    val fs = fsOf(spark, dir)
+    fs.listStatus(new Path(dir, sub))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$sub/${s.getPath.getName}").toSeq.sorted
+  }
+
+  /** Version 0: materialize `df` as the table's base snapshot. */
+  def writeBase(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+    require(currentVersion(spark, dir) == -1,
+      s"TableLog: $dir already has a log — writeBase is v0 only")
+    commit(spark, dir, 0, writeData(spark, df, dir, 0), Nil)
+  }
+
+  /** Copy-on-write MERGE: rows of `batch` replace same-`key` rows;
+    * unmatched batch rows insert. Only files that CONTAIN a batch key
+    * are rewritten (one column-pruned scan of the live files finds
+    * them — the standard Delta MERGE touch-scan; the engine's
+    * stats/bloom skipping composes in front of it at deployment
+    * scale); untouched files are carried by reference, never read or
+    * rewritten. */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame,
+      key: String): Unit = {
+    val v = currentVersion(spark, dir) + 1
+    require(v >= 1, s"TableLog: no base version in $dir")
+    val live = liveFiles(spark, dir)
+    val fs = fsOf(spark, dir)
+    // dir-relative path by the scan's own URI rendering (the
+    // compactFiles file-name-encoding lesson)
+    val uriOf = live.map { rel =>
+      fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString -> rel
+    }.toMap
+    val cur = readVersion(spark, dir)
+    val keys = batch.select(col(key)).distinct()
+    val touchedUris = cur.withColumn("_graft_file", input_file_name())
+      .join(broadcast(keys), Seq(key), "left_semi")
+      .select(col("_graft_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val touched = touchedUris.map(u => uriOf.getOrElse(u,
+      throw new IllegalStateException(
+        s"TableLog: scan file $u not in the live set")))
+    val rewritten =
+      if (touched.isEmpty) batch
+      else spark.read.parquet(touched.map(r => s"$dir/$r"): _*)
+        .join(broadcast(keys), Seq(key), "left_anti")
+        .unionByName(batch)
+    commit(spark, dir, v, writeData(spark, rewritten, dir, v), touched)
+  }
+
+  /** OPTIMIZE: rewrite the live files into target-sized bins (the
+    * q_compact_plan cumulative rule, ONE distributed job — same shape
+    * as [[Layout.compactFiles]]) and commit remove(old)+add(new).
+    * Content-identical by construction; prior versions stay
+    * readable. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): Unit = {
+    require(targetBytes > 0, "TableLog.compact needs targetBytes > 0")
+    val v = currentVersion(spark, dir) + 1
+    require(v >= 1, s"TableLog: no base version in $dir")
+    val live = liveFiles(spark, dir)
+    val fs = fsOf(spark, dir)
+    val sized = live.map { rel =>
+      val st = fs.getFileStatus(new Path(s"$dir/$rel"))
+      (rel, st.getLen)
+    }.sortBy { case (p, len) => (-len, p) }
+    val binOf = sized.zip(sized.scanLeft(0L)(_ + _._2))
+      .map { case ((rel, _), cum) => (rel, cum / targetBytes) }
+    val nBins = binOf.map(_._2).distinct.length
+    import spark.implicits._
+    val binMap = binOf.map { case (rel, b) =>
+      (fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString
+        .split('/').last, b)
+    }.toDF("_graft_fname", "_graft_bin")
+    val sub = f"data/v$v%05d"
+    spark.read.parquet(live.map(r => s"$dir/$r"): _*)
+      .withColumn("_graft_fname",
+        element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(binMap), "_graft_fname")
+      .drop("_graft_fname")
+      .repartition(nBins, col("_graft_bin"))
+      .write.mode("overwrite").partitionBy("_graft_bin")
+      .parquet(s"$dir/$sub")
+    val adds = fs.listStatus(new Path(dir, sub)).filter(_.isDirectory)
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$sub/${s.getPath.getParent.getName}/${s.getPath.getName}")
+      .toSeq.sorted
+    commit(spark, dir, v, adds, live)
+  }
+}

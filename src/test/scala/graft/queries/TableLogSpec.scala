@@ -1,0 +1,110 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** [[TableLog]] — the manifest-log versioned table: snapshot
+  * isolation under mutation (v0 files byte-stable and readable after
+  * MERGE + OPTIMIZE), file-level COW (untouched files carried by
+  * reference, only key-containing files rewritten), the
+  * manifest-last crash discipline (orphan data files don't change
+  * the table), and the single-writer commit check. */
+class TableLogSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def base() = (0L until 2000L)
+    .map(i => (i, s"body $i", i % 13)).toDF("id", "body", "grp")
+
+  private def snapshot(dir: String, v: Option[Int] = None) =
+    TableLog.readVersion(spark, dir, v)
+      .select("id", "body", "grp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+
+  test("base -> upsert -> compact: every version stays readable") {
+    val dir = Files.createTempDirectory("tablelog").toString
+    // several base files so COW has untouched files to carry
+    TableLog.writeBase(spark, base().repartition(8), dir)
+    TableLog.currentVersion(spark, dir) shouldBe 0
+    val v0 = snapshot(dir)
+    v0.size shouldBe 2000
+
+    // MERGE: update ids 0/100/200, insert 9001
+    val batch = Seq((0L, "updated 0", 99L), (100L, "updated 100", 99L),
+      (200L, "updated 200", 99L), (9001L, "fresh", 99L))
+      .toDF("id", "body", "grp")
+    val v0Files = TableLog.liveFiles(spark, dir)
+    TableLog.upsert(spark, dir, batch, "id")
+    TableLog.currentVersion(spark, dir) shouldBe 1
+    val v1 = snapshot(dir)
+    v1.size shouldBe 2001
+    assert(!v1.contains((0L, "body 0", 0L)))
+    assert(v1.contains((9001L, "fresh", 99L)))
+    assert(v1.contains((0L, "updated 0", 99L)))
+    // COW: untouched base files are carried BY REFERENCE
+    val v1Files = TableLog.liveFiles(spark, dir)
+    val carried = v0Files.toSet.intersect(v1Files.toSet)
+    assert(carried.nonEmpty, "no base file carried — COW rewrote everything")
+    assert(v0Files.toSet != v1Files.toSet)
+
+    // OPTIMIZE: content-identical, fewer files, prior versions intact
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    TableLog.currentVersion(spark, dir) shouldBe 2
+    snapshot(dir) shouldBe v1
+    TableLog.liveFiles(spark, dir).size should be <
+      v1Files.size
+    // TIME TRAVEL: v0 and v1 still read exactly
+    snapshot(dir, Some(0)) shouldBe v0
+    snapshot(dir, Some(1)) shouldBe v1
+  }
+
+  test("upsert rewrites ONLY files containing batch keys") {
+    val dir = Files.createTempDirectory("tablelog-cow").toString
+    // range-partitioned files → each id lives in a known file
+    TableLog.writeBase(spark,
+      base().repartitionByRange(8, col("id")), dir)
+    val before = TableLog.liveFiles(spark, dir)
+    // one batch key → at most one data file contains it
+    TableLog.upsert(spark, dir,
+      Seq((42L, "updated", 0L)).toDF("id", "body", "grp"), "id")
+    val after = TableLog.liveFiles(spark, dir)
+    val removed = before.toSet.diff(after.toSet)
+    removed.size shouldBe 1 // exactly the file holding id 42
+    snapshot(dir).size shouldBe 2000
+  }
+
+  test("manifest-last crash discipline: orphan data files change nothing") {
+    val dir = Files.createTempDirectory("tablelog-crash").toString
+    TableLog.writeBase(spark, base(), dir)
+    val v0 = snapshot(dir)
+    // a crashed writer: data files landed, the manifest never did
+    Seq((777777L, "orphan", 0L)).toDF("id", "body", "grp")
+      .write.parquet(s"$dir/data/v00001")
+    TableLog.currentVersion(spark, dir) shouldBe 0
+    snapshot(dir) shouldBe v0
+  }
+
+  test("a second writer racing the same version is refused at commit") {
+    val dir = Files.createTempDirectory("tablelog-race").toString
+    TableLog.writeBase(spark, base(), dir)
+    val v0 = snapshot(dir)
+    // the race window: both writers read currentVersion=0 and target
+    // v1; writer A commits first...
+    TableLog.commit(spark, dir, 1, adds = Seq.empty, removes = Seq.empty)
+    // ...writer B's commit of the SAME version must be refused, and
+    // the table must still read as writer A left it
+    intercept[IllegalArgumentException] {
+      TableLog.commit(spark, dir, 1,
+        adds = Seq("data/v00001/loser.parquet"), removes = Seq.empty)
+    }
+    TableLog.currentVersion(spark, dir) shouldBe 1
+    snapshot(dir) shouldBe v0 // A's empty commit changed nothing
+    // and a late writeBase on a non-empty table is refused too
+    intercept[IllegalArgumentException] {
+      TableLog.writeBase(spark, base(), dir)
+    }
+  }
+}
