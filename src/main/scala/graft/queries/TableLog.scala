@@ -37,6 +37,24 @@ object TableLog {
 
   private def logDir(dir: String) = new Path(dir, "_log")
 
+  /** Earliest version still readable (0 unless [[vacuum]] advanced
+    * the watermark). */
+  def earliestVersion(spark: SparkSession, dir: String): Int = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(logDir(dir), "_earliest")
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      try new String({
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      }, StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+    }
+  }
+
   /** Latest committed version, or -1 for an empty table. */
   def currentVersion(spark: SparkSession, dir: String): Int = {
     val fs = fsOf(spark, dir)
@@ -48,51 +66,81 @@ object TableLog {
       .foldLeft(-1)(math.max)
   }
 
-  /** Commit `adds`/`removes` (dir-relative paths) as version `v`.
-    * The manifest write is the atomic commit point; an existing
-    * manifest for `v` means a concurrent writer won — refuse. */
+  /** Commit `adds`/`removes` (dir-relative paths) as version `v`,
+    * optionally stamped with a writer transaction id (`txn` lines are
+    * how an idempotent streaming sink recognizes its own replayed
+    * batch). The manifest write is the atomic commit point; an
+    * existing manifest for `v` means a concurrent writer won —
+    * refuse. */
   private[queries] def commit(spark: SparkSession, dir: String, v: Int,
-      adds: Seq[String], removes: Seq[String]): Unit = {
+      adds: Seq[String], removes: Seq[String],
+      txn: Option[String] = None): Unit = {
     val fs = fsOf(spark, dir)
     val p = new Path(logDir(dir), f"v$v%05d.manifest")
     require(!fs.exists(p),
       s"TableLog: version $v already committed (concurrent writer?)")
-    val body = (removes.map("remove\t" + _) ++ adds.map("add\t" + _))
+    val body = (txn.map("txn\t" + _).toSeq ++
+      removes.map("remove\t" + _) ++ adds.map("add\t" + _))
       .mkString("", "\n", "\n")
     val out = fs.create(p, false) // no overwrite — the atomicity claim
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
+  /** All transaction ids committed so far — O(log lines) driver
+    * metadata, like every log replay. */
+  private def committedTxns(spark: SparkSession, dir: String)
+      : Set[String] = {
+    val fs = fsOf(spark, dir)
+    val latest = currentVersion(spark, dir)
+    (0 to latest).flatMap { v =>
+      manifestLines(fs, dir, v).collect {
+        case (action, value) if action == "txn" => value
+      }
+    }.toSet
+  }
+
+  private def manifestLines(fs: FileSystem, dir: String, v: Int)
+      : Seq[(String, String)] = {
+    val p = new Path(logDir(dir), f"v$v%05d.manifest")
+    require(fs.exists(p), s"TableLog: missing manifest v$v (corrupt log)")
+    val in = fs.open(p)
+    val text = try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      new String(buf, StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+      val Array(action, value) = line.split('\t')
+      (action, value)
+    }
+  }
+
   /** Live dir-relative file paths at `version` (latest if None) —
-    * pure log replay, O(total log lines) driver metadata. */
+    * pure log replay, O(total log lines) driver metadata. Versions
+    * below the [[vacuum]] watermark fail HERE, loudly, instead of at
+    * scan time on a missing data file. */
   def liveFiles(spark: SparkSession, dir: String,
       version: Option[Int] = None): Seq[String] = {
     val fs = fsOf(spark, dir)
     val upTo = version.getOrElse(currentVersion(spark, dir))
     require(upTo >= 0, s"TableLog: no committed version in $dir")
+    val earliest = earliestVersion(spark, dir)
+    require(upTo >= earliest,
+      s"TableLog: version $upTo was vacuumed (earliest readable: " +
+        s"$earliest)")
     val live = scala.collection.mutable.LinkedHashSet[String]()
     (0 to upTo).foreach { v =>
-      val p = new Path(logDir(dir), f"v$v%05d.manifest")
-      require(fs.exists(p), s"TableLog: missing manifest v$v (corrupt log)")
-      val in = fs.open(p)
-      val text = try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        new String(buf, StandardCharsets.UTF_8)
-      } finally in.close()
-      text.split('\n').filter(_.nonEmpty).foreach { line =>
-        val Array(action, rel) = line.split('\t')
-        action match {
-          case "add" => live += rel
-          case "remove" =>
-            require(live.remove(rel),
-              s"TableLog: v$v removes unknown file $rel")
-          case other =>
-            throw new IllegalArgumentException(
-              s"TableLog: bad manifest action $other")
-        }
+      manifestLines(fs, dir, v).foreach {
+        case ("add", rel) => live += rel
+        case ("remove", rel) =>
+          require(live.remove(rel),
+            s"TableLog: v$v removes unknown file $rel")
+        case ("txn", _) => () // writer-idempotence stamp, not a file
+        case (other, _) =>
+          throw new IllegalArgumentException(
+            s"TableLog: bad manifest action $other")
       }
     }
     live.toSeq
@@ -198,5 +246,57 @@ object TableLog {
       .map(s => s"$sub/${s.getPath.getParent.getName}/${s.getPath.getName}")
       .toSeq.sorted
     commit(spark, dir, v, adds, live)
+  }
+
+  /** Idempotent APPEND — the streaming-sink primitive: if `txnId` is
+    * already stamped in the log (a foreachBatch crash replay re-runs
+    * the batch with the SAME id), the call is a no-op; otherwise the
+    * batch's files land and commit stamped with the id, so the
+    * manifest's own atomicity makes ingest EXACTLY-ONCE — a crash
+    * between data write and commit leaves orphans and no version, a
+    * crash after commit replays into the txn no-op. This is the
+    * txn-marker discipline of real table formats (Delta's
+    * txn appId+version). */
+  def appendOnce(spark: SparkSession, dir: String, batch: DataFrame,
+      txnId: String): Unit = {
+    if (committedTxns(spark, dir).contains(txnId)) return
+    val v = currentVersion(spark, dir) + 1
+    require(v >= 1, s"TableLog: no base version in $dir")
+    commit(spark, dir, v, writeData(spark, batch, dir, v), Nil,
+      txn = Some(txnId))
+  }
+
+  /** Retention: delete data files referenced ONLY by versions older
+    * than the newest `retainVersions`, and advance the earliest-
+    * readable watermark — a vacuumed version fails loudly at
+    * [[liveFiles]], not with a missing-file scan error. Manifests are
+    * kept (the replay history is metadata-cheap and keeps txn
+    * idempotence intact). Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, dir: String,
+      retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "vacuum must retain >= 1 version")
+    val fs = fsOf(spark, dir)
+    val latest = currentVersion(spark, dir)
+    require(latest >= 0, s"TableLog: no committed version in $dir")
+    val earliest = math.max(earliestVersion(spark, dir),
+      latest - retainVersions + 1)
+    val keep = (earliest to latest)
+      .flatMap(v => liveFiles(spark, dir, Some(v))).toSet
+    // watermark FIRST: once readers are fenced off the vacuumed
+    // versions, a crash midway through the deletes leaves only
+    // unreadable-anyway garbage, never a readable version with
+    // missing files
+    val wm = fs.create(new Path(logDir(dir), "_earliest"), true)
+    try wm.write(earliest.toString.getBytes(StandardCharsets.UTF_8))
+    finally wm.close()
+    // every file the log ever added
+    val everAdded = (0 to latest).flatMap(v =>
+      manifestLines(fs, dir, v).collect { case ("add", rel) => rel })
+    var deleted = 0
+    everAdded.filterNot(keep).distinct.foreach { rel =>
+      val p = new Path(s"$dir/$rel")
+      if (fs.exists(p) && fs.delete(p, false)) deleted += 1
+    }
+    deleted
   }
 }

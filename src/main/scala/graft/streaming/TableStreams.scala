@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.queries.TableLog
+
+/** Streaming ingest into a [[TableLog]] versioned table —
+  * EXACTLY-ONCE by the manifest's own atomicity, not by reader-side
+  * dedup: each micro-batch appends through [[TableLog.appendOnce]]
+  * stamped `appId#batchId`, so a crash-replayed batch (foreachBatch
+  * re-runs with the SAME batch id) finds its stamp in the log and
+  * no-ops, while a crash between the data write and the commit
+  * leaves orphan files and NO version (the manifest is the commit
+  * point). This is the txn-marker discipline real table formats use
+  * for their streaming sinks.
+  *
+  * `appId` names THIS ingest pipeline (stable across restarts —
+  * batch ids only mean anything per checkpoint); two different
+  * pipelines appending the same table use different appIds and never
+  * collide. Callers attach `.option("checkpointLocation", …)` and a
+  * trigger.
+  */
+object TableStreams {
+
+  def tableAppendStream(rows: DataFrame, dir: String,
+      appId: String): DataStreamWriter[Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      TableLog.appendOnce(batch.sparkSession, dir, batch,
+        txnId = s"$appId#$batchId")
+    }
+}
