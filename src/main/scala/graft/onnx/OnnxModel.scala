@@ -1060,8 +1060,12 @@ final class OnnxModel(val graph: Onnx.Graph) {
       Tensor(x.dims, out)
     case "Pad" =>
       // opset-11+ form: pads (and the optional constant) are INPUTS.
-      require(attrS(n, "mode", "constant") == "constant",
-        "Pad: only constant mode supported")
+      // constant and replicate (edge) modes — replicate is what
+      // RAFT's InputPadder exports (F.pad mode='replicate' pads the
+      // frame to /8-divisible dims); reflect stays loudly out.
+      val mode = attrS(n, "mode", "constant")
+      require(mode == "constant" || mode == "edge",
+        s"Pad: mode $mode unsupported (constant/edge only)")
       val x = ins(0)
       val r = x.dims.length
       val pv = ins(1).data.map(_.toInt)
@@ -1075,21 +1079,42 @@ final class OnnxModel(val graph: Onnx.Graph) {
         else if (ins.length > 2 && ins(2).data.nonEmpty) ins(2).data(0)
         else 0f
       val outDims = x.dims.indices.map(a => x.dims(a) + pv(a) + pv(r + a))
-      val out = Array.fill(outDims.product)(cval)
       val inStr = x.dims.scanRight(1)(_ * _).tail
       val outStr = outDims.scanRight(1)(_ * _).tail
-      var i = 0
-      while (i < x.data.length) {
-        var o = 0
-        var rem = i
-        var a = 0
-        while (a < r) {
-          o += (rem / inStr(a) + pv(a)) * outStr(a)
-          rem %= inStr(a)
-          a += 1
+      val out = new Array[Float](outDims.product)
+      if (mode == "constant") {
+        java.util.Arrays.fill(out, cval)
+        var i = 0
+        while (i < x.data.length) {
+          var o = 0
+          var rem = i
+          var a = 0
+          while (a < r) {
+            o += (rem / inStr(a) + pv(a)) * outStr(a)
+            rem %= inStr(a)
+            a += 1
+          }
+          out(o) = x.data(i)
+          i += 1
         }
-        out(o) = x.data(i)
-        i += 1
+      } else {
+        // edge/replicate: every output coordinate clamps into range —
+        // one pass over the OUTPUT, gather from the clamped source
+        var o = 0
+        while (o < out.length) {
+          var src = 0
+          var rem = o
+          var a = 0
+          while (a < r) {
+            val oc = rem / outStr(a)
+            rem %= outStr(a)
+            val ic = math.max(0, math.min(x.dims(a) - 1, oc - pv(a)))
+            src += ic * inStr(a)
+            a += 1
+          }
+          out(o) = x.data(src)
+          o += 1
+        }
       }
       Tensor(outDims, out)
     case "Resize" =>

@@ -57,8 +57,9 @@ object Layout {
   private def vbCol: Column =
     least(floor(col("value") / 2.0), lit(255L)).cast("long")
 
-  /** Morton interleave: ub on odd bits, vb on even bits. */
-  private def zOf(ub: Column, vb: Column): Column =
+  /** Morton interleave: ub on odd bits, vb on even bits. Shared with
+    * [[TableLog.compactZorder]] (OPTIMIZE ZORDER through the log). */
+  private[queries] def zOf(ub: Column, vb: Column): Column =
     (0 until ZBits).map { i =>
       shiftleft(shiftright(ub, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(vb, i).bitwiseAND(lit(1L)), 2 * i)

@@ -154,16 +154,22 @@ object TableLog {
     spark.read.parquet(
       liveFiles(spark, dir, version).map(r => s"$dir/$r"): _*)
 
+  /** Dir-relative parquet paths of an already-written `data/v<N>`. */
+  private def writeDataList(spark: SparkSession, dir: String,
+      sub: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    fs.listStatus(new Path(dir, sub))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$sub/${s.getPath.getName}").toSeq.sorted
+  }
+
   /** Write `df`'s files under `data/v<N>` and return their
     * dir-relative paths. */
   private def writeData(spark: SparkSession, df: DataFrame, dir: String,
       v: Int): Seq[String] = {
     val sub = f"data/v$v%05d"
     df.write.mode("overwrite").parquet(s"$dir/$sub")
-    val fs = fsOf(spark, dir)
-    fs.listStatus(new Path(dir, sub))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$sub/${s.getPath.getName}").toSeq.sorted
+    writeDataList(spark, dir, sub)
   }
 
   /** Version 0: materialize `df` as the table's base snapshot. */
@@ -246,6 +252,32 @@ object TableLog {
       .map(s => s"$sub/${s.getPath.getParent.getName}/${s.getPath.getName}")
       .toSeq.sorted
     commit(spark, dir, v, adds, live)
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the live files CLUSTERED on the Morton
+    * interleave of two bucket expressions ([[Layout.zOf]] — each in
+    * [0, 2^[[Layout.ZBits]])), so every output file covers a tight
+    * box in BOTH dimensions and a scan planner's min/max stats prune
+    * multi-dimension predicates (the 1-D sort layout keeps a tight
+    * range only on its leading column). One distributed job: range
+    * partition on the z expression (no materialized column — the
+    * output schema is untouched), sort within partitions, commit
+    * remove(old)+add(new) like [[compact]]. Content-identical;
+    * prior versions stay readable. */
+  def compactZorder(spark: SparkSession, dir: String,
+      ub: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column,
+      nFiles: Int): Unit = {
+    require(nFiles > 0, "compactZorder needs nFiles > 0")
+    val v = currentVersion(spark, dir) + 1
+    require(v >= 1, s"TableLog: no base version in $dir")
+    val live = liveFiles(spark, dir)
+    val z = Layout.zOf(ub, vb)
+    val sub = f"data/v$v%05d"
+    spark.read.parquet(live.map(r => s"$dir/$r"): _*)
+      .repartitionByRange(nFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(s"$dir/$sub")
+    commit(spark, dir, v, writeDataList(spark, dir, sub), live)
   }
 
   /** Idempotent APPEND — the streaming-sink primitive: if `txnId` is

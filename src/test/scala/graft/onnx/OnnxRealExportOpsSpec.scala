@@ -76,6 +76,20 @@ class OnnxRealExportOpsSpec extends AnyFunSuite {
     val out2 = run1(g2, Onnx.Tensor(Seq(1, 1, 1, 2), Array(7f, 8f)))
     assert(out2.dims == Seq(1, 1, 1, 3))
     assert(out2.data.toSeq == Seq(9f, 7f, 8f))
+    // edge/replicate: RAFT's InputPadder shape (F.pad replicate)
+    val g4 = model(
+      nodes = Seq(node("Pad", Seq("x", "p"), Seq("y"),
+        Seq(attrString("mode", "edge")))),
+      inits = Seq(tensor("p", Seq(8),
+        Seq(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f))),
+      inputs = Seq("x"), outputs = Seq("y"))
+    val out4 = run1(g4, Onnx.Tensor(Seq(1, 1, 2, 2), Array(1f, 2f, 3f, 4f)))
+    assert(out4.dims == Seq(1, 1, 4, 4))
+    assert(out4.data.toSeq == Seq(
+      1f, 1f, 2f, 2f,
+      1f, 1f, 2f, 2f,
+      3f, 3f, 4f, 4f,
+      3f, 3f, 4f, 4f))
     // reflect mode must fail loudly, not silently zero-pad
     val g3 = model(
       nodes = Seq(node("Pad", Seq("x", "p"), Seq("y"),

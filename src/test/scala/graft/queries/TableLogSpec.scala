@@ -87,6 +87,53 @@ class TableLogSpec extends SparkSpec with Matchers {
     snapshot(dir) shouldBe v0
   }
 
+  test("OPTIMIZE ZORDER: content-identical, and a 2-D box prunes " +
+      "z-clustered files where the 1-D sort layout keeps nearly all") {
+    def minMax(dir: String): Seq[(Long, Long, Long, Long)] =
+      TableLog.liveFiles(spark, dir).map { rel =>
+        val r = spark.read.parquet(s"$dir/$rel")
+          .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")))
+          .head
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    def keptBy(stats: Seq[(Long, Long, Long, Long)]): Int =
+      stats.count { case (alo, ahi, blo, bhi) =>
+        ahi >= 64 && alo <= 79 && bhi >= 64 && blo <= 79 // a ~1/16 box
+      }
+    // two independent uniform dims in [0, 256)
+    val rows = (0L until 60000L).map { i =>
+      val h = i * 2654435761L
+      (i, (h >>> 7) % 256L, (h >>> 17) % 256L)
+    }.toDF("id", "a", "b")
+
+    val zdir = Files.createTempDirectory("tablelog-z").toString
+    TableLog.writeBase(spark, rows.repartition(4), zdir)
+    val before = snapshotAb(zdir)
+    TableLog.compactZorder(spark, zdir, col("a"), col("b"), nFiles = 32)
+    TableLog.currentVersion(spark, zdir) shouldBe 1
+    snapshotAb(zdir) shouldBe before // content identity through the log
+    TableLog.liveFiles(spark, zdir).size shouldBe 32
+    val zKept = keptBy(minMax(zdir))
+
+    // the baseline: ingestion order (sorted by id) — neither
+    // dimension correlates with file boundaries, so min/max stats
+    // keep ~every file for the 2-D box
+    val sdir = Files.createTempDirectory("tablelog-s").toString
+    TableLog.writeBase(spark,
+      rows.repartitionByRange(32, col("id")).sortWithinPartitions(col("id")),
+      sdir)
+    val sKept = keptBy(minMax(sdir))
+
+    zKept should be < 12 // the z layout's whole point
+    sKept should be >= 28 // ingest order keeps ~every file
+    zKept.toDouble should be < sKept / 2.0
+  }
+
+  private def snapshotAb(dir: String) =
+    TableLog.readVersion(spark, dir)
+      .select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
   test("a second writer racing the same version is refused at commit") {
     val dir = Files.createTempDirectory("tablelog-race").toString
     TableLog.writeBase(spark, base(), dir)
