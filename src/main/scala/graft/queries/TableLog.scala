@@ -13,10 +13,20 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `dir/data/v<N>/…parquet` (files written by version N) +
   * `dir/_log/v%05d.manifest` — one manifest per committed version,
-  * TSV lines `add\t<relpath>` / `remove\t<relpath>`. A snapshot is
-  * the log replay up to a version: metadata work bounded by FILE
-  * COUNT, never data size. Reads are `spark.read.parquet(liveFiles)`
-  * — ordinary pruned scans.
+  * TSV lines `add\t<relpath>[\t<keyLo>\t<keyHi>]` /
+  * `remove\t<relpath>` / `txn\t<id>`. A snapshot is the log replay up
+  * to a version: metadata work bounded by FILE COUNT, never data
+  * size. Reads are `spark.read.parquet(liveFiles)` — ordinary pruned
+  * scans.
+  *
+  * MANIFEST KEY STATS: a table created with `statsKey = Some(col)`
+  * (an integral merge-key column) records each added file's key
+  * min/max in its add line, maintained by every mutation. [[upsert]]
+  * then prunes its touch-scan to the files whose key range overlaps
+  * the batch — at 100 TB the difference between reading ONE column of
+  * EVERY live file per MERGE and reading only the genuinely
+  * overlapping ones (the Iceberg/Delta skipping story, in the log
+  * instead of footers so no file is even opened).
   *
   * The commit discipline is the standard one: data files land first,
   * the manifest is written LAST and is the atomic commit point — a
@@ -26,9 +36,8 @@ import org.apache.spark.sql.functions._
   * arbitration (retry/rebase) is a documented cut.
   *
   * Mutations never touch committed files, so EVERY prior version
-  * stays readable — time travel — until a vacuum (not provided; a
-  * real deployment ages out unreferenced files after a retention
-  * window, exactly Delta's VACUUM).
+  * stays readable — time travel — until [[vacuum]] ages out files
+  * older than the retention window.
   */
 object TableLog {
 
@@ -72,16 +81,22 @@ object TableLog {
     * batch). The manifest write is the atomic commit point; an
     * existing manifest for `v` means a concurrent writer won —
     * refuse. */
+  /** An added file plus its optional merge-key min/max. */
+  final case class AddEntry(rel: String, keyRange: Option[(Long, Long)])
+
   private[queries] def commit(spark: SparkSession, dir: String, v: Int,
-      adds: Seq[String], removes: Seq[String],
+      adds: Seq[AddEntry], removes: Seq[String],
       txn: Option[String] = None): Unit = {
     val fs = fsOf(spark, dir)
     val p = new Path(logDir(dir), f"v$v%05d.manifest")
     require(!fs.exists(p),
       s"TableLog: version $v already committed (concurrent writer?)")
     val body = (txn.map("txn\t" + _).toSeq ++
-      removes.map("remove\t" + _) ++ adds.map("add\t" + _))
-      .mkString("", "\n", "\n")
+      removes.map("remove\t" + _) ++
+      adds.map {
+        case AddEntry(rel, Some((lo, hi))) => s"add\t$rel\t$lo\t$hi"
+        case AddEntry(rel, None) => s"add\t$rel"
+      }).mkString("", "\n", "\n")
     val out = fs.create(p, false) // no overwrite — the atomicity claim
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -95,13 +110,13 @@ object TableLog {
     val latest = currentVersion(spark, dir)
     (0 to latest).flatMap { v =>
       manifestLines(fs, dir, v).collect {
-        case (action, value) if action == "txn" => value
+        case ("txn", values) => values.head
       }
     }.toSet
   }
 
   private def manifestLines(fs: FileSystem, dir: String, v: Int)
-      : Seq[(String, String)] = {
+      : Seq[(String, Seq[String])] = {
     val p = new Path(logDir(dir), f"v$v%05d.manifest")
     require(fs.exists(p), s"TableLog: missing manifest v$v (corrupt log)")
     val in = fs.open(p)
@@ -112,17 +127,17 @@ object TableLog {
       new String(buf, StandardCharsets.UTF_8)
     } finally in.close()
     text.split('\n').filter(_.nonEmpty).toSeq.map { line =>
-      val Array(action, value) = line.split('\t')
-      (action, value)
+      val parts = line.split('\t').toSeq
+      (parts.head, parts.tail)
     }
   }
 
-  /** Live dir-relative file paths at `version` (latest if None) —
-    * pure log replay, O(total log lines) driver metadata. Versions
-    * below the [[vacuum]] watermark fail HERE, loudly, instead of at
-    * scan time on a missing data file. */
-  def liveFiles(spark: SparkSession, dir: String,
-      version: Option[Int] = None): Seq[String] = {
+  /** Live dir-relative file paths plus their manifest key stats at
+    * `version` (latest if None) — pure log replay, O(total log lines)
+    * driver metadata. Versions below the [[vacuum]] watermark fail
+    * HERE, loudly, instead of at scan time on a missing data file. */
+  def liveFileStats(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Seq[AddEntry] = {
     val fs = fsOf(spark, dir)
     val upTo = version.getOrElse(currentVersion(spark, dir))
     require(upTo >= 0, s"TableLog: no committed version in $dir")
@@ -130,12 +145,15 @@ object TableLog {
     require(upTo >= earliest,
       s"TableLog: version $upTo was vacuumed (earliest readable: " +
         s"$earliest)")
-    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val live =
+      new scala.collection.mutable.LinkedHashMap[String, AddEntry]()
     (0 to upTo).foreach { v =>
       manifestLines(fs, dir, v).foreach {
-        case ("add", rel) => live += rel
-        case ("remove", rel) =>
-          require(live.remove(rel),
+        case ("add", Seq(rel)) => live += rel -> AddEntry(rel, None)
+        case ("add", Seq(rel, lo, hi)) =>
+          live += rel -> AddEntry(rel, Some((lo.toLong, hi.toLong)))
+        case ("remove", Seq(rel)) =>
+          require(live.remove(rel).isDefined,
             s"TableLog: v$v removes unknown file $rel")
         case ("txn", _) => () // writer-idempotence stamp, not a file
         case (other, _) =>
@@ -143,8 +161,13 @@ object TableLog {
             s"TableLog: bad manifest action $other")
       }
     }
-    live.toSeq
+    live.values.toSeq
   }
+
+  /** Live dir-relative file paths at `version` (latest if None). */
+  def liveFiles(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Seq[String] =
+    liveFileStats(spark, dir, version).map(_.rel)
 
   /** Snapshot read — an ordinary parquet scan over the version's
     * explicit file list (column pruning / filter pushdown apply as
@@ -153,6 +176,23 @@ object TableLog {
       version: Option[Int] = None): DataFrame =
     spark.read.parquet(
       liveFiles(spark, dir, version).map(r => s"$dir/$r"): _*)
+
+  /** The stats key configured at [[writeBase]], if any. */
+  def statsKeyOf(spark: SparkSession, dir: String): Option[String] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(logDir(dir), "_statskey")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String({
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      }, StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
 
   /** Dir-relative parquet paths of an already-written `data/v<N>`. */
   private def writeDataList(spark: SparkSession, dir: String,
@@ -163,49 +203,101 @@ object TableLog {
       .map(s => s"$sub/${s.getPath.getName}").toSeq.sorted
   }
 
-  /** Write `df`'s files under `data/v<N>` and return their
-    * dir-relative paths. */
+  /** Per-file key min/max for the just-written files — one
+    * column-pruned pass over ONLY the new files (they were written
+    * this job; the read is page-cache-warm). Files where the key is
+    * all-null (or empty) get no stats — conservatively included by
+    * every pruner. */
+  private def statsOf(spark: SparkSession, dir: String,
+      rels: Seq[String], key: Option[String]): Seq[AddEntry] =
+    key match {
+      case None => rels.map(AddEntry(_, None))
+      case Some(k) =>
+        val fs = fsOf(spark, dir)
+        val uriToRel = rels.map { r =>
+          fs.makeQualified(new Path(s"$dir/$r")).toUri.toString -> r
+        }.toMap
+        val got = spark.read.parquet(rels.map(r => s"$dir/$r"): _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(k)).cast("long").as("lo"),
+            max(col(k)).cast("long").as("hi"))
+          .collect().flatMap { row =>
+            if (row.isNullAt(1) || row.isNullAt(2)) None
+            else Some(uriToRel(row.getString(0)) ->
+              (row.getLong(1), row.getLong(2)))
+          }.toMap
+        rels.map(r => AddEntry(r, got.get(r)))
+    }
+
+  /** Write `df`'s files under `data/v<N>` and return their add
+    * entries (with key stats when the table has a stats key). */
   private def writeData(spark: SparkSession, df: DataFrame, dir: String,
-      v: Int): Seq[String] = {
+      v: Int): Seq[AddEntry] = {
     val sub = f"data/v$v%05d"
     df.write.mode("overwrite").parquet(s"$dir/$sub")
-    writeDataList(spark, dir, sub)
+    statsOf(spark, dir, writeDataList(spark, dir, sub),
+      statsKeyOf(spark, dir))
   }
 
-  /** Version 0: materialize `df` as the table's base snapshot. */
-  def writeBase(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+  /** Version 0: materialize `df` as the table's base snapshot.
+    * `statsKey` (an integral column — typically the merge key)
+    * enables manifest key stats for the table's lifetime: every
+    * mutation records each added file's key min/max, and [[upsert]]
+    * prunes its touch-scan with them. */
+  def writeBase(spark: SparkSession, df: DataFrame, dir: String,
+      statsKey: Option[String] = None): Unit = {
     require(currentVersion(spark, dir) == -1,
       s"TableLog: $dir already has a log — writeBase is v0 only")
+    statsKey.foreach { k =>
+      require(df.columns.contains(k), s"TableLog: no stats column $k")
+      val out = fsOf(spark, dir)
+        .create(new Path(logDir(dir), "_statskey"), false)
+      try out.write(k.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     commit(spark, dir, 0, writeData(spark, df, dir, 0), Nil)
   }
 
   /** Copy-on-write MERGE: rows of `batch` replace same-`key` rows;
     * unmatched batch rows insert. Only files that CONTAIN a batch key
-    * are rewritten (one column-pruned scan of the live files finds
-    * them — the standard Delta MERGE touch-scan; the engine's
-    * stats/bloom skipping composes in front of it at deployment
-    * scale); untouched files are carried by reference, never read or
-    * rewritten. */
+    * are rewritten; untouched files are carried by reference, never
+    * read or rewritten. The touch-scan that finds them is pruned in
+    * two stages: (1) MANIFEST STATS — when `key` is the table's stats
+    * key, files whose recorded [keyLo, keyHi] misses the batch's key
+    * range are skipped without even being OPENED (the lakehouse
+    * skipping decision, from the log); (2) the surviving candidates
+    * get one column-pruned semi-join scan. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
       key: String): Unit = {
     val v = currentVersion(spark, dir) + 1
     require(v >= 1, s"TableLog: no base version in $dir")
-    val live = liveFiles(spark, dir)
+    val liveStats = liveFileStats(spark, dir)
     val fs = fsOf(spark, dir)
+    val keys = batch.select(col(key)).distinct()
+    // stage 1: manifest-stats pruning — per-KEY precision (a file
+    // survives iff some batch key falls inside its [lo, hi]; binary
+    // search per file over the sorted batch keys), so a batch
+    // touching the table's two ends doesn't admit everything between
+    val candidates: Seq[String] =
+      if (statsKeyOf(spark, dir).contains(key))
+        statsSurvivors(liveStats, sortedBatchKeys(keys, key)).map(_.rel)
+      else liveStats.map(_.rel)
     // dir-relative path by the scan's own URI rendering (the
     // compactFiles file-name-encoding lesson)
-    val uriOf = live.map { rel =>
+    val uriOf = candidates.map { rel =>
       fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString -> rel
     }.toMap
-    val cur = readVersion(spark, dir)
-    val keys = batch.select(col(key)).distinct()
-    val touchedUris = cur.withColumn("_graft_file", input_file_name())
-      .join(broadcast(keys), Seq(key), "left_semi")
-      .select(col("_graft_file")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val touched = touchedUris.map(u => uriOf.getOrElse(u,
-      throw new IllegalStateException(
-        s"TableLog: scan file $u not in the live set")))
+    // stage 2: the column-pruned touch-scan over the candidates only
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else spark.read.parquet(candidates.map(r => s"$dir/$r"): _*)
+        .withColumn("_graft_file", input_file_name())
+        .join(broadcast(keys), Seq(key), "left_semi")
+        .select(col("_graft_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
+        .map(u => uriOf.getOrElse(u,
+          throw new IllegalStateException(
+            s"TableLog: scan file $u not in the live set")))
     val rewritten =
       if (touched.isEmpty) batch
       else spark.read.parquet(touched.map(r => s"$dir/$r"): _*)
@@ -213,6 +305,50 @@ object TableLog {
         .unionByName(batch)
     commit(spark, dir, v, writeData(spark, rewritten, dir, v), touched)
   }
+
+  /** MERGE batches are bounded (they broadcast in the touch-scan);
+    * past this many distinct keys the pruner falls back to the
+    * conservative include-everything rather than ballooning the
+    * driver. */
+  private val MaxStatsKeys = 4 << 20
+
+  /** The batch's distinct keys as a sorted long array, or None when
+    * stats can't apply (non-castable key, all-null, oversized). */
+  private def sortedBatchKeys(keys: DataFrame,
+      key: String): Option[Array[Long]] = {
+    val ks = keys.select(col(key).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .limit(MaxStatsKeys + 1)
+      .collect().map(_.getLong(0))
+    if (ks.isEmpty || ks.length > MaxStatsKeys) None
+    else { java.util.Arrays.sort(ks); Some(ks) }
+  }
+
+  /** Files whose [lo, hi] contains at least one batch key (binary
+    * search per file); no-stats files and a no-keys batch are
+    * conservatively included. */
+  private def statsSurvivors(liveStats: Seq[AddEntry],
+      sortedKeys: Option[Array[Long]]): Seq[AddEntry] =
+    sortedKeys match {
+      case None => liveStats
+      case Some(ks) => liveStats.filter {
+        case AddEntry(_, None) => true
+        case AddEntry(_, Some((lo, hi))) =>
+          val i = java.util.Arrays.binarySearch(ks, lo)
+          val at = if (i >= 0) i else -i - 1 // first key >= lo
+          at < ks.length && ks(at) <= hi
+      }
+    }
+
+  /** The candidate count [[upsert]]'s manifest-stats stage would scan
+    * for this batch — exposed so specs and probes can pin the
+    * skipping invariant without instrumenting the write path. */
+  def statsCandidates(spark: SparkSession, dir: String,
+      batch: DataFrame, key: String): Int =
+    if (!statsKeyOf(spark, dir).contains(key))
+      liveFileStats(spark, dir).size
+    else statsSurvivors(liveFileStats(spark, dir),
+      sortedBatchKeys(batch.select(col(key)).distinct(), key)).size
 
   /** OPTIMIZE: rewrite the live files into target-sized bins (the
     * q_compact_plan cumulative rule, ONE distributed job — same shape
@@ -246,12 +382,13 @@ object TableLog {
       .repartition(nBins, col("_graft_bin"))
       .write.mode("overwrite").partitionBy("_graft_bin")
       .parquet(s"$dir/$sub")
-    val adds = fs.listStatus(new Path(dir, sub)).filter(_.isDirectory)
+    val added = fs.listStatus(new Path(dir, sub)).filter(_.isDirectory)
       .flatMap(d => fs.listStatus(d.getPath))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$sub/${s.getPath.getParent.getName}/${s.getPath.getName}")
       .toSeq.sorted
-    commit(spark, dir, v, adds, live)
+    commit(spark, dir, v,
+      statsOf(spark, dir, added, statsKeyOf(spark, dir)), live)
   }
 
   /** OPTIMIZE ZORDER: rewrite the live files CLUSTERED on the Morton
@@ -277,7 +414,9 @@ object TableLog {
       .repartitionByRange(nFiles, z)
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(s"$dir/$sub")
-    commit(spark, dir, v, writeDataList(spark, dir, sub), live)
+    commit(spark, dir, v,
+      statsOf(spark, dir, writeDataList(spark, dir, sub),
+        statsKeyOf(spark, dir)), live)
   }
 
   /** Idempotent APPEND — the streaming-sink primitive: if `txnId` is
@@ -323,7 +462,7 @@ object TableLog {
     finally wm.close()
     // every file the log ever added
     val everAdded = (0 to latest).flatMap(v =>
-      manifestLines(fs, dir, v).collect { case ("add", rel) => rel })
+      manifestLines(fs, dir, v).collect { case ("add", vs) => vs.head })
     var deleted = 0
     everAdded.filterNot(keep).distinct.foreach { rel =>
       val p = new Path(s"$dir/$rel")

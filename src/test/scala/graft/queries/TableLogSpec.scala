@@ -76,6 +76,41 @@ class TableLogSpec extends SparkSpec with Matchers {
     snapshot(dir).size shouldBe 2000
   }
 
+  test("manifest key stats prune the MERGE touch-scan to overlapping " +
+      "files, and survive every mutation") {
+    val dir = Files.createTempDirectory("tablelog-stats").toString
+    TableLog.writeBase(spark,
+      base().repartitionByRange(10, col("id"))
+        .sortWithinPartitions(col("id")),
+      dir, statsKey = Some("id"))
+    TableLog.statsKeyOf(spark, dir) shouldBe Some("id")
+    // every live file carries its key range in the LOG
+    val stats = TableLog.liveFileStats(spark, dir)
+    stats.size shouldBe 10
+    all(stats.map(_.keyRange.isDefined)) shouldBe true
+    // a narrow batch's candidate set is the overlapping file(s), not
+    // the table — the decision comes from the manifest alone
+    val narrow = Seq((42L, "u", 0L), (43L, "u", 0L)).toDF("id", "body", "grp")
+    TableLog.statsCandidates(spark, dir, narrow, "id") shouldBe 1
+    // a cross-range batch overlaps two files
+    val wide = Seq((42L, "u", 0L), (1999L, "u", 0L)).toDF("id", "body", "grp")
+    TableLog.statsCandidates(spark, dir, wide, "id") should be <= 2
+
+    // the upsert itself stays correct AND the new file gets stats too
+    TableLog.upsert(spark, dir, narrow, "id")
+    snapshot(dir).size shouldBe 2000
+    val after = TableLog.liveFileStats(spark, dir)
+    all(after.map(_.keyRange.isDefined)) shouldBe true
+    // compaction carries stats through as well
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    all(TableLog.liveFileStats(spark, dir).map(_.keyRange.isDefined)) shouldBe
+      true
+    snapshot(dir).size shouldBe 2000
+    // a non-stats key falls back to every file (no wrong pruning)
+    TableLog.statsCandidates(spark, dir, narrow, "body") shouldBe
+      TableLog.liveFileStats(spark, dir).size
+  }
+
   test("manifest-last crash discipline: orphan data files change nothing") {
     val dir = Files.createTempDirectory("tablelog-crash").toString
     TableLog.writeBase(spark, base(), dir)
@@ -145,7 +180,8 @@ class TableLogSpec extends SparkSpec with Matchers {
     // the table must still read as writer A left it
     intercept[IllegalArgumentException] {
       TableLog.commit(spark, dir, 1,
-        adds = Seq("data/v00001/loser.parquet"), removes = Seq.empty)
+        adds = Seq(TableLog.AddEntry("data/v00001/loser.parquet", None)),
+        removes = Seq.empty)
     }
     TableLog.currentVersion(spark, dir) shouldBe 1
     snapshot(dir) shouldBe v0 // A's empty commit changed nothing
