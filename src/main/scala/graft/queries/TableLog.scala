@@ -46,22 +46,42 @@ object TableLog {
 
   private def logDir(dir: String) = new Path(dir, "_log")
 
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String({
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    }, StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Write a small log file ATOMICALLY: temp file + rename, so no
+    * reader (or post-crash retry) can ever observe a torn or empty
+    * file under the final name. `overwrite` deletes an existing final
+    * file first (watermark updates); without it an existing final
+    * name makes the rename fail and the write is refused. */
+  private def writeSmallFileAtomic(fs: FileSystem, p: Path,
+      body: String, overwrite: Boolean): Boolean = {
+    val tmp = new Path(p.getParent, s".${p.getName}.${
+      java.util.UUID.randomUUID.toString}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (overwrite && fs.exists(p)) fs.delete(p, false)
+    val ok = fs.rename(tmp, p)
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+
   /** Earliest version still readable (0 unless [[vacuum]] advanced
     * the watermark). */
   def earliestVersion(spark: SparkSession, dir: String): Int = {
     val fs = fsOf(spark, dir)
     val p = new Path(logDir(dir), "_earliest")
     if (!fs.exists(p)) 0
-    else {
-      val in = fs.open(p)
-      try new String({
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        buf
-      }, StandardCharsets.UTF_8).trim.toInt
-      finally in.close()
-    }
+    else readSmallFile(fs, p).trim.toInt
   }
 
   /** Latest committed version, or -1 for an empty table. */
@@ -75,19 +95,21 @@ object TableLog {
       .foldLeft(-1)(math.max)
   }
 
-  /** Commit `adds`/`removes` (dir-relative paths) as version `v`,
-    * optionally stamped with a writer transaction id (`txn` lines are
-    * how an idempotent streaming sink recognizes its own replayed
-    * batch). The manifest write is the atomic commit point; an
-    * existing manifest for `v` means a concurrent writer won —
-    * refuse. */
   /** An added file plus its optional merge-key min/max. */
   final case class AddEntry(rel: String, keyRange: Option[(Long, Long)])
 
+  /** Commit `adds`/`removes` (dir-relative paths) as version `v`,
+    * optionally stamped with a writer transaction id (`txn` lines are
+    * how an idempotent streaming sink recognizes its own replayed
+    * batch). The manifest appears ATOMICALLY (temp + rename): no
+    * reader or post-crash retry can observe a torn/empty manifest,
+    * and a losing racer's rename onto the winner's file fails —
+    * refused. */
   private[queries] def commit(spark: SparkSession, dir: String, v: Int,
       adds: Seq[AddEntry], removes: Seq[String],
       txn: Option[String] = None): Unit = {
     val fs = fsOf(spark, dir)
+    fs.mkdirs(logDir(dir))
     val p = new Path(logDir(dir), f"v$v%05d.manifest")
     require(!fs.exists(p),
       s"TableLog: version $v already committed (concurrent writer?)")
@@ -97,36 +119,41 @@ object TableLog {
         case AddEntry(rel, Some((lo, hi))) => s"add\t$rel\t$lo\t$hi"
         case AddEntry(rel, None) => s"add\t$rel"
       }).mkString("", "\n", "\n")
-    val out = fs.create(p, false) // no overwrite — the atomicity claim
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    require(writeSmallFileAtomic(fs, p, body, overwrite = false),
+      s"TableLog: version $v already committed (lost the commit race)")
   }
 
-  /** All transaction ids committed so far — O(log lines) driver
-    * metadata, like every log replay. */
-  private def committedTxns(spark: SparkSession, dir: String)
-      : Set[String] = {
+  /** Was `(appId, batchId)` already committed? Scans manifests
+    * NEWEST-first and stops at the first stamp for this appId: batch
+    * ids are monotonic per app, so that one stamp decides (>= ours ⇒
+    * ours already landed). A steady-state streaming sink therefore
+    * reads ONE manifest per check (its own previous batch), not the
+    * whole log — only an app's very first append on an old table
+    * scans deeper. */
+  private def txnCommitted(spark: SparkSession, dir: String,
+      appId: String, batchId: Long): Boolean = {
     val fs = fsOf(spark, dir)
     val latest = currentVersion(spark, dir)
-    (0 to latest).flatMap { v =>
-      manifestLines(fs, dir, v).collect {
-        case ("txn", values) => values.head
+    var v = latest
+    while (v >= 0) {
+      manifestLines(fs, dir, v).foreach {
+        case ("txn", values) =>
+          val id = values.head
+          val cut = id.lastIndexOf('#')
+          if (cut > 0 && id.substring(0, cut) == appId)
+            return id.substring(cut + 1).toLong >= batchId
+        case _ => ()
       }
-    }.toSet
+      v -= 1
+    }
+    false
   }
 
   private def manifestLines(fs: FileSystem, dir: String, v: Int)
       : Seq[(String, Seq[String])] = {
     val p = new Path(logDir(dir), f"v$v%05d.manifest")
     require(fs.exists(p), s"TableLog: missing manifest v$v (corrupt log)")
-    val in = fs.open(p)
-    val text = try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      in.readFully(0, buf)
-      new String(buf, StandardCharsets.UTF_8)
-    } finally in.close()
-    text.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+    readSmallFile(fs, p).split('\n').filter(_.nonEmpty).toSeq.map { line =>
       val parts = line.split('\t').toSeq
       (parts.head, parts.tail)
     }
@@ -182,16 +209,7 @@ object TableLog {
     val fs = fsOf(spark, dir)
     val p = new Path(logDir(dir), "_statskey")
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String({
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        buf
-      }, StandardCharsets.UTF_8).trim)
-      finally in.close()
-    }
+    else Some(readSmallFile(fs, p).trim)
   }
 
   /** Dir-relative parquet paths of an already-written `data/v<N>`. */
@@ -250,10 +268,23 @@ object TableLog {
       s"TableLog: $dir already has a log — writeBase is v0 only")
     statsKey.foreach { k =>
       require(df.columns.contains(k), s"TableLog: no stats column $k")
-      val out = fsOf(spark, dir)
-        .create(new Path(logDir(dir), "_statskey"), false)
-      try out.write(k.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      // INTEGRAL keys only: a string key's lexicographic min/max cast
+      // to long gives inverted ranges that wrongly PRUNE files
+      // containing batch keys — MERGE would silently insert
+      // duplicates instead of replacing
+      val dt = df.schema(k).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(dt),
+        s"TableLog: statsKey $k must be integral, got $dt")
+      val fs = fsOf(spark, dir)
+      fs.mkdirs(logDir(dir))
+      // overwrite: a writeBase that crashed between this marker and
+      // the v0 commit must be retryable (no version exists yet)
+      require(writeSmallFileAtomic(fs,
+        new Path(logDir(dir), "_statskey"), k, overwrite = true),
+        "TableLog: failed to write _statskey")
     }
     commit(spark, dir, 0, writeData(spark, df, dir, 0), Nil)
   }
@@ -273,7 +304,11 @@ object TableLog {
     require(v >= 1, s"TableLog: no base version in $dir")
     val liveStats = liveFileStats(spark, dir)
     val fs = fsOf(spark, dir)
-    val keys = batch.select(col(key)).distinct()
+    // persisted: consumed by up to three actions (sortedBatchKeys
+    // collect, the touch-scan semi-join, the rewrite anti-join) —
+    // without it each action re-shuffles the batch's distinct
+    val keys = batch.select(col(key)).distinct().persist()
+    try {
     // stage 1: manifest-stats pruning — per-KEY precision (a file
     // survives iff some batch key falls inside its [lo, hi]; binary
     // search per file over the sorted batch keys), so a batch
@@ -304,6 +339,7 @@ object TableLog {
         .join(broadcast(keys), Seq(key), "left_anti")
         .unionByName(batch)
     commit(spark, dir, v, writeData(spark, rewritten, dir, v), touched)
+    } finally keys.unpersist(blocking = false)
   }
 
   /** MERGE batches are bounded (they broadcast in the touch-scan);
@@ -369,14 +405,18 @@ object TableLog {
       .map { case ((rel, _), cum) => (rel, cum / targetBytes) }
     val nBins = binOf.map(_._2).distinct.length
     import spark.implicits._
+    // join on the FULL scan URI, never the basename: live files span
+    // multiple data/v<N>(/bin=…) dirs and a prior compact's
+    // dynamic-partition write reuses one task's part-file basename in
+    // every bin directory it writes — a basename-keyed inner join
+    // would fan such rows out to every same-named map entry and
+    // commit duplicated rows (review-caught)
     val binMap = binOf.map { case (rel, b) =>
-      (fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString
-        .split('/').last, b)
+      (fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString, b)
     }.toDF("_graft_fname", "_graft_bin")
     val sub = f"data/v$v%05d"
     spark.read.parquet(live.map(r => s"$dir/$r"): _*)
-      .withColumn("_graft_fname",
-        element_at(split(input_file_name(), "/"), -1))
+      .withColumn("_graft_fname", input_file_name())
       .join(broadcast(binMap), "_graft_fname")
       .drop("_graft_fname")
       .repartition(nBins, col("_graft_bin"))
@@ -419,22 +459,26 @@ object TableLog {
         statsKeyOf(spark, dir)), live)
   }
 
-  /** Idempotent APPEND — the streaming-sink primitive: if `txnId` is
-    * already stamped in the log (a foreachBatch crash replay re-runs
-    * the batch with the SAME id), the call is a no-op; otherwise the
-    * batch's files land and commit stamped with the id, so the
-    * manifest's own atomicity makes ingest EXACTLY-ONCE — a crash
+  /** Idempotent APPEND — the streaming-sink primitive: if this
+    * `(appId, batchId)` is already stamped in the log (a foreachBatch
+    * crash replay re-runs the batch with the SAME id), the call is a
+    * no-op; otherwise the batch's files land and commit stamped, so
+    * the manifest's own atomicity makes ingest EXACTLY-ONCE — a crash
     * between data write and commit leaves orphans and no version, a
     * crash after commit replays into the txn no-op. This is the
     * txn-marker discipline of real table formats (Delta's
-    * txn appId+version). */
+    * txn appId+version). The check reads ONE manifest in steady state
+    * (see [[txnCommitted]]); batch ids must be monotonic per app —
+    * exactly what a streaming checkpoint provides. */
   def appendOnce(spark: SparkSession, dir: String, batch: DataFrame,
-      txnId: String): Unit = {
-    if (committedTxns(spark, dir).contains(txnId)) return
+      appId: String, batchId: Long): Unit = {
+    require(!appId.contains('#') && !appId.contains('\t') &&
+      !appId.contains('\n'), s"TableLog: bad appId $appId")
+    if (txnCommitted(spark, dir, appId, batchId)) return
     val v = currentVersion(spark, dir) + 1
     require(v >= 1, s"TableLog: no base version in $dir")
     commit(spark, dir, v, writeData(spark, batch, dir, v), Nil,
-      txn = Some(txnId))
+      txn = Some(s"$appId#$batchId"))
   }
 
   /** Retention: delete data files referenced ONLY by versions older
@@ -456,10 +500,13 @@ object TableLog {
     // watermark FIRST: once readers are fenced off the vacuumed
     // versions, a crash midway through the deletes leaves only
     // unreadable-anyway garbage, never a readable version with
-    // missing files
-    val wm = fs.create(new Path(logDir(dir), "_earliest"), true)
-    try wm.write(earliest.toString.getBytes(StandardCharsets.UTF_8))
-    finally wm.close()
+    // missing files. Atomic (temp + rename) — a plain
+    // create(overwrite) truncates the OLD watermark before writing,
+    // and a crash in that window bricks every later read with an
+    // empty file (review-caught)
+    require(writeSmallFileAtomic(fs, new Path(logDir(dir), "_earliest"),
+      earliest.toString, overwrite = true),
+      "TableLog: failed to advance the vacuum watermark")
     // every file the log ever added
     val everAdded = (0 to latest).flatMap(v =>
       manifestLines(fs, dir, v).collect { case ("add", vs) => vs.head })

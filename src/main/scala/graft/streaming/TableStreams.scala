@@ -26,7 +26,6 @@ object TableStreams {
   def tableAppendStream(rows: DataFrame, dir: String,
       appId: String): DataStreamWriter[Row] =
     rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      TableLog.appendOnce(batch.sparkSession, dir, batch,
-        txnId = s"$appId#$batchId")
+      TableLog.appendOnce(batch.sparkSession, dir, batch, appId, batchId)
     }
 }

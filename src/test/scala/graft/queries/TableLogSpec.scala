@@ -111,6 +111,22 @@ class TableLogSpec extends SparkSpec with Matchers {
       TableLog.liveFileStats(spark, dir).size
   }
 
+  test("a SECOND compact over a prior compact's output keeps exact " +
+      "content (bin-dir part files share basenames across directories)") {
+    val dir = Files.createTempDirectory("tablelog-cc").toString
+    TableLog.writeBase(spark, base().repartition(8), dir)
+    val v0 = snapshot(dir)
+    // first compact: small target → many bins, so one task writes the
+    // SAME part-file basename into several _graft_bin= directories
+    TableLog.compact(spark, dir, targetBytes = 8L << 10)
+    snapshot(dir) shouldBe v0
+    // second compact reads those same-basename files — a
+    // basename-keyed bin join would fan rows out and duplicate them
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    snapshot(dir) shouldBe v0
+    TableLog.readVersion(spark, dir).count() shouldBe 2000L
+  }
+
   test("manifest-last crash discipline: orphan data files change nothing") {
     val dir = Files.createTempDirectory("tablelog-crash").toString
     TableLog.writeBase(spark, base(), dir)
