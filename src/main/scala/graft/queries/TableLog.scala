@@ -198,10 +198,14 @@ object TableLog {
 
   /** Snapshot read — an ordinary parquet scan over the version's
     * explicit file list (column pruning / filter pushdown apply as
-    * on any parquet read). */
+    * on any parquet read). `mergeSchema` unions the live files'
+    * schemas, so a snapshot mixing pre- and post-[[upsert]]-evolution
+    * files reads with the evolved schema (old rows null-fill the new
+    * columns); time travel to a pre-evolution version naturally
+    * yields the old schema — its live set has no evolved file. */
   def readVersion(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame =
-    spark.read.parquet(
+    spark.read.option("mergeSchema", "true").parquet(
       liveFiles(spark, dir, version).map(r => s"$dir/$r"): _*)
 
   /** The stats key configured at [[writeBase]], if any. */
@@ -333,11 +337,17 @@ object TableLog {
         .map(u => uriOf.getOrElse(u,
           throw new IllegalStateException(
             s"TableLog: scan file $u not in the live set")))
+    // allowMissingColumns = SCHEMA EVOLUTION: a batch may carry NEW
+    // columns (old rows null-fill them in the rewritten files) or
+    // omit existing ones; mergeSchema on the read side unions the
+    // mixed file schemas, and pre-evolution versions time-travel with
+    // their own schema
     val rewritten =
       if (touched.isEmpty) batch
-      else spark.read.parquet(touched.map(r => s"$dir/$r"): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(r => s"$dir/$r"): _*)
         .join(broadcast(keys), Seq(key), "left_anti")
-        .unionByName(batch)
+        .unionByName(batch, allowMissingColumns = true)
     commit(spark, dir, v, writeData(spark, rewritten, dir, v), touched)
     } finally keys.unpersist(blocking = false)
   }

@@ -185,6 +185,37 @@ class TableLogSpec extends SparkSpec with Matchers {
       .select("id", "a", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
 
+  test("schema evolution: an upsert batch adds a column; old versions " +
+      "keep their schema, the latest null-fills old rows") {
+    val dir = Files.createTempDirectory("tablelog-evo").toString
+    TableLog.writeBase(spark,
+      base().repartitionByRange(4, col("id")), dir)
+    // batch carries a NEW column `score`
+    val batch = Seq((5L, "updated 5", 0L, 0.9),
+      (9005L, "fresh", 0L, 0.5)).toDF("id", "body", "grp", "score")
+    TableLog.upsert(spark, dir, batch, "id")
+
+    val latest = TableLog.readVersion(spark, dir)
+    latest.columns.toSet shouldBe Set("id", "body", "grp", "score")
+    latest.count() shouldBe 2001
+    // evolved rows carry the value; pre-evolution rows read null
+    latest.filter(col("id") === 5L).select("score")
+      .head.getDouble(0) shouldBe 0.9
+    latest.filter(col("id") === 6L).select("score")
+      .head.isNullAt(0) shouldBe true
+    // untouched carried files never rewrote: most rows still null
+    latest.filter(col("score").isNull).count() shouldBe 1999
+    // time travel: v0 has the ORIGINAL schema
+    TableLog.readVersion(spark, dir, Some(0)).columns.toSet shouldBe
+      Set("id", "body", "grp")
+    // a second upsert with the OLD schema (missing `score`) works too
+    TableLog.upsert(spark, dir,
+      Seq((7L, "updated 7", 0L)).toDF("id", "body", "grp"), "id")
+    val v2 = TableLog.readVersion(spark, dir)
+    v2.count() shouldBe 2001
+    v2.columns.toSet shouldBe Set("id", "body", "grp", "score")
+  }
+
   test("a second writer racing the same version is refused at commit") {
     val dir = Files.createTempDirectory("tablelog-race").toString
     TableLog.writeBase(spark, base(), dir)
