@@ -2034,7 +2034,7 @@ object Similarity {
       .agg(sum(col("bn")).as("btot"))
     // every batch cluster exists in the postings (each centroid
     // self-assigns at cos 1), so the inner join is total
-    val kl = hist.join(bt, Seq("batch"))
+    val kl = hist.join(broadcast(bt), Seq("batch"))
       .join(broadcast(postings
         .select(col("cluster"), col("n_vecs").cast("double").as("pn"))),
         Seq("cluster"))
@@ -2044,7 +2044,9 @@ object Similarity {
         log((col("bn") / col("btot")) / (col("pn") / col("t")))).as("kl"))
     best.groupBy(col("batch"))
       .agg(count(lit(1)).as("n"), avg(col("csim")).as("margin"))
-      .join(kl, Seq("batch"))
+      // one row per batch label on each side — broadcast, never a
+      // sort-merge of two tiny aggregates
+      .join(broadcast(kl), Seq("batch"))
       .select(col("batch"), col("n"),
         r6(col("margin")).as("mean_margin"), r6(col("kl")).as("kl"),
         when(col("kl") > DriftKlThreshold, 1L).otherwise(0L)

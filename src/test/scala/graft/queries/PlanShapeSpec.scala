@@ -270,4 +270,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     spark.catalog.clearCache()
   }
+
+  test("q_index_drift: batches cross the BROADCAST centroid set and " +
+      "elect on heaps — no corpus-sized window, no shuffle join") {
+    val p = plan(Similarity.indexDrift(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+    // the assignment election is the bounded_topk aggregate, not a
+    // per-vector window over batch·C scored rows
+    assert(p.contains("bounded_topk"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }
