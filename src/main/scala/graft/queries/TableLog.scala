@@ -196,17 +196,31 @@ object TableLog {
       version: Option[Int] = None): Seq[String] =
     liveFileStats(spark, dir, version).map(_.rel)
 
+  /** Has any schema-evolving upsert ever committed? Set once by
+    * [[upsert]] with `allowSchemaEvolution`; never-evolved tables
+    * keep the zero-extra-cost single-footer schema path. */
+  def isEvolved(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(new Path(logDir(dir), "_evolved"))
+
+  /** One parquet read of a live set, schema-merging only when the
+    * table has actually evolved (a footer-merge job over every live
+    * file is real per-read cost at many-file scale — don't pay it on
+    * tables that never evolved). */
+  private def readLive(spark: SparkSession, dir: String,
+      rels: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", isEvolved(spark, dir).toString)
+      .parquet(rels.map(r => s"$dir/$r"): _*)
+
   /** Snapshot read — an ordinary parquet scan over the version's
     * explicit file list (column pruning / filter pushdown apply as
-    * on any parquet read). `mergeSchema` unions the live files'
-    * schemas, so a snapshot mixing pre- and post-[[upsert]]-evolution
+    * on any parquet read). On an EVOLVED table the live files'
+    * schemas merge, so a snapshot mixing pre- and post-evolution
     * files reads with the evolved schema (old rows null-fill the new
     * columns); time travel to a pre-evolution version naturally
     * yields the old schema — its live set has no evolved file. */
   def readVersion(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(
-      liveFiles(spark, dir, version).map(r => s"$dir/$r"): _*)
+    readLive(spark, dir, liveFiles(spark, dir, version))
 
   /** The stats key configured at [[writeBase]], if any. */
   def statsKeyOf(spark: SparkSession, dir: String): Option[String] = {
@@ -303,11 +317,42 @@ object TableLog {
     * skipping decision, from the log); (2) the surviving candidates
     * get one column-pruned semi-join scan. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
-      key: String): Unit = {
+      key: String, allowSchemaEvolution: Boolean = false): Unit = {
     val v = currentVersion(spark, dir) + 1
     require(v >= 1, s"TableLog: no base version in $dir")
     val liveStats = liveFileStats(spark, dir)
     val fs = fsOf(spark, dir)
+    // SCHEMA CONTRACT, checked BEFORE anything writes: shared columns
+    // must agree on type (a conflicting batch would otherwise commit
+    // files the read side can never schema-merge — a write the reads
+    // can't read), and without the explicit evolution opt-in the
+    // batch's column set must equal the table's (a typo'd column
+    // name must fail loudly, not silently null a replaced row's
+    // real column and invent a junk one)
+    val tableSchema = readVersion(spark, dir).schema
+    batch.schema.foreach { f =>
+      tableSchema.find(_.name == f.name).foreach { t =>
+        require(t.dataType == f.dataType,
+          s"TableLog: batch column ${f.name} is ${f.dataType}, table " +
+            s"has ${t.dataType} — a type conflict cannot be committed")
+      }
+    }
+    if (!allowSchemaEvolution)
+      require(batch.columns.toSet == tableSchema.map(_.name).toSet,
+        s"TableLog: batch schema ${batch.columns.sorted.mkString(",")} " +
+          s"!= table schema ${tableSchema.map(_.name).sorted.mkString(",")}" +
+          " — pass allowSchemaEvolution=true to add/omit columns " +
+          "(omitted columns null-fill in replaced rows)")
+    else if (!batch.columns.forall(tableSchema.fieldNames.contains)) {
+      // new columns arriving: mark the table evolved so every reader
+      // (and the compaction paths) schema-merges from now on. Marker
+      // BEFORE the commit: a crash in between leaves a non-evolved
+      // table paying harmless merge reads, never an evolved table
+      // read without merging.
+      require(writeSmallFileAtomic(fs,
+        new Path(logDir(dir), "_evolved"), "1", overwrite = true),
+        "TableLog: failed to mark schema evolution")
+    }
     // persisted: consumed by up to three actions (sortedBatchKeys
     // collect, the touch-scan semi-join, the rewrite anti-join) —
     // without it each action re-shuffles the batch's distinct
@@ -337,17 +382,15 @@ object TableLog {
         .map(u => uriOf.getOrElse(u,
           throw new IllegalStateException(
             s"TableLog: scan file $u not in the live set")))
-    // allowMissingColumns = SCHEMA EVOLUTION: a batch may carry NEW
-    // columns (old rows null-fill them in the rewritten files) or
-    // omit existing ones; mergeSchema on the read side unions the
-    // mixed file schemas, and pre-evolution versions time-travel with
-    // their own schema
+    // allowMissingColumns only under the evolution opt-in: a batch
+    // may then carry NEW columns (old rows null-fill them) or omit
+    // existing ones (replaced rows null-fill — REPLACE semantics);
+    // strict mode already proved the column sets equal above
     val rewritten =
       if (touched.isEmpty) batch
-      else spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(r => s"$dir/$r"): _*)
+      else readLive(spark, dir, touched)
         .join(broadcast(keys), Seq(key), "left_anti")
-        .unionByName(batch, allowMissingColumns = true)
+        .unionByName(batch, allowMissingColumns = allowSchemaEvolution)
     commit(spark, dir, v, writeData(spark, rewritten, dir, v), touched)
     } finally keys.unpersist(blocking = false)
   }
@@ -425,7 +468,11 @@ object TableLog {
       (fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString, b)
     }.toDF("_graft_fname", "_graft_bin")
     val sub = f"data/v$v%05d"
-    spark.read.parquet(live.map(r => s"$dir/$r"): _*)
+    // readLive: on an EVOLVED table a plain read would infer the
+    // schema from ONE footer (the pre-evolution files sort first) and
+    // the rewrite would silently DROP the evolved column — then
+    // commit remove() of the only files holding it (review-caught)
+    readLive(spark, dir, live)
       .withColumn("_graft_fname", input_file_name())
       .join(broadcast(binMap), "_graft_fname")
       .drop("_graft_fname")
@@ -460,7 +507,8 @@ object TableLog {
     val live = liveFiles(spark, dir)
     val z = Layout.zOf(ub, vb)
     val sub = f"data/v$v%05d"
-    spark.read.parquet(live.map(r => s"$dir/$r"): _*)
+    // readLive: same evolved-column-loss hazard as compact
+    readLive(spark, dir, live)
       .repartitionByRange(nFiles, z)
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(s"$dir/$sub")

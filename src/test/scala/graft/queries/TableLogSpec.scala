@@ -193,7 +193,21 @@ class TableLogSpec extends SparkSpec with Matchers {
     // batch carries a NEW column `score`
     val batch = Seq((5L, "updated 5", 0L, 0.9),
       (9005L, "fresh", 0L, 0.5)).toDF("id", "body", "grp", "score")
-    TableLog.upsert(spark, dir, batch, "id")
+    // without the opt-in, a differing column set fails LOUDLY — a
+    // typo'd column must never silently null real data
+    intercept[IllegalArgumentException] {
+      TableLog.upsert(spark, dir, batch, "id")
+    }
+    // a type conflict on a shared column is refused even WITH the
+    // opt-in: such files would commit but never schema-merge on read
+    intercept[IllegalArgumentException] {
+      TableLog.upsert(spark, dir,
+        Seq((5L, "u", "not-a-long")).toDF("id", "body", "grp"), "id",
+        allowSchemaEvolution = true)
+    }
+    TableLog.isEvolved(spark, dir) shouldBe false
+    TableLog.upsert(spark, dir, batch, "id", allowSchemaEvolution = true)
+    TableLog.isEvolved(spark, dir) shouldBe true
 
     val latest = TableLog.readVersion(spark, dir)
     latest.columns.toSet shouldBe Set("id", "body", "grp", "score")
@@ -208,12 +222,24 @@ class TableLogSpec extends SparkSpec with Matchers {
     // time travel: v0 has the ORIGINAL schema
     TableLog.readVersion(spark, dir, Some(0)).columns.toSet shouldBe
       Set("id", "body", "grp")
-    // a second upsert with the OLD schema (missing `score`) works too
+    // a second upsert with the OLD schema (missing `score`) works
+    // under the opt-in (REPLACE semantics: the replaced row's score
+    // null-fills)
     TableLog.upsert(spark, dir,
-      Seq((7L, "updated 7", 0L)).toDF("id", "body", "grp"), "id")
+      Seq((7L, "updated 7", 0L)).toDF("id", "body", "grp"), "id",
+      allowSchemaEvolution = true)
     val v2 = TableLog.readVersion(spark, dir)
     v2.count() shouldBe 2001
     v2.columns.toSet shouldBe Set("id", "body", "grp", "score")
+    // COMPACTION of an evolved table must carry the evolved column —
+    // a single-footer schema inference would silently drop it and a
+    // vacuum would then delete its only copies (review-caught)
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    val compacted = TableLog.readVersion(spark, dir)
+    compacted.columns.toSet shouldBe Set("id", "body", "grp", "score")
+    compacted.filter(col("id") === 5L).select("score")
+      .head.getDouble(0) shouldBe 0.9
+    compacted.count() shouldBe 2001
   }
 
   test("a second writer racing the same version is refused at commit") {
