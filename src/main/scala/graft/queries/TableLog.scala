@@ -159,10 +159,53 @@ object TableLog {
     }
   }
 
+  /** Versions with a checkpoint file, ascending. */
+  private def checkpointVersions(fs: FileSystem, dir: String): Seq[Int] = {
+    val ld = logDir(dir)
+    if (!fs.exists(ld)) Seq.empty
+    else fs.listStatus(ld).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".checkpoint") =>
+        n.stripPrefix("v").stripSuffix(".checkpoint").toInt }
+      .sorted.toSeq
+  }
+
+  /** Write a CHECKPOINT of the live set at the current version: the
+    * full add-line state in one file, so later replays start here
+    * instead of v0 — without it, snapshot metadata cost grows with
+    * the table's entire commit history (a streaming table accrues a
+    * manifest per micro-batch forever). Same format and atomicity as
+    * a manifest; manifests are kept (txn idempotence and pre-
+    * checkpoint time travel still replay them). */
+  def checkpoint(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"TableLog: no committed version in $dir")
+    val body = liveFileStats(spark, dir).map {
+      case AddEntry(rel, Some((lo, hi))) => s"add\t$rel\t$lo\t$hi"
+      case AddEntry(rel, None) => s"add\t$rel"
+    }.mkString("", "\n", "\n")
+    require(writeSmallFileAtomic(fs,
+      new Path(logDir(dir), f"v$v%05d.checkpoint"), body,
+      overwrite = true),
+      s"TableLog: failed to write checkpoint at v$v")
+  }
+
+  /** Log files a replay to `version` must read — the checkpoint
+    * invariant specs pin (1 checkpoint + commits since it). */
+  def replayCost(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Int = {
+    val fs = fsOf(spark, dir)
+    val upTo = version.getOrElse(currentVersion(spark, dir))
+    val cp = checkpointVersions(fs, dir).filter(_ <= upTo)
+    if (cp.isEmpty) upTo + 1 else 1 + (upTo - cp.max)
+  }
+
   /** Live dir-relative file paths plus their manifest key stats at
-    * `version` (latest if None) — pure log replay, O(total log lines)
-    * driver metadata. Versions below the [[vacuum]] watermark fail
-    * HERE, loudly, instead of at scan time on a missing data file. */
+    * `version` (latest if None) — log replay from the newest
+    * checkpoint at or below the version (v0 if none), so driver
+    * metadata cost is bounded by commits-since-checkpoint, not table
+    * age. Versions below the [[vacuum]] watermark fail HERE, loudly,
+    * instead of at scan time on a missing data file. */
   def liveFileStats(spark: SparkSession, dir: String,
       version: Option[Int] = None): Seq[AddEntry] = {
     val fs = fsOf(spark, dir)
@@ -174,7 +217,21 @@ object TableLog {
         s"$earliest)")
     val live =
       new scala.collection.mutable.LinkedHashMap[String, AddEntry]()
-    (0 to upTo).foreach { v =>
+    val cp = checkpointVersions(fs, dir).filter(_ <= upTo)
+    val from = if (cp.isEmpty) 0 else {
+      readSmallFile(fs, new Path(logDir(dir), f"v${cp.max}%05d.checkpoint"))
+        .split('\n').filter(_.nonEmpty).foreach { line =>
+          line.split('\t').toSeq match {
+            case Seq("add", rel) => live += rel -> AddEntry(rel, None)
+            case Seq("add", rel, lo, hi) =>
+              live += rel -> AddEntry(rel, Some((lo.toLong, hi.toLong)))
+            case other => throw new IllegalArgumentException(
+              s"TableLog: bad checkpoint line $other")
+          }
+        }
+      cp.max + 1
+    }
+    (from to upTo).foreach { v =>
       manifestLines(fs, dir, v).foreach {
         case ("add", Seq(rel)) => live += rel -> AddEntry(rel, None)
         case ("add", Seq(rel, lo, hi)) =>

@@ -242,6 +242,37 @@ class TableLogSpec extends SparkSpec with Matchers {
     compacted.count() shouldBe 2001
   }
 
+  test("checkpoint bounds replay cost; snapshots and time travel " +
+      "read identically through it") {
+    val dir = Files.createTempDirectory("tablelog-ckpt").toString
+    TableLog.writeBase(spark, base().repartition(2), dir)
+    (0 until 6).foreach { i =>
+      TableLog.appendOnce(spark, dir,
+        Seq((10000L + i, s"a$i", 0L)).toDF("id", "body", "grp"),
+        "app", i.toLong)
+    }
+    TableLog.currentVersion(spark, dir) shouldBe 6
+    TableLog.replayCost(spark, dir) shouldBe 7 // v0..v6, no checkpoint
+    val full = snapshot(dir)
+
+    TableLog.checkpoint(spark, dir)
+    TableLog.replayCost(spark, dir) shouldBe 1 // just the checkpoint
+    snapshot(dir) shouldBe full // identical through the checkpoint
+
+    // commits after the checkpoint replay checkpoint + delta
+    TableLog.upsert(spark, dir,
+      Seq((10000L, "updated", 1L)).toDF("id", "body", "grp"), "id")
+    TableLog.replayCost(spark, dir) shouldBe 2
+    snapshot(dir).size shouldBe 2006
+    assert(snapshot(dir).contains((10000L, "updated", 1L)))
+    // pre-checkpoint time travel still replays exactly (from v0):
+    // v3 = base (2000) + the first three one-row appends
+    snapshot(dir, Some(3)).size shouldBe 2003
+    // and the stats survive the checkpoint round trip
+    val evolvedStats = TableLog.liveFileStats(spark, dir)
+    evolvedStats.size should be > 0
+  }
+
   test("a second writer racing the same version is refused at commit") {
     val dir = Files.createTempDirectory("tablelog-race").toString
     TableLog.writeBase(spark, base(), dir)
