@@ -23,9 +23,20 @@ import graft.queries.TableLog
   */
 object TableStreams {
 
+  /** `checkpointEvery`: a manifest CHECKPOINT lands after every N
+    * committed versions, so a long-running ingest table's replay cost
+    * stays bounded at ~N instead of growing with the stream's age
+    * (the sink would otherwise accrue a manifest per micro-batch
+    * forever). Checkpointing is idempotent metadata — re-running it
+    * on a replayed batch is harmless. */
   def tableAppendStream(rows: DataFrame, dir: String,
-      appId: String): DataStreamWriter[Row] =
+      appId: String, checkpointEvery: Int = 16): DataStreamWriter[Row] = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      TableLog.appendOnce(batch.sparkSession, dir, batch, appId, batchId)
+      val spark = batch.sparkSession
+      TableLog.appendOnce(spark, dir, batch, appId, batchId)
+      if (TableLog.currentVersion(spark, dir) % checkpointEvery == 0)
+        TableLog.checkpoint(spark, dir)
     }
+  }
 }

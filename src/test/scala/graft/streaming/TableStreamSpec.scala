@@ -37,7 +37,10 @@ class TableStreamSpec extends SparkSpec with Matchers {
       val stream = spark.readStream
         .schema(spark.read.parquet(feed).schema)
         .option("maxFilesPerTrigger", 1).parquet(feed)
-      val q = TableStreams.tableAppendStream(stream, dir, appId = "t")
+      // checkpointEvery=2: the second committed version triggers a
+      // manifest checkpoint inside the sink
+      val q = TableStreams.tableAppendStream(stream, dir, appId = "t",
+        checkpointEvery = 2)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -79,6 +82,10 @@ class TableStreamSpec extends SparkSpec with Matchers {
     deliver("b1.parquet", 2000, 2020)
     runStream()
     TableLog.currentVersion(spark, dir) shouldBe 2
+    TableLog.readVersion(spark, dir).count() shouldBe 170
+    // v2 hit checkpointEvery=2 → the sink checkpointed: replay is one
+    // log read, and the snapshot reads identically through it
+    TableLog.replayCost(spark, dir) shouldBe 1
     TableLog.readVersion(spark, dir).count() shouldBe 170
   }
 
