@@ -76,12 +76,20 @@ object TableLog {
   }
 
   /** Earliest version still readable (0 unless [[vacuum]] advanced
-    * the watermark). */
+    * the watermark). Tolerates the watermark UPDATE's brief
+    * delete-then-rename window: a reader racing it retries once, and
+    * if the file is genuinely gone reads 0 — the watermark only ever
+    * advances, so the stale answer at worst lets a read attempt a
+    * vacuumed version and fail at the scan, never corrupts. */
   def earliestVersion(spark: SparkSession, dir: String): Int = {
     val fs = fsOf(spark, dir)
     val p = new Path(logDir(dir), "_earliest")
     if (!fs.exists(p)) 0
-    else readSmallFile(fs, p).trim.toInt
+    else try readSmallFile(fs, p).trim.toInt
+    catch {
+      case _: java.io.FileNotFoundException =>
+        if (fs.exists(p)) readSmallFile(fs, p).trim.toInt else 0
+    }
   }
 
   /** Latest committed version, or -1 for an empty table. */
@@ -175,19 +183,31 @@ object TableLog {
     * the table's entire commit history (a streaming table accrues a
     * manifest per micro-batch forever). Same format and atomicity as
     * a manifest; manifests are kept (txn idempotence and pre-
-    * checkpoint time travel still replay them). */
+    * checkpoint time travel still replay them), SUPERSEDED checkpoint
+    * files are deleted (older-version time travel just replays from
+    * v0 — slower, never wrong), and a re-checkpoint of an existing
+    * version is a no-op (the content is log-determined, and a
+    * delete-then-rename rewrite would open a missing-file window for
+    * concurrent readers). */
   def checkpoint(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
     val v = currentVersion(spark, dir)
     require(v >= 0, s"TableLog: no committed version in $dir")
-    val body = liveFileStats(spark, dir).map {
+    val p = new Path(logDir(dir), f"v$v%05d.checkpoint")
+    if (fs.exists(p)) return // same version ⇒ same content
+    // pin the captured version: a concurrent sink committing v+1
+    // between the version read and the state read must not leak into
+    // a file NAMED v (readVersion(Some(v)) would return the wrong
+    // snapshot, and a leaked remove-line prefix breaks later replays)
+    val body = liveFileStats(spark, dir, Some(v)).map {
       case AddEntry(rel, Some((lo, hi))) => s"add\t$rel\t$lo\t$hi"
       case AddEntry(rel, None) => s"add\t$rel"
     }.mkString("", "\n", "\n")
-    require(writeSmallFileAtomic(fs,
-      new Path(logDir(dir), f"v$v%05d.checkpoint"), body,
-      overwrite = true),
+    require(writeSmallFileAtomic(fs, p, body, overwrite = false),
       s"TableLog: failed to write checkpoint at v$v")
+    checkpointVersions(fs, dir).filter(_ < v).foreach { old =>
+      fs.delete(new Path(logDir(dir), f"v$old%05d.checkpoint"), false)
+    }
   }
 
   /** Log files a replay to `version` must read — the checkpoint
@@ -385,27 +405,35 @@ object TableLog {
     // can't read), and without the explicit evolution opt-in the
     // batch's column set must equal the table's (a typo'd column
     // name must fail loudly, not silently null a replaced row's
-    // real column and invent a junk one)
-    val tableSchema = readVersion(spark, dir).schema
+    // real column and invent a junk one). Names compare CASE-
+    // INSENSITIVELY, matching Spark's default resolution — a
+    // case-variant column is the same column, not a new one. The
+    // schema comes from the live set in hand (no second log replay).
+    def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val tableSchema = readLive(spark, dir, liveStats.map(_.rel)).schema
     batch.schema.foreach { f =>
-      tableSchema.find(_.name == f.name).foreach { t =>
+      tableSchema.find(t => norm(t.name) == norm(f.name)).foreach { t =>
         require(t.dataType == f.dataType,
           s"TableLog: batch column ${f.name} is ${f.dataType}, table " +
             s"has ${t.dataType} — a type conflict cannot be committed")
       }
     }
+    val tableCols = tableSchema.map(f => norm(f.name)).toSet
+    val batchCols = batch.columns.map(norm).toSet
     if (!allowSchemaEvolution)
-      require(batch.columns.toSet == tableSchema.map(_.name).toSet,
+      require(batchCols == tableCols,
         s"TableLog: batch schema ${batch.columns.sorted.mkString(",")} " +
           s"!= table schema ${tableSchema.map(_.name).sorted.mkString(",")}" +
           " — pass allowSchemaEvolution=true to add/omit columns " +
           "(omitted columns null-fill in replaced rows)")
-    else if (!batch.columns.forall(tableSchema.fieldNames.contains)) {
-      // new columns arriving: mark the table evolved so every reader
-      // (and the compaction paths) schema-merges from now on. Marker
-      // BEFORE the commit: a crash in between leaves a non-evolved
-      // table paying harmless merge reads, never an evolved table
-      // read without merging.
+    else if (batchCols != tableCols) {
+      // ANY column-set difference (adding OR omitting) marks the
+      // table evolved: an insert-only batch that omits a column
+      // commits narrow-schema files into a wide live set, and an
+      // unmerged read of that mix would silently drop the wide
+      // columns. Marker BEFORE the commit: a crash in between leaves
+      // a non-evolved table paying harmless merge reads, never an
+      // evolved table read without merging.
       require(writeSmallFileAtomic(fs,
         new Path(logDir(dir), "_evolved"), "1", overwrite = true),
         "TableLog: failed to mark schema evolution")
