@@ -11,13 +11,30 @@ import org.apache.spark.sql.functions._
   * mutates through, built on the primitives this engine already has
   * (COW upsert, one-job compaction, file-level pruning).
   *
-  * Layout: `dir/data/v<N>/…parquet` (files written by version N) +
-  * `dir/_log/v%05d.manifest` — one manifest per committed version,
-  * TSV lines `add\t<relpath>[\t<keyLo>\t<keyHi>]` /
-  * `remove\t<relpath>` / `txn\t<id>`. A snapshot is the log replay up
-  * to a version: metadata work bounded by FILE COUNT, never data
-  * size. Reads are `spark.read.parquet(liveFiles)` — ordinary pruned
-  * scans.
+  * Layout: `dir/data/v<N>-<attempt>/…parquet` (files written by an
+  * ATTEMPT at version N — the attempt token makes every writer's
+  * data dir unique, so a losing or crashed writer can never clobber
+  * a winner's committed files) + `dir/_log/v%05d.manifest` — one
+  * manifest per committed version, TSV lines
+  * `add\t<relpath>[\t<keyLo>\t<keyHi>]` / `remove\t<relpath>` /
+  * `txn\t<id>`. A snapshot is the log replay up to a version:
+  * metadata work bounded by FILE COUNT, never data size. Reads are
+  * `spark.read.parquet(liveFiles)` — ordinary pruned scans.
+  *
+  * BOUNDED LOG METADATA: `_log/_last_checkpoint` points at the
+  * newest manifest CHECKPOINT (full live-set + per-app txn
+  * high-water state in one file, format 2). Every metadata path is
+  * then bounded by COMMITS-SINCE-CHECKPOINT, never table age:
+  * [[currentVersion]] reads the pointer and probes forward instead
+  * of listing `_log`; snapshot replay starts at the checkpoint;
+  * [[appendOnce]]'s idempotence check stops at the checkpoint's txn
+  * marks; and [[vacuum]] sweeps the data directory against the
+  * retained live sets instead of replaying every manifest since v0
+  * — which also reclaims crashed writers' orphan attempt dirs.
+  * [[vacuum]] additionally TRUNCATES manifests below the newest
+  * checkpoint at or under the watermark (they serve no retained
+  * version), so `_log` itself stays O(checkpoint interval + retained
+  * window).
   *
   * MANIFEST KEY STATS: a table created with `statsKey = Some(col)`
   * (an integral merge-key column) records each added file's key
@@ -28,12 +45,15 @@ import org.apache.spark.sql.functions._
   * overlapping ones (the Iceberg/Delta skipping story, in the log
   * instead of footers so no file is even opened).
   *
-  * The commit discipline is the standard one: data files land first,
-  * the manifest is written LAST and is the atomic commit point — a
-  * crash mid-write leaves orphan data files and an unchanged table.
-  * Single-writer by contract ([[commit]] refuses to overwrite an
-  * existing version — the optimistic-concurrency check); multi-writer
-  * arbitration (retry/rebase) is a documented cut.
+  * The commit discipline is the standard one: data files land first
+  * (under the attempt's own dir), the manifest is written LAST and is
+  * the atomic commit point — a crash mid-write leaves orphan data
+  * files and an unchanged table. A lost commit race is retried by
+  * OPTIMISTIC REBASE where provably safe ([[upsert]]/[[delete]]: the
+  * winner touched none of our files and its added files' key ranges
+  * are disjoint from our batch keys; [[appendOnce]]: pure add —
+  * always safe after re-checking the txn stamp) and refused loudly
+  * otherwise.
   *
   * Mutations never touch committed files, so EVERY prior version
   * stays readable — time travel — until [[vacuum]] ages out files
@@ -45,6 +65,12 @@ object TableLog {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def logDir(dir: String) = new Path(dir, "_log")
+
+  private def manifestPath(dir: String, v: Int) =
+    new Path(logDir(dir), f"v$v%05d.manifest")
+
+  private def checkpointPath(dir: String, v: Int) =
+    new Path(logDir(dir), f"v$v%05d.checkpoint")
 
   private def readSmallFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -92,15 +118,58 @@ object TableLog {
     }
   }
 
-  /** Latest committed version, or -1 for an empty table. */
+  /** The `_last_checkpoint` pointer — the newest checkpoint's
+    * version in ONE small-file read, no directory listing. Absent on
+    * never-checkpointed tables (and in the crash window between a
+    * checkpoint write and its pointer update — both fall back to the
+    * listing). Tolerates the pointer UPDATE's delete-then-rename
+    * window the same way [[earliestVersion]] does. */
+  private def lastCheckpointVersion(fs: FileSystem,
+      dir: String): Option[Int] = {
+    val p = new Path(logDir(dir), "_last_checkpoint")
+    if (!fs.exists(p)) None
+    else try Some(readSmallFile(fs, p).trim.toInt)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        if (fs.exists(p)) Some(readSmallFile(fs, p).trim.toInt) else None
+    }
+  }
+
+  /** Versions with a checkpoint file, ascending — the LISTING path,
+    * used only off the steady state (no pointer yet, or time travel
+    * below the pointer). */
+  private def checkpointVersionsListed(fs: FileSystem,
+      dir: String): Seq[Int] = {
+    val ld = logDir(dir)
+    if (!fs.exists(ld)) Seq.empty
+    else fs.listStatus(ld).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".checkpoint") =>
+        n.stripPrefix("v").stripSuffix(".checkpoint").toInt }
+      .sorted.toSeq
+  }
+
+  /** Latest committed version, or -1 for an empty table. On a
+    * checkpointed table this reads the pointer and PROBES forward
+    * (checkpoint + one exists() per commit since it — bounded by the
+    * checkpoint interval); only never-checkpointed tables pay a
+    * directory listing. Probing is sound because versions commit
+    * contiguously: the first missing manifest above the checkpoint is
+    * the end of the log. */
   def currentVersion(spark: SparkSession, dir: String): Int = {
     val fs = fsOf(spark, dir)
-    val ld = logDir(dir)
-    if (!fs.exists(ld)) -1
-    else fs.listStatus(ld).map(_.getPath.getName)
-      .collect { case n if n.endsWith(".manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .foldLeft(-1)(math.max)
+    lastCheckpointVersion(fs, dir) match {
+      case Some(c) if fs.exists(manifestPath(dir, c)) =>
+        var v = c
+        while (fs.exists(manifestPath(dir, v + 1))) v += 1
+        v
+      case _ =>
+        val ld = logDir(dir)
+        if (!fs.exists(ld)) -1
+        else fs.listStatus(ld).map(_.getPath.getName)
+          .collect { case n if n.endsWith(".manifest") =>
+            n.stripPrefix("v").stripSuffix(".manifest").toInt }
+          .foldLeft(-1)(math.max)
+    }
   }
 
   /** An added file plus its optional merge-key min/max. */
@@ -118,7 +187,7 @@ object TableLog {
       txn: Option[String] = None): Unit = {
     val fs = fsOf(spark, dir)
     fs.mkdirs(logDir(dir))
-    val p = new Path(logDir(dir), f"v$v%05d.manifest")
+    val p = manifestPath(dir, v)
     require(!fs.exists(p),
       s"TableLog: version $v already committed (concurrent writer?)")
     val body = (txn.map("txn\t" + _).toSeq ++
@@ -136,14 +205,20 @@ object TableLog {
     * ids are monotonic per app, so that one stamp decides (>= ours ⇒
     * ours already landed). A steady-state streaming sink therefore
     * reads ONE manifest per check (its own previous batch), not the
-    * whole log — only an app's very first append on an old table
-    * scans deeper. */
+    * whole log. The scan floor is the newest checkpoint: format-2
+    * checkpoints fold every app's high-water mark into their `txn`
+    * lines, so an app's very first append on an old table reads
+    * checkpoint + manifests-since instead of the whole history (and
+    * manifests below the checkpoint may have been truncated by
+    * [[vacuum]] anyway). */
   private def txnCommitted(spark: SparkSession, dir: String,
       appId: String, batchId: Long): Boolean = {
     val fs = fsOf(spark, dir)
     val latest = currentVersion(spark, dir)
+    val cp = baseCheckpointFor(fs, dir, latest)
+    val floor = cp.getOrElse(-1)
     var v = latest
-    while (v >= 0) {
+    while (v > floor) {
       manifestLines(fs, dir, v).foreach {
         case ("txn", values) =>
           val id = values.head
@@ -154,59 +229,178 @@ object TableLog {
       }
       v -= 1
     }
-    false
+    cp match {
+      case Some(c) =>
+        val st = parseCheckpoint(fs, checkpointPath(dir, c))
+        if (st.isV2) st.txns.get(appId).exists(_ >= batchId)
+        else {
+          // legacy (format-1) checkpoint: no txn state folded in —
+          // keep scanning the manifests below it, as before
+          var w = c
+          while (w >= 0) {
+            manifestLines(fs, dir, w).foreach {
+              case ("txn", values) =>
+                val id = values.head
+                val cut = id.lastIndexOf('#')
+                if (cut > 0 && id.substring(0, cut) == appId)
+                  return id.substring(cut + 1).toLong >= batchId
+              case _ => ()
+            }
+            w -= 1
+          }
+          false
+        }
+      case None => false
+    }
   }
 
   private def manifestLines(fs: FileSystem, dir: String, v: Int)
       : Seq[(String, Seq[String])] = {
-    val p = new Path(logDir(dir), f"v$v%05d.manifest")
-    require(fs.exists(p), s"TableLog: missing manifest v$v (corrupt log)")
+    val p = manifestPath(dir, v)
+    require(fs.exists(p), s"TableLog: missing manifest v$v — either a " +
+      "corrupt log, or a version below the truncation point (vacuum " +
+      "truncates manifests no retained version replays)")
     readSmallFile(fs, p).split('\n').filter(_.nonEmpty).toSeq.map { line =>
       val parts = line.split('\t').toSeq
       (parts.head, parts.tail)
     }
   }
 
-  /** Versions with a checkpoint file, ascending. */
-  private def checkpointVersions(fs: FileSystem, dir: String): Seq[Int] = {
-    val ld = logDir(dir)
-    if (!fs.exists(ld)) Seq.empty
-    else fs.listStatus(ld).map(_.getPath.getName)
-      .collect { case n if n.endsWith(".checkpoint") =>
-        n.stripPrefix("v").stripSuffix(".checkpoint").toInt }
-      .sorted.toSeq
+  /** Parsed checkpoint state: the live add-set at its version, the
+    * per-app txn high-water marks (format 2), and the format flag
+    * (format-1 files carry add lines only). */
+  private final case class CpState(isV2: Boolean, adds: Seq[AddEntry],
+      txns: Map[String, Long])
+
+  private def parseCheckpoint(fs: FileSystem, p: Path): CpState = {
+    var isV2 = false
+    val adds = Seq.newBuilder[AddEntry]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    readSmallFile(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
+      line.split('\t').toSeq match {
+        case Seq("format", v) => isV2 = v.toInt >= 2
+        case Seq("add", rel) => adds += AddEntry(rel, None)
+        case Seq("add", rel, lo, hi) =>
+          adds += AddEntry(rel, Some((lo.toLong, hi.toLong)))
+        case Seq("txn", id) =>
+          val cut = id.lastIndexOf('#')
+          require(cut > 0, s"TableLog: bad checkpoint txn line $id")
+          txns(id.substring(0, cut)) = id.substring(cut + 1).toLong
+        case other => throw new IllegalArgumentException(
+          s"TableLog: bad checkpoint line $other")
+      }
+    }
+    CpState(isV2, adds.result(), txns.toMap)
   }
 
-  /** Write a CHECKPOINT of the live set at the current version: the
-    * full add-line state in one file, so later replays start here
-    * instead of v0 — without it, snapshot metadata cost grows with
-    * the table's entire commit history (a streaming table accrues a
-    * manifest per micro-batch forever). Same format and atomicity as
-    * a manifest; manifests are kept (txn idempotence and pre-
-    * checkpoint time travel still replay them), SUPERSEDED checkpoint
-    * files are deleted (older-version time travel just replays from
-    * v0 — slower, never wrong), and a re-checkpoint of an existing
-    * version is a no-op (the content is log-determined, and a
-    * delete-then-rename rewrite would open a missing-file window for
-    * concurrent readers). */
+  /** The replay base for a read at `upTo`: the pointer's checkpoint
+    * when it applies (ONE small-file read — the steady-state path);
+    * a checkpoint listing only for time travel below the pointer or
+    * a missing pointer. */
+  private def baseCheckpointFor(fs: FileSystem, dir: String,
+      upTo: Int): Option[Int] =
+    lastCheckpointVersion(fs, dir) match {
+      case Some(c) if c <= upTo && fs.exists(checkpointPath(dir, c)) =>
+        Some(c)
+      case _ => checkpointVersionsListed(fs, dir).filter(_ <= upTo)
+        .sorted.lastOption
+    }
+
+  /** Full log state at `upTo`: live add-set + per-app txn marks —
+    * checkpoint base (if any) + manifests since. Retries ONCE on a
+    * checkpoint file deleted between resolution and read (checkpoint
+    * retention keeps the current and previous files, so only a
+    * reader stalled across two whole checkpoint intervals can race
+    * the cleanup; the retry re-resolves from the fresh pointer). */
+  private def replayState(spark: SparkSession, dir: String,
+      upTo: Int): (Seq[AddEntry], Map[String, Long]) = {
+    val fs = fsOf(spark, dir)
+    def attempt(): (Seq[AddEntry], Map[String, Long]) = {
+      val live =
+        new scala.collection.mutable.LinkedHashMap[String, AddEntry]()
+      val txns = scala.collection.mutable.Map.empty[String, Long]
+      val from = baseCheckpointFor(fs, dir, upTo) match {
+        case Some(c) =>
+          val st = parseCheckpoint(fs, checkpointPath(dir, c))
+          st.adds.foreach(e => live += e.rel -> e)
+          txns ++= st.txns
+          c + 1
+        case None => 0
+      }
+      (from to upTo).foreach { v =>
+        manifestLines(fs, dir, v).foreach {
+          case ("add", Seq(rel)) => live += rel -> AddEntry(rel, None)
+          case ("add", Seq(rel, lo, hi)) =>
+            live += rel -> AddEntry(rel, Some((lo.toLong, hi.toLong)))
+          case ("remove", Seq(rel)) =>
+            require(live.remove(rel).isDefined,
+              s"TableLog: v$v removes unknown file $rel")
+          case ("txn", Seq(id)) =>
+            val cut = id.lastIndexOf('#')
+            if (cut > 0) {
+              val app = id.substring(0, cut)
+              val b = id.substring(cut + 1).toLong
+              if (txns.get(app).forall(_ < b)) txns(app) = b
+            }
+          case (other, _) =>
+            throw new IllegalArgumentException(
+              s"TableLog: bad manifest action $other")
+        }
+      }
+      (live.values.toSeq, txns.toMap)
+    }
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => attempt() }
+  }
+
+  /** Write a CHECKPOINT of the log state at the current version: the
+    * full add-line state plus every app's txn high-water mark in one
+    * file (format 2), so later replays AND txn-idempotence checks
+    * start here instead of v0 — without it, snapshot metadata cost
+    * grows with the table's entire commit history (a streaming table
+    * accrues a manifest per micro-batch forever). Same atomicity as a
+    * manifest; the `_last_checkpoint` pointer updates after the file
+    * lands (crash in between ⇒ stale pointer, repaired by the next
+    * checkpoint; readers just replay from the previous one).
+    * Superseded checkpoints are pruned KEEPING the immediately
+    * previous file (a concurrent reader resolving the old pointer
+    * must never hit a missing file) and the newest checkpoint at or
+    * under the vacuum watermark (it is the replay base for retained
+    * pre-pointer versions once vacuum truncates manifests below it).
+    * A re-checkpoint of an existing version only repairs the pointer
+    * (the content is log-determined). */
   def checkpoint(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
     val v = currentVersion(spark, dir)
     require(v >= 0, s"TableLog: no committed version in $dir")
-    val p = new Path(logDir(dir), f"v$v%05d.checkpoint")
-    if (fs.exists(p)) return // same version ⇒ same content
-    // pin the captured version: a concurrent sink committing v+1
-    // between the version read and the state read must not leak into
-    // a file NAMED v (readVersion(Some(v)) would return the wrong
-    // snapshot, and a leaked remove-line prefix breaks later replays)
-    val body = liveFileStats(spark, dir, Some(v)).map {
-      case AddEntry(rel, Some((lo, hi))) => s"add\t$rel\t$lo\t$hi"
-      case AddEntry(rel, None) => s"add\t$rel"
-    }.mkString("", "\n", "\n")
-    require(writeSmallFileAtomic(fs, p, body, overwrite = false),
-      s"TableLog: failed to write checkpoint at v$v")
-    checkpointVersions(fs, dir).filter(_ < v).foreach { old =>
-      fs.delete(new Path(logDir(dir), f"v$old%05d.checkpoint"), false)
+    val p = checkpointPath(dir, v)
+    if (!fs.exists(p)) {
+      // pin the captured version: a concurrent sink committing v+1
+      // between the version read and the state read must not leak
+      // into a file NAMED v (readVersion(Some(v)) would return the
+      // wrong snapshot, and a leaked remove-line prefix breaks later
+      // replays)
+      val (adds, txns) = replayState(spark, dir, v)
+      val body = ("format\t2" +:
+        (txns.toSeq.sortBy(_._1).map { case (app, b) => s"txn\t$app#$b" } ++
+          adds.map {
+            case AddEntry(rel, Some((lo, hi))) => s"add\t$rel\t$lo\t$hi"
+            case AddEntry(rel, None) => s"add\t$rel"
+          })).mkString("", "\n", "\n")
+      require(writeSmallFileAtomic(fs, p, body, overwrite = false),
+        s"TableLog: failed to write checkpoint at v$v")
+    }
+    if (!lastCheckpointVersion(fs, dir).contains(v))
+      require(writeSmallFileAtomic(fs,
+        new Path(logDir(dir), "_last_checkpoint"), v.toString,
+        overwrite = true),
+        "TableLog: failed to update the _last_checkpoint pointer")
+    val earliest = earliestVersion(spark, dir)
+    val others = checkpointVersionsListed(fs, dir).filter(_ < v)
+    val keep = Set(others.sorted.lastOption,
+      others.filter(_ <= earliest).sorted.lastOption).flatten
+    others.filterNot(keep).foreach { old =>
+      fs.delete(checkpointPath(dir, old), false)
     }
   }
 
@@ -216,8 +410,10 @@ object TableLog {
       version: Option[Int] = None): Int = {
     val fs = fsOf(spark, dir)
     val upTo = version.getOrElse(currentVersion(spark, dir))
-    val cp = checkpointVersions(fs, dir).filter(_ <= upTo)
-    if (cp.isEmpty) upTo + 1 else 1 + (upTo - cp.max)
+    baseCheckpointFor(fs, dir, upTo) match {
+      case Some(c) => 1 + (upTo - c)
+      case None => upTo + 1
+    }
   }
 
   /** Live dir-relative file paths plus their manifest key stats at
@@ -228,44 +424,13 @@ object TableLog {
     * instead of at scan time on a missing data file. */
   def liveFileStats(spark: SparkSession, dir: String,
       version: Option[Int] = None): Seq[AddEntry] = {
-    val fs = fsOf(spark, dir)
     val upTo = version.getOrElse(currentVersion(spark, dir))
     require(upTo >= 0, s"TableLog: no committed version in $dir")
     val earliest = earliestVersion(spark, dir)
     require(upTo >= earliest,
       s"TableLog: version $upTo was vacuumed (earliest readable: " +
         s"$earliest)")
-    val live =
-      new scala.collection.mutable.LinkedHashMap[String, AddEntry]()
-    val cp = checkpointVersions(fs, dir).filter(_ <= upTo)
-    val from = if (cp.isEmpty) 0 else {
-      readSmallFile(fs, new Path(logDir(dir), f"v${cp.max}%05d.checkpoint"))
-        .split('\n').filter(_.nonEmpty).foreach { line =>
-          line.split('\t').toSeq match {
-            case Seq("add", rel) => live += rel -> AddEntry(rel, None)
-            case Seq("add", rel, lo, hi) =>
-              live += rel -> AddEntry(rel, Some((lo.toLong, hi.toLong)))
-            case other => throw new IllegalArgumentException(
-              s"TableLog: bad checkpoint line $other")
-          }
-        }
-      cp.max + 1
-    }
-    (from to upTo).foreach { v =>
-      manifestLines(fs, dir, v).foreach {
-        case ("add", Seq(rel)) => live += rel -> AddEntry(rel, None)
-        case ("add", Seq(rel, lo, hi)) =>
-          live += rel -> AddEntry(rel, Some((lo.toLong, hi.toLong)))
-        case ("remove", Seq(rel)) =>
-          require(live.remove(rel).isDefined,
-            s"TableLog: v$v removes unknown file $rel")
-        case ("txn", _) => () // writer-idempotence stamp, not a file
-        case (other, _) =>
-          throw new IllegalArgumentException(
-            s"TableLog: bad manifest action $other")
-      }
-    }
-    live.values.toSeq
+    replayState(spark, dir, upTo)._1
   }
 
   /** Live dir-relative file paths at `version` (latest if None). */
@@ -307,7 +472,8 @@ object TableLog {
     else Some(readSmallFile(fs, p).trim)
   }
 
-  /** Dir-relative parquet paths of an already-written `data/v<N>`. */
+  /** Dir-relative parquet paths of an already-written `data/…`
+    * attempt dir. */
   private def writeDataList(spark: SparkSession, dir: String,
       sub: String): Seq[String] = {
     val fs = fsOf(spark, dir)
@@ -325,6 +491,7 @@ object TableLog {
       rels: Seq[String], key: Option[String]): Seq[AddEntry] =
     key match {
       case None => rels.map(AddEntry(_, None))
+      case Some(_) if rels.isEmpty => Seq.empty
       case Some(k) =>
         val fs = fsOf(spark, dir)
         val uriToRel = rels.map { r =>
@@ -342,12 +509,22 @@ object TableLog {
         rels.map(r => AddEntry(r, got.get(r)))
     }
 
-  /** Write `df`'s files under `data/v<N>` and return their add
-    * entries (with key stats when the table has a stats key). */
+  /** A fresh per-attempt data subdir for (an attempt at) version
+    * `v`: the random token makes concurrent or crash-retried writers
+    * land in DISJOINT dirs, so no attempt can ever delete or replace
+    * another attempt's (possibly already-committed) files — the
+    * manifest decides the winner, [[vacuum]]'s orphan sweep reclaims
+    * the losers. The version in the name is cosmetic (for humans
+    * debugging a table); the log records full relative paths. */
+  private def attemptDir(v: Int): String =
+    f"data/v$v%05d-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** Write `df`'s files under a fresh attempt dir and return their
+    * add entries (with key stats when the table has a stats key). */
   private def writeData(spark: SparkSession, df: DataFrame, dir: String,
       v: Int): Seq[AddEntry] = {
-    val sub = f"data/v$v%05d"
-    df.write.mode("overwrite").parquet(s"$dir/$sub")
+    val sub = attemptDir(v)
+    df.write.parquet(s"$dir/$sub")
     statsOf(spark, dir, writeDataList(spark, dir, sub),
       statsKeyOf(spark, dir))
   }
@@ -384,6 +561,74 @@ object TableLog {
     commit(spark, dir, 0, writeData(spark, df, dir, 0), Nil)
   }
 
+  /** Commit `adds`/`removes` at `v`, REBASING over concurrent
+    * winners when provably safe: on a lost race, re-read the
+    * winners' manifests and retry at the new head iff (a) no winner
+    * removed (rewrote) any file this plan touched — our rewrite of
+    * its content would resurrect pre-winner rows — and (b) every
+    * winner-added file's key range is provably disjoint from this
+    * batch's keys (a winner inserting one of our keys would end up
+    * duplicated by our carried-forward insert decision; winner adds
+    * WITHOUT stats are conservatively conflicts when the batch has
+    * key semantics). The plan's data files live in their own attempt
+    * dir, so a rebase re-commits METADATA only — no data is
+    * rewritten — and an abort leaves only orphans for vacuum.
+    * `keyed = false` means "pure add, no key semantics"
+    * (appendOnce): only (a) applies, vacuously when `removes` is
+    * empty. `keyed = true` with `batchKeys = None` (the batch's keys
+    * could not be collected — oversized or non-integral) treats
+    * EVERY winner add as a conflict: disjointness can't be proven,
+    * so it isn't assumed. */
+  private[queries] def commitRebased(spark: SparkSession, dir: String,
+      firstV: Int, adds: Seq[AddEntry], removes: Seq[String],
+      keyed: Boolean, batchKeys: Option[Array[Long]],
+      txn: Option[String], maxRebases: Int): Unit = {
+    val fs = fsOf(spark, dir)
+    var v = firstV
+    var rebases = 0
+    while (true) {
+      try {
+        commit(spark, dir, v, adds, removes, txn)
+        return
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("committed") =>
+          val head = currentVersion(spark, dir)
+          require(rebases < maxRebases,
+            s"TableLog: lost the commit race at v$v and exhausted " +
+              s"$maxRebases rebases (head is now v$head)")
+          require(head >= v, s"TableLog: commit v$v refused but head is " +
+            s"v$head — corrupt log?")
+          // audit every winner committed since our base
+          val ourRemoves = removes.toSet
+          (v to head).foreach { w =>
+            manifestLines(fs, dir, w).foreach {
+              case ("remove", Seq(rel)) =>
+                require(!ourRemoves.contains(rel),
+                  s"TableLog: conflict — winner v$w rewrote $rel, which " +
+                    "this MERGE also touched; aborting (retry the whole " +
+                    "operation against the new head)")
+              case ("add", vs) if keyed =>
+                val overlap = (batchKeys, vs) match {
+                  case (Some(ks), Seq(_, lo, hi)) =>
+                    val i = java.util.Arrays.binarySearch(ks, lo.toLong)
+                    val at = if (i >= 0) i else -i - 1
+                    at < ks.length && ks(at) <= hi.toLong
+                  case _ => true // no stats either side: not provable
+                }
+                require(!overlap,
+                  s"TableLog: conflict — winner v$w added ${vs.head} " +
+                    "whose key range may contain this batch's keys; " +
+                    "aborting (retry against the new head)")
+              case _ => ()
+            }
+          }
+          v = head + 1
+          rebases += 1
+      }
+    }
+  }
+
   /** Copy-on-write MERGE: rows of `batch` replace same-`key` rows;
     * unmatched batch rows insert. Only files that CONTAIN a batch key
     * are rewritten; untouched files are carried by reference, never
@@ -392,9 +637,12 @@ object TableLog {
     * key, files whose recorded [keyLo, keyHi] misses the batch's key
     * range are skipped without even being OPENED (the lakehouse
     * skipping decision, from the log); (2) the surviving candidates
-    * get one column-pruned semi-join scan. */
+    * get one column-pruned semi-join scan. A commit race rebases
+    * optimistically (see [[commitRebased]]) up to `maxRebases` times
+    * before aborting. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
-      key: String, allowSchemaEvolution: Boolean = false): Unit = {
+      key: String, allowSchemaEvolution: Boolean = false,
+      maxRebases: Int = 2): Unit = {
     val v = currentVersion(spark, dir) + 1
     require(v >= 1, s"TableLog: no base version in $dir")
     val liveStats = liveFileStats(spark, dir)
@@ -443,23 +691,28 @@ object TableLog {
     // without it each action re-shuffles the batch's distinct
     val keys = batch.select(col(key)).distinct().persist()
     try {
+    val sortedKeys = sortedBatchKeys(keys, key)
     // stage 1: manifest-stats pruning — per-KEY precision (a file
     // survives iff some batch key falls inside its [lo, hi]; binary
     // search per file over the sorted batch keys), so a batch
     // touching the table's two ends doesn't admit everything between
     val candidates: Seq[String] =
       if (statsKeyOf(spark, dir).contains(key))
-        statsSurvivors(liveStats, sortedBatchKeys(keys, key)).map(_.rel)
+        statsSurvivors(liveStats, sortedKeys).map(_.rel)
       else liveStats.map(_.rel)
     // dir-relative path by the scan's own URI rendering (the
     // compactFiles file-name-encoding lesson)
     val uriOf = candidates.map { rel =>
       fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString -> rel
     }.toMap
-    // stage 2: the column-pruned touch-scan over the candidates only
+    // stage 2: the column-pruned touch-scan over the candidates only.
+    // readLive, NOT a plain read: on an evolved table whose merge key
+    // arrived BY evolution, single-footer inference may pick a file
+    // lacking the key column — an AnalysisException on one run,
+    // a silently empty semi-join on another (review-caught)
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else spark.read.parquet(candidates.map(r => s"$dir/$r"): _*)
+      else readLive(spark, dir, candidates)
         .withColumn("_graft_file", input_file_name())
         .join(broadcast(keys), Seq(key), "left_semi")
         .select(col("_graft_file")).distinct()
@@ -476,7 +729,49 @@ object TableLog {
       else readLive(spark, dir, touched)
         .join(broadcast(keys), Seq(key), "left_anti")
         .unionByName(batch, allowMissingColumns = allowSchemaEvolution)
-    commit(spark, dir, v, writeData(spark, rewritten, dir, v), touched)
+    commitRebased(spark, dir, v, writeData(spark, rewritten, dir, v),
+      touched, keyed = true, sortedKeys, None, maxRebases)
+    } finally keys.unpersist(blocking = false)
+  }
+
+  /** MERGE's delete arm: rows whose `key` appears in `keys` are
+    * REMOVED from the table (decontamination hits, takedowns). Same
+    * COW shape as [[upsert]]: the stats-pruned touch-scan finds the
+    * files that contain a doomed key, ONLY those are rewritten
+    * (anti-joined against the keys), untouched files carry by
+    * reference, and prior versions still read the deleted rows —
+    * time travel — until vacuumed. */
+  def delete(spark: SparkSession, dir: String, keysDf: DataFrame,
+      key: String, maxRebases: Int = 2): Unit = {
+    val v = currentVersion(spark, dir) + 1
+    require(v >= 1, s"TableLog: no base version in $dir")
+    val liveStats = liveFileStats(spark, dir)
+    val fs = fsOf(spark, dir)
+    val keys = keysDf.select(col(key)).distinct().persist()
+    try {
+    val sortedKeys = sortedBatchKeys(keys, key)
+    val candidates: Seq[String] =
+      if (statsKeyOf(spark, dir).contains(key))
+        statsSurvivors(liveStats, sortedKeys).map(_.rel)
+      else liveStats.map(_.rel)
+    val uriOf = candidates.map { rel =>
+      fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString -> rel
+    }.toMap
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else readLive(spark, dir, candidates)
+        .withColumn("_graft_file", input_file_name())
+        .join(broadcast(keys), Seq(key), "left_semi")
+        .select(col("_graft_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
+        .map(u => uriOf.getOrElse(u,
+          throw new IllegalStateException(
+            s"TableLog: scan file $u not in the live set")))
+    if (touched.isEmpty) return // nothing contains a doomed key
+    val survivors = readLive(spark, dir, touched)
+      .join(broadcast(keys), Seq(key), "left_anti")
+    commitRebased(spark, dir, v, writeData(spark, survivors, dir, v),
+      touched, keyed = true, sortedKeys, None, maxRebases)
     } finally keys.unpersist(blocking = false)
   }
 
@@ -487,10 +782,13 @@ object TableLog {
   private val MaxStatsKeys = 4 << 20
 
   /** The batch's distinct keys as a sorted long array, or None when
-    * stats can't apply (non-castable key, all-null, oversized). */
+    * stats can't apply (non-castable key, all-null, oversized).
+    * try_cast, not cast: a non-integral key (string merge keys are
+    * legal, just unprunable) must degrade to the conservative None,
+    * not throw under ANSI mode. */
   private def sortedBatchKeys(keys: DataFrame,
       key: String): Option[Array[Long]] = {
-    val ks = keys.select(col(key).cast("long").as("k"))
+    val ks = keys.selectExpr(s"try_cast(`$key` AS BIGINT) AS k")
       .filter(col("k").isNotNull)
       .limit(MaxStatsKeys + 1)
       .collect().map(_.getLong(0))
@@ -527,8 +825,13 @@ object TableLog {
   /** OPTIMIZE: rewrite the live files into target-sized bins (the
     * q_compact_plan cumulative rule, ONE distributed job — same shape
     * as [[Layout.compactFiles]]) and commit remove(old)+add(new).
-    * Content-identical by construction; prior versions stay
-    * readable. */
+    * Content-identical by construction AND by assertion: the rewrite
+    * joins rows to bins on the scan's URI rendering, so before
+    * committing remove() of every old file the written row count
+    * must equal the live row count — a rendering mismatch that
+    * silently dropped a file's rows would otherwise commit data loss
+    * (both counts are parquet footer metadata, not data scans).
+    * Prior versions stay readable. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): Unit = {
     require(targetBytes > 0, "TableLog.compact needs targetBytes > 0")
     val v = currentVersion(spark, dir) + 1
@@ -544,15 +847,15 @@ object TableLog {
     val nBins = binOf.map(_._2).distinct.length
     import spark.implicits._
     // join on the FULL scan URI, never the basename: live files span
-    // multiple data/v<N>(/bin=…) dirs and a prior compact's
-    // dynamic-partition write reuses one task's part-file basename in
-    // every bin directory it writes — a basename-keyed inner join
-    // would fan such rows out to every same-named map entry and
-    // commit duplicated rows (review-caught)
+    // multiple data dirs and a prior compact's dynamic-partition
+    // write reuses one task's part-file basename in every bin
+    // directory it writes — a basename-keyed inner join would fan
+    // such rows out to every same-named map entry and commit
+    // duplicated rows (review-caught)
     val binMap = binOf.map { case (rel, b) =>
       (fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString, b)
     }.toDF("_graft_fname", "_graft_bin")
-    val sub = f"data/v$v%05d"
+    val sub = attemptDir(v)
     // readLive: on an EVOLVED table a plain read would infer the
     // schema from ONE footer (the pre-evolution files sort first) and
     // the rewrite would silently DROP the evolved column — then
@@ -562,8 +865,15 @@ object TableLog {
       .join(broadcast(binMap), "_graft_fname")
       .drop("_graft_fname")
       .repartition(nBins, col("_graft_bin"))
-      .write.mode("overwrite").partitionBy("_graft_bin")
+      .write.partitionBy("_graft_bin")
       .parquet(s"$dir/$sub")
+    val liveCount = readLive(spark, dir, live).count()
+    val written = spark.read.parquet(s"$dir/$sub")
+    val writtenCount = written.count()
+    require(writtenCount == liveCount,
+      s"TableLog.compact: rewrite produced $writtenCount rows from a " +
+        s"live set of $liveCount — a file's rows were dropped (URI " +
+        "rendering mismatch in the bin join?); refusing to commit")
     val added = fs.listStatus(new Path(dir, sub)).filter(_.isDirectory)
       .flatMap(d => fs.listStatus(d.getPath))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -591,12 +901,12 @@ object TableLog {
     require(v >= 1, s"TableLog: no base version in $dir")
     val live = liveFiles(spark, dir)
     val z = Layout.zOf(ub, vb)
-    val sub = f"data/v$v%05d"
+    val sub = attemptDir(v)
     // readLive: same evolved-column-loss hazard as compact
     readLive(spark, dir, live)
       .repartitionByRange(nFiles, z)
       .sortWithinPartitions(z)
-      .write.mode("overwrite").parquet(s"$dir/$sub")
+      .write.parquet(s"$dir/$sub")
     commit(spark, dir, v,
       statsOf(spark, dir, writeDataList(spark, dir, sub),
         statsKeyOf(spark, dir)), live)
@@ -612,26 +922,59 @@ object TableLog {
     * txn-marker discipline of real table formats (Delta's
     * txn appId+version). The check reads ONE manifest in steady state
     * (see [[txnCommitted]]); batch ids must be monotonic per app —
-    * exactly what a streaming checkpoint provides. */
+    * exactly what a streaming checkpoint provides. A commit race
+    * (another app appending concurrently) rebases: a pure add
+    * conflicts with nothing, so the retry just re-checks the txn
+    * stamp and commits at the new head. */
   def appendOnce(spark: SparkSession, dir: String, batch: DataFrame,
-      appId: String, batchId: Long): Unit = {
+      appId: String, batchId: Long, maxRebases: Int = 4): Unit = {
     require(!appId.contains('#') && !appId.contains('\t') &&
       !appId.contains('\n'), s"TableLog: bad appId $appId")
     if (txnCommitted(spark, dir, appId, batchId)) return
-    val v = currentVersion(spark, dir) + 1
-    require(v >= 1, s"TableLog: no base version in $dir")
-    commit(spark, dir, v, writeData(spark, batch, dir, v), Nil,
-      txn = Some(s"$appId#$batchId"))
+    var adds: Seq[AddEntry] = null
+    var attempts = 0
+    while (true) {
+      val v = currentVersion(spark, dir) + 1
+      require(v >= 1, s"TableLog: no base version in $dir")
+      if (adds == null) adds = writeData(spark, batch, dir, v)
+      try {
+        commit(spark, dir, v, adds, Nil, Some(s"$appId#$batchId"))
+        return
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("committed") =>
+          attempts += 1
+          require(attempts <= maxRebases,
+            s"TableLog: append lost $attempts commit races at $dir")
+          // the winner may have been a same-app zombie replaying THIS
+          // batch — re-check the stamp before re-committing, or the
+          // rebase itself would duplicate the rows
+          if (txnCommitted(spark, dir, appId, batchId)) return
+      }
+    }
   }
 
-  /** Retention: delete data files referenced ONLY by versions older
-    * than the newest `retainVersions`, and advance the earliest-
-    * readable watermark — a vacuumed version fails loudly at
-    * [[liveFiles]], not with a missing-file scan error. Manifests are
-    * kept (the replay history is metadata-cheap and keeps txn
-    * idempotence intact). Returns the number of files deleted. */
+  /** Retention: advance the earliest-readable watermark past all but
+    * the newest `retainVersions` versions, then SWEEP the data
+    * directory — every parquet file not live in a retained version
+    * goes, which reclaims both vacuumed history AND crashed/losing
+    * writers' orphan attempt dirs (files a manifest never
+    * referenced). Cost is bounded by what is physically on disk
+    * (retained data + debris), never by table age — no manifest
+    * replay from v0. `orphanGraceMs` spares files younger than the
+    * grace window: an IN-FLIGHT writer's data files land before its
+    * commit, so when vacuuming while writers may be active (e.g. a
+    * live streaming sink), pass a grace comfortably above the
+    * longest write-to-commit latency; the default 0 is the
+    * maintenance-window contract (no writer in flight). Manifests
+    * below the newest checkpoint at or under the watermark are
+    * TRUNCATED (no retained version replays them; the checkpoint
+    * carries the txn high-water marks that keep [[appendOnce]]
+    * idempotent), so `_log` stays bounded too. A vacuumed version
+    * fails loudly at [[liveFiles]], not with a missing-file scan
+    * error. Returns the number of data files deleted. */
   def vacuum(spark: SparkSession, dir: String,
-      retainVersions: Int = 1): Int = {
+      retainVersions: Int = 1, orphanGraceMs: Long = 0L): Int = {
     require(retainVersions >= 1, "vacuum must retain >= 1 version")
     val fs = fsOf(spark, dir)
     val latest = currentVersion(spark, dir)
@@ -650,13 +993,71 @@ object TableLog {
     require(writeSmallFileAtomic(fs, new Path(logDir(dir), "_earliest"),
       earliest.toString, overwrite = true),
       "TableLog: failed to advance the vacuum watermark")
-    // every file the log ever added
-    val everAdded = (0 to latest).flatMap(v =>
-      manifestLines(fs, dir, v).collect { case ("add", vs) => vs.head })
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    val root = fs.makeQualified(new Path(dir)).toUri.toString
+    val dataRoot = new Path(dir, "data")
+    val qualifiedDataRoot = fs.makeQualified(dataRoot)
     var deleted = 0
-    everAdded.filterNot(keep).distinct.foreach { rel =>
-      val p = new Path(s"$dir/$rel")
-      if (fs.exists(p) && fs.delete(p, false)) deleted += 1
+    if (fs.exists(dataRoot)) {
+      // the attempt dir (dataRoot's direct child) a nested file
+      // belongs to — compact's bin subdirs nest one level deeper
+      def attemptDirOf(p: Path): Path = {
+        var d = p.getParent
+        while (d.getParent != null && d.getParent != qualifiedDataRoot &&
+          d.getParent.toUri != qualifiedDataRoot.toUri) d = d.getParent
+        d
+      }
+      val sweptDirs = scala.collection.mutable.Set.empty[Path]
+      val it = fs.listFiles(dataRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val uri = st.getPath.toUri.toString
+        val rel = if (uri.startsWith(root + "/"))
+          uri.substring(root.length + 1) else uri
+        if (st.getPath.getName.endsWith(".parquet") &&
+            !keep.contains(rel) &&
+            st.getModificationTime <= cutoff &&
+            fs.delete(st.getPath, false)) {
+          deleted += 1
+          sweptDirs += attemptDirOf(st.getPath)
+        }
+      }
+      // drop attempt dirs that no longer hold any parquet (write
+      // markers like _SUCCESS only). Eligible if the sweep itself
+      // emptied them (their stale content proves no writer is filling
+      // them — in-flight attempts have their own fresh dirs the grace
+      // window spared) or, for never-populated crash debris, if the
+      // dir itself is older than the grace window (our own deletes
+      // bump a swept dir's mtime, so mtime alone can't decide)
+      fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+        val anyParquet = {
+          val sub = fs.listFiles(d.getPath, true)
+          var found = false
+          while (!found && sub.hasNext)
+            found = sub.next().getPath.getName.endsWith(".parquet")
+          found
+        }
+        if (!anyParquet && (sweptDirs.contains(fs.makeQualified(d.getPath))
+            || d.getModificationTime <= cutoff))
+          fs.delete(d.getPath, true)
+      }
+    }
+    // truncate manifests no retained version replays: everything
+    // below the newest checkpoint at or under the watermark (that
+    // checkpoint is the replay base for the oldest retained reads;
+    // format-2 only — a legacy checkpoint carries no txn marks, so
+    // the manifests under it still back appendOnce's idempotence)
+    checkpointVersionsListed(fs, dir).filter(_ <= earliest)
+      .sorted.lastOption.foreach { base =>
+      if (base > 0 && parseCheckpoint(fs, checkpointPath(dir, base)).isV2) {
+        (0 until base).foreach { v =>
+          val m = manifestPath(dir, v)
+          if (fs.exists(m)) fs.delete(m, false)
+        }
+        checkpointVersionsListed(fs, dir).filter(_ < base).foreach { c =>
+          fs.delete(checkpointPath(dir, c), false)
+        }
+      }
     }
     deleted
   }
