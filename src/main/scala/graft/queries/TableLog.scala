@@ -1050,10 +1050,11 @@ object TableLog {
     checkpointVersionsListed(fs, dir).filter(_ <= earliest)
       .sorted.lastOption.foreach { base =>
       if (base > 0 && parseCheckpoint(fs, checkpointPath(dir, base)).isV2) {
-        (0 until base).foreach { v =>
-          val m = manifestPath(dir, v)
-          if (fs.exists(m)) fs.delete(m, false)
-        }
+        // walk DOWN and stop at the first gap: manifests are
+        // contiguous, so everything below an earlier truncation is
+        // already gone — steady-state cost is O(1), not O(versions)
+        var v = base - 1
+        while (v >= 0 && fs.delete(manifestPath(dir, v), false)) v -= 1
         checkpointVersionsListed(fs, dir).filter(_ < base).foreach { c =>
           fs.delete(checkpointPath(dir, c), false)
         }
