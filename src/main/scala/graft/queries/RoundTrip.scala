@@ -367,10 +367,85 @@ object RoundTrip {
        UNION ALL
        SELECT n_docs, total_chars, fp_xor, fp_sum, 2::BIGINT FROM f1"""
 
+  /** The MERGE delete arm through the hash gate: base snapshot →
+    * [[TableLog.delete]] of a derived key set (decontamination-hit /
+    * takedown semantics) — doomed keys PLUS an equal set of keys that
+    * exist nowhere (those must not bump the version), then both
+    * versions read back and fingerprinted. v0 must still contain
+    * every deleted row (time travel), v1 must contain none of them
+    * and every survivor byte-identically. */
+  def mergeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_tabledel").toString
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+    TableLog.writeBase(spark,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      out, statsKey = Some("doc_id"))
+    val doomedIds = docs.filter(pmod(col("doc_id"), lit(13)) === 4)
+      .select(col("doc_id"))
+    // keys that match nothing ride along: the COW rewrite must not
+    // be confused by them, and an ALL-missing delete is a no-op
+    TableLog.delete(spark, out,
+      doomedIds.unionByName(
+        doomedIds.select((col("doc_id") + 5000000L).as("doc_id"))),
+      "doc_id")
+    val v1 = TableLog.currentVersion(spark, out)
+    TableLog.delete(spark, out,
+      doomedIds.select((col("doc_id") + 9000000L).as("doc_id")), "doc_id")
+    require(TableLog.currentVersion(spark, out) == v1,
+      "a delete matching nothing must not commit a version")
+    val perVersion = (0 to 1).map { v =>
+      TableLog.readVersion(spark, out, Some(v))
+        .withColumn("fp60", fp(15))
+        .withColumn("fp32", fp(8))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("bit_xor(fp60)").as("fp_xor"),
+          sum(col("fp32")).as("fp_sum"))
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_ unionByName _)
+    Tables.sealTempResult(spark, perVersion, out)
+  }
+
+  val mergeDeleteSql: String =
+    """WITH v0 AS (SELECT doc_id, text, lang, n_chars::BIGINT AS n_chars,
+                source FROM documents),
+       v1 AS (SELECT * FROM v0 WHERE doc_id % 13 <> 4),
+       f0 AS (SELECT count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                bit_xor(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 15)) AS BIGINT))
+                  AS fp_xor,
+                CAST(sum(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 8)) AS BIGINT))
+                  AS BIGINT) AS fp_sum
+              FROM v0),
+       f1 AS (SELECT count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                bit_xor(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 15)) AS BIGINT))
+                  AS fp_xor,
+                CAST(sum(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 8)) AS BIGINT))
+                  AS BIGINT) AS fp_sum
+              FROM v1)
+       SELECT n_docs, total_chars, fp_xor, fp_sum, 0::BIGINT AS version
+       FROM f0
+       UNION ALL
+       SELECT n_docs, total_chars, fp_xor, fp_sum, 1::BIGINT FROM f1"""
+
   val queries: Map[String, Q] = Map(
     "q_roundtrip_shards" -> (roundtripShards _),
     "q_phash_dedup" -> (phashDedup _),
     "q_time_travel" -> (timeTravel _),
+    "q_merge_delete" -> (mergeDelete _),
     "q_upsert_partitioned" -> (upsertPartitioned _))
 
   /** The oracle recomputes the identical fingerprints from the SOURCE
@@ -379,6 +454,7 @@ object RoundTrip {
   val oracles: Map[String, String] = Map(
     "q_phash_dedup" -> phashDedupSql,
     "q_time_travel" -> timeTravelSql,
+    "q_merge_delete" -> mergeDeleteSql,
     "q_roundtrip_shards" ->
       """SELECT count(*) AS n_docs,
          count(DISTINCT lang) AS n_langs,
