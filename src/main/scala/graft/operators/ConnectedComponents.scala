@@ -175,7 +175,12 @@ object ConnectedComponents {
             .as("chg"))
         .localCheckpoint(true)
       converged = next.filter(col("chg")).limit(1).count() == 0
-      checkpointed.unpersist()
+      // real release, not Dataset.unpersist (a no-op on checkpoint-
+      // backed frames): `next` is already eagerly materialized, so
+      // the previous round's node-sized label table frees NOW instead
+      // of at some future driver GC — on big graphs the loop would
+      // otherwise hold rounds × |V| rows of executor memory
+      Caches.release(checkpointed)
       checkpointed = next
       labels = next.drop("chg")
       round += 1
@@ -199,7 +204,7 @@ object ConnectedComponents {
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"))
       .localCheckpoint(true)
-    labels.unpersist()
+    Caches.release(labels)
     sizes
   }
 }

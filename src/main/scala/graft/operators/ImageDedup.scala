@@ -96,14 +96,16 @@ object ImageDedup {
     val pairs = nearDupPairs(df, idCol, hashCol, maxHamming)
     val comp = ConnectedComponents.connectedComponents(
       pairs, "id_a", "id_b")
-    // pin the (tiny) drop list, release the label + pair caches per
-    // the CC caller contract — pipeline callers invoke this per
-    // batch, so leaked blocks would accumulate for the session's life
+    // pin the (tiny) drop list, then RELEASE the label + pair blocks
+    // through Caches.release — Dataset.unpersist is a no-op on
+    // checkpoint-backed frames (the round-7 lesson), and pipeline
+    // callers invoke this per batch, so silently-lingering blocks
+    // would accumulate until a driver GC
     val drops = comp.filter(col("node") =!= col("component"))
       .select(col("node").as("id"))
       .localCheckpoint(true)
-    comp.unpersist()
-    pairs.unpersist()
+    Caches.release(comp)
+    Caches.release(pairs)
     df.select(col(idCol).as("id")).distinct()
       .join(drops, Seq("id"), "left_anti")
   }

@@ -91,6 +91,42 @@ final case class Processor(df: DataFrame, config: DatasetConfig) {
       rankCol: String = "ord"): Processor =
     copy(df = GlobalRank.rank(df, sortCols, rankCol))
 
+  /** Persist the current dataset as version 0 of a
+    * [[graft.queries.TableLog]] versioned table at `dir` — the
+    * pipeline-facing entry to the lakehouse tier (time travel, COW
+    * MERGE, OPTIMIZE, vacuum, exactly-once streaming append) without
+    * learning its internals. `statsKey` (an integral merge-key
+    * column) enables manifest key stats so later [[mergeInto]]
+    * touch-scans prune to the genuinely-overlapping files. The
+    * returned Processor reads the COMMITTED snapshot: downstream
+    * stages see exactly the bytes the table serves, and the write is
+    * the atomic manifest commit, not a half-written directory. */
+  def snapshotTo(dir: String,
+      statsKey: Option[String] = None): Processor = {
+    graft.queries.TableLog.writeBase(df.sparkSession, df, dir, statsKey)
+    copy(df = graft.queries.TableLog.readVersion(df.sparkSession, dir))
+  }
+
+  /** MERGE the current dataset into the versioned table at `dir`
+    * (same-`key` rows replaced, unmatched rows inserted — the COW
+    * upsert with its stats-pruned touch-scan), then continue the
+    * pipeline on the table's new committed snapshot. */
+  def mergeInto(dir: String, key: String,
+      allowSchemaEvolution: Boolean = false): Processor = {
+    graft.queries.TableLog.upsert(df.sparkSession, dir, df, key,
+      allowSchemaEvolution)
+    copy(df = graft.queries.TableLog.readVersion(df.sparkSession, dir))
+  }
+
+  /** Retract rows of the versioned table at `dir` whose `key`
+    * appears in the current dataset (decontamination hits,
+    * takedowns), then continue on the table's new snapshot. */
+  def deleteFrom(dir: String, key: String): Processor = {
+    graft.queries.TableLog.delete(df.sparkSession, dir,
+      df.select(col(key)), key)
+    copy(df = graft.queries.TableLog.readVersion(df.sparkSession, dir))
+  }
+
   /** Seeded shuffle (pipeline_stages.py:27-34; seed-threaded per
     * SURVEY.md §7.4 risk 7). */
   def shuffle(seed: Long): Processor =

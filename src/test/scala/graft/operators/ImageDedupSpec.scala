@@ -68,6 +68,26 @@ class ImageDedupSpec extends SparkSpec {
     assert((2L to 5L).forall(surv.contains))
   }
 
+  test("survivors releases its intermediate blocks promptly (no " +
+      "lingering pair/label caches — Dataset.unpersist is a no-op on " +
+      "checkpointed frames, Caches.release is not)") {
+    import spark.implicits._
+    val rows =
+      (0 until 6).map(i => (i.toLong, phashOf(makeImage(i)))) ++
+        Seq((100L, phashOf(makeImage(0, retouch = true))))
+    val df = rows.toDF("img_id", "phash")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    ImageDedup.survivors(df, "img_id", "phash").count()
+    // everything the call pinned must be gone except the drop list
+    // the returned (lazy) frame still needs — hash cache, candidate
+    // pairs, every CC round's label table all released inline
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 1,
+      s"survivors leaked ${leaked.size} cached RDDs (expected <=1, " +
+        "the drop list): ids " + leaked.mkString(","))
+  }
+
   test("hamming verify rejects band collisions beyond the threshold") {
     import spark.implicits._
     // hand-built hex hashes: share band 0 (low 16 bits) but differ in
