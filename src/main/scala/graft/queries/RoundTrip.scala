@@ -367,6 +367,73 @@ object RoundTrip {
        UNION ALL
        SELECT n_docs, total_chars, fp_xor, fp_sum, 2::BIGINT FROM f1"""
 
+  /** The AUDIO media path oracle-gated end to end — the multimodal
+    * triple's third member (image: [[phashDedup]]; text: the
+    * simhash/minhash family): render a deterministic WAV per document
+    * ([[graft.operators.SyntheticAudio]] — the clip is a pure
+    * function of the doc's TEXT, so exact-duplicate texts yield
+    * byte-equal audio), give every `doc_id % 7 == 3` row a
+    * GAIN-RIDED copy of doc `doc_id − 3`'s clip (byte-different,
+    * fingerprint-near — the re-encode analogue for audio), write a
+    * real tar+csv shards layout, read it back through the tar-payload
+    * scan, fingerprint the decoded WAV bytes
+    * ([[graft.operators.AudioFingerprintFilter]] — WAV decode, FFT
+    * band energies, Haitsma–Kalker bits, clip SimHash), and keep-first
+    * dedup through the SAME banded hamming machinery the image path
+    * uses.
+    *
+    * The oracle never decodes audio: two clips cluster iff their
+    * SOURCE TEXTS are equal (identical seeds are byte-equal; a gain
+    * ride flips 0 fingerprint bits by construction; unrelated seeds
+    * sit ≥17 bits apart — SyntheticAudioSpec measures both), so the
+    * DuckDB side groups documents by source text and keeps each
+    * group's min doc_id — [[phashDedupSql]]'s relation verbatim. */
+  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_audio").toString
+    val wavDir = s"$tmp/wav"
+    val shardDir = s"$tmp/shards"
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < PhashDocs)
+    val withSrc = d.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 3, col("doc_id") - 3)
+          .otherwise(col("doc_id")).as("src_id"),
+        (pmod(col("doc_id"), lit(7)) === 3).as("gainride"))
+      .join(broadcast(d.select(col("doc_id").as("src_id"),
+        col("text").as("src_text"))), Seq("src_id"))
+    val hconf = SerializableHadoopConf.capture()
+    withSrc.select(col("doc_id"), col("src_text"), col("gainride"))
+      .repartition(8)
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = new org.apache.hadoop.fs.Path(wavDir)
+          .getFileSystem(hconf.get())
+        rows.foreach { r =>
+          val id = r.getAs[Long]("doc_id")
+          val bytes = graft.operators.SyntheticAudio.renderWav(
+            graft.operators.SyntheticAudio.seedOf(
+              r.getAs[String]("src_text")),
+            r.getAs[Boolean]("gainride"))
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(wavDir, s"$id.wav"), true)
+          out.write(bytes)
+          out.close()
+        }
+      }
+    val meta = withSrc.select(col("doc_id"),
+      concat(lit(s"$wavDir/"), col("doc_id"), lit(".wav")).as("audio_path"))
+    val filesCfg = FilesConfig(wavDir,
+      Seq(FilePayload(Modality.Audio, "audio_path")))
+    val shardsCfg = ShardWriters.saveToShards(
+      Processor(meta, filesCfg), shardDir, maxFilesInShard = 100)
+    val back = DatasetReader.readShards(spark, shardsCfg)
+      .applyDataFilter(graft.operators.AudioFingerprintFilter())
+    val survivors = ImageDedup.survivors(
+      back.df.select(col("doc_id").cast("long").as("doc_id"),
+        col("audio_fingerprint")),
+      "doc_id", "audio_fingerprint")
+      .select(col("id").as("doc_id"))
+    Tables.sealTempResult(spark, survivors, tmp)
+  }
+
   /** The MERGE delete arm through the hash gate: base snapshot →
     * [[TableLog.delete]] of a derived key set (decontamination-hit /
     * takedown semantics) — doomed keys PLUS an equal set of keys that
@@ -444,6 +511,7 @@ object RoundTrip {
   val queries: Map[String, Q] = Map(
     "q_roundtrip_shards" -> (roundtripShards _),
     "q_phash_dedup" -> (phashDedup _),
+    "q_audio_dedup" -> (audioDedup _),
     "q_time_travel" -> (timeTravel _),
     "q_merge_delete" -> (mergeDelete _),
     "q_upsert_partitioned" -> (upsertPartitioned _))
@@ -453,6 +521,9 @@ object RoundTrip {
     * of every row (the reference's write→read→validate invariant). */
   val oracles: Map[String, String] = Map(
     "q_phash_dedup" -> phashDedupSql,
+    // the clusters-iff-same-source-text relation is the identical
+    // symbolic truth for the audio fixture (see audioDedup scaladoc)
+    "q_audio_dedup" -> phashDedupSql,
     "q_time_travel" -> timeTravelSql,
     "q_merge_delete" -> mergeDeleteSql,
     "q_roundtrip_shards" ->
