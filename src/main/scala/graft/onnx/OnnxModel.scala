@@ -343,11 +343,12 @@ final class OnnxModel(val graph: Onnx.Graph) {
       case _ => d
     }
 
-  /** Shared last-axis reduction for the Reduce* family: axes arrive
-    * as an attribute (opset <= 13) or as a second input (opset 18+
-    * torch exports); keepdims semantics fold into the returned
-    * shape's trailing 1. Last axis only — the heads this backs
-    * reduce features/timesteps, never interior spatial dims. */
+  /** Shared single-axis reduction for the Reduce* family: axes
+    * arrive as an attribute (opset <= 13) or as a second input
+    * (opset 18+ torch exports); keepdims semantics fold into the
+    * returned shape. Any single axis runs (interior axes take the
+    * strided path — raft_large's convex upsampler sums over the
+    * 9-patch axis of a 7-D tensor); absent axes means reduce ALL. */
   private def reduceLast(n: Node, ins: Seq[Tensor]): Tensor = {
     val x = ins(0)
     // ONNX: absent axes (with noop_with_empty_axes unset/0) means
@@ -371,13 +372,52 @@ final class OnnxModel(val graph: Onnx.Graph) {
         return Tensor(
           if (keepAll) x.dims.map(_ => 1) else Seq(1), whole)
       case Some(a) =>
-        val lastAxis = Seq(-1L, (x.dims.length - 1).toLong)
-        require(a.length == 1 && lastAxis.contains(a.head),
-          s"${n.opType} supports the last axis (or all axes via " +
+        require(a.length == 1,
+          s"${n.opType} supports a single axis (or all axes via " +
             s"absent axes) only, got $a")
     }
-    val out = reduceRows(n, x.data, x.dims.last)
-    Tensor(if (keepAll) x.dims.init :+ 1 else x.dims.init, out)
+    val axRaw = axes.get.head.toInt
+    val ax = if (axRaw < 0) axRaw + x.dims.length else axRaw
+    require(ax >= 0 && ax < x.dims.length,
+      s"${n.opType} axis $axRaw invalid for ${x.dims}")
+    val outDims =
+      if (keepAll) x.dims.updated(ax, 1)
+      else x.dims.take(ax) ++ x.dims.drop(ax + 1)
+    if (ax == x.dims.length - 1)
+      return Tensor(outDims, reduceRows(n, x.data, x.dims.last))
+    // interior axis (raft_large's ReduceSum over the 9 unfold
+    // patches, axis 2 of a 7-D tensor): strided accumulate
+    val d = x.dims(ax)
+    require(d > 0, s"${n.opType} over an empty axis is undefined here")
+    val inner = x.dims.drop(ax + 1).product
+    val outer = x.dims.take(ax).product
+    val out = new Array[Float](outer * inner)
+    var o = 0
+    while (o < outer) {
+      var i = 0
+      while (i < inner) {
+        var acc = n.opType match {
+          case "ReduceMax" => Double.NegativeInfinity
+          case "ReduceMin" => Double.PositiveInfinity
+          case _ => 0.0
+        }
+        var k = 0
+        while (k < d) {
+          val v = x.data((o * d + k) * inner + i)
+          n.opType match {
+            case "ReduceMax" => if (v > acc) acc = v
+            case "ReduceMin" => if (v < acc) acc = v
+            case _ => acc += v
+          }
+          k += 1
+        }
+        if (n.opType == "ReduceMean") acc /= d
+        out(o * inner + i) = acc.toFloat
+        i += 1
+      }
+      o += 1
+    }
+    Tensor(outDims, out)
   }
 
   /** Rows of length `c` folded to one value each per `n.opType`. */
@@ -595,12 +635,49 @@ final class OnnxModel(val graph: Onnx.Graph) {
     case "Tanh" => map1(ins(0), v => math.tanh(v.toDouble).toFloat)
     case "Softmax" =>
       val x = ins(0)
-      // opset 13 default is -1; the interpreter only implements the
-      // last axis, so any other explicit axis must fail loudly
-      val ax = attrI(n, "axis", -1L)
-      require(ax == -1L || ax == x.dims.length - 1,
-        s"Softmax axis $ax unsupported — last axis only")
-      softmax(x)
+      // opset 13 default is -1; any axis runs (raft_large's convex
+      // upsampler softmaxes the 9-patch axis of a 7-D mask view)
+      val axRaw = attrI(n, "axis", -1L).toInt
+      val ax = if (axRaw < 0) axRaw + x.dims.length else axRaw
+      require(ax >= 0 && ax < x.dims.length,
+        s"Softmax axis $axRaw invalid for ${x.dims}")
+      if (ax == x.dims.length - 1) softmax(x)
+      else {
+        val d = x.dims(ax)
+        val inner = x.dims.drop(ax + 1).product
+        val outer = x.dims.take(ax).product
+        val out = new Array[Float](x.data.length)
+        var o = 0
+        while (o < outer) {
+          var i = 0
+          while (i < inner) {
+            var mx = Float.NegativeInfinity
+            var k = 0
+            while (k < d) {
+              val v = x.data((o * d + k) * inner + i)
+              if (v > mx) mx = v
+              k += 1
+            }
+            var sum = 0.0
+            k = 0
+            while (k < d) {
+              sum += math.exp((x.data((o * d + k) * inner + i) - mx)
+                .toDouble)
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val idx = (o * d + k) * inner + i
+              out(idx) = (math.exp((x.data(idx) - mx).toDouble) / sum)
+                .toFloat
+              k += 1
+            }
+            i += 1
+          }
+          o += 1
+        }
+        Tensor(x.dims, out)
+      }
     case "Exp" => map1(ins(0), v => math.exp(v.toDouble).toFloat)
     case "Log" => map1(ins(0), v => math.log(v.toDouble).toFloat)
     case "Sqrt" => map1(ins(0), v => math.sqrt(v.toDouble).toFloat)

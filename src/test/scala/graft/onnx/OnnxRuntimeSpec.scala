@@ -836,12 +836,26 @@ class OnnxRuntimeSpec extends AnyFunSuite {
         Onnx.Tensor(Seq(1, 1, 3, 3), (1 to 9).map(_.toFloat).toArray))
     }
     assert(e1.getMessage.contains("ceil_mode"))
+    // Softmax on an INTERIOR axis is supported since round 8
+    // (raft_large's convex upsampler needs axis=2 on a 7-D view) —
+    // axis 0 of a 2-D tensor normalizes COLUMNS
     val sm = model(
       nodes = Seq(node("Softmax", Seq("x"), Seq("y"),
         Seq(attrInt("axis", 0L)))),
       inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
+    val out = OnnxModel.parseBytes(sm).forward(
+      Onnx.Tensor(Seq(2, 2), Array(1f, 2f, 3f, 4f)))
+    val c = 1.0 / (1.0 + math.exp(2.0)) // e^1/(e^1+e^3) = e^2/(e^2+e^4)
+    Seq(c, c, 1 - c, 1 - c).zip(out.data).foreach { case (w, g) =>
+      assert(math.abs(g - w) < 1e-6, out.data.toSeq)
+    }
+    // a genuinely out-of-range axis still fails loudly
+    val bad = model(
+      nodes = Seq(node("Softmax", Seq("x"), Seq("y"),
+        Seq(attrInt("axis", 5L)))),
+      inits = Nil, inputs = Seq("x"), outputs = Seq("y"))
     val e2 = intercept[IllegalArgumentException] {
-      OnnxModel.parseBytes(sm).forward(
+      OnnxModel.parseBytes(bad).forward(
         Onnx.Tensor(Seq(2, 2), Array(1f, 2f, 3f, 4f)))
     }
     assert(e2.getMessage.contains("axis"))
