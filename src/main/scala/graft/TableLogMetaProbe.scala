@@ -18,8 +18,9 @@ import org.apache.spark.sql.SparkSession
   * table's shape after compaction) so the measurement is metadata,
   * not parquet writes.
   *
-  * Usage: `graft.TableLogMetaProbe [versions...]` (default
-  * 10 100 1000 10000).
+  * Usage: `graft.queries.TableLogMetaProbe [versions...]` (default
+  * 10 100 1000 10000; the object lives in graft.queries for
+  * [[TableLog.commit]] access).
   */
 object TableLogMetaProbe {
   def main(args: Array[String]): Unit = {

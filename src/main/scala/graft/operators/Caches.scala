@@ -22,10 +22,28 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Caches {
 
   /** Release the RDD blocks behind a localCheckpoint'd `df`
-    * immediately (async delete). Safe no-op on frames that are not
-    * checkpoint-backed. */
-  def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case l: LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    * immediately (async delete). Acts only when `df` IS the
+    * checkpointed frame — possibly re-columned (Project) or aliased,
+    * the shapes `checkpointed.drop(col)` produces — by unwrapping
+    * pure column-level nodes and requiring a [[LogicalRDD]] ROOT
+    * underneath. A frame merely DERIVED from a checkpoint
+    * (filter/join over it) is left alone: collectFirst over the
+    * whole plan would unpersist the still-needed INPUT's blocks, and
+    * a truncated-lineage input cannot be recomputed (review-caught
+    * API hazard). */
+  def release(df: DataFrame): Unit = {
+    @scala.annotation.tailrec
+    def unwrap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[LogicalRDD] = p match {
+      case l: LogicalRDD => Some(l)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+          // column pruning/renaming only — no computed rows dropped
+          => unwrap(pr.child)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+          => unwrap(a.child)
+      case _ => None
+    }
+    unwrap(df.queryExecution.analyzed)
+      .foreach(_.rdd.unpersist(blocking = false))
+  }
 }

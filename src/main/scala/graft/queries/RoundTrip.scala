@@ -224,54 +224,71 @@ object RoundTrip {
     * keeps each group's min doc_id. A wrong pixel, a broken decode,
     * a dropped tar member, a phash bit error, a band-join miss, or a
     * CC over-merge each flips the survivor set and fails the gate. */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_phash").toString
-    val imgDir = s"$tmp/img"
+  /** Shared media-dedup round trip (image + audio take identical
+    * paths; only renderer / filter / column / extension differ —
+    * keeping them one body means a fix to the planting join, the
+    * render loop, or the shard plumbing can never silently miss one
+    * modality): bounded slice → %7==3 near-dup planting → distributed
+    * render of loose files → file→tar shards → tar-payload scan →
+    * fingerprint filter → banded-hamming keep-first survivors. */
+  private def mediaDedupRoundTrip(spark: SparkSession, dir: String,
+      tmpPrefix: String, ext: String, modality: Modality,
+      pathCol: String,
+      render: (String, Boolean) => Array[Byte],
+      filter: graft.operators.DataFilter, fpCol: String): DataFrame = {
+    val tmp = Files.createTempDirectory(tmpPrefix).toString
+    val payloadDir = s"$tmp/payload"
     val shardDir = s"$tmp/shards"
     val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
       .filter(col("doc_id") < PhashDocs)
     val withSrc = d.select(col("doc_id"),
         when(pmod(col("doc_id"), lit(7)) === 3, col("doc_id") - 3)
           .otherwise(col("doc_id")).as("src_id"),
-        (pmod(col("doc_id"), lit(7)) === 3).as("retouch"))
+        (pmod(col("doc_id"), lit(7)) === 3).as("variant"))
       .join(broadcast(d.select(col("doc_id").as("src_id"),
         col("text").as("src_text"))), Seq("src_id"))
-    // distributed render of the bounded slice into loose PNG files
+    // distributed render of the bounded slice into loose files
     val hconf = SerializableHadoopConf.capture()
-    withSrc.select(col("doc_id"), col("src_text"), col("retouch"))
+    withSrc.select(col("doc_id"), col("src_text"), col("variant"))
       .repartition(8)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val fs = new org.apache.hadoop.fs.Path(imgDir)
+        val fs = new org.apache.hadoop.fs.Path(payloadDir)
           .getFileSystem(hconf.get())
         rows.foreach { r =>
           val id = r.getAs[Long]("doc_id")
-          val bytes = SyntheticImages.renderPng(
-            SyntheticImages.seedOf(r.getAs[String]("src_text")),
-            r.getAs[Boolean]("retouch"))
+          val bytes = render(r.getAs[String]("src_text"),
+            r.getAs[Boolean]("variant"))
           val out = fs.create(
-            new org.apache.hadoop.fs.Path(imgDir, s"$id.png"), true)
+            new org.apache.hadoop.fs.Path(payloadDir, s"$id.$ext"), true)
           out.write(bytes)
           out.close()
         }
       }
-    // file→tar shards, read back through the tar scan, phash the
-    // decoded payload bytes — the reference's demo pipeline shape
+    // file→tar shards, read back through the tar scan, fingerprint
+    // the decoded payload bytes — the reference's demo pipeline shape
     val meta = withSrc.select(col("doc_id"),
-      concat(lit(s"$imgDir/"), col("doc_id"), lit(".png")).as("image_path"))
-    val filesCfg = FilesConfig(imgDir,
-      Seq(FilePayload(Modality.Image, "image_path")))
+      concat(lit(s"$payloadDir/"), col("doc_id"), lit(s".$ext"))
+        .as(pathCol))
+    val filesCfg = FilesConfig(payloadDir,
+      Seq(FilePayload(modality, pathCol)))
     val shardsCfg = ShardWriters.saveToShards(
       Processor(meta, filesCfg), shardDir, maxFilesInShard = 100)
     val back = DatasetReader.readShards(spark, shardsCfg)
-      .applyDataFilter(PHashFilter(8))
+      .applyDataFilter(filter)
     val survivors = ImageDedup.survivors(
-      back.df.select(col("doc_id").cast("long").as("doc_id"),
-        col("image_phash_8")),
-      "doc_id", "image_phash_8")
+      back.df.select(col("doc_id").cast("long").as("doc_id"), col(fpCol)),
+      "doc_id", fpCol)
       .select(col("id").as("doc_id"))
-    // seal: ≤ PhashDocs rows — materialize, delete the image+shard copies
+    // seal: bounded rows — materialize, delete the payload+shard copies
     Tables.sealTempResult(spark, survivors, tmp)
   }
+
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaDedupRoundTrip(spark, dir, "graft_phash", "png",
+      Modality.Image, "image_path",
+      (srcText, retouch) => SyntheticImages.renderPng(
+        SyntheticImages.seedOf(srcText), retouch),
+      PHashFilter(8), "image_phash_8")
 
   val phashDedupSql: String =
     s"""WITH d AS (SELECT doc_id, text FROM documents
@@ -388,51 +405,12 @@ object RoundTrip {
     * sit ≥17 bits apart — SyntheticAudioSpec measures both), so the
     * DuckDB side groups documents by source text and keeps each
     * group's min doc_id — [[phashDedupSql]]'s relation verbatim. */
-  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_audio").toString
-    val wavDir = s"$tmp/wav"
-    val shardDir = s"$tmp/shards"
-    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < PhashDocs)
-    val withSrc = d.select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(7)) === 3, col("doc_id") - 3)
-          .otherwise(col("doc_id")).as("src_id"),
-        (pmod(col("doc_id"), lit(7)) === 3).as("gainride"))
-      .join(broadcast(d.select(col("doc_id").as("src_id"),
-        col("text").as("src_text"))), Seq("src_id"))
-    val hconf = SerializableHadoopConf.capture()
-    withSrc.select(col("doc_id"), col("src_text"), col("gainride"))
-      .repartition(8)
-      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val fs = new org.apache.hadoop.fs.Path(wavDir)
-          .getFileSystem(hconf.get())
-        rows.foreach { r =>
-          val id = r.getAs[Long]("doc_id")
-          val bytes = graft.operators.SyntheticAudio.renderWav(
-            graft.operators.SyntheticAudio.seedOf(
-              r.getAs[String]("src_text")),
-            r.getAs[Boolean]("gainride"))
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(wavDir, s"$id.wav"), true)
-          out.write(bytes)
-          out.close()
-        }
-      }
-    val meta = withSrc.select(col("doc_id"),
-      concat(lit(s"$wavDir/"), col("doc_id"), lit(".wav")).as("audio_path"))
-    val filesCfg = FilesConfig(wavDir,
-      Seq(FilePayload(Modality.Audio, "audio_path")))
-    val shardsCfg = ShardWriters.saveToShards(
-      Processor(meta, filesCfg), shardDir, maxFilesInShard = 100)
-    val back = DatasetReader.readShards(spark, shardsCfg)
-      .applyDataFilter(graft.operators.AudioFingerprintFilter())
-    val survivors = ImageDedup.survivors(
-      back.df.select(col("doc_id").cast("long").as("doc_id"),
-        col("audio_fingerprint")),
-      "doc_id", "audio_fingerprint")
-      .select(col("id").as("doc_id"))
-    Tables.sealTempResult(spark, survivors, tmp)
-  }
+  def audioDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaDedupRoundTrip(spark, dir, "graft_audio", "wav",
+      Modality.Audio, "audio_path",
+      (srcText, gainRide) => graft.operators.SyntheticAudio.renderWav(
+        graft.operators.SyntheticAudio.seedOf(srcText), gainRide),
+      graft.operators.AudioFingerprintFilter(), "audio_fingerprint")
 
   /** The MERGE delete arm through the hash gate: base snapshot →
     * [[TableLog.delete]] of a derived key set (decontamination-hit /

@@ -83,22 +83,43 @@ object TableLog {
     finally in.close()
   }
 
-  /** Write a small log file ATOMICALLY: temp file + rename, so no
+  /** Write a small log file ATOMICALLY: temp file + publish, so no
     * reader (or post-crash retry) can ever observe a torn or empty
     * file under the final name. `overwrite` deletes an existing final
-    * file first (watermark updates); without it an existing final
-    * name makes the rename fail and the write is refused. */
-  private def writeSmallFileAtomic(fs: FileSystem, p: Path,
+    * file first (watermark/pointer updates). Without it the publish
+    * must be EXCLUSIVE — the commit race's loser gets `false`, never
+    * a clobber. HDFS rename already refuses an existing destination;
+    * POSIX rename REPLACES it (two local racers could both "win",
+    * the second silently erasing the first's manifest — review-
+    * caught), so local filesystems publish via link(2), which is
+    * atomic-exclusive by contract. Object stores without atomic
+    * rename (raw S3) need a coordinating log store for multi-writer
+    * commits — the same caveat every lakehouse format documents. */
+  private[queries] def writeSmallFileAtomic(fs: FileSystem, p: Path,
       body: String, overwrite: Boolean): Boolean = {
     val tmp = new Path(p.getParent, s".${p.getName}.${
       java.util.UUID.randomUUID.toString}.tmp")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (overwrite && fs.exists(p)) fs.delete(p, false)
-    val ok = fs.rename(tmp, p)
-    if (!ok) fs.delete(tmp, false)
-    ok
+    if (!overwrite && fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          false
+      }
+    } else {
+      if (overwrite && fs.exists(p)) fs.delete(p, false)
+      val ok = fs.rename(tmp, p)
+      if (!ok) fs.delete(tmp, false)
+      ok
+    }
   }
 
   /** Earliest version still readable (0 unless [[vacuum]] advanced
@@ -312,18 +333,23 @@ object TableLog {
     * retention keeps the current and previous files, so only a
     * reader stalled across two whole checkpoint intervals can race
     * the cleanup; the retry re-resolves from the fresh pointer). */
+  private final case class Replayed(adds: Seq[AddEntry],
+      txns: Map[String, Long], base: Option[(Int, Boolean)])
+
   private def replayState(spark: SparkSession, dir: String,
-      upTo: Int): (Seq[AddEntry], Map[String, Long]) = {
+      upTo: Int): Replayed = {
     val fs = fsOf(spark, dir)
-    def attempt(): (Seq[AddEntry], Map[String, Long]) = {
+    def attempt(): Replayed = {
       val live =
         new scala.collection.mutable.LinkedHashMap[String, AddEntry]()
       val txns = scala.collection.mutable.Map.empty[String, Long]
+      var base: Option[(Int, Boolean)] = None
       val from = baseCheckpointFor(fs, dir, upTo) match {
         case Some(c) =>
           val st = parseCheckpoint(fs, checkpointPath(dir, c))
           st.adds.foreach(e => live += e.rel -> e)
           txns ++= st.txns
+          base = Some((c, st.isV2))
           c + 1
         case None => 0
       }
@@ -347,7 +373,7 @@ object TableLog {
               s"TableLog: bad manifest action $other")
         }
       }
-      (live.values.toSeq, txns.toMap)
+      Replayed(live.values.toSeq, txns.toMap, base)
     }
     try attempt()
     catch { case _: java.io.FileNotFoundException => attempt() }
@@ -380,7 +406,32 @@ object TableLog {
       // into a file NAMED v (readVersion(Some(v)) would return the
       // wrong snapshot, and a leaked remove-line prefix breaks later
       // replays)
-      val (adds, txns) = replayState(spark, dir, v)
+      val st = replayState(spark, dir, v)
+      val adds = st.adds
+      // a LEGACY (format-1) base carries no txn lines, so the state
+      // replayed above misses stamps recorded at or below it — the
+      // first format-2 checkpoint on an upgraded table must back-fill
+      // them from the old manifests (still present: truncation
+      // requires a format-2 base), or exactly-once breaks for any app
+      // whose last append predates the legacy checkpoint
+      val txns = scala.collection.mutable.Map.empty[String, Long] ++ st.txns
+      st.base match {
+        case Some((b, false)) =>
+          (0 to b).foreach { w =>
+            manifestLines(fs, dir, w).foreach {
+              case ("txn", values) =>
+                val id = values.head
+                val cut = id.lastIndexOf('#')
+                if (cut > 0) {
+                  val app = id.substring(0, cut)
+                  val bid = id.substring(cut + 1).toLong
+                  if (txns.get(app).forall(_ < bid)) txns(app) = bid
+                }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
       val body = ("format\t2" +:
         (txns.toSeq.sortBy(_._1).map { case (app, b) => s"txn\t$app#$b" } ++
           adds.map {
@@ -430,7 +481,7 @@ object TableLog {
     require(upTo >= earliest,
       s"TableLog: version $upTo was vacuumed (earliest readable: " +
         s"$earliest)")
-    replayState(spark, dir, upTo)._1
+    replayState(spark, dir, upTo).adds
   }
 
   /** Live dir-relative file paths at `version` (latest if None). */
@@ -729,8 +780,15 @@ object TableLog {
       else readLive(spark, dir, touched)
         .join(broadcast(keys), Seq(key), "left_anti")
         .unionByName(batch, allowMissingColumns = allowSchemaEvolution)
+    // rebase disjointness is proved against winner add-line stats,
+    // which are ALWAYS in the table's statsKey space — a merge keyed
+    // on any other column must stay conservative (None ⇒ every
+    // winner add conflicts), or a batch of ts values could "prove"
+    // disjointness from doc_id ranges (review-caught)
+    val rebaseKeys =
+      if (statsKeyOf(spark, dir).contains(key)) sortedKeys else None
     commitRebased(spark, dir, v, writeData(spark, rewritten, dir, v),
-      touched, keyed = true, sortedKeys, None, maxRebases)
+      touched, keyed = true, rebaseKeys, None, maxRebases)
     } finally keys.unpersist(blocking = false)
   }
 
@@ -770,8 +828,12 @@ object TableLog {
     if (touched.isEmpty) return // nothing contains a doomed key
     val survivors = readLive(spark, dir, touched)
       .join(broadcast(keys), Seq(key), "left_anti")
+    // same key-space rule as upsert: stats-key merges may prove
+    // disjointness, any other key stays conservative
+    val rebaseKeys =
+      if (statsKeyOf(spark, dir).contains(key)) sortedKeys else None
     commitRebased(spark, dir, v, writeData(spark, survivors, dir, v),
-      touched, keyed = true, sortedKeys, None, maxRebases)
+      touched, keyed = true, rebaseKeys, None, maxRebases)
     } finally keys.unpersist(blocking = false)
   }
 

@@ -274,6 +274,69 @@ class TableLogBoundedSpec extends SparkSpec with Matchers {
     TableLog.readVersion(spark, dir).count() shouldBe 2001
   }
 
+  test("exclusive publish is ATOMIC on the local filesystem: a racer " +
+      "that missed the exists() check still loses, never clobbers") {
+    val dir = Files.createTempDirectory("tl-excl").toString
+    val f = fs(dir)
+    f.mkdirs(new Path(s"$dir/_log"))
+    val p = new Path(s"$dir/_log/v00001.manifest")
+    // winner publishes
+    assert(TableLog.writeSmallFileAtomic(f, p, "winner\n",
+      overwrite = false))
+    // loser bypasses the exists() fast-fail (the TOCTOU window) and
+    // goes straight to the publish — POSIX rename would REPLACE the
+    // winner here; the hard-link publish must refuse
+    assert(!TableLog.writeSmallFileAtomic(f, p, "loser\n",
+      overwrite = false))
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in).mkString
+    finally in.close()
+    assert(body == "winner\n", s"winner's manifest was clobbered: $body")
+    // no temp debris left behind
+    assert(f.listStatus(new Path(s"$dir/_log"))
+      .forall(!_.getPath.getName.endsWith(".tmp")))
+  }
+
+  test("upgrading a LEGACY (format-1) checkpoint back-fills txn marks " +
+      "so exactly-once survives the upgrade + truncation") {
+    val dir = Files.createTempDirectory("tl-legacy").toString
+    TableLog.writeBase(spark, base(50), dir)
+    (0 until 3).foreach { i =>
+      TableLog.appendOnce(spark, dir,
+        Seq((1000L + i, s"a$i")).toDF("id", "body"), "appA", i.toLong)
+    }
+    // hand-write a round-7-style format-1 checkpoint at v3 (add lines
+    // only, no header, no txn lines) + its pointer
+    val f = fs(dir)
+    val body = TableLog.liveFileStats(spark, dir).map {
+      case TableLog.AddEntry(rel, Some((lo, hi))) => s"add\t$rel\t$lo\t$hi"
+      case TableLog.AddEntry(rel, None) => s"add\t$rel"
+    }.mkString("", "\n", "\n")
+    assert(TableLog.writeSmallFileAtomic(f, cpFile(dir, 3), body,
+      overwrite = false))
+    assert(TableLog.writeSmallFileAtomic(f,
+      new Path(s"$dir/_log/_last_checkpoint"), "3", overwrite = true))
+
+    // one more commit, then the first FORMAT-2 checkpoint on top of
+    // the legacy base — appA's last stamp (batch 2) sits BELOW the
+    // legacy checkpoint and must be back-filled from the old
+    // manifests into the new checkpoint's txn lines
+    TableLog.appendOnce(spark, dir,
+      Seq((2000L, "x")).toDF("id", "body"), "appB", 0L)
+    TableLog.checkpoint(spark, dir) // v4, format 2
+    // simulate truncation of everything below it
+    (0 until 4).foreach(v => assert(f.delete(manifest(dir, v), false)))
+    // the replayed batch must STILL no-op
+    TableLog.appendOnce(spark, dir,
+      Seq((1002L, "dup")).toDF("id", "body"), "appA", 2L)
+    TableLog.currentVersion(spark, dir) shouldBe 4
+    TableLog.readVersion(spark, dir).count() shouldBe 54
+    // and fresh batches from both apps still land
+    TableLog.appendOnce(spark, dir,
+      Seq((1003L, "a3")).toDF("id", "body"), "appA", 3L)
+    TableLog.readVersion(spark, dir).count() shouldBe 55
+  }
+
   test("two genuinely concurrent disjoint upserts both land (one " +
       "rebases); concurrent appends from two apps both land") {
     val dir = Files.createTempDirectory("tl-conc").toString
