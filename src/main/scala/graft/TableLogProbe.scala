@@ -59,6 +59,17 @@ object TableLogProbe {
     println(s"touched files rewritten: ${before.diff(after).size} " +
       s"of ${before.size}")
 
+    // delete arm: a narrow doomed-key set must touch (rewrite) only
+    // the files whose stats ranges contain it — COW retraction cost
+    // tracks touched files, not table size
+    val doomed = (0 until 1000)
+      .map(i => 200000L + i).toDF("doc_id")
+    val beforeDel = TableLog.liveFiles(spark, tdir).toSet
+    timed("delete (narrow 1k keys)")(
+      TableLog.delete(spark, tdir, doomed, "doc_id"))
+    println(s"delete touched ${beforeDel.diff(
+      TableLog.liveFiles(spark, tdir).toSet).size} of ${beforeDel.size}")
+
     timed("compactZorder 32")(TableLog.compactZorder(spark, tdir,
       pmod(col("doc_id"), lit(256L)),
       least(col("n_chars"), lit(255L)).cast("long"), nFiles = 32))
