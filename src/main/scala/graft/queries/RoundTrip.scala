@@ -412,6 +412,130 @@ object RoundTrip {
         graft.operators.SyntheticAudio.seedOf(srcText), gainRide),
       graft.operators.AudioFingerprintFilter(), "audio_fingerprint")
 
+  /** Manifest-stats DATA SKIPPING on the read path, through the
+    * hash gate: the base snapshot is range-clustered on the stats
+    * key, a keyed range read prunes its file list FROM THE LOG
+    * before the scan ([[TableLog.readVersionRange]]), and the result
+    * must byte-match the full-scan filter the oracle computes. The
+    * query also REQUIRES the pruning to be real (survivors < live
+    * files) so a stats regression can't pass as a trivially-green
+    * full scan — range bounds derive from the data (min/max thirds),
+    * never fixture constants. */
+  def tableSkip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_tableskip").toString
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+    TableLog.writeBase(spark,
+      docs.repartitionByRange(16, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      out, statsKey = Some("doc_id"))
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val lo = mn + math.floor((mx - mn) / 3.0).toLong
+    val hi = mn + math.floor((mx - mn) / 2.0).toLong
+    val pruned = TableLog.prunedLiveFiles(spark, out, lo, hi)
+    val total = TableLog.liveFiles(spark, out).size
+    require(pruned.size < total,
+      s"TableLog stats pruned nothing ($total files) — skipping broken")
+    val res = TableLog.readVersionRange(spark, out, lo, hi)
+      .withColumn("fp60", fp(15))
+      .withColumn("fp32", fp(8))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("bit_xor(fp60)").as("fp_xor"),
+        sum(col("fp32")).as("fp_sum"))
+    Tables.sealTempResult(spark, res, out)
+  }
+
+  val tableSkipSql: String =
+    """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+              FROM documents),
+       r AS (SELECT d.doc_id, d.text, d.lang,
+                    d.n_chars::BIGINT AS n_chars, d.source
+             FROM documents d, b
+             WHERE d.doc_id
+               BETWEEN b.mn + CAST(floor((b.mx - b.mn) / 3.0) AS BIGINT)
+                   AND b.mn + CAST(floor((b.mx - b.mn) / 2.0) AS BIGINT))
+       SELECT count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         bit_xor(CAST(concat('0x', substring(md5(
+           concat_ws('|', doc_id::VARCHAR, lang, source,
+                     n_chars::VARCHAR, text)), 1, 15)) AS BIGINT))
+           AS fp_xor,
+         CAST(sum(CAST(concat('0x', substring(md5(
+           concat_ws('|', doc_id::VARCHAR, lang, source,
+                     n_chars::VARCHAR, text)), 1, 8)) AS BIGINT))
+           AS BIGINT) AS fp_sum
+       FROM r"""
+
+  /** Row-level CDC from the file diff, through the hash gate: base →
+    * MERGE (updates + inserts) → DELETE, then
+    * [[TableLog.changesBetween]](v0 → latest) must emit EXACTLY the
+    * keyed diff the oracle computes relationally — updates as
+    * post-images, inserts as post-images, deletes as pre-images, and
+    * NOTHING for the COW rewrites' carried rows (content-identical
+    * keys net out). Row-level compare, no aggregation: every emitted
+    * column of every change row is gated. */
+  def tableCdc(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_tablecdc").toString
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+    TableLog.writeBase(spark,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      out, statsKey = Some("doc_id"))
+    val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+        col("lang"), (col("n_chars") + 3).as("n_chars"), col("source"))
+    val inserts = docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"),
+        col("lang"), (col("n_chars") + 4).as("n_chars"), col("source"))
+    TableLog.upsert(spark, out, updates.unionByName(inserts), "doc_id")
+    TableLog.delete(spark, out,
+      docs.filter(pmod(col("doc_id"), lit(13)) === 4).select("doc_id"),
+      "doc_id")
+    val cdc = TableLog.changesBetween(spark, out, 0,
+      TableLog.currentVersion(spark, out), "doc_id")
+      .select(col("_op"), col("doc_id"), col("text"), col("lang"),
+        col("n_chars"), col("source"))
+    Tables.sealTempResult(spark, cdc, out)
+  }
+
+  val tableCdcSql: String =
+    """WITH upd AS (SELECT doc_id, concat(text, ' v2') AS text, lang,
+           (n_chars + 3)::BIGINT AS n_chars, source
+         FROM documents WHERE doc_id % 7 = 0),
+       ins AS (SELECT doc_id + 1000000 AS doc_id,
+           concat('new ', text) AS text, lang,
+           (n_chars + 4)::BIGINT AS n_chars, source
+         FROM documents WHERE doc_id % 11 = 5),
+       bkeys AS (SELECT doc_id FROM upd UNION SELECT doc_id FROM ins),
+       v0 AS (SELECT doc_id, text, lang, n_chars::BIGINT AS n_chars,
+                source FROM documents),
+       v1 AS (SELECT * FROM v0
+              WHERE doc_id NOT IN (SELECT doc_id FROM bkeys)
+              UNION ALL SELECT * FROM upd
+              UNION ALL SELECT * FROM ins),
+       dk AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 4),
+       v2 AS (SELECT * FROM v1
+              WHERE doc_id NOT IN (SELECT doc_id FROM dk))
+       SELECT 'delete' AS _op, v0.doc_id, v0.text, v0.lang,
+              v0.n_chars, v0.source
+       FROM v0 WHERE v0.doc_id NOT IN (SELECT doc_id FROM v2)
+       UNION ALL
+       SELECT 'insert', v2.doc_id, v2.text, v2.lang, v2.n_chars,
+              v2.source
+       FROM v2 WHERE v2.doc_id NOT IN (SELECT doc_id FROM v0)
+       UNION ALL
+       SELECT 'update', b.doc_id, b.text, b.lang, b.n_chars, b.source
+       FROM v0 a JOIN v2 b ON a.doc_id = b.doc_id
+       WHERE a.text <> b.text OR a.lang <> b.lang
+          OR a.n_chars <> b.n_chars OR a.source <> b.source"""
+
   /** The MERGE delete arm through the hash gate: base snapshot →
     * [[TableLog.delete]] of a derived key set (decontamination-hit /
     * takedown semantics) — doomed keys PLUS an equal set of keys that
@@ -492,6 +616,8 @@ object RoundTrip {
     "q_audio_dedup" -> (audioDedup _),
     "q_time_travel" -> (timeTravel _),
     "q_merge_delete" -> (mergeDelete _),
+    "q_table_skip" -> (tableSkip _),
+    "q_table_cdc" -> (tableCdc _),
     "q_upsert_partitioned" -> (upsertPartitioned _))
 
   /** The oracle recomputes the identical fingerprints from the SOURCE
@@ -504,6 +630,8 @@ object RoundTrip {
     "q_audio_dedup" -> phashDedupSql,
     "q_time_travel" -> timeTravelSql,
     "q_merge_delete" -> mergeDeleteSql,
+    "q_table_skip" -> tableSkipSql,
+    "q_table_cdc" -> tableCdcSql,
     "q_roundtrip_shards" ->
       """SELECT count(*) AS n_docs,
          count(DISTINCT lang) AS n_langs,

@@ -515,6 +515,91 @@ object TableLog {
       version: Option[Int] = None): DataFrame =
     readLive(spark, dir, liveFiles(spark, dir, version))
 
+  /** Live files whose manifest key range INTERSECTS [lo, hi] —
+    * data skipping on the READ path: at 100 TB a keyed range read
+    * should not even OPEN the files the log already proves
+    * irrelevant (the Delta/Iceberg skipping story, decided from the
+    * manifest alone). Files without stats are conservatively
+    * included. */
+  def prunedLiveFiles(spark: SparkSession, dir: String, lo: Long,
+      hi: Long, version: Option[Int] = None): Seq[String] =
+    liveFileStats(spark, dir, version).filter {
+      case AddEntry(_, None) => true
+      case AddEntry(_, Some((flo, fhi))) => fhi >= lo && flo <= hi
+    }.map(_.rel)
+
+  /** Snapshot read restricted to statsKey ∈ [lo, hi]: the file list
+    * prunes via manifest stats BEFORE the scan, then the residual
+    * predicate still applies (pruning is an optimization, row-level
+    * correctness comes from the filter — exactly parquet row-group
+    * skipping's contract, one level up). An empty survivor set reads
+    * one file's footer for the schema and filters everything. */
+  def readVersionRange(spark: SparkSession, dir: String, lo: Long,
+      hi: Long, version: Option[Int] = None): DataFrame = {
+    val k = statsKeyOf(spark, dir).getOrElse(throw
+      new IllegalArgumentException(
+        s"TableLog: $dir has no statsKey — range reads need one " +
+          "(writeBase(statsKey = Some(col)))"))
+    val pruned = prunedLiveFiles(spark, dir, lo, hi, version)
+    if (pruned.nonEmpty)
+      readLive(spark, dir, pruned)
+        .filter(col(k).between(lo, hi))
+    else
+      readLive(spark, dir, liveFiles(spark, dir, version).take(1))
+        .filter(lit(false))
+  }
+
+  /** Row-level CHANGES between two committed versions, derived from
+    * the FILE diff — a change feed without writing CDC files: only
+    * files removed or added between the versions are read (carried
+    * files never are, so cost tracks the churn, not the table), and
+    * the keyed diff of their contents nets out rewrite noise:
+    * a compaction rewrites everything but changes nothing → zero
+    * rows here (content-identical keys cancel). Output: `_op`
+    * (`insert` — post-image; `update` — post-image; `delete` —
+    * pre-image) plus the table columns. Requires unique keys (the
+    * MERGE contract this tier already assumes). */
+  def changesBetween(spark: SparkSession, dir: String, fromV: Int,
+      toV: Int, key: String): DataFrame = {
+    require(fromV < toV, s"TableLog: changesBetween needs fromV < toV")
+    val a = liveFiles(spark, dir, Some(fromV)).toSet
+    val b = liveFiles(spark, dir, Some(toV)).toSet
+    val removed = (a -- b).toSeq.sorted
+    val added = (b -- a).toSeq.sorted
+    val schema = readLive(spark, dir,
+      liveFiles(spark, dir, Some(toV))).schema
+    val cols = schema.map(_.name)
+    require(cols.contains(key), s"TableLog: no key column $key")
+    // pre/post content hash over every column in a stable order —
+    // null-safe (concat_ws skips nulls, so a null marker keeps
+    // (a, null) distinct from (anull, ))
+    def hashed(df: DataFrame) = df.withColumn("_graft_h",
+      md5(concat_ws("\u0001", cols.sorted.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+    def side(rels: Seq[String]) =
+      if (rels.isEmpty)
+        hashed(readLive(spark, dir, liveFiles(spark, dir, Some(toV))
+          .take(1)).filter(lit(false)))
+      else hashed(readLive(spark, dir, rels))
+    val pre = side(removed)
+    val post = side(added)
+    val joined = pre.as("a").join(post.as("b"),
+      col(s"a.$key") === col(s"b.$key"), "full_outer")
+    val preCols = cols.map(c => col(s"a.$c"))
+    val postCols = cols.map(c => col(s"b.$c"))
+    joined.select(
+      when(col(s"a.$key").isNull, lit("insert"))
+        .when(col(s"b.$key").isNull, lit("delete"))
+        .when(col("a._graft_h") =!= col("b._graft_h"), lit("update"))
+        .otherwise(lit(null)).as("_op") +:
+      cols.zipWithIndex.map { case (c, i) =>
+        // post-image for insert/update, pre-image for delete
+        when(col(s"b.$key").isNull, preCols(i))
+          .otherwise(postCols(i)).as(c)
+      }: _*)
+      .filter(col("_op").isNotNull)
+  }
+
   /** The stats key configured at [[writeBase]], if any. */
   def statsKeyOf(spark: SparkSession, dir: String): Option[String] = {
     val fs = fsOf(spark, dir)

@@ -274,6 +274,55 @@ class TableLogBoundedSpec extends SparkSpec with Matchers {
     TableLog.readVersion(spark, dir).count() shouldBe 2001
   }
 
+  test("readVersionRange prunes the file list FROM THE LOG and still " +
+      "matches the full-scan filter; CDC nets out rewrite noise") {
+    val dir = Files.createTempDirectory("tl-skipcdc").toString
+    TableLog.writeBase(spark,
+      base().repartitionByRange(10, col("id"))
+        .sortWithinPartitions(col("id")),
+      dir, statsKey = Some("id"))
+    // a 10% key range must prune most of the 10 range files
+    val pruned = TableLog.prunedLiveFiles(spark, dir, 500L, 699L)
+    pruned.size should be < 3
+    val got = TableLog.readVersionRange(spark, dir, 500L, 699L)
+      .select("id", "body").collect().map(r =>
+        (r.getLong(0), r.getString(1))).sorted
+    val want = TableLog.readVersion(spark, dir)
+      .filter(col("id").between(500L, 699L))
+      .select("id", "body").collect().map(r =>
+        (r.getLong(0), r.getString(1))).sorted
+    got.toSeq shouldBe want.toSeq
+    got.length shouldBe 200
+    // an out-of-domain range reads nothing but keeps the schema
+    TableLog.readVersionRange(spark, dir, 50000L, 60000L)
+      .count() shouldBe 0
+    // no statsKey -> loud refusal, not a silent full scan
+    val plain = Files.createTempDirectory("tl-nostat").toString
+    TableLog.writeBase(spark, base(100), plain)
+    intercept[IllegalArgumentException] {
+      TableLog.readVersionRange(spark, plain, 0L, 10L)
+    }.getMessage should include("statsKey")
+
+    // CDC: upsert (update 3, insert 9001) + delete 7 -> exactly 3 ops
+    TableLog.upsert(spark, dir,
+      Seq((3L, "updated 3"), (9001L, "fresh")).toDF("id", "body"), "id")
+    TableLog.delete(spark, dir, Seq(7L).toDF("id"), "id")
+    val cdc = TableLog.changesBetween(spark, dir, 0,
+      TableLog.currentVersion(spark, dir), "id")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("id"),
+        r.getAs[String]("body"))).sorted
+    cdc.toSeq shouldBe Seq(
+      ("delete", 7L, "body 7"),     // pre-image
+      ("insert", 9001L, "fresh"),   // post-image
+      ("update", 3L, "updated 3"))  // post-image
+    // a compaction between versions changes NOTHING row-level: the
+    // file diff is total but every key's content is identical
+    val v = TableLog.currentVersion(spark, dir)
+    TableLog.compact(spark, dir, targetBytes = 1L << 20)
+    TableLog.changesBetween(spark, dir, v,
+      TableLog.currentVersion(spark, dir), "id").count() shouldBe 0
+  }
+
   test("exclusive publish is ATOMIC on the local filesystem: a racer " +
       "that missed the exists() check still loses, never clobbers") {
     val dir = Files.createTempDirectory("tl-excl").toString
