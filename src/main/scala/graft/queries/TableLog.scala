@@ -501,7 +501,11 @@ object TableLog {
     * tables that never evolved). */
   private def readLive(spark: SparkSession, dir: String,
       rels: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", isEvolved(spark, dir).toString)
+    // a fully-deleted table has an EMPTY live set — read honestly
+    // empty instead of letting parquet() fail on zero paths (the
+    // schema is gone with the files; 0 rows × 0 cols is the truth)
+    if (rels.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", isEvolved(spark, dir).toString)
       .parquet(rels.map(r => s"$dir/$r"): _*)
 
   /** Snapshot read — an ordinary parquet scan over the version's
@@ -794,7 +798,11 @@ object TableLog {
     // case-variant column is the same column, not a new one. The
     // schema comes from the live set in hand (no second log replay).
     def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    val tableSchema = readLive(spark, dir, liveStats.map(_.rel)).schema
+    // a fully-deleted table has no schema to conflict with — the
+    // first upsert after emptiness is a plain re-population
+    val tableSchema =
+      if (liveStats.isEmpty) batch.schema
+      else readLive(spark, dir, liveStats.map(_.rel)).schema
     batch.schema.foreach { f =>
       tableSchema.find(t => norm(t.name) == norm(f.name)).foreach { t =>
         require(t.dataType == f.dataType,

@@ -193,6 +193,16 @@ class TableLogBoundedSpec extends SparkSpec with Matchers {
     // deleting keys that exist nowhere is a no-op, not a version bump
     TableLog.delete(spark, dir, Seq(999999L).toDF("id"), "id")
     TableLog.currentVersion(spark, dir) shouldBe 1
+    // deleting EVERYTHING leaves an honestly-empty table that still
+    // reads and can be re-populated by a later upsert
+    val edir = Files.createTempDirectory("tl-delall").toString
+    TableLog.writeBase(spark, base(30), edir)
+    TableLog.delete(spark, edir,
+      (0L until 30L).toDF("id"), "id")
+    TableLog.readVersion(spark, edir).count() shouldBe 0
+    TableLog.upsert(spark, edir,
+      Seq((1L, "reborn")).toDF("id", "body"), "id")
+    TableLog.readVersion(spark, edir).count() shouldBe 1
     // …and the arm works across evolution (key present since v0,
     // files mixed before/after an evolving upsert)
     TableLog.upsert(spark, dir,
