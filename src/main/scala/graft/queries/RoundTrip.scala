@@ -44,6 +44,14 @@ object RoundTrip {
     conv(substring(md5(rowKey.cast("binary")), 1, hexDigits), 16, 10)
       .cast("long")
 
+  /** The canonical documents projection the table-tier oracles share
+    * (one definition — a cast or column change lands everywhere at
+    * once, matching each paired SQL's `v0` relation). */
+  private def docsOf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+
   def roundtripShards(spark: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_roundtrip").toString
     val config = ShardsConfig(out,
@@ -313,9 +321,7 @@ object RoundTrip {
     * one row. */
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_tablelog").toString
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"),
-        col("n_chars").cast("long").as("n_chars"), col("source"))
+    val docs = docsOf(spark, dir)
     TableLog.writeBase(spark, docs, out)
     val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
       .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
@@ -423,9 +429,7 @@ object RoundTrip {
     * never fixture constants. */
   def tableSkip(spark: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_tableskip").toString
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"),
-        col("n_chars").cast("long").as("n_chars"), col("source"))
+    val docs = docsOf(spark, dir)
     TableLog.writeBase(spark,
       docs.repartitionByRange(16, col("doc_id"))
         .sortWithinPartitions(col("doc_id")),
@@ -480,9 +484,7 @@ object RoundTrip {
     * column of every change row is gated. */
   def tableCdc(spark: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_tablecdc").toString
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"),
-        col("n_chars").cast("long").as("n_chars"), col("source"))
+    val docs = docsOf(spark, dir)
     TableLog.writeBase(spark,
       docs.repartitionByRange(8, col("doc_id"))
         .sortWithinPartitions(col("doc_id")),
@@ -533,8 +535,10 @@ object RoundTrip {
        UNION ALL
        SELECT 'update', b.doc_id, b.text, b.lang, b.n_chars, b.source
        FROM v0 a JOIN v2 b ON a.doc_id = b.doc_id
-       WHERE a.text <> b.text OR a.lang <> b.lang
-          OR a.n_chars <> b.n_chars OR a.source <> b.source"""
+       WHERE a.text IS DISTINCT FROM b.text
+          OR a.lang IS DISTINCT FROM b.lang
+          OR a.n_chars IS DISTINCT FROM b.n_chars
+          OR a.source IS DISTINCT FROM b.source"""
 
   /** The MERGE delete arm through the hash gate: base snapshot →
     * [[TableLog.delete]] of a derived key set (decontamination-hit /
@@ -545,9 +549,7 @@ object RoundTrip {
     * and every survivor byte-identically. */
   def mergeDelete(spark: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_tabledel").toString
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"),
-        col("n_chars").cast("long").as("n_chars"), col("source"))
+    val docs = docsOf(spark, dir)
     TableLog.writeBase(spark,
       docs.repartitionByRange(8, col("doc_id"))
         .sortWithinPartitions(col("doc_id")),

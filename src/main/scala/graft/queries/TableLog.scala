@@ -3,8 +3,10 @@ package graft.queries
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
+  LongType, ShortType, StructType}
 
 /** Versioned-table tier: a manifest log over plain parquet files —
   * the Delta/Iceberg shape a 100 TB training-data pipeline actually
@@ -502,9 +504,11 @@ object TableLog {
   private def readLive(spark: SparkSession, dir: String,
       rels: Seq[String]): DataFrame =
     // a fully-deleted table has an EMPTY live set — read honestly
-    // empty instead of letting parquet() fail on zero paths (the
-    // schema is gone with the files; 0 rows × 0 cols is the truth)
-    if (rels.isEmpty) spark.emptyDataFrame
+    // empty WITH the logged schema (the schema outlives the files);
+    // only a legacy table without schema tracking degrades to 0 cols
+    if (rels.isEmpty)
+      loggedSchema(spark, dir).map(emptyOf(spark, _))
+        .getOrElse(spark.emptyDataFrame)
     else spark.read.option("mergeSchema", isEvolved(spark, dir).toString)
       .parquet(rels.map(r => s"$dir/$r"): _*)
 
@@ -536,8 +540,9 @@ object TableLog {
     * prunes via manifest stats BEFORE the scan, then the residual
     * predicate still applies (pruning is an optimization, row-level
     * correctness comes from the filter — exactly parquet row-group
-    * skipping's contract, one level up). An empty survivor set reads
-    * one file's footer for the schema and filters everything. */
+    * skipping's contract, one level up). An empty survivor set keeps
+    * the schema: the logged schema when tracked, else one live
+    * file's footer. */
   def readVersionRange(spark: SparkSession, dir: String, lo: Long,
       hi: Long, version: Option[Int] = None): DataFrame = {
     val k = statsKeyOf(spark, dir).getOrElse(throw
@@ -548,9 +553,12 @@ object TableLog {
     if (pruned.nonEmpty)
       readLive(spark, dir, pruned)
         .filter(col(k).between(lo, hi))
-    else
-      readLive(spark, dir, liveFiles(spark, dir, version).take(1))
-        .filter(lit(false))
+    else loggedSchema(spark, dir) match {
+      case Some(s) => emptyOf(spark, s)
+      case None =>
+        readLive(spark, dir, liveFiles(spark, dir, version).take(1))
+          .filter(lit(false))
+    }
   }
 
   /** Row-level CHANGES between two committed versions, derived from
@@ -567,40 +575,66 @@ object TableLog {
       toV: Int, key: String): DataFrame = {
     require(fromV < toV, s"TableLog: changesBetween needs fromV < toV")
     val a = liveFiles(spark, dir, Some(fromV)).toSet
-    val b = liveFiles(spark, dir, Some(toV)).toSet
+    val bLive = liveFiles(spark, dir, Some(toV))
+    val b = bLive.toSet
     val removed = (a -- b).toSeq.sorted
     val added = (b -- a).toSeq.sorted
-    val schema = readLive(spark, dir,
-      liveFiles(spark, dir, Some(toV))).schema
+    val churn = removed ++ added
+    // schema from the CHURNED files only (carried files are never
+    // read -- cost tracks the churn, not the table); across a
+    // column-adding evolution this is the pre/post UNION schema. An
+    // empty churn means zero changes: the logged schema (or, legacy,
+    // one live footer) shapes the empty result. A full-table wipe
+    // keeps working -- removed is non-empty even when toV is empty.
+    val schema: StructType =
+      if (churn.nonEmpty) readLive(spark, dir, churn).schema
+      else loggedSchema(spark, dir).getOrElse(
+        readLive(spark, dir, bLive.take(1)).schema)
     val cols = schema.map(_.name)
     require(cols.contains(key), s"TableLog: no key column $key")
-    // pre/post content hash over every column in a stable order —
-    // null-safe (concat_ws skips nulls, so a null marker keeps
-    // (a, null) distinct from (anull, ))
+    // each side aligns to the union schema: the pre side of a
+    // column-adding evolution reads files that PREDATE the column,
+    // so missing columns null-fill as typed literals instead of
+    // failing resolution
+    def aligned(rels: Seq[String]): DataFrame = {
+      val df =
+        if (rels.isEmpty) emptyOf(spark, schema)
+        else readLive(spark, dir, rels)
+      val have = df.columns.map(normName).toSet
+      df.select(schema.map { f =>
+        if (have(normName(f.name))) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }
+    // content hash: md5 of the full-row struct's JSON -- field names
+    // plus JSON escaping make it separator-collision-free (any
+    // concatenation scheme lets a value CONTAINING the separator
+    // alias across column boundaries and silently swallow an
+    // update), and a struct is never null, so hash nullity is
+    // exactly side-presence
     def hashed(df: DataFrame) = df.withColumn("_graft_h",
-      md5(concat_ws("\u0001", cols.sorted.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
-    def side(rels: Seq[String]) =
-      if (rels.isEmpty)
-        hashed(readLive(spark, dir, liveFiles(spark, dir, Some(toV))
-          .take(1)).filter(lit(false)))
-      else hashed(readLive(spark, dir, rels))
-    val pre = side(removed)
-    val post = side(added)
+      md5(to_json(struct(cols.sorted.map(col): _*))))
+    val pre = hashed(aligned(removed))
+    val post = hashed(aligned(added))
+    // null-SAFE key equality: a null-keyed row (the unique-keys
+    // contract allows one) carried through a COW rewrite must net
+    // out like any other row, not emit a phantom delete+insert pair
     val joined = pre.as("a").join(post.as("b"),
-      col(s"a.$key") === col(s"b.$key"), "full_outer")
+      col(s"a.$key") <=> col(s"b.$key"), "full_outer")
     val preCols = cols.map(c => col(s"a.$c"))
     val postCols = cols.map(c => col(s"b.$c"))
+    // side presence via the HASH, never the key: testing the key
+    // would misread a null-keyed deletion as an insert
+    val isDelete = col("b._graft_h").isNull
     joined.select(
-      when(col(s"a.$key").isNull, lit("insert"))
-        .when(col(s"b.$key").isNull, lit("delete"))
+      when(col("a._graft_h").isNull, lit("insert"))
+        .when(isDelete, lit("delete"))
         .when(col("a._graft_h") =!= col("b._graft_h"), lit("update"))
         .otherwise(lit(null)).as("_op") +:
       cols.zipWithIndex.map { case (c, i) =>
         // post-image for insert/update, pre-image for delete
-        when(col(s"b.$key").isNull, preCols(i))
-          .otherwise(postCols(i)).as(c)
-      }: _*)
+        when(isDelete, preCols(i)).otherwise(postCols(i)).as(c)
+      }.toSeq: _*)
       .filter(col("_op").isNotNull)
   }
 
@@ -611,6 +645,42 @@ object TableLog {
     if (!fs.exists(p)) None
     else Some(readSmallFile(fs, p).trim)
   }
+
+  private def normName(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
+  private def isIntegralType(dt: DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType ||
+      dt == ByteType
+
+  /** The table schema as RECORDED IN THE LOG — written at
+    * [[writeBase]], widened by every schema-evolving [[upsert]].
+    * This is what lets an EMPTY live set (a fully-deleted table)
+    * still read, CDC, and re-populate with its true schema instead
+    * of degrading to zero columns: the schema outlives the data
+    * files. Absent on tables created before schema tracking —
+    * callers fall back to footer inference. */
+  def loggedSchema(spark: SparkSession, dir: String): Option[StructType] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(logDir(dir), "_schema")
+    if (!fs.exists(p)) None
+    else Some(DataType.fromJson(readSmallFile(fs, p))
+      .asInstanceOf[StructType])
+  }
+
+  private def writeLoggedSchema(fs: FileSystem, dir: String,
+      schema: StructType): Unit = {
+    fs.mkdirs(logDir(dir))
+    // overwrite: both writers of this file (writeBase retry, an
+    // evolving upsert) replace it with a superset or identical value
+    require(writeSmallFileAtomic(fs, new Path(logDir(dir), "_schema"),
+      schema.json, overwrite = true),
+      "TableLog: failed to write _schema")
+  }
+
+  /** A typed empty frame — the honest read of an empty live set. */
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   /** Dir-relative parquet paths of an already-written `data/…`
     * attempt dir. */
@@ -637,7 +707,14 @@ object TableLog {
         val uriToRel = rels.map { r =>
           fs.makeQualified(new Path(s"$dir/$r")).toUri.toString -> r
         }.toMap
-        val got = spark.read.parquet(rels.map(r => s"$dir/$r"): _*)
+        val written = spark.read.parquet(rels.map(r => s"$dir/$r"): _*)
+        // an evolution batch may legally OMIT the stats key (replaced
+        // rows null-fill it): the written files then lack the column
+        // entirely — no stats, conservatively included by every
+        // pruner, instead of an unresolvable-column crash
+        if (!written.columns.exists(c => normName(c) == normName(k)))
+          return rels.map(AddEntry(_, None))
+        val got = written
           .groupBy(input_file_name().as("f"))
           .agg(min(col(k)).cast("long").as("lo"),
             max(col(k)).cast("long").as("hi"))
@@ -685,10 +762,7 @@ object TableLog {
       // containing batch keys — MERGE would silently insert
       // duplicates instead of replacing
       val dt = df.schema(k).dataType
-      require(Seq(org.apache.spark.sql.types.LongType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.ByteType).contains(dt),
+      require(isIntegralType(dt),
         s"TableLog: statsKey $k must be integral, got $dt")
       val fs = fsOf(spark, dir)
       fs.mkdirs(logDir(dir))
@@ -698,6 +772,9 @@ object TableLog {
         new Path(logDir(dir), "_statskey"), k, overwrite = true),
         "TableLog: failed to write _statskey")
     }
+    // the schema outlives the data files: a later fully-deleted
+    // table still reads, CDCs, and re-populates with THIS schema
+    writeLoggedSchema(fsOf(spark, dir), dir, df.schema)
     commit(spark, dir, 0, writeData(spark, df, dir, 0), Nil)
   }
 
@@ -797,17 +874,32 @@ object TableLog {
     // INSENSITIVELY, matching Spark's default resolution — a
     // case-variant column is the same column, not a new one. The
     // schema comes from the live set in hand (no second log replay).
-    def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    // a fully-deleted table has no schema to conflict with — the
-    // first upsert after emptiness is a plain re-population
+    def norm(s: String) = normName(s)
+    // a fully-deleted table still REMEMBERS its schema in the log —
+    // a re-population batch honors the same contract as any other
+    // (only a legacy table without schema tracking can check the
+    // batch against nothing but itself)
     val tableSchema =
-      if (liveStats.isEmpty) batch.schema
-      else readLive(spark, dir, liveStats.map(_.rel)).schema
+      if (liveStats.nonEmpty)
+        readLive(spark, dir, liveStats.map(_.rel)).schema
+      else loggedSchema(spark, dir).getOrElse(batch.schema)
     batch.schema.foreach { f =>
       tableSchema.find(t => norm(t.name) == norm(f.name)).foreach { t =>
         require(t.dataType == f.dataType,
           s"TableLog: batch column ${f.name} is ${f.dataType}, table " +
             s"has ${t.dataType} — a type conflict cannot be committed")
+      }
+    }
+    // the statsKey integrality contract survives emptiness: a truly
+    // empty LEGACY table (no remembered schema to conflict with)
+    // must not let a re-population batch smuggle in a non-integral
+    // key whose lexicographic min/max would corrupt every later
+    // pruning decision
+    if (liveStats.isEmpty) statsKeyOf(spark, dir).foreach { k =>
+      batch.schema.find(f => norm(f.name) == norm(k)).foreach { f =>
+        require(isIntegralType(f.dataType),
+          s"TableLog: statsKey $k must stay integral, got " +
+            s"${f.dataType}")
       }
     }
     val tableCols = tableSchema.map(f => norm(f.name)).toSet
@@ -829,6 +921,12 @@ object TableLog {
       require(writeSmallFileAtomic(fs,
         new Path(logDir(dir), "_evolved"), "1", overwrite = true),
         "TableLog: failed to mark schema evolution")
+      // widen the logged schema to the union — the remembered shape
+      // must track every evolution, or a later fully-deleted table
+      // would forget its evolved columns
+      writeLoggedSchema(fs, dir, StructType(tableSchema.fields ++
+        batch.schema.fields.filterNot(f =>
+          tableCols.contains(norm(f.name)))))
     }
     // persisted: consumed by up to three actions (sortedBatchKeys
     // collect, the touch-scan semi-join, the rewrite anti-join) —

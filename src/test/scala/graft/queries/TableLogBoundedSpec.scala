@@ -333,6 +333,87 @@ class TableLogBoundedSpec extends SparkSpec with Matchers {
       TableLog.currentVersion(spark, dir), "id").count() shouldBe 0
   }
 
+  test("CDC survives full wipes, schema evolution, separator-laden " +
+      "values, and null keys; emptiness keeps the logged schema") {
+    // 1. full-table wipe: every row surfaces as a delete (the toV
+    // live set is EMPTY — the schema must come from the churn, not
+    // from a readable snapshot)
+    val dir = Files.createTempDirectory("tl-cdcwipe").toString
+    TableLog.writeBase(spark, base(40), dir, statsKey = Some("id"))
+    TableLog.delete(spark, dir, (0L until 40L).toDF("id"), "id")
+    val wiped = TableLog.changesBetween(spark, dir, 0,
+      TableLog.currentVersion(spark, dir), "id")
+    wiped.count() shouldBe 40
+    wiped.filter(col("_op") =!= "delete").count() shouldBe 0
+    // force a TRULY empty live set (delete may leave 0-row files —
+    // remove every live file by manifest, the vacuum-of-empties
+    // shape): the schema must OUTLIVE the data files
+    val residue = TableLog.liveFiles(spark, dir)
+    if (residue.nonEmpty)
+      TableLog.commitRebased(spark, dir,
+        TableLog.currentVersion(spark, dir) + 1, adds = Nil,
+        removes = residue, keyed = false, batchKeys = None,
+        txn = None, maxRebases = 0)
+    TableLog.liveFiles(spark, dir) shouldBe empty
+    TableLog.readVersion(spark, dir).columns.toSeq shouldBe
+      Seq("id", "body")
+    TableLog.readVersionRange(spark, dir, 0L, 10L).columns.toSeq shouldBe
+      Seq("id", "body")
+    // re-population still honors the remembered contract: a
+    // type-conflicting batch is refused BEFORE anything writes
+    intercept[IllegalArgumentException] {
+      TableLog.upsert(spark, dir,
+        Seq(("1", "smuggled")).toDF("id", "body"), "id")
+    }.getMessage should include("type conflict")
+    // …and on a LEGACY table (no logged schema, no files) the
+    // statsKey integrality guard itself refuses the smuggle
+    fs(dir).delete(new Path(s"$dir/_log/_schema"), false)
+    intercept[IllegalArgumentException] {
+      TableLog.upsert(spark, dir,
+        Seq(("1", "smuggled")).toDF("id", "body"), "id")
+    }.getMessage should include("integral")
+
+    // 2. CDC across a column-adding evolution: the pre side reads
+    // files that PREDATE the column and must null-fill, not crash;
+    // carried rows in the rewritten file still net out
+    val edir = Files.createTempDirectory("tl-cdcevo").toString
+    TableLog.writeBase(spark, base(50), edir, statsKey = Some("id"))
+    TableLog.upsert(spark, edir,
+      Seq((3L, "with tag", "T")).toDF("id", "body", "tag"), "id",
+      allowSchemaEvolution = true)
+    val evo = TableLog.changesBetween(spark, edir, 0, 1, "id")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("id"),
+        r.getAs[String]("tag")))
+    evo.toSeq shouldBe Seq(("update", 3L, "T"))
+
+    // 3. a value CONTAINING a separator-ish control character must
+    // not alias across column boundaries: (x | y␁z) -> (x␁y | z) is
+    // an UPDATE, not a no-change
+    val cdir = Files.createTempDirectory("tl-cdccoll").toString
+    TableLog.writeBase(spark,
+      Seq((1L, "x", "y\u0001z"), (2L, "p", "q")).toDF("id", "c1", "c2"),
+      cdir, statsKey = Some("id"))
+    TableLog.upsert(spark, cdir,
+      Seq((1L, "x\u0001y", "z")).toDF("id", "c1", "c2"), "id")
+    val coll = TableLog.changesBetween(spark, cdir, 0, 1, "id")
+      .collect()
+    coll.length shouldBe 1
+    coll.head.getString(0) shouldBe "update"
+
+    // 4. a null-KEYED row carried through a COW rewrite nets out
+    // like any other row (no phantom delete+insert pair), and its
+    // genuine deletion would classify as delete, not insert
+    val ndir = Files.createTempDirectory("tl-cdcnull").toString
+    TableLog.writeBase(spark,
+      Seq((Option(1L), "one"), (Option.empty[Long], "null-key"),
+        (Option(2L), "two")).toDF("id", "body").coalesce(1), ndir)
+    TableLog.upsert(spark, ndir,
+      Seq((1L, "one v2")).toDF("id", "body"), "id")
+    val nc = TableLog.changesBetween(spark, ndir, 0, 1, "id")
+      .collect().map(r => (r.getString(0), r.getAs[String]("body")))
+    nc.toSeq shouldBe Seq(("update", "one v2"))
+  }
+
   test("exclusive publish is ATOMIC on the local filesystem: a racer " +
       "that missed the exists() check still loses, never clobbers") {
     val dir = Files.createTempDirectory("tl-excl").toString
