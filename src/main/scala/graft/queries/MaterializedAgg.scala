@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental MATERIALIZED AGGREGATE maintenance over the
+  * [[TableLog]] tier: a grouped sum/count view of a versioned source
+  * table, kept current by reading only the source's CHANGES since the
+  * last maintenance — the classic incremental-view-maintenance move
+  * (abelian aggregates absorb a retraction feed), applied to the
+  * lakehouse change feed this engine already derives from file diffs.
+  *
+  * Why this exists at 100 TB: a curation pipeline keeps running
+  * aggregates over a mutating corpus (per-source token budgets,
+  * per-language quality tallies, dedup-cluster sizes). Recomputing a
+  * full groupBy after every MERGE re-scans the corpus; maintaining it
+  * from [[TableLog.changesBetween]] touches only the CHURNED files of
+  * the source and upserts only the TOUCHED groups of the view — both
+  * sides of the work track the delta, not the data.
+  *
+  * Mechanics per maintain:
+  *  1. expanded change feed (`update_preimage`/`update_postimage`, the
+  *     public Delta-CDF shape) between the last maintained source
+  *     version and its head — an update retracts its pre-image and
+  *     applies its post-image, so updates that MOVE a row across
+  *     groups adjust both groups;
+  *  2. per-group deltas: `Δn = Σ sign`, `Δsum_c = Σ sign·c` — one
+  *     shuffle of the change rows, grouped by the view dims;
+  *  3. upsert of touched groups only (`new = old + Δ`), keyed on
+  *     `gid = xxhash64(to_json(struct(dims)))` — an integral merge
+  *     key, so the view's own COW touch-scan prunes by manifest
+  *     stats; groups whose count reaches zero are committed as
+  *     tombstones IN THE SAME VERSION (atomicity) and swept right
+  *     after;
+  *  4. exactly-once: the upsert carries txn stamp `mv#<srcVersion>`
+  *     in the view's own log — a crashed/replayed maintain is a
+  *     no-op, and the resume point is [[TableLog.txnHighWater]], so
+  *     there is no side-channel watermark file to desync.
+  *
+  * Contracts: one (source → view) binding per view dir (the recorded
+  * `_mv_spec` refuses drift); the source obeys the MERGE unique-key
+  * contract; source versions must not be vacuumed faster than the
+  * maintenance cadence (a too-old `fromV` fails loudly — rebuild the
+  * view). Group-id collisions are 64-bit-hash rare; the dims
+  * themselves are stored in the view, so a collision is detectable.
+  * A crash between the stamped upsert and the tombstone sweep can
+  * leave `n_rows = 0` rows visible until the next maintain;
+  * [[readView]] filters them.
+  */
+object MaterializedAgg {
+
+  /** What a maintain did: `mode` ∈ full | incremental | noop;
+    * `srcFrom`/`srcTo` the source-version window applied;
+    * `groupsTouched` how many view groups this maintain rewrote
+    * (0 for noop; = groupsTotal for full); `groupsTotal` live groups
+    * after the maintain. */
+  case class MaintainStats(mode: String, srcFrom: Int, srcTo: Int,
+      groupsTouched: Long, groupsTotal: Long)
+
+  private val App = "mv"
+
+  private def gidCol(dims: Seq[String]): Column =
+    xxhash64(to_json(struct(dims.map(col): _*)))
+
+  private def specString(srcKey: String, dims: Seq[String],
+      measures: Seq[String]): String =
+    s"key=$srcKey\tdims=${dims.mkString(",")}\t" +
+      s"sums=${measures.mkString(",")}"
+
+  /** The view relation for consumers: live groups only (tombstones a
+    * crashed maintain may have left behind are filtered; the next
+    * maintain sweeps them). */
+  def readView(spark: SparkSession, viewDir: String): DataFrame =
+    TableLog.readVersion(spark, viewDir).filter(col("n_rows") > 0)
+
+  /** Bring `viewDir` current with `srcDir`'s head version. The view
+    * holds one row per distinct `dims` tuple: the dims, `gid`,
+    * `n_rows`, and `sum_<c>` for every measure column (exact for
+    * integral measures; floating measures accumulate the usual
+    * addition drift and suit monitoring, not oracles). Idempotent
+    * per source version; call after every source commit or on any
+    * cadence. */
+  def maintain(spark: SparkSession, srcDir: String, srcKey: String,
+      viewDir: String, dims: Seq[String],
+      measures: Seq[String]): MaintainStats = {
+    require(dims.nonEmpty, "MaterializedAgg: no dims")
+    val head = TableLog.currentVersion(spark, srcDir)
+    require(head >= 0, s"MaterializedAgg: no source table at $srcDir")
+    val sums = measures.map(c => sum(col(c)).as(s"sum_$c"))
+    val fs = TableLog.fsOf(spark, viewDir)
+    val specPath = new Path(TableLog.logDir(viewDir), "_mv_spec")
+    val spec = specString(srcKey, dims, measures)
+
+    if (TableLog.currentVersion(spark, viewDir) < 0) {
+      // FULL BUILD: one grouped pass over the source head, committed
+      // as the view's v0 with the maintenance stamp — a crash before
+      // the commit leaves no view (rebuilt next call); after it, the
+      // stamp makes the retry a no-op.
+      val full = TableLog.readVersion(spark, srcDir)
+        .groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"), sums: _*)
+        .withColumn("gid", gidCol(dims))
+      TableLog.writeBase(spark, full, viewDir,
+        statsKey = Some("gid"), txn = Some(s"$App#$head"))
+      require(TableLog.writeSmallFileAtomic(fs, specPath, spec,
+        overwrite = true), "MaterializedAgg: failed to record _mv_spec")
+      val total = readView(spark, viewDir).count()
+      return MaintainStats("full", -1, head, total, total)
+    }
+
+    // spec drift is silent corruption — refuse it loudly
+    require(fs.exists(specPath) &&
+      TableLog.readSmallFile(fs, specPath).trim == spec,
+      s"MaterializedAgg: $viewDir was built with a different view " +
+        "spec — rebuild into a fresh dir instead of diverging")
+    val last = TableLog.txnHighWater(spark, viewDir, App).getOrElse(
+      throw new IllegalStateException(
+        s"MaterializedAgg: $viewDir has no maintenance stamp — not " +
+          "a maintained view")).toInt
+    if (head <= last)
+      return MaintainStats("noop", last, last, 0,
+        readView(spark, viewDir).count())
+
+    // INCREMENTAL: deltas from the expanded change feed — one
+    // grouped shuffle over the change rows only
+    val changes = TableLog.changesBetween(spark, srcDir, last, head,
+      srcKey, expandUpdates = true)
+    val sign = when(col("_op").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val deltas = changes.withColumn("_sign", sign)
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("_sign")).as("_dn"),
+        measures.map(c =>
+          sum(col(c) * col("_sign")).as(s"_d_$c")): _*)
+      .withColumn("gid", gidCol(dims))
+    // old values for the touched groups; the view is group-sized, so
+    // this scan is the small side of the work by construction
+    val view = TableLog.readVersion(spark, viewDir)
+    val joined = deltas.as("d").join(view.as("v"),
+      col("d.gid") === col("v.gid"), "left")
+    val newRows = joined.select(
+      dims.map(c => col(s"d.$c")) ++
+      Seq(col("d.gid").as("gid"),
+        (coalesce(col("v.n_rows"), lit(0L)) + col("d._dn"))
+          .as("n_rows")) ++
+      measures.map(c =>
+        (coalesce(col(s"v.sum_$c"), lit(0)) + col(s"d._d_$c"))
+          .as(s"sum_$c")): _*)
+      .persist()
+    try {
+      val touched = newRows.count()
+      // a negative count means the change feed and the view diverged
+      // (foreign writer, vacuumed window, duplicate source keys) —
+      // corruption to refuse, never to commit
+      require(newRows.filter(col("n_rows") < 0).isEmpty,
+        s"MaterializedAgg: negative group count maintaining $viewDir " +
+          s"from $srcDir v$last→v$head — view and change feed " +
+          "diverged; rebuild the view")
+      // touched groups land in ONE stamped version (dead groups as
+      // n_rows=0 tombstones — atomicity first), then the sweep
+      // removes the tombstones as ordinary unstamped deletes
+      TableLog.upsert(spark, viewDir, newRows, "gid",
+        txn = Some(s"$App#$head"))
+      val dead = TableLog.readVersion(spark, viewDir)
+        .filter(col("n_rows") === 0).select("gid")
+      if (!dead.isEmpty) TableLog.delete(spark, viewDir, dead, "gid")
+      MaintainStats("incremental", last, head, touched,
+        readView(spark, viewDir).count())
+    } finally newRows.unpersist(blocking = false)
+  }
+}

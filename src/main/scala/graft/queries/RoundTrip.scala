@@ -612,7 +612,92 @@ object RoundTrip {
        UNION ALL
        SELECT n_docs, total_chars, fp_xor, fp_sum, 1::BIGINT FROM f1"""
 
+  /** Incremental MATERIALIZED-VIEW maintenance through the hash gate:
+    * a grouped (source × id-bucket) count/sum view of a versioned
+    * documents table is maintained through base → MERGE → range
+    * DELETE by reading ONLY each step's change feed
+    * ([[MaterializedAgg]] over [[TableLog.changesBetween]]), and the
+    * final view must byte-match the full groupBy the oracle computes
+    * from the final relation. The query REQUIRES both maintains to
+    * run incrementally and the last one to touch a strict subset of
+    * groups — a regression to full-recompute-per-commit cannot pass
+    * as green. Bucket width and the delete range derive from the
+    * data, never fixture constants. */
+  def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_incragg").toString
+    val src = s"$out/src"; val view = s"$out/view"
+    val docs = docsOf(spark, dir)
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val w = math.max(1L, (mx - mn + 1L) / 32L)
+    val lo = mn + math.floor((mx - mn) / 3.0).toLong
+    val hi = mn + math.floor((mx - mn) / 2.0).toLong
+    def withBkt(d: DataFrame) = d.withColumn("bkt",
+      floor(col("doc_id") / lit(w.toDouble)).cast("long"))
+    TableLog.writeBase(spark,
+      withBkt(docs).repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      src, statsKey = Some("doc_id"))
+    def maintain() = MaterializedAgg.maintain(spark, src, "doc_id",
+      view, Seq("source", "bkt"), Seq("n_chars"))
+    maintain() // full build against v0
+    val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+        col("lang"), (col("n_chars") + 3).as("n_chars"), col("source"))
+    val inserts = docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"),
+        col("lang"), (col("n_chars") + 4).as("n_chars"), col("source"))
+    TableLog.upsert(spark, src,
+      withBkt(updates.unionByName(inserts)), "doc_id")
+    val s2 = maintain()
+    require(s2.mode == "incremental",
+      s"maintenance after MERGE ran as ${s2.mode} — view regressed")
+    TableLog.delete(spark, src,
+      docs.filter(col("doc_id").between(lo, hi)).select("doc_id"),
+      "doc_id")
+    val s3 = maintain()
+    require(s3.mode == "incremental" &&
+      s3.groupsTouched < s3.groupsTotal,
+      s"maintenance touched ${s3.groupsTouched} of ${s3.groupsTotal} " +
+        "groups — not incremental")
+    val res = MaterializedAgg.readView(spark, view)
+      .select(col("source"), col("bkt"), col("n_rows"),
+        col("sum_n_chars"))
+    Tables.sealTempResult(spark, res, out)
+  }
+
+  val incrAggSql: String =
+    """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+              FROM documents),
+       p AS (SELECT greatest(1, CAST(floor((mx - mn + 1) / 32.0)
+                 AS BIGINT)) AS w,
+               mn + CAST(floor((mx - mn) / 3.0) AS BIGINT) AS lo,
+               mn + CAST(floor((mx - mn) / 2.0) AS BIGINT) AS hi
+             FROM b),
+       upd AS (SELECT doc_id, (n_chars + 3)::BIGINT AS n_chars, source
+             FROM documents WHERE doc_id % 7 = 0),
+       ins AS (SELECT doc_id + 1000000 AS doc_id,
+               (n_chars + 4)::BIGINT AS n_chars, source
+             FROM documents WHERE doc_id % 11 = 5),
+       bkeys AS (SELECT doc_id FROM upd UNION SELECT doc_id FROM ins),
+       v0 AS (SELECT doc_id, n_chars::BIGINT AS n_chars, source
+              FROM documents),
+       v1 AS (SELECT * FROM v0
+              WHERE doc_id NOT IN (SELECT doc_id FROM bkeys)
+              UNION ALL SELECT * FROM upd
+              UNION ALL SELECT * FROM ins),
+       v2 AS (SELECT v1.* FROM v1, p
+              WHERE v1.doc_id < p.lo OR v1.doc_id > p.hi)
+       SELECT v2.source,
+         CAST(floor(v2.doc_id / CAST(p.w AS DOUBLE)) AS BIGINT) AS bkt,
+         count(*) AS n_rows,
+         CAST(sum(v2.n_chars) AS BIGINT) AS sum_n_chars
+       FROM v2, p
+       GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "q_incr_agg" -> (incrAgg _),
     "q_roundtrip_shards" -> (roundtripShards _),
     "q_phash_dedup" -> (phashDedup _),
     "q_audio_dedup" -> (audioDedup _),
@@ -626,6 +711,7 @@ object RoundTrip {
     * parquet — equality proves the tar+csv trip preserved every byte
     * of every row (the reference's write→read→validate invariant). */
   val oracles: Map[String, String] = Map(
+    "q_incr_agg" -> incrAggSql,
     "q_phash_dedup" -> phashDedupSql,
     // the clusters-iff-same-source-text relation is the identical
     // symbolic truth for the audio fixture (see audioDedup scaladoc)

@@ -63,10 +63,10 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
   */
 object TableLog {
 
-  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+  private[queries] def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def logDir(dir: String) = new Path(dir, "_log")
+  private[queries] def logDir(dir: String) = new Path(dir, "_log")
 
   private def manifestPath(dir: String, v: Int) =
     new Path(logDir(dir), f"v$v%05d.manifest")
@@ -74,7 +74,7 @@ object TableLog {
   private def checkpointPath(dir: String, v: Int) =
     new Path(logDir(dir), f"v$v%05d.checkpoint")
 
-  private def readSmallFile(fs: FileSystem, p: Path): String = {
+  private[queries] def readSmallFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try new String({
       val len = fs.getFileStatus(p).getLen.toInt
@@ -235,7 +235,18 @@ object TableLog {
     * manifests below the checkpoint may have been truncated by
     * [[vacuum]] anyway). */
   private def txnCommitted(spark: SparkSession, dir: String,
-      appId: String, batchId: Long): Boolean = {
+      appId: String, batchId: Long): Boolean =
+    txnHighWater(spark, dir, appId).exists(_ >= batchId)
+
+  /** The newest committed batch id for `appId`, or None if the app
+    * never committed here — the same newest-first early-stop scan as
+    * the idempotence check (batch ids are monotonic per app by
+    * contract, so the first stamp found IS the high-water mark).
+    * Public so incremental consumers ([[MaterializedAgg]]) can
+    * resume from exactly what they last applied. */
+  def txnHighWater(spark: SparkSession, dir: String,
+      appId: String): Option[Long] = {
+    if (currentVersion(spark, dir) < 0) return None
     val fs = fsOf(spark, dir)
     val latest = currentVersion(spark, dir)
     val cp = baseCheckpointFor(fs, dir, latest)
@@ -247,7 +258,7 @@ object TableLog {
           val id = values.head
           val cut = id.lastIndexOf('#')
           if (cut > 0 && id.substring(0, cut) == appId)
-            return id.substring(cut + 1).toLong >= batchId
+            return Some(id.substring(cut + 1).toLong)
         case _ => ()
       }
       v -= 1
@@ -255,7 +266,7 @@ object TableLog {
     cp match {
       case Some(c) =>
         val st = parseCheckpoint(fs, checkpointPath(dir, c))
-        if (st.isV2) st.txns.get(appId).exists(_ >= batchId)
+        if (st.isV2) st.txns.get(appId)
         else {
           // legacy (format-1) checkpoint: no txn state folded in —
           // keep scanning the manifests below it, as before
@@ -266,14 +277,14 @@ object TableLog {
                 val id = values.head
                 val cut = id.lastIndexOf('#')
                 if (cut > 0 && id.substring(0, cut) == appId)
-                  return id.substring(cut + 1).toLong >= batchId
+                  return Some(id.substring(cut + 1).toLong)
               case _ => ()
             }
             w -= 1
           }
-          false
+          None
         }
-      case None => false
+      case None => None
     }
   }
 
@@ -572,7 +583,7 @@ object TableLog {
     * pre-image) plus the table columns. Requires unique keys (the
     * MERGE contract this tier already assumes). */
   def changesBetween(spark: SparkSession, dir: String, fromV: Int,
-      toV: Int, key: String): DataFrame = {
+      toV: Int, key: String, expandUpdates: Boolean = false): DataFrame = {
     require(fromV < toV, s"TableLog: changesBetween needs fromV < toV")
     val a = liveFiles(spark, dir, Some(fromV)).toSet
     val bLive = liveFiles(spark, dir, Some(toV))
@@ -626,16 +637,38 @@ object TableLog {
     // side presence via the HASH, never the key: testing the key
     // would misread a null-keyed deletion as an insert
     val isDelete = col("b._graft_h").isNull
-    joined.select(
+    val opCol =
       when(col("a._graft_h").isNull, lit("insert"))
         .when(isDelete, lit("delete"))
         .when(col("a._graft_h") =!= col("b._graft_h"), lit("update"))
-        .otherwise(lit(null)).as("_op") +:
-      cols.zipWithIndex.map { case (c, i) =>
-        // post-image for insert/update, pre-image for delete
-        when(isDelete, preCols(i)).otherwise(postCols(i)).as(c)
-      }.toSeq: _*)
-      .filter(col("_op").isNotNull)
+        .otherwise(lit(null))
+    if (!expandUpdates)
+      joined.select(opCol.as("_op") +:
+        cols.zipWithIndex.map { case (c, i) =>
+          // post-image for insert/update, pre-image for delete
+          when(isDelete, preCols(i)).otherwise(postCols(i)).as(c)
+        }.toSeq: _*)
+        .filter(col("_op").isNotNull)
+    else {
+      // expanded (Delta-CDF-shaped) feed: an update emits BOTH its
+      // images, so a consumer maintaining abelian aggregates can
+      // retract the pre and apply the post — including updates that
+      // MOVE a row across groups. One pass: each joined row explodes
+      // into its image list.
+      def img(side: Seq[org.apache.spark.sql.Column]) =
+        struct(cols.zip(side).map { case (c, e) => e.as(c) }: _*)
+      val images =
+        when(opCol === "update", array(
+          struct(lit("update_preimage").as("_op"), img(preCols).as("_img")),
+          struct(lit("update_postimage").as("_op"), img(postCols).as("_img"))))
+        .otherwise(array(
+          struct(opCol.as("_op"),
+            when(isDelete, img(preCols)).otherwise(img(postCols)).as("_img"))))
+      joined.filter(opCol.isNotNull)
+        .select(explode(images).as("e"))
+        .select(col("e._op").as("_op") +:
+          cols.map(c => col(s"e._img.$c").as(c)): _*)
+    }
   }
 
   /** The stats key configured at [[writeBase]], if any. */
@@ -752,7 +785,8 @@ object TableLog {
     * mutation records each added file's key min/max, and [[upsert]]
     * prunes its touch-scan with them. */
   def writeBase(spark: SparkSession, df: DataFrame, dir: String,
-      statsKey: Option[String] = None): Unit = {
+      statsKey: Option[String] = None,
+      txn: Option[String] = None): Unit = {
     require(currentVersion(spark, dir) == -1,
       s"TableLog: $dir already has a log — writeBase is v0 only")
     statsKey.foreach { k =>
@@ -775,7 +809,7 @@ object TableLog {
     // the schema outlives the data files: a later fully-deleted
     // table still reads, CDCs, and re-populates with THIS schema
     writeLoggedSchema(fsOf(spark, dir), dir, df.schema)
-    commit(spark, dir, 0, writeData(spark, df, dir, 0), Nil)
+    commit(spark, dir, 0, writeData(spark, df, dir, 0), Nil, txn)
   }
 
   /** Commit `adds`/`removes` at `v`, REBASING over concurrent
@@ -859,7 +893,7 @@ object TableLog {
     * before aborting. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
       key: String, allowSchemaEvolution: Boolean = false,
-      maxRebases: Int = 2): Unit = {
+      maxRebases: Int = 2, txn: Option[String] = None): Unit = {
     val v = currentVersion(spark, dir) + 1
     require(v >= 1, s"TableLog: no base version in $dir")
     val liveStats = liveFileStats(spark, dir)
@@ -979,7 +1013,7 @@ object TableLog {
     val rebaseKeys =
       if (statsKeyOf(spark, dir).contains(key)) sortedKeys else None
     commitRebased(spark, dir, v, writeData(spark, rewritten, dir, v),
-      touched, keyed = true, rebaseKeys, None, maxRebases)
+      touched, keyed = true, rebaseKeys, txn, maxRebases)
     } finally keys.unpersist(blocking = false)
   }
 
@@ -991,7 +1025,8 @@ object TableLog {
     * reference, and prior versions still read the deleted rows —
     * time travel — until vacuumed. */
   def delete(spark: SparkSession, dir: String, keysDf: DataFrame,
-      key: String, maxRebases: Int = 2): Unit = {
+      key: String, maxRebases: Int = 2,
+      txn: Option[String] = None): Unit = {
     val v = currentVersion(spark, dir) + 1
     require(v >= 1, s"TableLog: no base version in $dir")
     val liveStats = liveFileStats(spark, dir)
@@ -1024,7 +1059,7 @@ object TableLog {
     val rebaseKeys =
       if (statsKeyOf(spark, dir).contains(key)) sortedKeys else None
     commitRebased(spark, dir, v, writeData(spark, survivors, dir, v),
-      touched, keyed = true, rebaseKeys, None, maxRebases)
+      touched, keyed = true, rebaseKeys, txn, maxRebases)
     } finally keys.unpersist(blocking = false)
   }
 
