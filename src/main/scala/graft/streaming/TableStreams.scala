@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.queries.TableLog
+import graft.queries.{MaterializedAgg, TableLog}
 
 /** Streaming ingest into a [[TableLog]] versioned table —
   * EXACTLY-ONCE by the manifest's own atomicity, not by reader-side
@@ -37,6 +37,33 @@ object TableStreams {
       TableLog.appendOnce(spark, dir, batch, appId, batchId)
       if (TableLog.currentVersion(spark, dir) % checkpointEvery == 0)
         TableLog.checkpoint(spark, dir)
+    }
+  }
+
+  /** Streaming ingest that ALSO keeps a materialized aggregate view
+    * current — per micro-batch: exactly-once append (txn
+    * `appId#batchId`), then exactly-once view maintenance
+    * ([[MaterializedAgg.maintain]], stamped with the SOURCE version
+    * in the view's own log). The two stamps compose across every
+    * crash window: a replayed batch finds its append stamp and
+    * no-ops; a crash BETWEEN the append and the maintain leaves the
+    * view one version behind, and the replay's maintain catches it
+    * up from the change feed — both table and view land byte-
+    * identical to the crash-free run. `key` must be unique across
+    * the table (the tier's MERGE contract — the change-feed join
+    * depends on it once compaction interleaves). */
+  def tableAppendWithViewStream(rows: DataFrame, dir: String,
+      appId: String, viewDir: String, key: String, dims: Seq[String],
+      measures: Seq[String],
+      checkpointEvery: Int = 16): DataStreamWriter[Row] = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      TableLog.appendOnce(spark, dir, batch, appId, batchId)
+      if (TableLog.currentVersion(spark, dir) % checkpointEvery == 0)
+        TableLog.checkpoint(spark, dir)
+      MaterializedAgg.maintain(spark, dir, key, viewDir, dims, measures)
+      ()
     }
   }
 }

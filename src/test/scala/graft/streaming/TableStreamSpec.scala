@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
-import graft.queries.TableLog
+import graft.queries.{MaterializedAgg, TableLog}
 
 /** Streaming append into the versioned table
   * ([[TableStreams.tableAppendStream]]): exactly-once under a REAL
@@ -87,6 +87,76 @@ class TableStreamSpec extends SparkSpec with Matchers {
     // log read, and the snapshot reads identically through it
     TableLog.replayCost(spark, dir) shouldBe 1
     TableLog.readVersion(spark, dir).count() shouldBe 170
+  }
+
+  test("append-with-view: crash replay leaves table AND view " +
+      "byte-identical; a maintain-side crash catches up on replay") {
+    val dir = Files.createTempDirectory("tsv").toString
+    val view = Files.createTempDirectory("tsv-view").toString
+    val feed = Files.createTempDirectory("tsv-feed").toString
+    val ckpt = Files.createTempDirectory("tsv-ckpt").toString
+    TableLog.writeBase(spark,
+      (0L until 60L).map(i => (i, s"g${i % 3}", (i % 5).toLong))
+        .toDF("id", "grp", "val"), dir)
+
+    def deliver(name: String, from: Long, until: Long): Unit = {
+      val tmp = Files.createTempDirectory("tsv-part").toString
+      (from until until).map(i => (i, s"g${i % 4}", (i % 5).toLong))
+        .toDF("id", "grp", "val")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(feed, name))
+    }
+    def runStream(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = TableStreams.tableAppendWithViewStream(stream, dir,
+        appId = "tv", viewDir = view, key = "id", dims = Seq("grp"),
+        measures = Seq("val"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      spark.streams.resetTerminated()
+    }
+    def viewMap() = MaterializedAgg.readView(spark, view)
+      .select("grp", "n_rows", "sum_val").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def recomputed() = TableLog.readVersion(spark, dir)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    deliver("b0.parquet", 1000, 1040)
+    runStream()
+    TableLog.currentVersion(spark, dir) shouldBe 1
+    viewMap() shouldBe recomputed()
+    val snapshot = viewMap()
+
+    // CRASH REPLAY of the whole batch: both stamps must no-op
+    val cfs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(cfs.delete(
+      new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), false))
+    runStream()
+    TableLog.currentVersion(spark, dir) shouldBe 1
+    viewMap() shouldBe snapshot
+
+    // crash BETWEEN append and maintain: simulate by appending the
+    // next batch's rows directly (table moves ahead, view lags) —
+    // the stream's next maintain must catch the view up
+    TableLog.appendOnce(spark, dir,
+      (2000L until 2025L).map(i => (i, s"g${i % 4}", (i % 5).toLong))
+        .toDF("id", "grp", "val"), "other", 0L)
+    deliver("b1.parquet", 3000, 3010)
+    runStream()
+    viewMap() shouldBe recomputed()
   }
 
   test("vacuum fences old versions loudly and keeps the latest intact") {
