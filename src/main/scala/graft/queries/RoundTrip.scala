@@ -696,8 +696,88 @@ object RoundTrip {
        FROM v2, p
        GROUP BY 1, 2"""
 
+  /** STRING-keyed MERGE through the hash gate: the table's stats key
+    * is a composite string (`source#zero-padded-id`), manifest stats
+    * carry the order-preserving prefix ENCODING, and a batch confined
+    * to one source prefix must prune its touch-scan from the log —
+    * the query REQUIRES candidates < live files, so a string-stats
+    * regression (the silent full scan) cannot pass. The oracle
+    * recomputes the merged relation and fingerprints it; the update
+    * source is the lexicographically-smallest source, DERIVED FROM
+    * THE DATA. */
+  def stringMerge(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_strmerge").toString
+    val docs = docsOf(spark, dir).withColumn("skey",
+      concat(col("source"), lit("#"),
+        lpad(col("doc_id").cast("string"), 10, "0")))
+    TableLog.writeBase(spark,
+      docs.repartitionByRange(8, col("skey"))
+        .sortWithinPartitions(col("skey")),
+      out, statsKey = Some("skey"))
+    val firstSrc = docs.agg(min(col("source"))).head.getString(0)
+    val updates = docs
+      .filter(col("source") === firstSrc &&
+        pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("skey"), col("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang"),
+        (col("n_chars") + 3).as("n_chars"), col("source"))
+    val inserts = docs
+      .filter(col("source") === firstSrc &&
+        pmod(col("doc_id"), lit(11)) === 5)
+      .select(concat(col("source"), lit("#"),
+          lpad((col("doc_id") + 1000000L).cast("string"), 10, "0"))
+          .as("skey"),
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"), col("lang"),
+        (col("n_chars") + 4).as("n_chars"), col("source"))
+    val batch = updates.unionByName(inserts)
+    val total = TableLog.liveFiles(spark, out).size
+    val cand = TableLog.statsCandidates(spark, out, batch, "skey")
+    require(cand < total,
+      s"string stats pruned nothing ($cand of $total files) — " +
+        "prefix-encoding skipping broken")
+    TableLog.upsert(spark, out, batch, "skey")
+    val res = TableLog.readVersion(spark, out)
+      .withColumn("fp60", fp(15))
+      .withColumn("fp32", fp(8))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("bit_xor(fp60)").as("fp_xor"),
+        sum(col("fp32")).as("fp_sum"))
+    Tables.sealTempResult(spark, res, out)
+  }
+
+  val stringMergeSql: String =
+    """WITH fs AS (SELECT min(source) AS s FROM documents),
+       upd AS (SELECT doc_id, concat(text, ' v2') AS text, lang,
+           (n_chars + 3)::BIGINT AS n_chars, source
+         FROM documents, fs WHERE source = fs.s AND doc_id % 3 = 0),
+       ins AS (SELECT doc_id + 1000000 AS doc_id,
+           concat('new ', text) AS text, lang,
+           (n_chars + 4)::BIGINT AS n_chars, source
+         FROM documents, fs WHERE source = fs.s AND doc_id % 11 = 5),
+       v0 AS (SELECT doc_id, text, lang, n_chars::BIGINT AS n_chars,
+                source FROM documents),
+       v1 AS (SELECT v0.* FROM v0, fs
+              WHERE NOT (v0.source = fs.s AND v0.doc_id % 3 = 0)
+              UNION ALL SELECT * FROM upd
+              UNION ALL SELECT * FROM ins)
+       SELECT count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         bit_xor(CAST(concat('0x', substring(md5(
+           concat_ws('|', doc_id::VARCHAR, lang, source,
+                     n_chars::VARCHAR, text)), 1, 15)) AS BIGINT))
+           AS fp_xor,
+         CAST(sum(CAST(concat('0x', substring(md5(
+           concat_ws('|', doc_id::VARCHAR, lang, source,
+                     n_chars::VARCHAR, text)), 1, 8)) AS BIGINT))
+           AS BIGINT) AS fp_sum
+       FROM v1"""
+
   val queries: Map[String, Q] = Map(
     "q_incr_agg" -> (incrAgg _),
+    "q_string_merge" -> (stringMerge _),
     "q_roundtrip_shards" -> (roundtripShards _),
     "q_phash_dedup" -> (phashDedup _),
     "q_audio_dedup" -> (audioDedup _),
@@ -712,6 +792,7 @@ object RoundTrip {
     * of every row (the reference's write→read→validate invariant). */
   val oracles: Map[String, String] = Map(
     "q_incr_agg" -> incrAggSql,
+    "q_string_merge" -> stringMergeSql,
     "q_phash_dedup" -> phashDedupSql,
     // the clusters-iff-same-source-text relation is the identical
     // symbolic truth for the audio fixture (see audioDedup scaladoc)

@@ -556,14 +556,43 @@ object TableLog {
     * file's footer. */
   def readVersionRange(spark: SparkSession, dir: String, lo: Long,
       hi: Long, version: Option[Int] = None): DataFrame = {
+    val k = rangeReadKey(spark, dir, "long")
+    rangeRead(spark, dir, lo, hi, col(k).between(lo, hi), version)
+  }
+
+  /** [[readVersionRange]] for STRING-keyed tables: the file list
+    * prunes on the prefix ENCODINGS (a conservative superset — keys
+    * sharing an 8-byte prefix admit extra files), the residual
+    * filter applies the exact string range (Spark's string order IS
+    * the encoding's byte order, so the superset only costs reads,
+    * never rows). */
+  def readVersionRangeString(spark: SparkSession, dir: String,
+      lo: String, hi: String, version: Option[Int] = None): DataFrame = {
+    val k = rangeReadKey(spark, dir, "string")
+    rangeRead(spark, dir, encodeStringKey(lo), encodeStringKey(hi),
+      col(k).between(lo, hi), version)
+  }
+
+  private def rangeReadKey(spark: SparkSession, dir: String,
+      wantKind: String): String = {
     val k = statsKeyOf(spark, dir).getOrElse(throw
       new IllegalArgumentException(
         s"TableLog: $dir has no statsKey — range reads need one " +
           "(writeBase(statsKey = Some(col)))"))
-    val pruned = prunedLiveFiles(spark, dir, lo, hi, version)
+    val kind = statsKeyKindOf(spark, dir).getOrElse("long")
+    require(kind == wantKind,
+      s"TableLog: $dir statsKey $k is $kind-kinded — use " +
+        (if (kind == "string") "readVersionRangeString"
+         else "readVersionRange"))
+    k
+  }
+
+  private def rangeRead(spark: SparkSession, dir: String, encLo: Long,
+      encHi: Long, residual: org.apache.spark.sql.Column,
+      version: Option[Int]): DataFrame = {
+    val pruned = prunedLiveFiles(spark, dir, encLo, encHi, version)
     if (pruned.nonEmpty)
-      readLive(spark, dir, pruned)
-        .filter(col(k).between(lo, hi))
+      readLive(spark, dir, pruned).filter(residual)
     else loggedSchema(spark, dir) match {
       case Some(s) => emptyOf(spark, s)
       case None =>
@@ -672,11 +701,45 @@ object TableLog {
   }
 
   /** The stats key configured at [[writeBase]], if any. */
-  def statsKeyOf(spark: SparkSession, dir: String): Option[String] = {
+  def statsKeyOf(spark: SparkSession, dir: String): Option[String] =
+    statsKeyLine(spark, dir).map(_._1)
+
+  /** The stats key's KIND: "long" (integral keys — stats are the key
+    * values) or "string" (stats are the order-preserving 8-byte
+    * UTF-8-prefix encoding, see [[encodeStringKey]]). Legacy tables
+    * recorded only the name: kind long. */
+  def statsKeyKindOf(spark: SparkSession, dir: String): Option[String] =
+    statsKeyLine(spark, dir).map(_._2)
+
+  private def statsKeyLine(spark: SparkSession,
+      dir: String): Option[(String, String)] = {
     val fs = fsOf(spark, dir)
     val p = new Path(logDir(dir), "_statskey")
     if (!fs.exists(p)) None
-    else Some(readSmallFile(fs, p).trim)
+    else {
+      val parts = readSmallFile(fs, p).trim.split('\t')
+      Some((parts(0), if (parts.length > 1) parts(1) else "long"))
+    }
+  }
+
+  /** Order-preserving encoding of a string key into SIGNED long
+    * space: the first 8 UTF-8 bytes, big-endian, zero-padded, with
+    * the sign bit flipped so signed long order equals unsigned byte
+    * order — which is exactly Spark's own string comparison order
+    * (UTF8String compares bytes unsigned). `a <= b` implies
+    * `enc(a) <= enc(b)`, so range/overlap tests on encodings are a
+    * CONSERVATIVE superset of the string-space truth: keys sharing an
+    * 8-byte prefix may admit extra files (the touch-scan or residual
+    * filter then decides exactly), never skip a relevant one. */
+  private[queries] def encodeStringKey(s: String): Long = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v ^ Long.MinValue
   }
 
   private def normName(s: String): String =
@@ -747,15 +810,27 @@ object TableLog {
         // pruner, instead of an unresolvable-column crash
         if (!written.columns.exists(c => normName(c) == normName(k)))
           return rels.map(AddEntry(_, None))
-        val got = written
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(k)).cast("long").as("lo"),
-            max(col(k)).cast("long").as("hi"))
-          .collect().flatMap { row =>
-            if (row.isNullAt(1) || row.isNullAt(2)) None
-            else Some(uriToRel(row.getString(0)) ->
-              (row.getLong(1), row.getLong(2)))
-          }.toMap
+        val isStr = statsKeyKindOf(spark, dir).contains("string")
+        // string keys: per-file min/max STRINGS (Spark's own
+        // byte-order comparison), then the prefix encoding — never a
+        // cast
+        val agg = written.groupBy(input_file_name().as("f"))
+        val got = (if (isStr)
+            agg.agg(min(col(k)).as("lo"), max(col(k)).as("hi"))
+              .collect().flatMap { row =>
+                if (row.isNullAt(1) || row.isNullAt(2)) None
+                else Some(uriToRel(row.getString(0)) ->
+                  ((encodeStringKey(row.getString(1)),
+                    encodeStringKey(row.getString(2)))))
+              }
+          else
+            agg.agg(min(col(k)).cast("long").as("lo"),
+                max(col(k)).cast("long").as("hi"))
+              .collect().flatMap { row =>
+                if (row.isNullAt(1) || row.isNullAt(2)) None
+                else Some(uriToRel(row.getString(0)) ->
+                  ((row.getLong(1), row.getLong(2))))
+              }).toMap
         rels.map(r => AddEntry(r, got.get(r)))
     }
 
@@ -791,19 +866,26 @@ object TableLog {
       s"TableLog: $dir already has a log — writeBase is v0 only")
     statsKey.foreach { k =>
       require(df.columns.contains(k), s"TableLog: no stats column $k")
-      // INTEGRAL keys only: a string key's lexicographic min/max cast
-      // to long gives inverted ranges that wrongly PRUNE files
-      // containing batch keys — MERGE would silently insert
-      // duplicates instead of replacing
+      // integral keys record their values as stats; STRING keys
+      // record the order-preserving prefix encoding (never a cast —
+      // a lexicographic min/max cast to long gives inverted ranges
+      // that wrongly PRUNE files containing batch keys, and MERGE
+      // would silently insert duplicates instead of replacing)
       val dt = df.schema(k).dataType
-      require(isIntegralType(dt),
-        s"TableLog: statsKey $k must be integral, got $dt")
+      require(isIntegralType(dt) ||
+        dt == org.apache.spark.sql.types.StringType,
+        s"TableLog: statsKey $k must be integral or string, got $dt")
+      val kind =
+        if (dt == org.apache.spark.sql.types.StringType) "string"
+        else "long"
       val fs = fsOf(spark, dir)
       fs.mkdirs(logDir(dir))
       // overwrite: a writeBase that crashed between this marker and
-      // the v0 commit must be retryable (no version exists yet)
+      // the v0 commit must be retryable (no version exists yet);
+      // integral keys keep the legacy name-only format
+      val marker = if (kind == "string") s"$k\tstring" else k
       require(writeSmallFileAtomic(fs,
-        new Path(logDir(dir), "_statskey"), k, overwrite = true),
+        new Path(logDir(dir), "_statskey"), marker, overwrite = true),
         "TableLog: failed to write _statskey")
     }
     // the schema outlives the data files: a later fully-deleted
@@ -930,9 +1012,13 @@ object TableLog {
     // key whose lexicographic min/max would corrupt every later
     // pruning decision
     if (liveStats.isEmpty) statsKeyOf(spark, dir).foreach { k =>
+      val wantStr = statsKeyKindOf(spark, dir).contains("string")
       batch.schema.find(f => norm(f.name) == norm(k)).foreach { f =>
-        require(isIntegralType(f.dataType),
-          s"TableLog: statsKey $k must stay integral, got " +
+        require(
+          if (wantStr) f.dataType == org.apache.spark.sql.types.StringType
+          else isIntegralType(f.dataType),
+          s"TableLog: statsKey $k must stay " +
+            s"${if (wantStr) "string" else "integral"}, got " +
             s"${f.dataType}")
       }
     }
@@ -967,13 +1053,19 @@ object TableLog {
     // without it each action re-shuffles the batch's distinct
     val keys = batch.select(col(key)).distinct().persist()
     try {
-    val sortedKeys = sortedBatchKeys(keys, key)
+    // keys enter STATS SPACE only when the merge key IS the stats
+    // key — kind decides the space (values vs prefix encodings)
+    val keyKind: Option[String] =
+      if (statsKeyOf(spark, dir).contains(key))
+        statsKeyKindOf(spark, dir)
+      else None
+    val sortedKeys = keyKind.flatMap(kd => sortedBatchKeys(keys, key, kd))
     // stage 1: manifest-stats pruning — per-KEY precision (a file
     // survives iff some batch key falls inside its [lo, hi]; binary
     // search per file over the sorted batch keys), so a batch
     // touching the table's two ends doesn't admit everything between
     val candidates: Seq[String] =
-      if (statsKeyOf(spark, dir).contains(key))
+      if (keyKind.isDefined)
         statsSurvivors(liveStats, sortedKeys).map(_.rel)
       else liveStats.map(_.rel)
     // dir-relative path by the scan's own URI rendering (the
@@ -1006,12 +1098,10 @@ object TableLog {
         .join(broadcast(keys), Seq(key), "left_anti")
         .unionByName(batch, allowMissingColumns = allowSchemaEvolution)
     // rebase disjointness is proved against winner add-line stats,
-    // which are ALWAYS in the table's statsKey space — a merge keyed
-    // on any other column must stay conservative (None ⇒ every
-    // winner add conflicts), or a batch of ts values could "prove"
-    // disjointness from doc_id ranges (review-caught)
-    val rebaseKeys =
-      if (statsKeyOf(spark, dir).contains(key)) sortedKeys else None
+    // which are ALWAYS in the table's statsKey space — sortedKeys is
+    // already None for a merge keyed on any other column (a batch of
+    // ts values must never "prove" disjointness from doc_id ranges)
+    val rebaseKeys = sortedKeys
     commitRebased(spark, dir, v, writeData(spark, rewritten, dir, v),
       touched, keyed = true, rebaseKeys, txn, maxRebases)
     } finally keys.unpersist(blocking = false)
@@ -1033,9 +1123,13 @@ object TableLog {
     val fs = fsOf(spark, dir)
     val keys = keysDf.select(col(key)).distinct().persist()
     try {
-    val sortedKeys = sortedBatchKeys(keys, key)
-    val candidates: Seq[String] =
+    val keyKind: Option[String] =
       if (statsKeyOf(spark, dir).contains(key))
+        statsKeyKindOf(spark, dir)
+      else None
+    val sortedKeys = keyKind.flatMap(kd => sortedBatchKeys(keys, key, kd))
+    val candidates: Seq[String] =
+      if (keyKind.isDefined)
         statsSurvivors(liveStats, sortedKeys).map(_.rel)
       else liveStats.map(_.rel)
     val uriOf = candidates.map { rel =>
@@ -1055,9 +1149,8 @@ object TableLog {
     val survivors = readLive(spark, dir, touched)
       .join(broadcast(keys), Seq(key), "left_anti")
     // same key-space rule as upsert: stats-key merges may prove
-    // disjointness, any other key stays conservative
-    val rebaseKeys =
-      if (statsKeyOf(spark, dir).contains(key)) sortedKeys else None
+    // disjointness, any other key stays conservative (None already)
+    val rebaseKeys = sortedKeys
     commitRebased(spark, dir, v, writeData(spark, survivors, dir, v),
       touched, keyed = true, rebaseKeys, txn, maxRebases)
     } finally keys.unpersist(blocking = false)
@@ -1069,17 +1162,25 @@ object TableLog {
     * driver. */
   private val MaxStatsKeys = 4 << 20
 
-  /** The batch's distinct keys as a sorted long array, or None when
-    * stats can't apply (non-castable key, all-null, oversized).
-    * try_cast, not cast: a non-integral key (string merge keys are
-    * legal, just unprunable) must degrade to the conservative None,
-    * not throw under ANSI mode. */
-  private def sortedBatchKeys(keys: DataFrame,
-      key: String): Option[Array[Long]] = {
-    val ks = keys.selectExpr(s"try_cast(`$key` AS BIGINT) AS k")
-      .filter(col("k").isNotNull)
-      .limit(MaxStatsKeys + 1)
-      .collect().map(_.getLong(0))
+  /** The batch's distinct keys in STATS SPACE (key values for
+    * integral keys, prefix encodings for string keys) as a sorted
+    * long array, or None when stats can't apply (non-castable key,
+    * all-null, oversized). try_cast, not cast: a key that doesn't
+    * fit the kind must degrade to the conservative None, not throw
+    * under ANSI mode. */
+  private def sortedBatchKeys(keys: DataFrame, key: String,
+      kind: String): Option[Array[Long]] = {
+    val ks =
+      if (kind == "string")
+        keys.select(col(key).cast("string").as("k"))
+          .filter(col("k").isNotNull)
+          .limit(MaxStatsKeys + 1)
+          .collect().map(r => encodeStringKey(r.getString(0)))
+      else
+        keys.selectExpr(s"try_cast(`$key` AS BIGINT) AS k")
+          .filter(col("k").isNotNull)
+          .limit(MaxStatsKeys + 1)
+          .collect().map(_.getLong(0))
     if (ks.isEmpty || ks.length > MaxStatsKeys) None
     else { java.util.Arrays.sort(ks); Some(ks) }
   }
@@ -1108,7 +1209,8 @@ object TableLog {
     if (!statsKeyOf(spark, dir).contains(key))
       liveFileStats(spark, dir).size
     else statsSurvivors(liveFileStats(spark, dir),
-      sortedBatchKeys(batch.select(col(key)).distinct(), key)).size
+      sortedBatchKeys(batch.select(col(key)).distinct(), key,
+        statsKeyKindOf(spark, dir).getOrElse("long"))).size
 
   /** OPTIMIZE: rewrite the live files into target-sized bins (the
     * q_compact_plan cumulative rule, ONE distributed job — same shape
