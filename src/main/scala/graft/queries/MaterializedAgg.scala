@@ -54,7 +54,9 @@ object MaterializedAgg {
     * `srcFrom`/`srcTo` the source-version window applied;
     * `groupsTouched` how many view groups this maintain rewrote
     * (0 for noop; = groupsTotal for full); `groupsTotal` live groups
-    * after the maintain. */
+    * after the maintain — `-1` on the noop path, which deliberately
+    * scans NOTHING (it is the steady-state per-micro-batch path of a
+    * streaming maintainer). */
   case class MaintainStats(mode: String, srcFrom: Int, srcTo: Int,
       groupsTouched: Long, groupsTotal: Long)
 
@@ -82,9 +84,10 @@ object MaterializedAgg {
     * per source version; call after every source commit or on any
     * cadence. */
   def maintain(spark: SparkSession, srcDir: String, srcKey: String,
-      viewDir: String, dims: Seq[String],
-      measures: Seq[String]): MaintainStats = {
+      viewDir: String, dims: Seq[String], measures: Seq[String],
+      checkpointEvery: Int = 16): MaintainStats = {
     require(dims.nonEmpty, "MaterializedAgg: no dims")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val head = TableLog.currentVersion(spark, srcDir)
     require(head >= 0, s"MaterializedAgg: no source table at $srcDir")
     val sums = measures.map(c => sum(col(c)).as(s"sum_$c"))
@@ -93,18 +96,21 @@ object MaterializedAgg {
     val spec = specString(srcKey, dims, measures)
 
     if (TableLog.currentVersion(spark, viewDir) < 0) {
-      // FULL BUILD: one grouped pass over the source head, committed
-      // as the view's v0 with the maintenance stamp — a crash before
-      // the commit leaves no view (rebuilt next call); after it, the
-      // stamp makes the retry a no-op.
-      val full = TableLog.readVersion(spark, srcDir)
+      // FULL BUILD: one grouped pass over the source AT the stamped
+      // version (an unpinned read could aggregate a concurrent
+      // commit's rows that the next maintain would then re-apply).
+      // The spec lands FIRST (exclusive-unless-identical, so a
+      // crashed retry passes): a crash after writeBase but before
+      // the spec would otherwise brick every later maintain on a
+      // perfectly valid view.
+      fs.mkdirs(TableLog.logDir(viewDir))
+      TableLog.writeMetaExclusive(fs, specPath, spec)
+      val full = TableLog.readVersion(spark, srcDir, Some(head))
         .groupBy(dims.map(col): _*)
         .agg(count(lit(1)).as("n_rows"), sums: _*)
         .withColumn("gid", gidCol(dims))
       TableLog.writeBase(spark, full, viewDir,
         statsKey = Some("gid"), txn = Some(s"$App#$head"))
-      require(TableLog.writeSmallFileAtomic(fs, specPath, spec,
-        overwrite = true), "MaterializedAgg: failed to record _mv_spec")
       val total = readView(spark, viewDir).count()
       return MaintainStats("full", -1, head, total, total)
     }
@@ -118,9 +124,11 @@ object MaterializedAgg {
       throw new IllegalStateException(
         s"MaterializedAgg: $viewDir has no maintenance stamp — not " +
           "a maintained view")).toInt
+    // the noop path scans NOTHING: it runs once per micro-batch in a
+    // streaming maintainer, where a per-call view count would defeat
+    // "the work tracks the delta"
     if (head <= last)
-      return MaintainStats("noop", last, last, 0,
-        readView(spark, viewDir).count())
+      return MaintainStats("noop", last, last, 0, -1L)
 
     // INCREMENTAL: deltas from the expanded change feed — one
     // grouped shuffle over the change rows only
@@ -165,6 +173,11 @@ object MaterializedAgg {
       val dead = TableLog.readVersion(spark, viewDir)
         .filter(col("n_rows") === 0).select("gid")
       if (!dead.isEmpty) TableLog.delete(spark, viewDir, dead, "gid")
+      // the view's OWN log must stay bounded too: a long-running
+      // maintainer commits 1-2 versions per maintain forever, so
+      // checkpoint on the same cadence the streaming table sink uses
+      if (TableLog.currentVersion(spark, viewDir) % checkpointEvery == 0)
+        TableLog.checkpoint(spark, viewDir)
       MaintainStats("incremental", last, head, touched,
         readView(spark, viewDir).count())
     } finally newRows.unpersist(blocking = false)

@@ -644,8 +644,12 @@ object RoundTrip {
     val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
       .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
         col("lang"), (col("n_chars") + 3).as("n_chars"), col("source"))
+    // insert ids shift by mx+1 — DERIVED from the data, so they can
+    // never collide with a real id on any corpus (a collision would
+    // put the same key twice in one MERGE batch, which the unique-key
+    // contract the maintainer depends on forbids)
     val inserts = docs.filter(pmod(col("doc_id"), lit(11)) === 5)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + lit(mx + 1L)).as("doc_id"),
         concat(lit("new "), col("text")).as("text"),
         col("lang"), (col("n_chars") + 4).as("n_chars"), col("source"))
     TableLog.upsert(spark, src,
@@ -673,13 +677,14 @@ object RoundTrip {
        p AS (SELECT greatest(1, CAST(floor((mx - mn + 1) / 32.0)
                  AS BIGINT)) AS w,
                mn + CAST(floor((mx - mn) / 3.0) AS BIGINT) AS lo,
-               mn + CAST(floor((mx - mn) / 2.0) AS BIGINT) AS hi
+               mn + CAST(floor((mx - mn) / 2.0) AS BIGINT) AS hi,
+               mx + 1 AS off
              FROM b),
        upd AS (SELECT doc_id, (n_chars + 3)::BIGINT AS n_chars, source
              FROM documents WHERE doc_id % 7 = 0),
-       ins AS (SELECT doc_id + 1000000 AS doc_id,
-               (n_chars + 4)::BIGINT AS n_chars, source
-             FROM documents WHERE doc_id % 11 = 5),
+       ins AS (SELECT d.doc_id + p.off AS doc_id,
+               (d.n_chars + 4)::BIGINT AS n_chars, d.source
+             FROM documents d, p WHERE d.doc_id % 11 = 5),
        bkeys AS (SELECT doc_id FROM upd UNION SELECT doc_id FROM ins),
        v0 AS (SELECT doc_id, n_chars::BIGINT AS n_chars, source
               FROM documents),

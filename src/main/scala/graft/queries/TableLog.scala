@@ -246,9 +246,9 @@ object TableLog {
     * resume from exactly what they last applied. */
   def txnHighWater(spark: SparkSession, dir: String,
       appId: String): Option[Long] = {
-    if (currentVersion(spark, dir) < 0) return None
-    val fs = fsOf(spark, dir)
     val latest = currentVersion(spark, dir)
+    if (latest < 0) return None
+    val fs = fsOf(spark, dir)
     val cp = baseCheckpointFor(fs, dir, latest)
     val floor = cp.getOrElse(-1)
     var v = latest
@@ -593,11 +593,19 @@ object TableLog {
     val pruned = prunedLiveFiles(spark, dir, encLo, encHi, version)
     if (pruned.nonEmpty)
       readLive(spark, dir, pruned).filter(residual)
-    else loggedSchema(spark, dir) match {
-      case Some(s) => emptyOf(spark, s)
-      case None =>
-        readLive(spark, dir, liveFiles(spark, dir, version).take(1))
-          .filter(lit(false))
+    else {
+      // empty survivors: the schema must be THE VERSION'S, not the
+      // current one — one live footer of that version when any file
+      // exists (time travel to a pre-evolution version must not grow
+      // evolved columns just because pruning emptied the list); the
+      // logged schema only covers the truly-file-less snapshot
+      val live = liveFiles(spark, dir, version)
+      if (live.nonEmpty)
+        readLive(spark, dir, live.take(1)).filter(lit(false))
+      else loggedSchema(spark, dir) match {
+        case Some(s) => emptyOf(spark, s)
+        case None => spark.emptyDataFrame
+      }
     }
   }
 
@@ -626,10 +634,22 @@ object TableLog {
     // empty churn means zero changes: the logged schema (or, legacy,
     // one live footer) shapes the empty result. A full-table wipe
     // keeps working -- removed is non-empty even when toV is empty.
-    val schema: StructType =
+    val fileSchema: StructType =
       if (churn.nonEmpty) readLive(spark, dir, churn).schema
       else loggedSchema(spark, dir).getOrElse(
         readLive(spark, dir, bLive.take(1)).schema)
+    // union with the LOGGED schema: a window whose churned files all
+    // predate (or omit) an evolved column must still emit that
+    // column null-filled — the feed's shape stays stable across
+    // windows, and a downstream aggregate over the evolved column
+    // sees a zero delta instead of an unresolvable reference
+    val schema: StructType = loggedSchema(spark, dir) match {
+      case Some(ls) =>
+        val have = fileSchema.map(f => normName(f.name)).toSet
+        StructType(fileSchema.fields ++
+          ls.fields.filterNot(f => have(normName(f.name))))
+      case None => fileSchema
+    }
     val cols = schema.map(_.name)
     require(cols.contains(key), s"TableLog: no key column $key")
     // each side aligns to the union schema: the pre side of a
@@ -778,6 +798,25 @@ object TableLog {
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
+  /** Bootstrap metadata write, EXCLUSIVE-unless-identical: a crashed
+    * writeBase retrying the same table passes (identical content);
+    * a concurrent bootstrap with DIFFERENT content is refused BEFORE
+    * any data writes — a racer losing the v0 commit must never have
+    * clobbered the winner's _schema/_statskey (the winner's files
+    * would then be described by the loser's metadata). */
+  private[queries] def writeMetaExclusive(fs: FileSystem, p: Path,
+      content: String): Unit = {
+    def matches() = readSmallFile(fs, p).trim == content.trim
+    if (fs.exists(p))
+      require(matches(),
+        s"TableLog: $p already exists with different content — a " +
+          "concurrent bootstrap owns this table")
+    else if (!writeSmallFileAtomic(fs, p, content, overwrite = false))
+      require(fs.exists(p) && matches(),
+        s"TableLog: lost the $p bootstrap race to a writer with " +
+          "different content")
+  }
+
   /** Dir-relative parquet paths of an already-written `data/…`
     * attempt dir. */
   private def writeDataList(spark: SparkSession, dir: String,
@@ -880,17 +919,20 @@ object TableLog {
         else "long"
       val fs = fsOf(spark, dir)
       fs.mkdirs(logDir(dir))
-      // overwrite: a writeBase that crashed between this marker and
-      // the v0 commit must be retryable (no version exists yet);
-      // integral keys keep the legacy name-only format
+      // exclusive-unless-identical: a crashed writeBase retrying is
+      // fine, a concurrent different bootstrap is refused before any
+      // data write; integral keys keep the legacy name-only format
       val marker = if (kind == "string") s"$k\tstring" else k
-      require(writeSmallFileAtomic(fs,
-        new Path(logDir(dir), "_statskey"), marker, overwrite = true),
-        "TableLog: failed to write _statskey")
+      writeMetaExclusive(fs, new Path(logDir(dir), "_statskey"), marker)
     }
     // the schema outlives the data files: a later fully-deleted
-    // table still reads, CDCs, and re-populates with THIS schema
-    writeLoggedSchema(fsOf(spark, dir), dir, df.schema)
+    // table still reads, CDCs, and re-populates with THIS schema.
+    // Same exclusivity: a loser must never re-describe the winner's
+    // committed v0.
+    val fs0 = fsOf(spark, dir)
+    fs0.mkdirs(logDir(dir))
+    writeMetaExclusive(fs0, new Path(logDir(dir), "_schema"),
+      df.schema.json)
     commit(spark, dir, 0, writeData(spark, df, dir, 0), Nil, txn)
   }
 
@@ -1041,12 +1083,6 @@ object TableLog {
       require(writeSmallFileAtomic(fs,
         new Path(logDir(dir), "_evolved"), "1", overwrite = true),
         "TableLog: failed to mark schema evolution")
-      // widen the logged schema to the union — the remembered shape
-      // must track every evolution, or a later fully-deleted table
-      // would forget its evolved columns
-      writeLoggedSchema(fs, dir, StructType(tableSchema.fields ++
-        batch.schema.fields.filterNot(f =>
-          tableCols.contains(norm(f.name)))))
     }
     // persisted: consumed by up to three actions (sortedBatchKeys
     // collect, the touch-scan semi-join, the rewrite anti-join) —
@@ -1104,6 +1140,16 @@ object TableLog {
     val rebaseKeys = sortedKeys
     commitRebased(spark, dir, v, writeData(spark, rewritten, dir, v),
       touched, keyed = true, rebaseKeys, txn, maxRebases)
+    // widen the logged schema to the union AFTER the commit landed —
+    // the remembered shape must track every evolution, but an
+    // ABORTED upsert must never persist phantom columns that no
+    // committed file carries (a crash between commit and widen only
+    // loses the reminder; the files themselves still merge-read with
+    // the true schema, and the next evolving upsert re-records it)
+    if (allowSchemaEvolution && batchCols != tableCols)
+      writeLoggedSchema(fs, dir, StructType(tableSchema.fields ++
+        batch.schema.fields.filterNot(f =>
+          tableCols.contains(norm(f.name)))))
     } finally keys.unpersist(blocking = false)
   }
 

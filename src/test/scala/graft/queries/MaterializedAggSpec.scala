@@ -97,6 +97,7 @@ class MaterializedAggSpec extends SparkSpec with Matchers {
     val replay = MaterializedAgg.maintain(spark, src, "id", view,
       Seq("grp"), Seq("val"))
     replay.mode shouldBe "noop"
+    replay.groupsTotal shouldBe -1 // the noop path scans nothing
     viewMap(view) shouldBe snapshot
 
     // crash residue: a tombstone committed but not yet swept — it

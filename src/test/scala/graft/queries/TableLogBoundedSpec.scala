@@ -385,6 +385,14 @@ class TableLogBoundedSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getString(0), r.getAs[Long]("id"),
         r.getAs[String]("tag")))
     evo.toSeq shouldBe Seq(("update", 3L, "T"))
+    // feed shape is STABLE across windows: a later window whose
+    // churned files all predate an evolved column still emits it
+    // (null-filled) — the logged schema aligns the feed
+    TableLog.upsert(spark, edir,
+      Seq((5L, "u5", "T5")).toDF("id", "body", "tag"), "id")
+    val win01cols = TableLog.changesBetween(spark, edir, 1, 2, "id")
+      .columns.toSet
+    win01cols should contain("tag")
 
     // 3. a value CONTAINING a separator-ish control character must
     // not alias across column boundaries: (x | y␁z) -> (x␁y | z) is
