@@ -817,6 +817,85 @@ object TableLog {
           "different content")
   }
 
+  /** CHECK constraints — the write-path quality gate of real table
+    * formats (Delta's CHECK constraints): named boolean SQL
+    * expressions every WRITTEN row must satisfy. Enforcement points:
+    * [[addConstraint]] validates the whole CURRENT table once;
+    * mutations then validate only what they WRITE ([[upsert]] its
+    * rewritten rows — evolution's null-fills included, [[appendOnce]]
+    * its batch). [[delete]] and [[compact]] are exempt by
+    * construction: they only re-write rows that already passed.
+    * A violating write is REFUSED before any commit, with samples. */
+  def constraintsOf(spark: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(logDir(dir), "_constraints")
+    if (!fs.exists(p)) Seq.empty
+    else readSmallFile(fs, p).split('\n').filter(_.nonEmpty).toSeq
+      .map { line =>
+        val cut = line.indexOf('\t')
+        (line.substring(0, cut), line.substring(cut + 1))
+      }
+  }
+
+  /** Record constraint `name` := `sqlExpr` after validating the
+    * ENTIRE current table against it (a constraint that the existing
+    * data violates is refused — Delta's ADD CONSTRAINT contract). */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      sqlExpr: String): Unit = {
+    require(!name.contains('\t') && !name.contains('\n') &&
+      !sqlExpr.contains('\n'), s"TableLog: bad constraint $name")
+    val existing = constraintsOf(spark, dir)
+    require(!existing.exists(_._1 == name),
+      s"TableLog: constraint $name already exists")
+    if (currentVersion(spark, dir) >= 0)
+      validateConstraints(spark, readVersion(spark, dir),
+        Seq(name -> sqlExpr), dir, "ADD CONSTRAINT")
+    val body = (existing :+ (name -> sqlExpr))
+      .map { case (n, e) => s"$n\t$e" }.mkString("\n")
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(logDir(dir))
+    require(writeSmallFileAtomic(fs, new Path(logDir(dir),
+      "_constraints"), body, overwrite = true),
+      "TableLog: failed to write _constraints")
+  }
+
+  /** Remove constraint `name` (unknown names are a loud error). */
+  def dropConstraint(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val existing = constraintsOf(spark, dir)
+    require(existing.exists(_._1 == name),
+      s"TableLog: no constraint $name")
+    val rest = existing.filterNot(_._1 == name)
+    val fs = fsOf(spark, dir)
+    require(writeSmallFileAtomic(fs, new Path(logDir(dir),
+      "_constraints"),
+      rest.map { case (n, e) => s"$n\t$e" }.mkString("\n"),
+      overwrite = true), "TableLog: failed to write _constraints")
+  }
+
+  /** One pruned pass over `rows`: the first few violators of any
+    * constraint abort the write with names and samples. */
+  private def validateConstraints(spark: SparkSession, rows: DataFrame,
+      constraints: Seq[(String, String)], dir: String,
+      what: String): Unit = {
+    if (constraints.isEmpty) return
+    val violated = constraints.map { case (n, e) =>
+      when(!coalesce(expr(e), lit(false)), lit(n))
+    }
+    val bad = rows
+      .withColumn("_graft_viol",
+        array_compact(array(violated: _*)))
+      .filter(size(col("_graft_viol")) > 0)
+      .limit(3).collect()
+    require(bad.isEmpty,
+      s"TableLog: $what on $dir violates CHECK constraint(s) " +
+        bad.map(r => r.getAs[Seq[String]]("_graft_viol")
+          .mkString(",")).distinct.mkString("[", "; ", "]") +
+        s" — sample rows: ${bad.take(2).mkString(" | ")}; " +
+        "nothing was committed")
+  }
+
   /** Dir-relative parquet paths of an already-written `data/…`
     * attempt dir. */
   private def writeDataList(spark: SparkSession, dir: String,
@@ -1133,6 +1212,12 @@ object TableLog {
       else readLive(spark, dir, touched)
         .join(broadcast(keys), Seq(key), "left_anti")
         .unionByName(batch, allowMissingColumns = allowSchemaEvolution)
+    // CHECK constraints gate what gets WRITTEN — rewritten rows
+    // include evolution's null-fills, so a constraint on an omitted
+    // column correctly refuses the write (NULL evaluations violate:
+    // strict mode, the data-quality reading)
+    validateConstraints(spark, rewritten, constraintsOf(spark, dir),
+      dir, "MERGE")
     // rebase disjointness is proved against winner add-line stats,
     // which are ALWAYS in the table's statsKey space — sortedKeys is
     // already None for a merge keyed on any other column (a batch of
@@ -1367,6 +1452,8 @@ object TableLog {
     require(!appId.contains('#') && !appId.contains('\t') &&
       !appId.contains('\n'), s"TableLog: bad appId $appId")
     if (txnCommitted(spark, dir, appId, batchId)) return
+    validateConstraints(spark, batch, constraintsOf(spark, dir),
+      dir, "append")
     var adds: Seq[AddEntry] = null
     var attempts = 0
     while (true) {
