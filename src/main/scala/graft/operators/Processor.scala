@@ -127,6 +127,21 @@ final case class Processor(df: DataFrame, config: DatasetConfig) {
     copy(df = graft.queries.TableLog.readVersion(df.sparkSession, dir))
   }
 
+  /** Keep the materialized aggregate view at `viewDir` current with
+    * the versioned table at `srcDir` (incremental: only the change
+    * feed since the last maintain is read, only touched groups
+    * upsert — [[graft.queries.MaterializedAgg]]), then continue the
+    * pipeline ON THE VIEW — one row per dims tuple with `n_rows` and
+    * `sum_<c>` columns. Exactly-once per source version; a pipeline
+    * re-run maintains nothing and just reads the view. */
+  def maintainAggView(srcDir: String, srcKey: String, viewDir: String,
+      dims: Seq[String], measures: Seq[String]): Processor = {
+    graft.queries.MaterializedAgg.maintain(df.sparkSession, srcDir,
+      srcKey, viewDir, dims, measures)
+    copy(df = graft.queries.MaterializedAgg.readView(df.sparkSession,
+      viewDir))
+  }
+
   /** Seeded shuffle (pipeline_stages.py:27-34; seed-threaded per
     * SURVEY.md §7.4 risk 7). */
   def shuffle(seed: Long): Processor =

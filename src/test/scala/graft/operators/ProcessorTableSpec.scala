@@ -58,6 +58,31 @@ class ProcessorTableSpec extends SparkSpec with Matchers {
       p2.df.filter(col("grp") === 0L).count()
   }
 
+  test("maintainAggView: the stage output IS the current view, " +
+      "maintained incrementally and exactly-once across re-runs") {
+    val dir = Files.createTempDirectory("proc-mv-src").toString
+    val view = Files.createTempDirectory("proc-mv-view").toString
+    val base = (0L until 300L).map(i => (i, s"body $i", i % 5))
+    proc(base).snapshotTo(dir, statsKey = Some("id"))
+    val p0 = proc(Seq.empty).copy(df = TableLog.readVersion(spark, dir))
+      .maintainAggView(dir, "id", view, Seq("grp"), Seq("id"))
+    p0.count() shouldBe 5
+    // MERGE the source, maintain through the pipeline again: the
+    // stage reads ONLY the change feed and the output reflects it
+    proc(Seq((3L, "moved", 4L))).mergeInto(dir, "id")
+    val p1 = p0.maintainAggView(dir, "id", view, Seq("grp"), Seq("id"))
+    val got = p1.df.select("grp", "n_rows").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = TableLog.readVersion(spark, dir).groupBy("grp")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe want
+    // a re-run maintains nothing (exactly-once) and still reads true
+    p1.maintainAggView(dir, "id", view, Seq("grp"), Seq("id"))
+      .df.select("grp", "n_rows").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe want
+  }
+
   test("snapshotTo refuses a dir that already holds a table") {
     val dir = Files.createTempDirectory("proc-table2").toString
     proc(Seq((1L, "a", 0L))).snapshotTo(dir)
