@@ -85,7 +85,8 @@ object MaterializedAgg {
     * cadence. */
   def maintain(spark: SparkSession, srcDir: String, srcKey: String,
       viewDir: String, dims: Seq[String], measures: Seq[String],
-      checkpointEvery: Int = 16): MaintainStats = {
+      checkpointEvery: Int = 16,
+      compactAboveFiles: Int = 64): MaintainStats = {
     require(dims.nonEmpty, "MaterializedAgg: no dims")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val head = TableLog.currentVersion(spark, srcDir)
@@ -173,9 +174,14 @@ object MaterializedAgg {
       val dead = TableLog.readVersion(spark, viewDir)
         .filter(col("n_rows") === 0).select("gid")
       if (!dead.isEmpty) TableLog.delete(spark, viewDir, dead, "gid")
-      // the view's OWN log must stay bounded too: a long-running
-      // maintainer commits 1-2 versions per maintain forever, so
-      // checkpoint on the same cadence the streaming table sink uses
+      // the view's OWN footprint must stay bounded too: a
+      // long-running maintainer commits 1-2 versions AND 1-2 small
+      // file sets per maintain forever — checkpoint the log on the
+      // streaming sink's cadence, and fold the small files back
+      // together once they outnumber the threshold (compaction is
+      // content-identity; the stamped history is unaffected)
+      if (TableLog.liveFiles(spark, viewDir).size > compactAboveFiles)
+        TableLog.compact(spark, viewDir, targetBytes = 64L << 20)
       if (TableLog.currentVersion(spark, viewDir) % checkpointEvery == 0)
         TableLog.checkpoint(spark, viewDir)
       MaintainStats("incremental", last, head, touched,

@@ -587,6 +587,39 @@ object TableLog {
     k
   }
 
+  /** POINT-LOOKUP read: live files whose manifest stats range
+    * contains at least one requested key are scanned (per-key binary
+    * search — the MERGE touch-scan's stage 1, on the read path), the
+    * residual semi-join keeps exactly the requested keys. With `key`
+    * = the table's statsKey this touches only intersecting files; any
+    * other key degrades to a full scan + semi-join (correct, just
+    * unpruned). `keys` re-evaluates at execution — pass a cheap
+    * frame. */
+  def readVersionKeys(spark: SparkSession, dir: String,
+      keys: DataFrame, key: String,
+      version: Option[Int] = None): DataFrame = {
+    val liveStats = liveFileStats(spark, dir, version)
+    val keyKind: Option[String] =
+      if (statsKeyOf(spark, dir).contains(key))
+        statsKeyKindOf(spark, dir)
+      else None
+    val ks = keys.select(col(key)).distinct().persist()
+    try {
+      val sorted = keyKind.flatMap(kd => sortedBatchKeys(ks, key, kd))
+      val cand =
+        if (keyKind.isDefined) statsSurvivors(liveStats, sorted).map(_.rel)
+        else liveStats.map(_.rel)
+      if (cand.isEmpty) {
+        if (liveStats.nonEmpty)
+          readLive(spark, dir, liveStats.map(_.rel).take(1))
+            .filter(lit(false))
+        else readLive(spark, dir, Seq.empty)
+      } else
+        readLive(spark, dir, cand)
+          .join(broadcast(ks), Seq(key), "left_semi")
+    } finally ks.unpersist(blocking = false)
+  }
+
   private def rangeRead(spark: SparkSession, dir: String, encLo: Long,
       encHi: Long, residual: org.apache.spark.sql.Column,
       version: Option[Int]): DataFrame = {

@@ -116,6 +116,25 @@ class MaterializedAggSpec extends SparkSpec with Matchers {
     viewMap(view) shouldBe recomputed(src)
   }
 
+  test("a long-running maintainer folds the view's small files back " +
+      "together; content is identical across the compaction") {
+    val src = tmp("src4"); val view = tmp("view4")
+    TableLog.writeBase(spark, srcRows(60), src, statsKey = Some("id"))
+    MaterializedAgg.maintain(spark, src, "id", view,
+      Seq("grp"), Seq("val"))
+    // 6 maintains with a 2-file threshold: compaction must fire and
+    // keep folding the per-maintain file sets
+    (0 until 6).foreach { i =>
+      TableLog.upsert(spark, src,
+        Seq((i.toLong, s"g${i % 5}", 100L + i))
+          .toDF("id", "grp", "val"), "id")
+      MaterializedAgg.maintain(spark, src, "id", view,
+        Seq("grp"), Seq("val"), compactAboveFiles = 2)
+      viewMap(view) shouldBe recomputed(src)
+    }
+    TableLog.liveFiles(spark, view).size should be <= 3
+  }
+
   test("spec drift and view divergence refuse loudly instead of " +
       "committing corruption") {
     val src = tmp("src3"); val view = tmp("view3")
