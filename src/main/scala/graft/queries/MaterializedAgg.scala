@@ -158,22 +158,42 @@ object MaterializedAgg {
           .as(s"sum_$c")): _*)
       .persist()
     try {
-      val touched = newRows.count()
-      // a negative count means the change feed and the view diverged
-      // (foreign writer, vacuumed window, duplicate source keys) —
-      // corruption to refuse, never to commit
-      require(newRows.filter(col("n_rows") < 0).isEmpty,
+      // ONE pass over the (persisted, group-sized) delta frame:
+      // touched count + the divergence check (a negative count means
+      // the change feed and the view diverged — foreign writer,
+      // vacuumed window, duplicate source keys — corruption to
+      // refuse, never to commit)
+      val pre = newRows.agg(count(lit(1)).as("t"),
+        count(when(col("n_rows") < 0, 1)).as("neg")).head
+      val (touched, neg) = (pre.getLong(0), pre.getLong(1))
+      require(neg == 0,
         s"MaterializedAgg: negative group count maintaining $viewDir " +
           s"from $srcDir v$last→v$head — view and change feed " +
           "diverged; rebuild the view")
+      if (touched == 0) {
+        // a window whose changes net to nothing (a compaction-only
+        // window): advance the stamp with a METADATA-ONLY commit, or
+        // every later maintain would re-read this window forever
+        TableLog.commitRebased(spark, viewDir,
+          TableLog.currentVersion(spark, viewDir) + 1, adds = Nil,
+          removes = Nil, keyed = false, batchKeys = None,
+          txn = Some(s"$App#$head"), maxRebases = 2)
+        return MaintainStats("incremental", last, head, 0, -1L)
+      }
       // touched groups land in ONE stamped version (dead groups as
       // n_rows=0 tombstones — atomicity first), then the sweep
       // removes the tombstones as ordinary unstamped deletes
       TableLog.upsert(spark, viewDir, newRows, "gid",
         txn = Some(s"$App#$head"))
-      val dead = TableLog.readVersion(spark, viewDir)
-        .filter(col("n_rows") === 0).select("gid")
-      if (!dead.isEmpty) TableLog.delete(spark, viewDir, dead, "gid")
+      // post-state in ONE pruned pass: live-group total + tombstone
+      // count (this maintain's and any crash residue together)
+      val post = TableLog.readVersion(spark, viewDir)
+        .agg(count(when(col("n_rows") > 0, 1)).as("live"),
+          count(when(col("n_rows") === 0, 1)).as("dead")).head
+      if (post.getLong(1) > 0)
+        TableLog.delete(spark, viewDir,
+          TableLog.readVersion(spark, viewDir)
+            .filter(col("n_rows") === 0).select("gid"), "gid")
       // the view's OWN footprint must stay bounded too: a
       // long-running maintainer commits 1-2 versions AND 1-2 small
       // file sets per maintain forever — checkpoint the log on the
@@ -185,7 +205,7 @@ object MaterializedAgg {
       if (TableLog.currentVersion(spark, viewDir) % checkpointEvery == 0)
         TableLog.checkpoint(spark, viewDir)
       MaintainStats("incremental", last, head, touched,
-        readView(spark, viewDir).count())
+        post.getLong(0))
     } finally newRows.unpersist(blocking = false)
   }
 }

@@ -116,6 +116,26 @@ class MaterializedAggSpec extends SparkSpec with Matchers {
     viewMap(view) shouldBe recomputed(src)
   }
 
+  test("a compaction-only source window advances the stamp with a " +
+      "metadata-only commit instead of being re-read forever") {
+    val src = tmp("src5"); val view = tmp("view5")
+    TableLog.writeBase(spark, srcRows(80).repartition(4), src,
+      statsKey = Some("id"))
+    MaterializedAgg.maintain(spark, src, "id", view,
+      Seq("grp"), Seq("val"))
+    // the only source change is a compaction: zero row-level changes
+    TableLog.compact(spark, src, targetBytes = 1L << 20)
+    val s = MaterializedAgg.maintain(spark, src, "id", view,
+      Seq("grp"), Seq("val"))
+    s.mode shouldBe "incremental"
+    s.groupsTouched shouldBe 0
+    // the stamp ADVANCED: the next maintain is a pure noop, not a
+    // re-read of the compaction window
+    MaterializedAgg.maintain(spark, src, "id", view,
+      Seq("grp"), Seq("val")).mode shouldBe "noop"
+    viewMap(view) shouldBe recomputed(src)
+  }
+
   test("a long-running maintainer folds the view's small files back " +
       "together; content is identical across the compaction") {
     val src = tmp("src4"); val view = tmp("view4")
