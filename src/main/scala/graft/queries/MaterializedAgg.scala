@@ -50,13 +50,15 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedAgg {
 
-  /** What a maintain did: `mode` ∈ full | incremental | noop;
-    * `srcFrom`/`srcTo` the source-version window applied;
-    * `groupsTouched` how many view groups this maintain rewrote
-    * (0 for noop; = groupsTotal for full); `groupsTotal` live groups
-    * after the maintain — `-1` on the noop path, which deliberately
-    * scans NOTHING (it is the steady-state per-micro-batch path of a
-    * streaming maintainer). */
+  /** What a maintain did: `mode` ∈ full | incremental | empty |
+    * noop (`empty` = the window's changes netted to zero, the stamp
+    * advanced with a metadata-only commit); `srcFrom`/`srcTo` the
+    * source-version window applied; `groupsTouched` how many view
+    * groups this maintain rewrote (0 for noop/empty; = groupsTotal
+    * for full); `groupsTotal` live groups after the maintain — `-1`
+    * on the noop and empty paths, which deliberately scan NOTHING
+    * beyond the delta (they are the steady-state per-micro-batch
+    * paths of a streaming maintainer). */
   case class MaintainStats(mode: String, srcFrom: Int, srcTo: Int,
       groupsTouched: Long, groupsTotal: Long)
 
@@ -173,12 +175,18 @@ object MaterializedAgg {
       if (touched == 0) {
         // a window whose changes net to nothing (a compaction-only
         // window): advance the stamp with a METADATA-ONLY commit, or
-        // every later maintain would re-read this window forever
+        // every later maintain would re-read this window forever.
+        // The checkpoint cadence still applies — a maintainer over a
+        // source that only ever compacts must not grow the view's
+        // log without bound.
         TableLog.commitRebased(spark, viewDir,
           TableLog.currentVersion(spark, viewDir) + 1, adds = Nil,
           removes = Nil, keyed = false, batchKeys = None,
           txn = Some(s"$App#$head"), maxRebases = 2)
-        return MaintainStats("incremental", last, head, 0, -1L)
+        if (TableLog.currentVersion(spark, viewDir) %
+            checkpointEvery == 0)
+          TableLog.checkpoint(spark, viewDir)
+        return MaintainStats("empty", last, head, 0, -1L)
       }
       // touched groups land in ONE stamped version (dead groups as
       // n_rows=0 tombstones — atomicity first), then the sweep

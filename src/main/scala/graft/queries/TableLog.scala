@@ -116,8 +116,37 @@ object TableLog {
           fs.delete(tmp, false)
           false
       }
+    } else if (overwrite) {
+      // ATOMIC REPLACE — never delete-then-rename: a reader racing
+      // an update (constraints check vs ADD CONSTRAINT, statskey
+      // lookup vs a writeBase retry) must see the old value or the
+      // new one, never a missing file (a missing _constraints reads
+      // as ZERO constraints and waves violations through)
+      if (fs.getScheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } else {
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(p.toUri, fs.getConf)
+            .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          true
+        } catch {
+          case _: UnsupportedOperationException =>
+            // last resort on stores without atomic replace: the
+            // delete window exists; readers of overwritten files
+            // already retry around it
+            if (fs.exists(p)) fs.delete(p, false)
+            val ok = fs.rename(tmp, p)
+            if (!ok) fs.delete(tmp, false)
+            ok
+        }
+      }
     } else {
-      if (overwrite && fs.exists(p)) fs.delete(p, false)
       val ok = fs.rename(tmp, p)
       if (!ok) fs.delete(tmp, false)
       ok
@@ -587,6 +616,49 @@ object TableLog {
     k
   }
 
+  /** Stage-1 candidate pruning shared by MERGE, DELETE, and keyed
+    * reads — ONE definition of the rule "keys enter stats space only
+    * when `key` IS the table's stats key, in the recorded kind", so
+    * the read and write paths can never diverge on which files
+    * prune. Returns (sorted stats-space keys — None when stats can't
+    * apply, candidate rels). */
+  private def pruneCandidates(spark: SparkSession, dir: String,
+      keys: DataFrame, key: String, liveStats: Seq[AddEntry])
+      : (Option[Array[Long]], Seq[String]) = {
+    val keyKind: Option[String] =
+      if (statsKeyOf(spark, dir).contains(key))
+        statsKeyKindOf(spark, dir)
+      else None
+    val sorted = keyKind.flatMap(kd => sortedBatchKeys(keys, key, kd))
+    val cand =
+      if (keyKind.isDefined) statsSurvivors(liveStats, sorted).map(_.rel)
+      else liveStats.map(_.rel)
+    (sorted, cand)
+  }
+
+  /** An EMPTY frame carrying the snapshot's schema. Latest reads
+    * trust the logged schema (it remembers evolved columns even when
+    * no file survives); PINNED versions derive it from their own
+    * live files (merged when evolved — time travel must not grow
+    * columns the version never had), falling back to the logged
+    * schema only when the version has no files at all. */
+  private def emptySnapshot(spark: SparkSession, dir: String,
+      version: Option[Int]): DataFrame = version match {
+    case None =>
+      loggedSchema(spark, dir).map(emptyOf(spark, _)).getOrElse {
+        val live = liveFiles(spark, dir, None)
+        if (live.nonEmpty)
+          readLive(spark, dir, live.take(1)).filter(lit(false))
+        else spark.emptyDataFrame
+      }
+    case Some(_) =>
+      val live = liveFiles(spark, dir, version)
+      if (live.nonEmpty)
+        readLive(spark, dir, live).filter(lit(false))
+      else loggedSchema(spark, dir).map(emptyOf(spark, _))
+        .getOrElse(spark.emptyDataFrame)
+  }
+
   /** POINT-LOOKUP read: live files whose manifest stats range
     * contains at least one requested key are scanned (per-key binary
     * search — the MERGE touch-scan's stage 1, on the read path), the
@@ -599,25 +671,20 @@ object TableLog {
       keys: DataFrame, key: String,
       version: Option[Int] = None): DataFrame = {
     val liveStats = liveFileStats(spark, dir, version)
-    val keyKind: Option[String] =
-      if (statsKeyOf(spark, dir).contains(key))
-        statsKeyKindOf(spark, dir)
-      else None
-    val ks = keys.select(col(key)).distinct().persist()
+    val statsKeyed = statsKeyOf(spark, dir).contains(key)
+    val ks0 = keys.select(col(key)).distinct()
+    // the persist serves the stats-space collect; without it the
+    // only consumer is the final semi-join, which re-evaluates fine
+    val ks = if (statsKeyed) ks0.persist() else ks0
     try {
-      val sorted = keyKind.flatMap(kd => sortedBatchKeys(ks, key, kd))
-      val cand =
-        if (keyKind.isDefined) statsSurvivors(liveStats, sorted).map(_.rel)
-        else liveStats.map(_.rel)
-      if (cand.isEmpty) {
-        if (liveStats.nonEmpty)
-          readLive(spark, dir, liveStats.map(_.rel).take(1))
-            .filter(lit(false))
-        else readLive(spark, dir, Seq.empty)
-      } else
-        readLive(spark, dir, cand)
-          .join(broadcast(ks), Seq(key), "left_semi")
-    } finally ks.unpersist(blocking = false)
+      // an empty key set reads EMPTY (with the schema), never a
+      // full-table scan against an empty broadcast
+      if (ks.limit(1).isEmpty) return emptySnapshot(spark, dir, version)
+      val (_, cand) = pruneCandidates(spark, dir, ks, key, liveStats)
+      if (cand.isEmpty) emptySnapshot(spark, dir, version)
+      else readLive(spark, dir, cand)
+        .join(broadcast(ks), Seq(key), "left_semi")
+    } finally if (statsKeyed) ks.unpersist(blocking = false)
   }
 
   private def rangeRead(spark: SparkSession, dir: String, encLo: Long,
@@ -626,20 +693,7 @@ object TableLog {
     val pruned = prunedLiveFiles(spark, dir, encLo, encHi, version)
     if (pruned.nonEmpty)
       readLive(spark, dir, pruned).filter(residual)
-    else {
-      // empty survivors: the schema must be THE VERSION'S, not the
-      // current one — one live footer of that version when any file
-      // exists (time travel to a pre-evolution version must not grow
-      // evolved columns just because pruning emptied the list); the
-      // logged schema only covers the truly-file-less snapshot
-      val live = liveFiles(spark, dir, version)
-      if (live.nonEmpty)
-        readLive(spark, dir, live.take(1)).filter(lit(false))
-      else loggedSchema(spark, dir) match {
-        case Some(s) => emptyOf(spark, s)
-        case None => spark.emptyDataFrame
-      }
-    }
+    else emptySnapshot(spark, dir, version)
   }
 
   /** Row-level CHANGES between two committed versions, derived from
@@ -873,17 +927,25 @@ object TableLog {
 
   /** Record constraint `name` := `sqlExpr` after validating the
     * ENTIRE current table against it (a constraint that the existing
-    * data violates is refused — Delta's ADD CONSTRAINT contract). */
+    * data violates is refused — Delta's ADD CONSTRAINT contract).
+    * Requires the table to EXIST: a pre-table constraint would gate
+    * nothing at writeBase and record unchecked debt. Constraint DDL
+    * is a single-admin operation (concurrent add/drop is a
+    * read-modify-write of one small file — last writer wins); writes
+    * always see the old set or the new one, never a missing file
+    * (the atomic-replace publish). */
   def addConstraint(spark: SparkSession, dir: String, name: String,
       sqlExpr: String): Unit = {
     require(!name.contains('\t') && !name.contains('\n') &&
       !sqlExpr.contains('\n'), s"TableLog: bad constraint $name")
+    require(currentVersion(spark, dir) >= 0,
+      s"TableLog: no table at $dir yet — addConstraint validates " +
+        "existing data, so writeBase first")
     val existing = constraintsOf(spark, dir)
     require(!existing.exists(_._1 == name),
       s"TableLog: constraint $name already exists")
-    if (currentVersion(spark, dir) >= 0)
-      validateConstraints(spark, readVersion(spark, dir),
-        Seq(name -> sqlExpr), dir, "ADD CONSTRAINT")
+    validateConstraints(spark, readVersion(spark, dir),
+      Seq(name -> sqlExpr), dir, "ADD CONSTRAINT")
     val body = (existing :+ (name -> sqlExpr))
       .map { case (n, e) => s"$n\t$e" }.mkString("\n")
     val fs = fsOf(spark, dir)
@@ -1045,6 +1107,11 @@ object TableLog {
     fs0.mkdirs(logDir(dir))
     writeMetaExclusive(fs0, new Path(logDir(dir), "_schema"),
       df.schema.json)
+    // defensive: addConstraint requires an existing table, so this
+    // is normally a no-op — but a leftover _constraints file must
+    // still gate a new base
+    validateConstraints(spark, df, constraintsOf(spark, dir), dir,
+      "writeBase")
     commit(spark, dir, 0, writeData(spark, df, dir, 0), Nil, txn)
   }
 
@@ -1184,38 +1251,27 @@ object TableLog {
           s"!= table schema ${tableSchema.map(_.name).sorted.mkString(",")}" +
           " — pass allowSchemaEvolution=true to add/omit columns " +
           "(omitted columns null-fill in replaced rows)")
-    else if (batchCols != tableCols) {
-      // ANY column-set difference (adding OR omitting) marks the
-      // table evolved: an insert-only batch that omits a column
-      // commits narrow-schema files into a wide live set, and an
-      // unmerged read of that mix would silently drop the wide
-      // columns. Marker BEFORE the commit: a crash in between leaves
-      // a non-evolved table paying harmless merge reads, never an
-      // evolved table read without merging.
-      require(writeSmallFileAtomic(fs,
-        new Path(logDir(dir), "_evolved"), "1", overwrite = true),
-        "TableLog: failed to mark schema evolution")
-    }
+    // ANY column-set difference (adding OR omitting) marks the
+    // table evolved: an insert-only batch that omits a column
+    // commits narrow-schema files into a wide live set, and an
+    // unmerged read of that mix would silently drop the wide
+    // columns. The marker is written AFTER constraint validation (a
+    // REFUSED write must not flag a never-evolved table into paying
+    // merge reads forever) but BEFORE the commit (a crash in between
+    // leaves a non-evolved table paying harmless merge reads, never
+    // an evolved table read without merging).
+    val marksEvolution = allowSchemaEvolution && batchCols != tableCols
     // persisted: consumed by up to three actions (sortedBatchKeys
     // collect, the touch-scan semi-join, the rewrite anti-join) —
     // without it each action re-shuffles the batch's distinct
     val keys = batch.select(col(key)).distinct().persist()
     try {
-    // keys enter STATS SPACE only when the merge key IS the stats
-    // key — kind decides the space (values vs prefix encodings)
-    val keyKind: Option[String] =
-      if (statsKeyOf(spark, dir).contains(key))
-        statsKeyKindOf(spark, dir)
-      else None
-    val sortedKeys = keyKind.flatMap(kd => sortedBatchKeys(keys, key, kd))
     // stage 1: manifest-stats pruning — per-KEY precision (a file
     // survives iff some batch key falls inside its [lo, hi]; binary
     // search per file over the sorted batch keys), so a batch
     // touching the table's two ends doesn't admit everything between
-    val candidates: Seq[String] =
-      if (keyKind.isDefined)
-        statsSurvivors(liveStats, sortedKeys).map(_.rel)
-      else liveStats.map(_.rel)
+    val (sortedKeys, candidates) =
+      pruneCandidates(spark, dir, keys, key, liveStats)
     // dir-relative path by the scan's own URI rendering (the
     // compactFiles file-name-encoding lesson)
     val uriOf = candidates.map { rel =>
@@ -1248,26 +1304,37 @@ object TableLog {
     // CHECK constraints gate what gets WRITTEN — rewritten rows
     // include evolution's null-fills, so a constraint on an omitted
     // column correctly refuses the write (NULL evaluations violate:
-    // strict mode, the data-quality reading)
-    validateConstraints(spark, rewritten, constraintsOf(spark, dir),
-      dir, "MERGE")
-    // rebase disjointness is proved against winner add-line stats,
-    // which are ALWAYS in the table's statsKey space — sortedKeys is
-    // already None for a merge keyed on any other column (a batch of
-    // ts values must never "prove" disjointness from doc_id ranges)
-    val rebaseKeys = sortedKeys
-    commitRebased(spark, dir, v, writeData(spark, rewritten, dir, v),
-      touched, keyed = true, rebaseKeys, txn, maxRebases)
-    // widen the logged schema to the union AFTER the commit landed —
-    // the remembered shape must track every evolution, but an
-    // ABORTED upsert must never persist phantom columns that no
-    // committed file carries (a crash between commit and widen only
-    // loses the reminder; the files themselves still merge-read with
-    // the true schema, and the next evolving upsert re-records it)
-    if (allowSchemaEvolution && batchCols != tableCols)
-      writeLoggedSchema(fs, dir, StructType(tableSchema.fields ++
-        batch.schema.fields.filterNot(f =>
-          tableCols.contains(norm(f.name)))))
+    // strict mode, the data-quality reading). The frame persists
+    // across the validation collect and the data write, or the
+    // touched-file read + anti-join would run twice.
+    val cs = constraintsOf(spark, dir)
+    val toWrite = if (cs.nonEmpty) rewritten.persist() else rewritten
+    try {
+      validateConstraints(spark, toWrite, cs, dir, "MERGE")
+      if (marksEvolution)
+        require(writeSmallFileAtomic(fs,
+          new Path(logDir(dir), "_evolved"), "1", overwrite = true),
+          "TableLog: failed to mark schema evolution")
+      // rebase disjointness is proved against winner add-line stats,
+      // which are ALWAYS in the table's statsKey space — sortedKeys
+      // is already None for a merge keyed on any other column (a
+      // batch of ts values must never "prove" disjointness from
+      // doc_id ranges)
+      val rebaseKeys = sortedKeys
+      commitRebased(spark, dir, v, writeData(spark, toWrite, dir, v),
+        touched, keyed = true, rebaseKeys, txn, maxRebases)
+      // widen the logged schema to the union AFTER the commit landed
+      // — the remembered shape must track every evolution, but an
+      // ABORTED upsert must never persist phantom columns that no
+      // committed file carries (a crash between commit and widen
+      // only loses the reminder; the files themselves still
+      // merge-read with the true schema, and the next evolving
+      // upsert re-records it)
+      if (marksEvolution)
+        writeLoggedSchema(fs, dir, StructType(tableSchema.fields ++
+          batch.schema.fields.filterNot(f =>
+            tableCols.contains(norm(f.name)))))
+    } finally if (cs.nonEmpty) toWrite.unpersist(blocking = false)
     } finally keys.unpersist(blocking = false)
   }
 
@@ -1287,15 +1354,8 @@ object TableLog {
     val fs = fsOf(spark, dir)
     val keys = keysDf.select(col(key)).distinct().persist()
     try {
-    val keyKind: Option[String] =
-      if (statsKeyOf(spark, dir).contains(key))
-        statsKeyKindOf(spark, dir)
-      else None
-    val sortedKeys = keyKind.flatMap(kd => sortedBatchKeys(keys, key, kd))
-    val candidates: Seq[String] =
-      if (keyKind.isDefined)
-        statsSurvivors(liveStats, sortedKeys).map(_.rel)
-      else liveStats.map(_.rel)
+    val (sortedKeys, candidates) =
+      pruneCandidates(spark, dir, keys, key, liveStats)
     val uriOf = candidates.map { rel =>
       fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString -> rel
     }.toMap
@@ -1485,14 +1545,18 @@ object TableLog {
     require(!appId.contains('#') && !appId.contains('\t') &&
       !appId.contains('\n'), s"TableLog: bad appId $appId")
     if (txnCommitted(spark, dir, appId, batchId)) return
-    validateConstraints(spark, batch, constraintsOf(spark, dir),
-      dir, "append")
+    val cs = constraintsOf(spark, dir)
+    // persisted across the validation collect and the data write —
+    // a constrained append must not evaluate the batch twice
+    val toAppend = if (cs.nonEmpty) batch.persist() else batch
+    try {
+    validateConstraints(spark, toAppend, cs, dir, "append")
     var adds: Seq[AddEntry] = null
     var attempts = 0
     while (true) {
       val v = currentVersion(spark, dir) + 1
       require(v >= 1, s"TableLog: no base version in $dir")
-      if (adds == null) adds = writeData(spark, batch, dir, v)
+      if (adds == null) adds = writeData(spark, toAppend, dir, v)
       try {
         commit(spark, dir, v, adds, Nil, Some(s"$appId#$batchId"))
         return
@@ -1508,6 +1572,7 @@ object TableLog {
           if (txnCommitted(spark, dir, appId, batchId)) return
       }
     }
+    } finally if (cs.nonEmpty) toAppend.unpersist(blocking = false)
   }
 
   /** Retention: advance the earliest-readable watermark past all but

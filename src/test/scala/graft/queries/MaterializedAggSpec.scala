@@ -127,7 +127,7 @@ class MaterializedAggSpec extends SparkSpec with Matchers {
     TableLog.compact(spark, src, targetBytes = 1L << 20)
     val s = MaterializedAgg.maintain(spark, src, "id", view,
       Seq("grp"), Seq("val"))
-    s.mode shouldBe "incremental"
+    s.mode shouldBe "empty"
     s.groupsTouched shouldBe 0
     // the stamp ADVANCED: the next maintain is a pure noop, not a
     // re-read of the compaction window
