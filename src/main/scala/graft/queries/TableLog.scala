@@ -1575,6 +1575,53 @@ object TableLog {
     } finally if (cs.nonEmpty) toAppend.unpersist(blocking = false)
   }
 
+  /** RESTORE the table to `version`'s content as a NEW commit — the
+    * Delta RESTORE shape, zero data movement: the commit removes the
+    * files live now but not then and re-ADDS the files live then but
+    * not now (still on disk for any non-vacuumed version: vacuum
+    * retains every file a retained version references). History
+    * stays intact — the pre-restore head remains time-travelable,
+    * and the restore itself is just the next version. Like time
+    * travel, restore re-exposes OLD rows without re-running CHECK
+    * constraints added since. Fails loudly on a vacuumed target. */
+  def restore(spark: SparkSession, dir: String, version: Int): Unit = {
+    val head = currentVersion(spark, dir)
+    require(head >= 0, s"TableLog: no table at $dir")
+    require(version >= 0 && version <= head,
+      s"TableLog: cannot restore $dir to v$version (head is v$head)")
+    if (version == head) return
+    val target = liveFileStats(spark, dir, Some(version))
+    val now = liveFileStats(spark, dir, Some(head))
+    val nowSet = now.map(_.rel).toSet
+    val targetSet = target.map(_.rel).toSet
+    val adds = target.filterNot(e => nowSet.contains(e.rel))
+    val removes = now.map(_.rel).filterNot(targetSet.contains)
+    if (adds.isEmpty && removes.isEmpty) return
+    val fs = fsOf(spark, dir)
+    adds.foreach(e => require(fs.exists(new Path(s"$dir/${e.rel}")),
+      s"TableLog: restore target file ${e.rel} is gone — vacuumed " +
+        "mid-restore?"))
+    commitRebased(spark, dir, head + 1, adds, removes, keyed = false,
+      batchKeys = None, txn = None, maxRebases = 2)
+  }
+
+  /** Operator-facing history: one row per readable version —
+    * (version, n_adds, n_removes, txn or null, checkpointed). Reads
+    * only the manifests the vacuum watermark retains. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    val head = currentVersion(spark, dir)
+    require(head >= 0, s"TableLog: no table at $dir")
+    val cps = checkpointVersionsListed(fs, dir).toSet
+    (earliestVersion(spark, dir) to head).map { v =>
+      val lines = manifestLines(fs, dir, v)
+      val txn = lines.collectFirst { case ("txn", vs) => vs.head }
+      (v, lines.count(_._1 == "add"), lines.count(_._1 == "remove"),
+        txn.orNull, cps.contains(v))
+    }.toDF("version", "n_adds", "n_removes", "txn", "checkpointed")
+  }
+
   /** Retention: advance the earliest-readable watermark past all but
     * the newest `retainVersions` versions, then SWEEP the data
     * directory — every parquet file not live in a retained version

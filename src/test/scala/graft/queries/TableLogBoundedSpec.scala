@@ -422,6 +422,57 @@ class TableLogBoundedSpec extends SparkSpec with Matchers {
     nc.toSeq shouldBe Seq(("update", "one v2"))
   }
 
+  test("RESTORE rolls the content back as a NEW commit with zero " +
+      "data movement; history stays time-travelable and listable") {
+    val dir = Files.createTempDirectory("tl-restore").toString
+    TableLog.writeBase(spark,
+      base(100).repartitionByRange(4, col("id"))
+        .sortWithinPartitions(col("id")),
+      dir, statsKey = Some("id"))
+    TableLog.upsert(spark, dir,
+      Seq((3L, "updated"), (9000L, "fresh")).toDF("id", "body"), "id")
+    TableLog.delete(spark, dir, Seq(7L).toDF("id"), "id")
+    val dataFilesBefore = fs(dir).listStatus(new Path(s"$dir/data"))
+      .length
+
+    TableLog.restore(spark, dir, 0)
+    // the restore is v3 and reads EXACTLY v0's content
+    TableLog.currentVersion(spark, dir) shouldBe 3
+    val v3 = TableLog.readVersion(spark, dir)
+      .select("id", "body").collect().map(r =>
+        (r.getLong(0), r.getString(1))).sorted
+    val v0 = TableLog.readVersion(spark, dir, Some(0))
+      .select("id", "body").collect().map(r =>
+        (r.getLong(0), r.getString(1))).sorted
+    v3.toSeq shouldBe v0.toSeq
+    // zero data movement: no new attempt dir appeared
+    fs(dir).listStatus(new Path(s"$dir/data"))
+      .length shouldBe dataFilesBefore
+    // the pre-restore head still time-travels
+    TableLog.readVersion(spark, dir, Some(2))
+      .filter(col("id") === 9000L).count() shouldBe 1
+    // restoring to the head is a no-op, out-of-range is loud
+    TableLog.restore(spark, dir, 3)
+    TableLog.currentVersion(spark, dir) shouldBe 3
+    intercept[IllegalArgumentException] {
+      TableLog.restore(spark, dir, 9)
+    }.getMessage should include("cannot restore")
+
+    // history lists every readable version with its shape
+    val h = TableLog.history(spark, dir)
+      .orderBy(col("version")).collect()
+    h.length shouldBe 4
+    h.map(_.getInt(0)).toSeq shouldBe Seq(0, 1, 2, 3)
+    h(1).getInt(2) should be > 0 // the upsert removed (rewrote) files
+    h(3).getInt(1) should be > 0 // the restore re-added v0 files
+
+    // a vacuumed target refuses loudly
+    TableLog.vacuum(spark, dir, retainVersions = 1)
+    intercept[IllegalArgumentException] {
+      TableLog.restore(spark, dir, 1)
+    }.getMessage should include("vacuumed")
+  }
+
   test("exclusive publish is ATOMIC on the local filesystem: a racer " +
       "that missed the exists() check still loses, never clobbers") {
     val dir = Files.createTempDirectory("tl-excl").toString
