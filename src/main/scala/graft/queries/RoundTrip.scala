@@ -780,9 +780,80 @@ object RoundTrip {
            AS BIGINT) AS fp_sum
        FROM v1"""
 
+  /** RESTORE through the hash gate: base → MERGE → restore(v0), then
+    * every version fingerprinted. v0 and v2 must be content-identical
+    * (the restore re-exposed v0's exact bytes with zero data
+    * movement) while v1 still reads the merged relation — so the gate
+    * proves the rollback's content identity AND that history
+    * survived it. */
+  def tableRestore(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_tablerestore").toString
+    val docs = docsOf(spark, dir)
+    TableLog.writeBase(spark,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      out, statsKey = Some("doc_id"))
+    val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+        col("lang"), (col("n_chars") + 3).as("n_chars"), col("source"))
+    TableLog.upsert(spark, out, updates, "doc_id")
+    TableLog.restore(spark, out, 0)
+    val perVersion = (0 to 2).map { v =>
+      TableLog.readVersion(spark, out, Some(v))
+        .withColumn("fp60", fp(15))
+        .withColumn("fp32", fp(8))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("bit_xor(fp60)").as("fp_xor"),
+          sum(col("fp32")).as("fp_sum"))
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_ unionByName _)
+    Tables.sealTempResult(spark, perVersion, out)
+  }
+
+  val tableRestoreSql: String =
+    """WITH upd AS (SELECT doc_id, concat(text, ' v2') AS text, lang,
+           (n_chars + 3)::BIGINT AS n_chars, source
+         FROM documents WHERE doc_id % 7 = 0),
+       v0 AS (SELECT doc_id, text, lang, n_chars::BIGINT AS n_chars,
+                source FROM documents),
+       v1 AS (SELECT * FROM v0
+              WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+              UNION ALL SELECT * FROM upd),
+       f0 AS (SELECT count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                bit_xor(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 15)) AS BIGINT))
+                  AS fp_xor,
+                CAST(sum(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 8)) AS BIGINT))
+                  AS BIGINT) AS fp_sum
+              FROM v0),
+       f1 AS (SELECT count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                bit_xor(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 15)) AS BIGINT))
+                  AS fp_xor,
+                CAST(sum(CAST(concat('0x', substring(md5(
+                  concat_ws('|', doc_id::VARCHAR, lang, source,
+                            n_chars::VARCHAR, text)), 1, 8)) AS BIGINT))
+                  AS BIGINT) AS fp_sum
+              FROM v1)
+       SELECT n_docs, total_chars, fp_xor, fp_sum, 0::BIGINT AS version
+       FROM f0
+       UNION ALL
+       SELECT n_docs, total_chars, fp_xor, fp_sum, 1::BIGINT FROM f1
+       UNION ALL
+       SELECT n_docs, total_chars, fp_xor, fp_sum, 2::BIGINT FROM f0"""
+
   val queries: Map[String, Q] = Map(
     "q_incr_agg" -> (incrAgg _),
     "q_string_merge" -> (stringMerge _),
+    "q_table_restore" -> (tableRestore _),
     "q_roundtrip_shards" -> (roundtripShards _),
     "q_phash_dedup" -> (phashDedup _),
     "q_audio_dedup" -> (audioDedup _),
@@ -798,6 +869,7 @@ object RoundTrip {
   val oracles: Map[String, String] = Map(
     "q_incr_agg" -> incrAggSql,
     "q_string_merge" -> stringMergeSql,
+    "q_table_restore" -> tableRestoreSql,
     "q_phash_dedup" -> phashDedupSql,
     // the clusters-iff-same-source-text relation is the identical
     // symbolic truth for the audio fixture (see audioDedup scaladoc)
