@@ -47,13 +47,18 @@ object StringKeyProbe {
       statsKey = Some("skey")))
 
     // one-source-prefix batch of 1k keys: the encodings must bound
-    // the candidate list to that source's cluster
+    // the candidate list to that source's cluster. The keys are
+    // COLLECTED once — a lazy limit() re-evaluates per action and
+    // can pick different rows for the touch-scan vs the write
     val firstSrc = docs.agg(min(col("source"))).head.getString(0)
-    val batch = docs
-      .filter(col("source") === firstSrc)
-      .limit(1000)
-      .select(col("skey"), col("doc_id"), col("source"),
-        lit(9L).as("n_chars"))
+    val batchKeys = docs.filter(col("source") === firstSrc)
+      .select(col("skey"), col("doc_id")).limit(1000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    val batch = batchKeys.toSeq
+      .toDF("skey", "doc_id")
+      .withColumn("source", lit(firstSrc))
+      .withColumn("n_chars", lit(9L))
     val total = TableLog.liveFiles(spark, out).size
     println(s"stats candidates for a 1-source 1k batch: " +
       s"${TableLog.statsCandidates(spark, out, batch, "skey")} " +
@@ -64,7 +69,6 @@ object StringKeyProbe {
     println(s"touched files rewritten: ${before.diff(
       TableLog.liveFiles(spark, out).toSet).size} of $total")
 
-    import spark.implicits._
     val lookup = batch.select("skey").limit(10)
     timed("point lookup (10 keys)")(
       println(s"  rows: ${TableLog.readVersionKeys(spark, out,

@@ -1583,7 +1583,14 @@ object TableLog {
     * stays intact — the pre-restore head remains time-travelable,
     * and the restore itself is just the next version. Like time
     * travel, restore re-exposes OLD rows without re-running CHECK
-    * constraints added since. Fails loudly on a vacuumed target. */
+    * constraints added since. Fails loudly on a vacuumed target and
+    * on ANY commit race (the diff was computed against a head that
+    * no longer exists — rebasing a whole-snapshot diff over a winner
+    * would commit a state that is neither; retry against the new
+    * head instead, the compact() discipline). A restore whose target
+    * already equals the head commits nothing (idempotent no-op, not
+    * a version bump). Restore and vacuum are admin operations — do
+    * not run them concurrently. */
   def restore(spark: SparkSession, dir: String, version: Int): Unit = {
     val head = currentVersion(spark, dir)
     require(head >= 0, s"TableLog: no table at $dir")
@@ -1597,12 +1604,25 @@ object TableLog {
     val adds = target.filterNot(e => nowSet.contains(e.rel))
     val removes = now.map(_.rel).filterNot(targetSet.contains)
     if (adds.isEmpty && removes.isEmpty) return
+    // existence of every re-added file, ONE listing per attempt dir
+    // (not one RPC per file — adds can be the whole old table)
     val fs = fsOf(spark, dir)
-    adds.foreach(e => require(fs.exists(new Path(s"$dir/${e.rel}")),
-      s"TableLog: restore target file ${e.rel} is gone — vacuumed " +
-        "mid-restore?"))
+    adds.groupBy(e => e.rel.substring(0, e.rel.lastIndexOf('/')))
+      .foreach { case (parentRel, entries) =>
+        val parent = new Path(s"$dir/$parentRel")
+        val present =
+          if (fs.exists(parent))
+            fs.listStatus(parent).map(_.getPath.getName).toSet
+          else Set.empty[String]
+        entries.foreach { e =>
+          require(present.contains(
+            e.rel.substring(e.rel.lastIndexOf('/') + 1)),
+            s"TableLog: restore target file ${e.rel} is gone — " +
+              "vacuumed mid-restore?")
+        }
+      }
     commitRebased(spark, dir, head + 1, adds, removes, keyed = false,
-      batchKeys = None, txn = None, maxRebases = 2)
+      batchKeys = None, txn = None, maxRebases = 0)
   }
 
   /** Operator-facing history: one row per readable version —
@@ -1649,8 +1669,22 @@ object TableLog {
     require(latest >= 0, s"TableLog: no committed version in $dir")
     val earliest = math.max(earliestVersion(spark, dir),
       latest - retainVersions + 1)
-    val keep = (earliest to latest)
+    var keep = (earliest to latest)
       .flatMap(v => liveFiles(spark, dir, Some(v))).toSet
+    // a commit racing this sweep can reference files the keep set
+    // missed — a RESTORE even re-references OLD files whose mtimes
+    // the grace window won't spare. Re-check the head and fold in
+    // every newly committed version until stable (restore + vacuum
+    // remain admin ops best not run concurrently; this closes the
+    // realistic window).
+    var seen = latest
+    var headNow = currentVersion(spark, dir)
+    while (headNow > seen) {
+      keep = keep ++ (seen + 1 to headNow)
+        .flatMap(v => liveFiles(spark, dir, Some(v)))
+      seen = headNow
+      headNow = currentVersion(spark, dir)
+    }
     // watermark FIRST: once readers are fenced off the vacuumed
     // versions, a crash midway through the deletes leaves only
     // unreadable-anyway garbage, never a readable version with
