@@ -155,6 +155,36 @@ class MaterializedAggSpec extends SparkSpec with Matchers {
     TableLog.liveFiles(spark, view).size should be <= 3
   }
 
+  test("a SOURCE restore flows through the change feed: the view " +
+      "rolls back with it, incrementally") {
+    val src = tmp("src6"); val view = tmp("view6")
+    TableLog.writeBase(spark,
+      srcRows(100).repartitionByRange(4, col("id"))
+        .sortWithinPartitions(col("id")),
+      src, statsKey = Some("id"))
+    MaterializedAgg.maintain(spark, src, "id", view,
+      Seq("grp"), Seq("val"))
+    val v0Map = viewMap(view)
+    TableLog.upsert(spark, src, Seq(
+      (3L, "g3", 999L), (5000L, "g9", 7L)).toDF("id", "grp", "val"),
+      "id")
+    MaterializedAgg.maintain(spark, src, "id", view,
+      Seq("grp"), Seq("val"))
+    viewMap(view) should not be v0Map
+
+    // roll the SOURCE back: the next maintain reads the restore's
+    // file diff as ordinary retractions and the view returns to the
+    // v0 aggregate — including the DEATH of the inserted group
+    TableLog.restore(spark, src, 0)
+    val s = MaterializedAgg.maintain(spark, src, "id", view,
+      Seq("grp"), Seq("val"))
+    s.mode shouldBe "incremental"
+    viewMap(view) shouldBe v0Map
+    viewMap(view) shouldBe recomputed(src)
+    TableLog.readVersion(spark, view)
+      .filter(col("grp") === "g9").count() shouldBe 0
+  }
+
   test("spec drift and view divergence refuse loudly instead of " +
       "committing corruption") {
     val src = tmp("src3"); val view = tmp("view3")
