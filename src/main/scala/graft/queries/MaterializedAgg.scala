@@ -42,7 +42,10 @@ import org.apache.spark.sql.functions._
   * `_mv_spec` refuses drift); the source obeys the MERGE unique-key
   * contract; source versions must not be vacuumed faster than the
   * maintenance cadence (a too-old `fromV` fails loudly — rebuild the
-  * view). Group-id collisions are 64-bit-hash rare; the dims
+  * view). Cost tracks the CHURN — and a source compaction IS churn
+  * (every row pre+post, netting to zero): schedule maintains before
+  * compactions where possible; either way the metadata-only stamp
+  * ensures a compaction window is paid at most once. Group-id collisions are 64-bit-hash rare; the dims
   * themselves are stored in the view, so a collision is detectable.
   * A crash between the stamped upsert and the tombstone sweep can
   * leave `n_rows = 0` rows visible until the next maintain;
