@@ -1607,22 +1607,41 @@ object TableLog {
     // existence of every re-added file, ONE listing per attempt dir
     // (not one RPC per file — adds can be the whole old table)
     val fs = fsOf(spark, dir)
-    adds.groupBy(e => e.rel.substring(0, e.rel.lastIndexOf('/')))
-      .foreach { case (parentRel, entries) =>
-        val parent = new Path(s"$dir/$parentRel")
-        val present =
-          if (fs.exists(parent))
-            fs.listStatus(parent).map(_.getPath.getName).toSet
-          else Set.empty[String]
-        entries.foreach { e =>
-          require(present.contains(
-            e.rel.substring(e.rel.lastIndexOf('/') + 1)),
-            s"TableLog: restore target file ${e.rel} is gone — " +
-              "vacuumed mid-restore?")
+    def missingOf(rels: Seq[String]): Seq[String] =
+      rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).toSeq
+        .flatMap { case (parentRel, names) =>
+          val parent = new Path(s"$dir/$parentRel")
+          val present =
+            if (fs.exists(parent))
+              fs.listStatus(parent).map(_.getPath.getName).toSet
+            else Set.empty[String]
+          names.filterNot(r =>
+            present.contains(r.substring(r.lastIndexOf('/') + 1)))
         }
-      }
+    val preMissing = missingOf(adds.map(_.rel))
+    require(preMissing.isEmpty,
+      s"TableLog: restore target file ${preMissing.head} is gone — " +
+        "vacuumed mid-restore?")
     commitRebased(spark, dir, head + 1, adds, removes, keyed = false,
       batchKeys = None, txn = None, maxRebases = 0)
+    // RE-VERIFY after the commit: a vacuum whose sweep was already
+    // running re-checked the head BEFORE sweeping, but a sweep that
+    // started before this commit can still delete the re-added files
+    // (old mtimes — no grace spares them). If anything vanished,
+    // roll FORWARD to the pre-restore head — its files were in the
+    // vacuum's keep set, so that state is intact — and fail loudly.
+    val postMissing = missingOf(adds.map(_.rel))
+    if (postMissing.nonEmpty) {
+      commitRebased(spark, dir, currentVersion(spark, dir) + 1,
+        adds = now.filterNot(e => targetSet.contains(e.rel)),
+        removes = target.map(_.rel).filterNot(nowSet.contains),
+        keyed = false, batchKeys = None, txn = None, maxRebases = 0)
+      throw new IllegalStateException(
+        s"TableLog: a concurrent vacuum swept ${postMissing.size} " +
+          s"file(s) this restore re-added (first: ${postMissing.head})" +
+          " — the table was rolled forward to its pre-restore " +
+          "content; do not run restore and vacuum concurrently")
+    }
   }
 
   /** Operator-facing history: one row per readable version —
@@ -1680,8 +1699,16 @@ object TableLog {
     var seen = latest
     var headNow = currentVersion(spark, dir)
     while (headNow > seen) {
-      keep = keep ++ (seen + 1 to headNow)
-        .flatMap(v => liveFiles(spark, dir, Some(v)))
+      // add LINES only, no log replay: a file live at a folded
+      // version is either live at `latest` (already kept) or added
+      // by some manifest in (latest, headNow] — O(1) small reads per
+      // racing version, so a live sink can't stall the loop
+      (seen + 1 to headNow).foreach { w =>
+        manifestLines(fs, dir, w).foreach {
+          case ("add", vs) => keep = keep + vs.head
+          case _ => ()
+        }
+      }
       seen = headNow
       headNow = currentVersion(spark, dir)
     }
