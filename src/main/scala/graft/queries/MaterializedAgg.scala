@@ -136,18 +136,31 @@ object MaterializedAgg {
     if (head <= last)
       return MaintainStats("noop", last, last, 0, -1L)
 
-    // INCREMENTAL: deltas from the expanded change feed — one
-    // grouped shuffle over the change rows only
-    val changes = TableLog.changesBetween(spark, srcDir, last, head,
-      srcKey, expandUpdates = true)
-    val sign = when(col("_op").isin("insert", "update_postimage"),
-      lit(1L)).otherwise(lit(-1L))
-    val deltas = changes.withColumn("_sign", sign)
+    // INCREMENTAL: deltas from the SIGNED change feed — the churn is
+    // read once, pruned to exactly dims+measures (the keyed CDF must
+    // hash every column), map-side partial aggregation folds it, and
+    // the only shuffle carries group-sized deltas. Aggregating signed
+    // images is algebraically the expanded-CDF fold: insert = +post,
+    // delete = −pre, update = −pre +post, carried row = both images
+    // cancelling.
+    val changes = TableLog.signedChanges(spark, srcDir, last, head)
+      .select((dims ++ measures).map(col) :+ col("_sign"): _*)
+    val deltas0 = changes
       .groupBy(dims.map(col): _*)
       .agg(sum(col("_sign")).as("_dn"),
         measures.map(c =>
           sum(col(c) * col("_sign")).as(s"_d_$c")): _*)
-      .withColumn("gid", gidCol(dims))
+    // groups whose deltas ALL net to zero are untouched by the window
+    // (carried/compacted rows emit both images): folding them would
+    // rewrite view groups onto their own values, so a compaction-only
+    // window would rewrite the WHOLE view instead of committing the
+    // metadata-only "empty" stamp. Dropping them keeps touched =
+    // genuinely-changed groups, as the keyed feed's row-level
+    // cancellation did.
+    val nonZero = measures.map(c =>
+        col(s"_d_$c").isNotNull && col(s"_d_$c") =!= 0)
+      .foldLeft(col("_dn") =!= 0)(_ || _)
+    val deltas = deltas0.filter(nonZero).withColumn("gid", gidCol(dims))
     // old values for the touched groups; the view is group-sized, so
     // this scan is the small side of the work by construction
     val view = TableLog.readVersion(spark, viewDir)

@@ -696,40 +696,33 @@ object TableLog {
     else emptySnapshot(spark, dir, version)
   }
 
-  /** Row-level CHANGES between two committed versions, derived from
-    * the FILE diff — a change feed without writing CDC files: only
-    * files removed or added between the versions are read (carried
-    * files never are, so cost tracks the churn, not the table), and
-    * the keyed diff of their contents nets out rewrite noise:
-    * a compaction rewrites everything but changes nothing → zero
-    * rows here (content-identical keys cancel). Output: `_op`
-    * (`insert` — post-image; `update` — post-image; `delete` —
-    * pre-image) plus the table columns. Requires unique keys (the
-    * MERGE contract this tier already assumes). */
-  def changesBetween(spark: SparkSession, dir: String, fromV: Int,
-      toV: Int, key: String, expandUpdates: Boolean = false): DataFrame = {
-    require(fromV < toV, s"TableLog: changesBetween needs fromV < toV")
+  /** The window's churn, aligned: (pre-image rows — the removed
+    * files' contents, post-image rows — the added files' contents,
+    * union schema). Shared prelude of [[changesBetween]] and
+    * [[signedChanges]]: only churned files are ever read (cost
+    * tracks the churn, not the table), and each side aligns to the
+    * union of the churn's file schemas and the LOGGED schema — a
+    * window whose churned files predate (or omit) an evolved column
+    * still emits that column null-filled, so the feed's shape stays
+    * stable across windows. */
+  private def churnAligned(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): (DataFrame, DataFrame, StructType) = {
+    require(fromV < toV, s"TableLog: change feed needs fromV < toV")
     val a = liveFiles(spark, dir, Some(fromV)).toSet
     val bLive = liveFiles(spark, dir, Some(toV))
     val b = bLive.toSet
     val removed = (a -- b).toSeq.sorted
     val added = (b -- a).toSeq.sorted
     val churn = removed ++ added
-    // schema from the CHURNED files only (carried files are never
-    // read -- cost tracks the churn, not the table); across a
-    // column-adding evolution this is the pre/post UNION schema. An
-    // empty churn means zero changes: the logged schema (or, legacy,
-    // one live footer) shapes the empty result. A full-table wipe
-    // keeps working -- removed is non-empty even when toV is empty.
+    // schema from the CHURNED files only; across a column-adding
+    // evolution this is the pre/post UNION schema. An empty churn
+    // means zero changes: the logged schema (or, legacy, one live
+    // footer) shapes the empty result. A full-table wipe keeps
+    // working -- removed is non-empty even when toV is empty.
     val fileSchema: StructType =
       if (churn.nonEmpty) readLive(spark, dir, churn).schema
       else loggedSchema(spark, dir).getOrElse(
         readLive(spark, dir, bLive.take(1)).schema)
-    // union with the LOGGED schema: a window whose churned files all
-    // predate (or omit) an evolved column must still emit that
-    // column null-filled — the feed's shape stays stable across
-    // windows, and a downstream aggregate over the evolved column
-    // sees a zero delta instead of an unresolvable reference
     val schema: StructType = loggedSchema(spark, dir) match {
       case Some(ls) =>
         val have = fileSchema.map(f => normName(f.name)).toSet
@@ -737,8 +730,6 @@ object TableLog {
           ls.fields.filterNot(f => have(normName(f.name))))
       case None => fileSchema
     }
-    val cols = schema.map(_.name)
-    require(cols.contains(key), s"TableLog: no key column $key")
     // each side aligns to the union schema: the pre side of a
     // column-adding evolution reads files that PREDATE the column,
     // so missing columns null-fill as typed literals instead of
@@ -753,6 +744,45 @@ object TableLog {
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq: _*)
     }
+    (aligned(removed), aligned(added), schema)
+  }
+
+  /** SIGNED change feed for ABELIAN consumers (sum/count maintenance,
+    * [[MaterializedAgg]]): the window's pre-image rows with
+    * `_sign = -1` and post-image rows with `_sign = +1`, nothing
+    * else. Content carried unchanged through a rewrite cancels IN
+    * AGGREGATE (identical values, opposite signs — a compaction
+    * window nets every group's delta to exactly zero) instead of
+    * row-by-row, so versus [[changesBetween]] the consumer reads the
+    * churn ONCE with full column pruning (project only the columns
+    * the aggregate folds — the keyed feed must hash EVERY column of
+    * every churned row), with NO join shuffle and NO row hashing.
+    * Aggregating with these signs is algebraically identical to
+    * aggregating the expanded keyed feed: insert = post-only (+1),
+    * delete = pre-only (−1), update = both images (−1, +1), carried
+    * row = both images with equal values (nets to 0). */
+  def signedChanges(spark: SparkSession, dir: String, fromV: Int,
+      toV: Int): DataFrame = {
+    val (pre, post, _) = churnAligned(spark, dir, fromV, toV)
+    pre.withColumn("_sign", lit(-1L))
+      .unionByName(post.withColumn("_sign", lit(1L)))
+  }
+
+  /** Row-level CHANGES between two committed versions, derived from
+    * the FILE diff — a change feed without writing CDC files: only
+    * files removed or added between the versions are read (carried
+    * files never are, so cost tracks the churn, not the table), and
+    * the keyed diff of their contents nets out rewrite noise:
+    * a compaction rewrites everything but changes nothing → zero
+    * rows here (content-identical keys cancel). Output: `_op`
+    * (`insert` — post-image; `update` — post-image; `delete` —
+    * pre-image) plus the table columns. Requires unique keys (the
+    * MERGE contract this tier already assumes). */
+  def changesBetween(spark: SparkSession, dir: String, fromV: Int,
+      toV: Int, key: String, expandUpdates: Boolean = false): DataFrame = {
+    val (preRaw, postRaw, schema) = churnAligned(spark, dir, fromV, toV)
+    val cols = schema.map(_.name)
+    require(cols.contains(key), s"TableLog: no key column $key")
     // content hash: md5 of the full-row struct's JSON -- field names
     // plus JSON escaping make it separator-collision-free (any
     // concatenation scheme lets a value CONTAINING the separator
@@ -761,8 +791,8 @@ object TableLog {
     // exactly side-presence
     def hashed(df: DataFrame) = df.withColumn("_graft_h",
       md5(to_json(struct(cols.sorted.map(col): _*))))
-    val pre = hashed(aligned(removed))
-    val post = hashed(aligned(added))
+    val pre = hashed(preRaw)
+    val post = hashed(postRaw)
     // null-SAFE key equality: a null-keyed row (the unique-keys
     // contract allows one) carried through a COW rewrite must net
     // out like any other row, not emit a phantom delete+insert pair
@@ -1001,9 +1031,15 @@ object TableLog {
       .map(s => s"$sub/${s.getPath.getName}").toSeq.sorted
   }
 
-  /** Per-file key min/max for the just-written files — one
-    * column-pruned pass over ONLY the new files (they were written
-    * this job; the read is page-cache-warm). Files where the key is
+  /** Per-file key min/max straight from the just-written files'
+    * PARQUET FOOTERS — driver-side metadata reads, no Spark job (the
+    * files were written milliseconds ago; their footers are
+    * page-cache-warm). Footer chunk statistics are exact for the
+    * integral and short-string keys this tier admits; where a footer
+    * carries no usable stats for the key (all-null file, stats
+    * dropped for an oversized value, column absent) the whole batch
+    * falls back to the original read-back aggregation job, so the
+    * recorded values never degrade silently. Files where the key is
     * all-null (or empty) get no stats — conservatively included by
     * every pruner. */
   private def statsOf(spark: SparkSession, dir: String,
@@ -1012,6 +1048,10 @@ object TableLog {
       case None => rels.map(AddEntry(_, None))
       case Some(_) if rels.isEmpty => Seq.empty
       case Some(k) =>
+        footerStats(spark, dir, rels, k) match {
+          case Some(entries) => return entries
+          case None => () // fall through to the read-back job
+        }
         val fs = fsOf(spark, dir)
         val uriToRel = rels.map { r =>
           fs.makeQualified(new Path(s"$dir/$r")).toUri.toString -> r
@@ -1047,6 +1087,82 @@ object TableLog {
         rels.map(r => AddEntry(r, got.get(r)))
     }
 
+  /** The footer fast path of [[statsOf]]: per-file key min/max from
+    * parquet chunk metadata. Returns None when any file's footer
+    * can't answer exactly (column present but statistics missing or
+    * empty while rows exist) — the caller then runs the read-back
+    * job. A file without the key column, without rows, or whose key
+    * is all-null yields `AddEntry(rel, None)` — the same
+    * conservative no-stats entry the job path records. */
+  private def footerStats(spark: SparkSession, dir: String,
+      rels: Seq[String], k: String): Option[Seq[AddEntry]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val isStr = statsKeyKindOf(spark, dir).contains("string")
+    val want = normName(k)
+    try {
+      val entries = rels.map { rel =>
+        val p = fsOf(spark, dir).makeQualified(new Path(s"$dir/$rel"))
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var sawValue = false
+          val it = blocks.iterator()
+          while (it.hasNext) {
+            val b = it.next()
+            if (b.getRowCount > 0) {
+              val cit = b.getColumns.iterator()
+              var found = false
+              while (cit.hasNext) {
+                val c = cit.next()
+                if (normName(c.getPath.toDotString) == want) {
+                  found = true
+                  val st = c.getStatistics
+                  // a dropped/absent statistics blob can't distinguish
+                  // "all null" from "stats omitted" — refuse the fast
+                  // path rather than guess
+                  if (st == null || st.isEmpty) return None
+                  if (c.getValueCount > st.getNumNulls) {
+                    // rows with values exist: the footer must carry
+                    // their exact bounds or we refuse the fast path
+                    if (!st.hasNonNullValue) return None
+                    val (blo, bhi) = st.genericGetMin match {
+                      case i: java.lang.Integer =>
+                        (i.longValue,
+                          st.genericGetMax
+                            .asInstanceOf[java.lang.Integer].longValue)
+                      case l: java.lang.Long =>
+                        (l.longValue,
+                          st.genericGetMax
+                            .asInstanceOf[java.lang.Long].longValue)
+                      case b: org.apache.parquet.io.api.Binary if isStr =>
+                        (encodeStringKey(b.toStringUsingUTF8),
+                          encodeStringKey(st.genericGetMax
+                            .asInstanceOf[org.apache.parquet.io.api.Binary]
+                            .toStringUsingUTF8))
+                      case _ => return None // unexpected physical type
+                    }
+                    sawValue = true
+                    if (blo < lo) lo = blo
+                    if (bhi > hi) hi = bhi
+                  }
+                }
+              }
+              // column absent from this file (an evolution batch may
+              // omit the stats key): no stats, like the job path
+              if (!found) return Some(rels.map(AddEntry(_, None)))
+            }
+          }
+          if (sawValue) AddEntry(rel, Some((lo, hi)))
+          else AddEntry(rel, None)
+        } finally reader.close()
+      }
+      Some(entries)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** A fresh per-attempt data subdir for (an attempt at) version
     * `v`: the random token makes concurrent or crash-retried writers
     * land in DISJOINT dirs, so no attempt can ever delete or replace
@@ -1056,6 +1172,23 @@ object TableLog {
     * debugging a table); the log records full relative paths. */
   private def attemptDir(v: Int): String =
     f"data/v$v%05d-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** Size-adaptive output shaping for REWRITE frames (MERGE/DELETE):
+    * the rewrite inherits its partitioning from a join/union over the
+    * batch — at small churn that is dozens of near-empty partitions
+    * (dozens of KB-sized files per commit, compounding into listing
+    * and open cost on every later read), at large churn whatever the
+    * shuffle width was. A REBALANCE lands AQE's advisory-size
+    * bin-packing instead: one file at tiny churn, ~advisory-sized
+    * files at scale — the Delta "optimized write" move (guide §6).
+    * Costs one round-robin exchange of the churn (never the table).
+    * Skipped when AQE is off: an unassisted rebalance would FIX the
+    * partition count at spark.sql.shuffle.partitions, the disease
+    * itself. */
+  private def sizeForWrite(spark: SparkSession, df: DataFrame): DataFrame =
+    if (spark.conf.get("spark.sql.adaptive.enabled", "true") == "true")
+      df.hint("rebalance")
+    else df
 
   /** Write `df`'s files under a fresh attempt dir and return their
     * add entries (with key stats when the table has a stats key). */
@@ -1215,11 +1348,20 @@ object TableLog {
     // a fully-deleted table still REMEMBERS its schema in the log —
     // a re-population batch honors the same contract as any other
     // (only a legacy table without schema tracking can check the
-    // batch against nothing but itself)
+    // batch against nothing but itself). NEVER-EVOLVED tables take
+    // the logged schema directly (exact by construction: writeBase
+    // recorded it and no evolution has widened it) — skipping a
+    // full live-set listing + footer inference per MERGE. Evolved
+    // tables keep deriving from the files: a crash between an
+    // evolving commit and its schema-widening write legally leaves
+    // the logged copy stale, and only the files tell the truth.
     val tableSchema =
-      if (liveStats.nonEmpty)
-        readLive(spark, dir, liveStats.map(_.rel)).schema
-      else loggedSchema(spark, dir).getOrElse(batch.schema)
+      (if (isEvolved(spark, dir)) None else loggedSchema(spark, dir))
+        .getOrElse {
+          if (liveStats.nonEmpty)
+            readLive(spark, dir, liveStats.map(_.rel)).schema
+          else loggedSchema(spark, dir).getOrElse(batch.schema)
+        }
     batch.schema.foreach { f =>
       tableSchema.find(t => norm(t.name) == norm(f.name)).foreach { t =>
         require(t.dataType == f.dataType,
@@ -1321,7 +1463,8 @@ object TableLog {
       // batch of ts values must never "prove" disjointness from
       // doc_id ranges)
       val rebaseKeys = sortedKeys
-      commitRebased(spark, dir, v, writeData(spark, toWrite, dir, v),
+      commitRebased(spark, dir, v,
+        writeData(spark, sizeForWrite(spark, toWrite), dir, v),
         touched, keyed = true, rebaseKeys, txn, maxRebases)
       // widen the logged schema to the union AFTER the commit landed
       // — the remembered shape must track every evolution, but an
@@ -1375,7 +1518,8 @@ object TableLog {
     // same key-space rule as upsert: stats-key merges may prove
     // disjointness, any other key stays conservative (None already)
     val rebaseKeys = sortedKeys
-    commitRebased(spark, dir, v, writeData(spark, survivors, dir, v),
+    commitRebased(spark, dir, v,
+      writeData(spark, sizeForWrite(spark, survivors), dir, v),
       touched, keyed = true, rebaseKeys, txn, maxRebases)
     } finally keys.unpersist(blocking = false)
   }
