@@ -503,23 +503,34 @@ object Relational {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
         f.name
     }.toSet
-    val aggs = df.schema.fields.flatMap { f =>
+    // One TWO-LEVEL aggregation branch per column, unioned into one
+    // job — NOT one agg with N countDistincts: the multi-distinct
+    // plan Expands every row N+1 times and hash-aggregates the
+    // replicas under an N+1-column composite key (measured 12× the
+    // input rows through the widest HashAggregate). Per column,
+    // groupBy(value) with map-side partial aggregation reduces the
+    // scan to its distinct values BEFORE the exchange, each branch
+    // scans exactly one parquet column (ReadSchema = that column),
+    // and the final fold is group-count-sized:
+    //   n_distinct = groups with a non-null key (countDistinct
+    //   semantics), n_nulls = the null group's row count, vmin/vmax =
+    //   min/max over group keys (nulls ignored).
+    val branches = df.schema.fields.map { f =>
       val c = col(f.name)
       val (mn, mx) =
         if (numeric(f.name))
           (r6(min(c).cast("double")), r6(max(c).cast("double")))
         else (lit(null).cast("double"), lit(null).cast("double"))
-      Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
-        countDistinct(c).as(s"${f.name}__nd"),
-        mn.as(s"${f.name}__min"), mx.as(s"${f.name}__max"))
+      df.select(c)
+        .groupBy(c).agg(count(lit(1)).as("_cnt"))
+        .agg(
+          sum(when(c.isNull, col("_cnt")).otherwise(0L)).as("n_nulls"),
+          count(when(c.isNotNull, 1)).as("n_distinct"),
+          mn.as("vmin"), mx.as("vmax"))
+        .select(lit(f.name).as("col_name"), col("n_nulls"),
+          col("n_distinct"), col("vmin"), col("vmax"))
     }
-    val stacked = df.schema.fields.map(f =>
-      s"'${f.name}', ${f.name}__nulls, ${f.name}__nd, " +
-        s"${f.name}__min, ${f.name}__max").mkString(", ")
-    df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-      .selectExpr(s"stack(${df.schema.fields.length}, $stacked) " +
-        "AS (col_name, n_nulls, n_distinct, vmin, vmax)")
+    branches.reduce(_.unionByName(_))
   }
 
   val dataProfileSql: String = {
