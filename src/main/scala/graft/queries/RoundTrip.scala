@@ -255,10 +255,13 @@ object RoundTrip {
         (pmod(col("doc_id"), lit(7)) === 3).as("variant"))
       .join(broadcast(d.select(col("doc_id").as("src_id"),
         col("text").as("src_text"))), Seq("src_id"))
-    // distributed render of the bounded slice into loose files
+    // distributed render of the bounded slice into loose files —
+    // fanned out to every core (the render is the path's one
+    // CPU-heavy stage; at 8 fixed partitions it ran on a quarter of
+    // the box)
     val hconf = SerializableHadoopConf.capture()
     withSrc.select(col("doc_id"), col("src_text"), col("variant"))
-      .repartition(8)
+      .repartition(spark.sparkContext.defaultParallelism)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val fs = new org.apache.hadoop.fs.Path(payloadDir)
           .getFileSystem(hconf.get())
@@ -279,6 +282,9 @@ object RoundTrip {
         .as(pathCol))
     val filesCfg = FilesConfig(payloadDir,
       Seq(FilePayload(modality, pathCol)))
+    // 100-file shards measured FASTER than core-count-matched shards
+    // (32 × ~16-file tars): per-tar open/roll/csv-pair overhead beat
+    // the extra decode parallelism at this bounded slice size
     val shardsCfg = ShardWriters.saveToShards(
       Processor(meta, filesCfg), shardDir, maxFilesInShard = 100)
     val back = DatasetReader.readShards(spark, shardsCfg)
