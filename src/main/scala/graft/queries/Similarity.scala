@@ -242,10 +242,24 @@ object Similarity {
     * plan). At 100 TB the index build is one pass + one partitioned
     * write; every subsequent query reads |N|/C of the data from disk
     * instead of scanning the corpus. */
+  /** Cluster-key distribution before a `partitionBy("cluster")`
+    * write (Iceberg's hash write-distribution): without it every
+    * upstream task writes a file into EVERY cluster directory it saw
+    * — tasks × C near-empty files per build/append, paid back as
+    * listing + open cost on every probe. With AQE the rebalance also
+    * splits a skewed posting list into several advisory-sized files
+    * of the same directory instead of one giant file. Skipped when
+    * AQE is off (a fixed-width rebalance would just pin the disease
+    * at shuffle.partitions). */
+  private def clusterPacked(spark: SparkSession, df: DataFrame): DataFrame =
+    if (spark.conf.get("spark.sql.adaptive.enabled", "true") == "true")
+      df.hint("rebalance", col("cluster"))
+    else df
+
   def buildIvfIndex(spark: SparkSession, dir: String,
       outPath: String): Unit = {
     val assign = ivfAssign(spark, dir)
-    try assign.write.mode("overwrite")
+    try clusterPacked(spark, assign).write.mode("overwrite")
       .partitionBy("cluster").parquet(outPath)
     // single consumer here — ivfAssign's persist (meant for the
     // twice-consumed search path) must not outlive the build
@@ -267,7 +281,8 @@ object Similarity {
       newVecs: DataFrame, numCentroids: Int = NumCentroids): Unit = {
     GraftFunctions.register(spark)
     requireIdsAboveCentroids(newVecs, numCentroids)
-    assignBatch(spark, indexPath, newVecs, numCentroids)
+    clusterPacked(spark, assignBatch(spark, indexPath, newVecs,
+        numCentroids))
       .write.mode("append").partitionBy("cluster").parquet(indexPath)
   }
 
@@ -343,7 +358,8 @@ object Similarity {
           .select(col("vec_id"))
           .join(broadcast(assigned.select(col("vec_id"))),
             Seq("vec_id"), "left_semi")
-        assigned.join(broadcast(present), Seq("vec_id"), "left_anti")
+        clusterPacked(spark,
+          assigned.join(broadcast(present), Seq("vec_id"), "left_anti"))
           .write.mode("append").partitionBy("cluster").parquet(indexPath)
       }
     } finally assigned.unpersist(blocking = false)
@@ -390,7 +406,8 @@ object Similarity {
   def buildIvfSq8Index(spark: SparkSession, dir: String,
       outPath: String): Unit = {
     val assign = ivfAssign(spark, dir)
-    try sq8WithCodes(spark, dir, assign).write.mode("overwrite")
+    try clusterPacked(spark, sq8WithCodes(spark, dir, assign))
+      .write.mode("overwrite")
       .partitionBy("cluster").parquet(outPath)
     finally assign.unpersist()
   }
