@@ -701,8 +701,14 @@ object TextAnalysis {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
     val dlTab = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // distribute by the partition key before the partitioned write
+    // (the IVF clusterPacked discipline): the (doc,term) grouping
+    // leaves every shuffle partition holding most of the vocabulary,
+    // so the unshuffled write fans tasks × terms near-empty files;
+    // rebalancing packs each term dir (AQE splits the heavy terms)
     toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .join(dlTab, Seq("doc_id"))
+      .hint("rebalance", col("term"))
       .write.mode("overwrite").partitionBy("term")
       .parquet(s"$outPath/postings")
     dlTab.agg(count(lit(1)).as("n"), r6(avg(col("dl"))).as("avgdl"))
