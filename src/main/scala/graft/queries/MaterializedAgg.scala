@@ -180,10 +180,14 @@ object MaterializedAgg {
       // touched count + the divergence check (a negative count means
       // the change feed and the view diverged — foreign writer,
       // vacuumed window, duplicate source keys — corruption to
-      // refuse, never to commit)
+      // refuse, never to commit) + THIS maintain's tombstone count
+      // (so the sweep below can key its delete off the delta frame
+      // in hand instead of re-scanning the whole view for n_rows=0)
       val pre = newRows.agg(count(lit(1)).as("t"),
-        count(when(col("n_rows") < 0, 1)).as("neg")).head
+        count(when(col("n_rows") < 0, 1)).as("neg"),
+        count(when(col("n_rows") === 0, 1)).as("dead")).head
       val (touched, neg) = (pre.getLong(0), pre.getLong(1))
+      val deadNow = pre.getLong(2)
       require(neg == 0,
         s"MaterializedAgg: negative group count maintaining $viewDir " +
           s"from $srcDir v$last→v$head — view and change feed " +
@@ -206,11 +210,18 @@ object MaterializedAgg {
       }
       // touched groups land in ONE stamped version (dead groups as
       // n_rows=0 tombstones — atomicity first), then the sweep
-      // removes the tombstones as ordinary unstamped deletes
+      // removes the tombstones as ordinary unstamped deletes. The
+      // sweep keys off the PERSISTED delta frame (this maintain's own
+      // tombstone gids), not a fresh n_rows=0 scan of the view — one
+      // fewer full view read per maintain, same rows deleted.
       TableLog.upsert(spark, viewDir, newRows, "gid",
         txn = Some(s"$App#$head"))
-      // post-state in ONE pruned pass: live-group total + tombstone
-      // count (this maintain's and any crash residue together)
+      if (deadNow > 0)
+        TableLog.delete(spark, viewDir,
+          newRows.filter(col("n_rows") === 0).select("gid"), "gid")
+      // post-state in ONE pruned pass: live-group total + any
+      // tombstones STILL visible (only crash residue from an earlier
+      // interrupted maintain — ours were swept above)
       val post = TableLog.readVersion(spark, viewDir)
         .agg(count(when(col("n_rows") > 0, 1)).as("live"),
           count(when(col("n_rows") === 0, 1)).as("dead")).head

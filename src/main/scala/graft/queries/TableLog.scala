@@ -2,6 +2,8 @@ package graft.queries
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -540,7 +542,13 @@ object TableLog {
   /** One parquet read of a live set, schema-merging only when the
     * table has actually evolved (a footer-merge job over every live
     * file is real per-read cost at many-file scale — don't pay it on
-    * tables that never evolved). */
+    * tables that never evolved). NEVER-EVOLVED tables with a logged
+    * schema skip footer inference entirely: Spark's no-merge
+    * inference still runs a one-task footer job per read (measured:
+    * 24 such jobs inside one q_incr_agg), and the logged schema IS
+    * the files' schema by construction (writeBase recorded it, no
+    * evolution widened it). The schema passes all-nullable, exactly
+    * what footer inference would return. */
   private def readLive(spark: SparkSession, dir: String,
       rels: Seq[String]): DataFrame =
     // a fully-deleted table has an EMPTY live set — read honestly
@@ -549,8 +557,31 @@ object TableLog {
     if (rels.isEmpty)
       loggedSchema(spark, dir).map(emptyOf(spark, _))
         .getOrElse(spark.emptyDataFrame)
-    else spark.read.option("mergeSchema", isEvolved(spark, dir).toString)
-      .parquet(rels.map(r => s"$dir/$r"): _*)
+    else if (isEvolved(spark, dir))
+      spark.read.option("mergeSchema", "true")
+        .parquet(rels.map(r => s"$dir/$r"): _*)
+    else loggedSchema(spark, dir) match {
+      case Some(s) => spark.read.schema(allNullable(s))
+        .parquet(rels.map(r => s"$dir/$r"): _*)
+      case None => spark.read.option("mergeSchema", "false")
+        .parquet(rels.map(r => s"$dir/$r"): _*)
+    }
+
+  /** Parquet read returns every field nullable; a supplied schema
+    * must claim the same or downstream nullability-sensitive plans
+    * would differ from the inferred-schema read. */
+  private def allNullable(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      f.copy(nullable = true, dataType = f.dataType match {
+        case st: StructType => allNullable(st)
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          org.apache.spark.sql.types.ArrayType(et match {
+            case st: StructType => allNullable(st)
+            case other => other
+          }, containsNull = true)
+        case other => other
+      })
+    })
 
   /** Snapshot read — an ordinary parquet scan over the version's
     * explicit file list (column pruning / filter pushdown apply as
@@ -1626,8 +1657,25 @@ object TableLog {
       .write.partitionBy("_graft_bin")
       .parquet(s"$dir/$sub")
     val liveCount = readLive(spark, dir, live).count()
-    val written = spark.read.parquet(s"$dir/$sub")
-    val writtenCount = written.count()
+    // written rows from the just-written files' FOOTERS (same
+    // driver-side metadata path as footerStats — the footers are
+    // page-cache-warm and bounded by the bin count; a read-back
+    // count() would pay a schema-inference job + a count job for
+    // the same numbers)
+    val writtenCount = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      fs.listStatus(new Path(dir, sub)).filter(_.isDirectory)
+        .flatMap(d => fs.listStatus(d.getPath))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map { s =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              s.getPath, conf))
+          try reader.getFooter.getBlocks.asScala
+            .map(_.getRowCount).sum
+          finally reader.close()
+        }.sum
+    }
     require(writtenCount == liveCount,
       s"TableLog.compact: rewrite produced $writtenCount rows from a " +
         s"live set of $liveCount — a file's rows were dropped (URI " +

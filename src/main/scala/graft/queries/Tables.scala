@@ -19,13 +19,27 @@ object Tables {
   def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Inferred SCHEMA per source-table path, cached for the JVM's
+    * lifetime: parquet schema inference runs a one-task Spark job per
+    * `spark.read.parquet` call, and a catalog pass re-infers the same
+    * immutable testdata footers hundreds of times (measured ~30-60 ms
+    * per read). This caches METADATA only — never rows, never results
+    * — the exact class of cache a catalog/metastore provides for real
+    * tables and Spark itself provides for file listings. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts has shipped as TIMESTAMP(NANOS) in some testdata
     // generations (which Spark 4 rejects unless read as a long) and as
     // TIMESTAMP(MICROS) in others. nanosAsLong covers the former;
     // normalizeEventTs below folds every variant to one contract.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") normalizeEventTs(df) else df
   }
 
