@@ -76,6 +76,12 @@ object SyntheticAudio {
         b.toDouble / nb))
     val amp = (if (gainRide) GainRideFactor else 1.0) * 9000.0
     val n = (Seconds * Rate).toInt
+    // rampSign depends only on (phase, band) — hoist the splitmix
+    // draw out of the sample loop (it was one mix() per sample per
+    // band, ~60% of the render's non-sin arithmetic); bit-identical
+    // output, the doubles multiply in the same order below
+    val signs = Array.tabulate(PhaseEnds.length, nb)(
+      (p, b) => rampSign(seed, p, b))
     Array.tabulate(n) { i =>
       val t = i / Rate
       val frac = t / Seconds
@@ -88,7 +94,7 @@ object SyntheticAudio {
       var s = 0.0
       var b = 0
       while (b < nb) {
-        val ramp = 1.0 + RampDepth * rampSign(seed, p, b) * inPhase
+        val ramp = 1.0 + RampDepth * signs(p)(b) * inPhase
         s += ramp * math.sin(2 * math.Pi * freqs(b) * t) / (b + 2)
         b += 1
       }

@@ -1204,13 +1204,17 @@ object Curation {
         r6((col("pos") - lit(0.5) * col("n_docs")) / lit(nDocs.toDouble))
           .as("w1"))
     // parameter broadcast: the vocab-sized weight table as a literal
-    // map (bounded collect — LrFeatures rows at most)
-    val w1Rows = w1.select(col("f"), col("w1")).collect()
+    // map (bounded collect — LrFeatures rows at most). n_docs rides
+    // along so the FINAL join can reuse these rows as a local
+    // relation instead of re-deriving w1 (which re-hashes and
+    // re-explodes the whole corpus — a fourth pass over the three a
+    // GD step intrinsically needs: stats, step 1, step 2).
+    val w1Rows = w1.select(col("f"), col("n_docs"), col("w1")).collect()
     // typedLit keeps the map<bigint,double> type on an empty corpus,
     // where bare map() would default to map<string,string>
     val w1Map = if (w1Rows.isEmpty) typedLit(Map.empty[Long, Double])
       else map(w1Rows.flatMap(r =>
-        Seq(lit(r.getLong(0)), lit(r.getDouble(1)))).toIndexedSeq: _*)
+        Seq(lit(r.getLong(0)), lit(r.getDouble(2)))).toIndexedSeq: _*)
     val scored = d.select(col("y"), col("fs"),
         r6(aggregate(col("fs"), lit(0.0),
           (acc, f) => acc + coalesce(element_at(w1Map, f), lit(0.0))))
@@ -1222,7 +1226,18 @@ object Curation {
         explode(col("fs")).as("f"))
       .groupBy(col("f"))
       .agg(r6(sum(col("e")) / lit(nDocs.toDouble)).as("grad2"))
-    w1.join(g2, Seq("f"))
+    // the collected rows ARE w1 — a local relation here keeps the
+    // final join corpus-free (values bit-identical: same rows)
+    val w1Local = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(w1Rows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("f",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w1",
+          org.apache.spark.sql.types.DoubleType))))
+    w1Local.join(g2, Seq("f"))
       .select(col("f"), col("n_docs"), col("w1"),
         r6(col("w1") - col("grad2")).as("w2"))
   }

@@ -397,12 +397,16 @@ object Layout {
   def bloomAdmission(spark: SparkSession, out: String,
       keys: Seq[Long]): BloomAdmission = {
     import graft.functions.TextFunctions.hash60Jvm
-    val meta = spark.read.parquet(s"$out/meta").head()
+    // fixed side-table schemas (written by buildBloomIndex) — skip
+    // the per-read footer-inference job on both metadata reads
+    val meta = spark.read.schema("n LONG, t_files LONG, words LONG")
+      .parquet(s"$out/meta").head()
     val tFiles = meta.getAs[Long]("t_files")
     val m = meta.getAs[Long]("words") * BloomBits
     val hashed = keys.map(kv => kv -> hash60Jvm(kv.toString))
     val homes = hashed.map(_._2 % tFiles).distinct
-    val blooms = spark.read.parquet(s"$out/bloom")
+    val blooms = spark.read.schema("fid LONG, warr ARRAY<LONG>")
+      .parquet(s"$out/bloom")
       .filter(col("fid").isin(homes: _*))
       .collect()
     val byFid = blooms.iterator

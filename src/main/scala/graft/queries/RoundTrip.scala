@@ -115,7 +115,7 @@ object RoundTrip {
     // seal: one fingerprint row — materialize, then delete the merged
     // table copy (same leak discipline as roundtripShards)
     Tables.sealTempResult(spark,
-      spark.read.parquet(s"$out/base")
+      spark.read.schema(UpsertBaseSchema).parquet(s"$out/base")
         .withColumn("fp60", fp(15))
         .withColumn("fp32", fp(8))
         .agg(
@@ -125,6 +125,11 @@ object RoundTrip {
           sum(col("fp32")).as("fp_sum")),
       out)
   }
+
+  /** The base snapshot's fixed data-column schema (documents minus
+    * the `source` partition dir, TESTDATA.md) — supplied on read-back
+    * so neither merge nor fingerprint pays a footer-inference job. */
+  private val UpsertBaseSchema = "doc_id LONG, text STRING, lang STRING, n_chars LONG"
 
   /** Step 1: the Hive-partitioned base snapshot. */
   private[queries] def upsertWriteBase(spark: SparkSession, dir: String,
@@ -143,7 +148,7 @@ object RoundTrip {
   private[queries] def upsertMerge(spark: SparkSession, dir: String,
       out: String): Unit = {
     val docs = t(spark, dir, "documents")
-    val base = spark.read.parquet(s"$out/base")
+    val base = spark.read.schema(UpsertBaseSchema).parquet(s"$out/base")
     val touched = upsertTouched(spark, dir)
     val updates = docs
       .filter(col("doc_id") % 7 === 0 && col("source").isin(touched: _*))

@@ -251,6 +251,15 @@ object Similarity {
     * of the same directory instead of one giant file. Skipped when
     * AQE is off (a fixed-width rebalance would just pin the disease
     * at shuffle.partitions). */
+  /** Materialized index layouts have FIXED data schemas — (vec_id, v)
+    * for [[buildIvfIndex]], plus codes for [[buildIvfSq8Index]]; the
+    * `cluster` partition column stays directory-inferred. Supplying
+    * the schema skips parquet footer inference, which otherwise runs
+    * a one-task Spark job on EVERY index read — a probe should pay
+    * one pruned scan, not a metadata job plus the scan. */
+  private val IvfIndexSchema = "vec_id LONG, v ARRAY<DOUBLE>"
+  private val IvfSq8IndexSchema = "vec_id LONG, v ARRAY<DOUBLE>, codes ARRAY<DOUBLE>"
+
   private def clusterPacked(spark: SparkSession, df: DataFrame): DataFrame =
     if (spark.conf.get("spark.sql.adaptive.enabled", "true") == "true")
       df.hint("rebalance", col("cluster"))
@@ -308,7 +317,7 @@ object Similarity {
     * [[ivfAssign]], no batch·C exchange with vectors riding it). */
   private def assignBatch(spark: SparkSession, indexPath: String,
       newVecs: DataFrame, numCentroids: Int): DataFrame = {
-    val cent = spark.read.parquet(indexPath)
+    val cent = spark.read.schema(IvfIndexSchema).parquet(indexPath)
       .filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val scored = newVecs.select(col("vec_id"), col("v"))
@@ -353,7 +362,7 @@ object Similarity {
       val touched = assigned.select(col("cluster")).distinct()
         .collect().map(_.getLong(0))
       if (touched.nonEmpty) {
-        val present = spark.read.parquet(indexPath)
+        val present = spark.read.schema(IvfIndexSchema).parquet(indexPath)
           .filter(col("cluster").isin(touched: _*))
           .select(col("vec_id"))
           .join(broadcast(assigned.select(col("vec_id"))),
@@ -385,7 +394,7 @@ object Similarity {
       .filter(col("vec_id") < AppendN)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("v"))
     appendToIvfIndex(spark, out, fresh)
-    spark.read.parquet(out)
+    spark.read.schema(IvfIndexSchema).parquet(out)
       .groupBy(col("cluster").cast("long").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"))
   }
@@ -423,7 +432,7 @@ object Similarity {
       topK: Int = IvfTopK, coarse: Int = Sq8RerankCoarse,
       excludeId: Option[Long] = None): DataFrame = {
     GraftFunctions.register(spark)
-    val postings = spark.read.parquet(indexPath)
+    val postings = spark.read.schema(IvfSq8IndexSchema).parquet(indexPath)
       .filter(col("cluster") === queryCluster)
     val cand = excludeId match {
       case Some(id) => postings.filter(col("vec_id") =!= id)
@@ -459,7 +468,7 @@ object Similarity {
       queryCluster: Long, qv: Array[Double], topK: Int = IvfTopK,
       excludeId: Option[Long] = None): DataFrame = {
     GraftFunctions.register(spark)
-    val idx = spark.read.parquet(indexPath)
+    val idx = spark.read.schema(IvfIndexSchema).parquet(indexPath)
       .filter(col("cluster") === queryCluster)
     val candidates = excludeId match {
       case Some(id) => idx.filter(col("vec_id") =!= id)
@@ -2149,7 +2158,7 @@ object Similarity {
   def driftCheckIndex(spark: SparkSession, indexPath: String,
       newVecs: DataFrame, numCentroids: Int = NumCentroids): DataFrame = {
     GraftFunctions.register(spark)
-    val idx = spark.read.parquet(indexPath)
+    val idx = spark.read.schema(IvfIndexSchema).parquet(indexPath)
     val cent = idx.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val postings = idx.groupBy(col("cluster"))

@@ -529,11 +529,18 @@ object TextAnalysis {
     // ship every text byte through an exchange just to count rows)
     val n = t(spark, dir, "documents")
       .filter(col("text").isNotNull).count()
+    // persisted: the df broadcast build and the weight join each
+    // evaluate tf — unpersisted, the plan holds TWO full
+    // scan→explode→(doc,w)-aggregate subtrees (verified in explain:
+    // no ReusedExchange across the broadcast boundary), i.e. the
+    // corpus is tokenized and shuffled twice for one tf table.
+    // Bench/Verify clear caches per query.
     val tf = Tables.fanOut(t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy(col("w"))
       .agg(count(lit(1)).as("df"))
     val win = org.apache.spark.sql.expressions.Window
@@ -651,9 +658,17 @@ object TextAnalysis {
     val toks = Tables.fanOut(t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+    // persist the two SMALL aggregates (doc-sized lengths, query-
+    // term-filtered tfs), never the corpus-sized token stream: dlTab
+    // feeds stats, the partial-score join AND the final ranking join,
+    // cand feeds dfTab and the partial scores — unpersisted, each
+    // consumer re-token-explodes the whole corpus (5 corpus passes
+    // per query; 2 after). Bench/Verify clear caches per query.
     val dlTab = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .persist()
     val cand = toks.filter(col("w").isInCollection(Bm25Terms))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist()
     val stats = dlTab.agg(count(lit(1)).as("n"),
       r6(avg(col("dl"))).as("avgdl"))
     val dfTab = cand.groupBy(col("w"))
@@ -724,8 +739,14 @@ object TextAnalysis {
     * positive-score prefix of the full rankings. */
   def bm25FromIndex(spark: SparkSession, indexPath: String,
       terms: Seq[String] = Bm25Terms, topN: Int = Bm25TopN): DataFrame = {
-    val stats = spark.read.parquet(s"$indexPath/stats")
-    val post = spark.read.parquet(s"$indexPath/postings")
+    // explicit schemas (the layout is fixed by buildPostingsIndex):
+    // parquet schema inference runs a one-task footer job per read —
+    // a probe should pay a pruned scan, not two metadata jobs. The
+    // `term` partition column stays directory-inferred as before.
+    val stats = spark.read.schema("n LONG, avgdl DOUBLE")
+      .parquet(s"$indexPath/stats")
+    val post = spark.read.schema("doc_id LONG, tf LONG, dl LONG")
+      .parquet(s"$indexPath/postings")
       .filter(col("term").isInCollection(terms))
     val dfTab = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
