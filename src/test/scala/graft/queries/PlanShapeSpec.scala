@@ -235,14 +235,20 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q_data_profile is one scan through one Expand — not a pass " +
-      "per column") {
+  test("q_data_profile: per-column two-level branches, no Expand, " +
+      "each branch reads exactly one parquet column") {
     val p = plan(Relational.dataProfile(spark, dir))
-    assert(countIn(p, "Scan parquet") == 1, p.take(2000))
-    assert(countIn(p, "Expand") == 1, p.take(2000))
-    // partial agg below the exchange, distinct-dedup + final above
-    assert(countIn(p, "Exchange") <= 2, p.take(2000))
+    // the multi-distinct Expand×12 over every replicated row is the
+    // shape this query REMOVED (round-8 optimization): each column
+    // now folds to its distinct values map-side in its own branch
+    assert(!p.contains("Expand"), p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
+    // one one-column FileScan per profiled column, none wider
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty, p.take(2000))
+    assert(reads.forall(r => !r.contains(",")),
+      s"a profile branch read more than one column: $reads")
   }
 
   test("q_embed_gram reduces through partial vector_gram buffers — " +
