@@ -647,6 +647,48 @@ object TableLog {
     k
   }
 
+  /** Key-count ceiling for the IN-filter fast path of the keyed
+    * touch-scans: below it, the batch's already-collected key values
+    * replace the semi/anti BROADCAST JOINS with a typed
+    * `isInCollection` filter — no broadcast-build job per join, and
+    * the predicate reaches the parquet scan (row-group stats can
+    * skip within the candidate files). Above it, the literal list
+    * riding every task closure would outgrow the broadcast it
+    * replaces (the join ships the keys once per executor), so the
+    * join path stays. */
+  private val InFilterMaxKeys = 100000
+
+  /** The batch's distinct keys as values of the key column's OWN
+    * integral type — Some only when the merge key is the table's
+    * long-kinded stats key (stats space IS the value space, so the
+    * collected longs convert back exactly; string-kinded stats are
+    * prefix ENCODINGS and never usable for membership) and the batch
+    * is small enough for the filter to win. Typed values keep the In
+    * comparison cast-free, which is what lets it push to parquet. */
+  private def inFilterValues(spark: SparkSession, dir: String,
+      key: String, sortedKeys: Option[Array[Long]],
+      keyType: Option[DataType]): Option[Seq[Any]] =
+    if (!statsKeyKindOf(spark, dir).contains("long")) None
+    else sortedKeys.filter(_.length <= InFilterMaxKeys).flatMap { ks =>
+      keyType match {
+        case Some(LongType) => Some(ks.toSeq)
+        case Some(IntegerType) => Some(ks.toSeq.map(_.toInt))
+        case Some(ShortType) => Some(ks.toSeq.map(_.toShort))
+        case Some(ByteType) => Some(ks.toSeq.map(_.toByte))
+        case _ => None
+      }
+    }
+
+  /** The key column's declared type from the LOGGED schema — None on
+    * legacy tables (no schema tracking) or in the crash window where
+    * an evolving upsert committed before widening the record; callers
+    * then fall back to the broadcast-join path, which needs no type. */
+  private def keyTypeOf(spark: SparkSession, dir: String,
+      key: String): Option[DataType] =
+    loggedSchema(spark, dir).flatMap(
+      _.fields.find(f => normName(f.name) == normName(key)))
+      .map(_.dataType)
+
   /** Stage-1 candidate pruning shared by MERGE, DELETE, and keyed
     * reads — ONE definition of the rule "keys enter stats space only
     * when `key` IS the table's stats key, in the recorded kind", so
@@ -711,10 +753,18 @@ object TableLog {
       // an empty key set reads EMPTY (with the schema), never a
       // full-table scan against an empty broadcast
       if (ks.limit(1).isEmpty) return emptySnapshot(spark, dir, version)
-      val (_, cand) = pruneCandidates(spark, dir, ks, key, liveStats)
+      val (sks, cand) = pruneCandidates(spark, dir, ks, key, liveStats)
       if (cand.isEmpty) emptySnapshot(spark, dir, version)
-      else readLive(spark, dir, cand)
-        .join(broadcast(ks), Seq(key), "left_semi")
+      else inFilterValues(spark, dir, key, sks,
+          keyTypeOf(spark, dir, key)) match {
+        // same IN-filter fast path as the write-side touch-scans:
+        // the residual membership test pushes into the pruned scan
+        // instead of building a broadcast join
+        case Some(vs) => readLive(spark, dir, cand)
+          .filter(col(key).isInCollection(vs))
+        case None => readLive(spark, dir, cand)
+          .join(broadcast(ks), Seq(key), "left_semi")
+      }
     } finally if (statsKeyed) ks.unpersist(blocking = false)
   }
 
@@ -1445,6 +1495,16 @@ object TableLog {
     // touching the table's two ends doesn't admit everything between
     val (sortedKeys, candidates) =
       pruneCandidates(spark, dir, keys, key, liveStats)
+    // IN-FILTER fast path: stage 1 already collected this batch's
+    // keys for stats pruning — membership against the candidate rows
+    // reuses them as a typed pushed predicate instead of building
+    // TWO broadcast joins (semi for touched files, anti for the
+    // rewrite). Join semantics are mirrored exactly: a NULL key
+    // matches nothing (semi: In is null → filtered; anti: kept via
+    // the explicit isNull arm). Falls back to the joins for string
+    // stats kinds, oversized batches, and non-stats keys.
+    val inVals = inFilterValues(spark, dir, key, sortedKeys,
+      keyTypeOf(spark, dir, key))
     // dir-relative path by the scan's own URI rendering (the
     // compactFiles file-name-encoding lesson)
     val uriOf = candidates.map { rel =>
@@ -1457,23 +1517,33 @@ object TableLog {
     // a silently empty semi-join on another (review-caught)
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else readLive(spark, dir, candidates)
-        .withColumn("_graft_file", input_file_name())
-        .join(broadcast(keys), Seq(key), "left_semi")
-        .select(col("_graft_file")).distinct()
-        .collect().map(_.getString(0)).toSeq
-        .map(u => uriOf.getOrElse(u,
-          throw new IllegalStateException(
-            s"TableLog: scan file $u not in the live set")))
+      else {
+        val scanned = readLive(spark, dir, candidates)
+          .withColumn("_graft_file", input_file_name())
+        (inVals match {
+          case Some(vs) => scanned.filter(col(key).isInCollection(vs))
+          case None => scanned.join(broadcast(keys), Seq(key), "left_semi")
+        })
+          .select(col("_graft_file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+          .map(u => uriOf.getOrElse(u,
+            throw new IllegalStateException(
+              s"TableLog: scan file $u not in the live set")))
+      }
     // allowMissingColumns only under the evolution opt-in: a batch
     // may then carry NEW columns (old rows null-fill them) or omit
     // existing ones (replaced rows null-fill — REPLACE semantics);
     // strict mode already proved the column sets equal above
     val rewritten =
       if (touched.isEmpty) batch
-      else readLive(spark, dir, touched)
-        .join(broadcast(keys), Seq(key), "left_anti")
-        .unionByName(batch, allowMissingColumns = allowSchemaEvolution)
+      else {
+        val live = readLive(spark, dir, touched)
+        (inVals match {
+          case Some(vs) => live.filter(col(key).isNull ||
+            !col(key).isInCollection(vs))
+          case None => live.join(broadcast(keys), Seq(key), "left_anti")
+        }).unionByName(batch, allowMissingColumns = allowSchemaEvolution)
+      }
     // CHECK constraints gate what gets WRITTEN — rewritten rows
     // include evolution's null-fills, so a constraint on an omitted
     // column correctly refuses the write (NULL evaluations violate:
@@ -1530,22 +1600,34 @@ object TableLog {
     try {
     val (sortedKeys, candidates) =
       pruneCandidates(spark, dir, keys, key, liveStats)
+    // same IN-filter fast path as upsert (see there for semantics)
+    val inVals = inFilterValues(spark, dir, key, sortedKeys,
+      keyTypeOf(spark, dir, key))
     val uriOf = candidates.map { rel =>
       fs.makeQualified(new Path(s"$dir/$rel")).toUri.toString -> rel
     }.toMap
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else readLive(spark, dir, candidates)
-        .withColumn("_graft_file", input_file_name())
-        .join(broadcast(keys), Seq(key), "left_semi")
-        .select(col("_graft_file")).distinct()
-        .collect().map(_.getString(0)).toSeq
-        .map(u => uriOf.getOrElse(u,
-          throw new IllegalStateException(
-            s"TableLog: scan file $u not in the live set")))
+      else {
+        val scanned = readLive(spark, dir, candidates)
+          .withColumn("_graft_file", input_file_name())
+        (inVals match {
+          case Some(vs) => scanned.filter(col(key).isInCollection(vs))
+          case None => scanned.join(broadcast(keys), Seq(key), "left_semi")
+        })
+          .select(col("_graft_file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+          .map(u => uriOf.getOrElse(u,
+            throw new IllegalStateException(
+              s"TableLog: scan file $u not in the live set")))
+      }
     if (touched.isEmpty) return // nothing contains a doomed key
-    val survivors = readLive(spark, dir, touched)
-      .join(broadcast(keys), Seq(key), "left_anti")
+    val liveTouched = readLive(spark, dir, touched)
+    val survivors = inVals match {
+      case Some(vs) => liveTouched.filter(col(key).isNull ||
+        !col(key).isInCollection(vs))
+      case None => liveTouched.join(broadcast(keys), Seq(key), "left_anti")
+    }
     // same key-space rule as upsert: stats-key merges may prove
     // disjointness, any other key stays conservative (None already)
     val rebaseKeys = sortedKeys
