@@ -116,13 +116,16 @@ object AudioFingerprint {
     val energies = Array.ofDim[Double](nFrames, NumBands + 1)
     val re = new Array[Double](FrameSize)
     val im = new Array[Double](FrameSize)
+    // Hann window keeps band energies from smearing across edges;
+    // coefficients are frame-invariant — computed once per clip, not
+    // one cos() per sample per frame (bit-identical product below)
+    val win = Array.tabulate(FrameSize)(i =>
+      0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (FrameSize - 1))))
     var n = 0
     while (n < nFrames) {
       var i = 0
       while (i < FrameSize) {
-        // Hann window keeps band energies from smearing across edges
-        val w = 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (FrameSize - 1)))
-        re(i) = pcm(n * Hop + i) * w
+        re(i) = pcm(n * Hop + i) * win(i)
         im(i) = 0.0
         i += 1
       }

@@ -127,11 +127,15 @@ final case class PHashFilter(hashSize: Int = 8,
     out
   }
 
+  /** DCT basis table — fixed by [[DctSize]], shared across every
+    * image (it was rebuilt per call: 1024 cos() per hashed image). */
+  private lazy val dctCos = Array.tabulate(DctSize, DctSize)((k, i) =>
+    math.cos(math.Pi * k * (2 * i + 1) / (2.0 * DctSize)))
+
   /** Separable DCT-II with orthonormal scaling. */
   private def dct2d(m: Array[Array[Double]]): Array[Array[Double]] = {
     val n = DctSize
-    val cos = Array.tabulate(n, n)((k, i) =>
-      math.cos(math.Pi * k * (2 * i + 1) / (2.0 * n)))
+    val cos = dctCos
     def scale(k: Int) = if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
     val rows = Array.tabulate(n, n) { (y, k) =>
       var s = 0.0
