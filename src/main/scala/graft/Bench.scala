@@ -147,7 +147,18 @@ object Bench {
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // sidecar copy of the SAME line (additions-only; stdout stays the
+    // contract): the round-8 per-query map outgrew the driver's tail
+    // capture and the round-over-round comparison was lost — a file
+    // the driver can read whole is cheap insurance. Never fatal: the
+    // bench's job is the stdout line.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_JSON", "/tmp/graft_bench_last.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     timedSpark.stop()
   }
 }

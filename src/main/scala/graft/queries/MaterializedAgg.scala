@@ -30,9 +30,9 @@ import org.apache.spark.sql.functions._
   *  3. upsert of touched groups only (`new = old + Δ`), keyed on
   *     `gid = xxhash64(to_json(struct(dims)))` — an integral merge
   *     key, so the view's own COW touch-scan prunes by manifest
-  *     stats; groups whose count reaches zero are committed as
-  *     tombstones IN THE SAME VERSION (atomicity) and swept right
-  *     after;
+  *     stats; groups whose count reaches zero DIE in that same
+  *     stamped commit (their keys drive the touch-scan but no
+  *     replacement row is written — MERGE's delete arm);
   *  4. exactly-once: the upsert carries txn stamp `mv#<srcVersion>`
   *     in the view's own log — a crashed/replayed maintain is a
   *     no-op, and the resume point is [[TableLog.txnHighWater]], so
@@ -47,9 +47,10 @@ import org.apache.spark.sql.functions._
   * compactions where possible; either way the metadata-only stamp
   * ensures a compaction window is paid at most once. Group-id collisions are 64-bit-hash rare; the dims
   * themselves are stored in the view, so a collision is detectable.
-  * A crash between the stamped upsert and the tombstone sweep can
-  * leave `n_rows = 0` rows visible until the next maintain;
-  * [[readView]] filters them.
+  * This maintainer never commits `n_rows = 0` rows (deaths fold into
+  * the stamped commit), but a view touched by an OLDER maintainer —
+  * or a foreign writer — may hold such residue: [[readView]] filters
+  * it and the next maintain sweeps it.
   */
 object MaterializedAgg {
 
@@ -117,7 +118,12 @@ object MaterializedAgg {
         .withColumn("gid", gidCol(dims))
       TableLog.writeBase(spark, full, viewDir,
         statsKey = Some("gid"), txn = Some(s"$App#$head"))
-      val total = readView(spark, viewDir).count()
+      // a fresh base has no tombstones (every group aggregates ≥ 1
+      // source row), so the group total IS the just-written row
+      // total — from the footers, no read-back job (round-9)
+      val total = TableLog.liveRowsAndMin(spark, viewDir, "n_rows")
+        .map(_._1)
+        .getOrElse(readView(spark, viewDir).count())
       return MaintainStats("full", -1, head, total, total)
     }
 
@@ -176,18 +182,33 @@ object MaterializedAgg {
           .as(s"sum_$c")): _*)
       .persist()
     try {
-      // ONE pass over the (persisted, group-sized) delta frame:
-      // touched count + the divergence check (a negative count means
-      // the change feed and the view diverged — foreign writer,
-      // vacuumed window, duplicate source keys — corruption to
-      // refuse, never to commit) + THIS maintain's tombstone count
-      // (so the sweep below can key its delete off the delta frame
-      // in hand instead of re-scanning the whole view for n_rows=0)
-      val pre = newRows.agg(count(lit(1)).as("t"),
-        count(when(col("n_rows") < 0, 1)).as("neg"),
-        count(when(col("n_rows") === 0, 1)).as("dead")).head
-      val (touched, neg) = (pre.getLong(0), pre.getLong(1))
-      val deadNow = pre.getLong(2)
+      // ONE bounded pass over the (persisted, group-sized) delta
+      // frame: while the touched-group count fits the IN-filter
+      // bound — the steady state; a maintain's churn is group-sized
+      // by construction — the pass COLLECTS (gid, n_rows) outright,
+      // so the touched count, the divergence check (a negative count
+      // means the change feed and the view diverged — foreign
+      // writer, vacuumed window, duplicate source keys — corruption
+      // to refuse, never to commit), and THIS maintain's tombstone
+      // count all fall out locally AND the gids in hand feed the
+      // view's upsert/delete below as pre-collected key hints (each
+      // skips its own distinct-collect job — round-9, guide §2 fixed
+      // costs). An oversized delta falls back to the aggregate-only
+      // job and unhinted mutations.
+      val sample = newRows.select(col("gid"), col("n_rows"))
+        .limit(TableLog.InFilterMaxKeys + 1).collect()
+      val (touched, neg, deadNow, gidHint) =
+        if (sample.length <= TableLog.InFilterMaxKeys)
+          (sample.length.toLong,
+            sample.count(_.getLong(1) < 0L).toLong,
+            sample.count(_.getLong(1) == 0L).toLong,
+            Some(sample.map(_.getLong(0))))
+        else {
+          val pre = newRows.agg(count(lit(1)).as("t"),
+            count(when(col("n_rows") < 0, 1)).as("neg"),
+            count(when(col("n_rows") === 0, 1)).as("dead")).head
+          (pre.getLong(0), pre.getLong(1), pre.getLong(2), None)
+        }
       require(neg == 0,
         s"MaterializedAgg: negative group count maintaining $viewDir " +
           s"from $srcDir v$last→v$head — view and change feed " +
@@ -208,27 +229,39 @@ object MaterializedAgg {
           TableLog.checkpoint(spark, viewDir)
         return MaintainStats("empty", last, head, 0, -1L)
       }
-      // touched groups land in ONE stamped version (dead groups as
-      // n_rows=0 tombstones — atomicity first), then the sweep
-      // removes the tombstones as ordinary unstamped deletes. The
-      // sweep keys off the PERSISTED delta frame (this maintain's own
-      // tombstone gids), not a fresh n_rows=0 scan of the view — one
-      // fewer full view read per maintain, same rows deleted.
+      // touched groups land in ONE stamped version; groups whose
+      // count reached zero DIE in that same commit — their gids still
+      // drive the touch-scan (resident rows are rewritten away) but
+      // no tombstone row lands (`dropBatchWhere`), so the old
+      // commit-tombstones-then-sweep version pair collapses into the
+      // single stamped commit (round-9: one fewer mutation's worth of
+      // jobs per maintain, and no crash window between stamp and
+      // sweep at all). The n_rows=0 residue filter below still covers
+      // views holding residue from older maintainers.
       TableLog.upsert(spark, viewDir, newRows, "gid",
-        txn = Some(s"$App#$head"))
-      if (deadNow > 0)
-        TableLog.delete(spark, viewDir,
-          newRows.filter(col("n_rows") === 0).select("gid"), "gid")
-      // post-state in ONE pruned pass: live-group total + any
-      // tombstones STILL visible (only crash residue from an earlier
-      // interrupted maintain — ours were swept above)
-      val post = TableLog.readVersion(spark, viewDir)
-        .agg(count(when(col("n_rows") > 0, 1)).as("live"),
-          count(when(col("n_rows") === 0, 1)).as("dead")).head
-      if (post.getLong(1) > 0)
-        TableLog.delete(spark, viewDir,
-          TableLog.readVersion(spark, viewDir)
-            .filter(col("n_rows") === 0).select("gid"), "gid")
+        txn = Some(s"$App#$head"), knownKeys = gidHint,
+        dropBatchWhere =
+          if (deadNow > 0) Some(col("n_rows") === 0L) else None)
+      // post-state WITHOUT a job in the steady state: the live files'
+      // parquet footers give the row total and min(n_rows) on the
+      // driver — min > 0 PROVES no tombstone rows exist anywhere (the
+      // fused upsert never writes them; residue can only predate this
+      // maintainer), so the row total is the live-group total. Any
+      // footer refusal or a residue hint (min ≤ 0) falls back to the
+      // exact aggregate + sweep, unchanged from before.
+      val liveTotal =
+        TableLog.liveRowsAndMin(spark, viewDir, "n_rows") match {
+          case Some((rows, mn)) if mn > 0 => rows
+          case _ =>
+            val post = TableLog.readVersion(spark, viewDir)
+              .agg(count(when(col("n_rows") > 0, 1)).as("live"),
+                count(when(col("n_rows") === 0, 1)).as("dead")).head
+            if (post.getLong(1) > 0)
+              TableLog.delete(spark, viewDir,
+                TableLog.readVersion(spark, viewDir)
+                  .filter(col("n_rows") === 0).select("gid"), "gid")
+            post.getLong(0)
+        }
       // the view's OWN footprint must stay bounded too: a
       // long-running maintainer commits 1-2 versions AND 1-2 small
       // file sets per maintain forever — checkpoint the log on the
@@ -239,8 +272,7 @@ object MaterializedAgg {
         TableLog.compact(spark, viewDir, targetBytes = 64L << 20)
       if (TableLog.currentVersion(spark, viewDir) % checkpointEvery == 0)
         TableLog.checkpoint(spark, viewDir)
-      MaintainStats("incremental", last, head, touched,
-        post.getLong(0))
+      MaintainStats("incremental", last, head, touched, liveTotal)
     } finally newRows.unpersist(blocking = false)
   }
 }

@@ -2050,10 +2050,14 @@ object Similarity {
     val scored = batches.crossJoin(broadcast(cent))
       .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
       .select(col("batch"), col("vec_id"), col("csim"), col("cid"))
+    // persisted: the election feeds BOTH the histogram chain and the
+    // margin aggregate, and it is batch-sized (≤ |ingest batch| rows)
+    // — without it each consumer re-runs the batch×centroid crossJoin
     val best = GroupTopK.topK(scored, Seq("batch", "vec_id"),
         Seq(("csim", true), ("cid", false)), k = 1)
       .select(col("batch"), col("vec_id"), col("csim"),
         col("cid").as("cluster"))
+      .persist()
     val hist = best.groupBy(col("batch"), col("cluster"))
       .agg(count(lit(1)).cast("double").as("bn"))
     val bt = hist.groupBy(col("batch"))
@@ -2098,16 +2102,24 @@ object Similarity {
     val cent = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val assign = ivfAssign(spark, dir)
+    // persisted: driftStats consumes the postings histogram TWICE
+    // (the grand total and the per-cluster KL join) — without the
+    // persist each consumer re-derives the whole corpus-sized
+    // assignment (round-8 shipped an unpersist of `assign` that fired
+    // at CONSTRUCTION time, before the caller ever forced the lazy
+    // result — a dead cache, so the bench paid the corpus crossJoin
+    // once per postings reference; round-9 caches the centroid-sized
+    // aggregate itself, guide §5)
     val postings = assign.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"))
+      .persist()
     val slice = e.filter(col("vec_id") >= NumCentroids &&
       col("vec_id") < NumCentroids + DriftBatch)
     val batches = slice.select(lit("in_dist").as("batch"),
         col("vec_id"), col("v"))
       .unionByName(slice.select(lit("drifted").as("batch"), col("vec_id"),
         transform(col("v"), x => abs(x)).as("v")))
-    try driftStats(batches, cent, postings)
-    finally assign.unpersist(blocking = false)
+    driftStats(batches, cent, postings)
   }
 
   val indexDriftSql: String =

@@ -27,7 +27,7 @@ object Tables {
     * — the exact class of cache a catalog/metastore provides for real
     * tables and Spark itself provides for file listings. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       org.apache.spark.sql.types.StructType]()
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
@@ -37,7 +37,15 @@ object Tables {
     // normalizeEventTs below folds every variant to one contract.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
+    // keyed by (path, mtime, length), not path alone: a regenerated
+    // dataset at the same path must re-infer, not silently read with
+    // the stale shape (advice-caught). One local stat per call — far
+    // cheaper than the one-task inference job it avoids. On a
+    // non-local filesystem the stat degrades to (0, 0), i.e. the old
+    // path-only behavior.
+    val f = new java.io.File(path)
+    val schema = schemaCache.computeIfAbsent(
+      (path, f.lastModified, f.length),
       _ => spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
     if (name == "events") normalizeEventTs(df) else df
