@@ -101,7 +101,8 @@ object Similarity {
     * set (first [[NumCentroids]] vectors) and keeps its
     * highest-cosine centroid (rounded, centroid-id tie-break). */
   private[queries] def ivfAssign(spark: SparkSession, dir: String,
-      numCentroids: Int = NumCentroids): DataFrame = {
+      numCentroids: Int = NumCentroids,
+      persistAssign: Boolean = true): DataFrame = {
     GraftFunctions.register(spark)
     val e = Tables.fanOut(t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
@@ -117,12 +118,16 @@ object Similarity {
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
       .select(col("vec_id"), col("csim"), col("cid"), col("v"))
-    GroupTopK.topK(scored, Seq("vec_id"),
+    val elected = GroupTopK.topK(scored, Seq("vec_id"),
         Seq(("csim", true), ("cid", false)), k = 1)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"))
-      // the assignment is consumed twice per search (query side +
-      // candidate side); assign-once is the IVF contract at any scale
-      .persist()
+    // the assignment is consumed twice per search (query side +
+    // candidate side); assign-once is the IVF contract at any scale.
+    // A SINGLE-consumer caller opts out (persistAssign = false):
+    // materializing a corpus-sized cache (vectors included) that is
+    // read once costs more than the pipelined pass it "saves"
+    // (measured on q_index_drift, round 9: +29% from the cache write)
+    if (persistAssign) elected.persist() else elected
   }
 
   private val sqlIvfAssignCte: String =
@@ -140,7 +145,10 @@ object Similarity {
   /** IVF partition statistics: vectors per cluster (the skew check a
     * real deployment monitors before trusting probe-1 search). */
   def ivfSizes(spark: SparkSession, dir: String): DataFrame =
-    ivfAssign(spark, dir)
+    // single consumer: the fold to C rows happens in the same pass —
+    // a persisted assignment would pay a corpus-sized cache write
+    // nothing ever reads back
+    ivfAssign(spark, dir, persistAssign = false)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"))
 
@@ -581,7 +589,9 @@ object Similarity {
     * re-assigning against these centroids; the loop driver stays
     * outside the catalog like [[buildIvfIndex]]'s writer. */
   def kmeansUpdate(spark: SparkSession, dir: String): DataFrame =
-    ivfAssign(spark, dir)
+    // single consumer (see ivfSizes): the per-dim fold needs exactly
+    // one assignment pass
+    ivfAssign(spark, dir, persistAssign = false)
       .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
       .agg(r6(avg(col("x"))).as("c_val"))
@@ -2046,40 +2056,58 @@ object Similarity {
     * to pay for a rebuild instead. */
   private[queries] def driftStats(batches: DataFrame,
       cent: DataFrame, postings: DataFrame): DataFrame = {
-    val total = postings.agg(sum(col("n_vecs")).cast("double").as("t"))
+    val spark = batches.sparkSession
     val scored = batches.crossJoin(broadcast(cent))
       .withColumn("csim", r6(GraftFunctions.cosineSim(col("v"), col("cv"))))
       .select(col("batch"), col("vec_id"), col("csim"), col("cid"))
-    // persisted: the election feeds BOTH the histogram chain and the
-    // margin aggregate, and it is batch-sized (≤ |ingest batch| rows)
-    // — without it each consumer re-runs the batch×centroid crossJoin
     val best = GroupTopK.topK(scored, Seq("batch", "vec_id"),
         Seq(("csim", true), ("cid", false)), k = 1)
       .select(col("batch"), col("vec_id"), col("csim"),
         col("cid").as("cluster"))
-      .persist()
+    // ONE distributed pass folds the election to per-(batch, cluster)
+    // count + csim sums — ≤ |batch labels|·C rows, metadata scale BY
+    // CONSTRUCTION (C = centroid count; every caller passes a handful
+    // of labels) — and the verdict arithmetic runs on those rows
+    // locally. The previous all-DataFrame tail planned FOUR tiny
+    // aggregates/joins whose AQE broadcast builds raced each other
+    // and re-executed the batch×centroid subtree up to 8× per force
+    // (measured round-9: 17 jobs for two output rows); a LocalRelation
+    // tail is one job plus arithmetic. Round/threshold still evaluate
+    // as the SAME Spark expressions (r6, the kl > θ gate) over the
+    // local rows, so engine rounding semantics are unchanged.
     val hist = best.groupBy(col("batch"), col("cluster"))
-      .agg(count(lit(1)).cast("double").as("bn"))
-    val bt = hist.groupBy(col("batch"))
-      .agg(sum(col("bn")).as("btot"))
-    // every batch cluster exists in the postings (each centroid
-    // self-assigns at cos 1), so the inner join is total
-    val kl = hist.join(broadcast(bt), Seq("batch"))
-      .join(broadcast(postings
-        .select(col("cluster"), col("n_vecs").cast("double").as("pn"))),
-        Seq("cluster"))
-      .crossJoin(broadcast(total))
-      .groupBy(col("batch"))
-      .agg(sum((col("bn") / col("btot")) *
-        log((col("bn") / col("btot")) / (col("pn") / col("t")))).as("kl"))
-    best.groupBy(col("batch"))
-      .agg(count(lit(1)).as("n"), avg(col("csim")).as("margin"))
-      // one row per batch label on each side — broadcast, never a
-      // sort-merge of two tiny aggregates
-      .join(broadcast(kl), Seq("batch"))
+      .agg(count(lit(1)).as("bn"), sum(col("csim")).as("sc"))
+      .select(col("batch"), col("cluster").cast("long").as("cluster"),
+        col("bn"), col("sc"))
+      .collect()
+    val post: Map[Long, Double] = postings
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_vecs").cast("double").as("pn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t = post.toSeq.sortBy(_._1).map(_._2).sum
+    val raw = hist.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (b, rows) =>
+        // deterministic cluster-order folds (the jitter class r6
+        // absorbs either way, same as shuffle-order aggregation)
+        val srt = rows.sortBy(_.getLong(1))
+        val n = srt.map(_.getLong(2)).sum
+        val btot = n.toDouble
+        val margin = srt.map(_.getDouble(3)).sum / btot
+        // inner-join semantics preserved: a batch cluster missing
+        // from the postings contributes no KL term (it cannot happen
+        // for a self-assigning centroid set — kept for exact parity)
+        val kl = srt.iterator
+          .filter(r => post.contains(r.getLong(1)))
+          .map { r =>
+            val p = r.getLong(2) / btot
+            p * math.log(p / (post(r.getLong(1)) / t))
+          }.sum
+        (b, n, margin, kl)
+      }
+    spark.createDataFrame(raw).toDF("batch", "n", "margin", "klraw")
       .select(col("batch"), col("n"),
-        r6(col("margin")).as("mean_margin"), r6(col("kl")).as("kl"),
-        when(col("kl") > DriftKlThreshold, 1L).otherwise(0L)
+        r6(col("margin")).as("mean_margin"), r6(col("klraw")).as("kl"),
+        when(col("klraw") > DriftKlThreshold, 1L).otherwise(0L)
           .as("rebuild"))
   }
 
@@ -2101,18 +2129,25 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val cent = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val assign = ivfAssign(spark, dir)
-    // persisted: driftStats consumes the postings histogram TWICE
-    // (the grand total and the per-cluster KL join) — without the
-    // persist each consumer re-derives the whole corpus-sized
-    // assignment (round-8 shipped an unpersist of `assign` that fired
-    // at CONSTRUCTION time, before the caller ever forced the lazy
-    // result — a dead cache, so the bench paid the corpus crossJoin
-    // once per postings reference; round-9 caches the centroid-sized
-    // aggregate itself, guide §5)
-    val postings = assign.groupBy(col("cluster"))
+    // postings as a LOCAL relation, assignment NOT persisted:
+    // driftStats consumes the postings histogram TWICE (the grand
+    // total and the per-cluster KL join) — round-8 shipped an
+    // unpersist of `assign` that fired at CONSTRUCTION time, before
+    // the caller ever forced the lazy result (a dead cache), so the
+    // bench paid the corpus crossJoin once per postings reference.
+    // Caching the corpus-sized assignment instead was measured 29%
+    // WORSE (one read never repays the vector-array cache write);
+    // collecting the ≤C-row aggregate (index metadata scale — the
+    // q_ivf_sizes table) gets the corpus pass down to exactly ONE
+    // and turns every downstream reference into a LocalTableScan
+    // with no broadcast-build subtree at all (the q_logreg_step
+    // local-relation move, guide §3/§5).
+    val pf = ivfAssign(spark, dir, persistAssign = false)
+      .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"))
-      .persist()
+    val postings = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(pf.collect(): _*)),
+      pf.schema)
     val slice = e.filter(col("vec_id") >= NumCentroids &&
       col("vec_id") < NumCentroids + DriftBatch)
     val batches = slice.select(lit("in_dist").as("batch"),

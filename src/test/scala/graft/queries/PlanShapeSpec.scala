@@ -279,14 +279,24 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_index_drift: batches cross the BROADCAST centroid set and " +
       "elect on heaps — no corpus-sized window, no shuffle join") {
+    // round-9 shape: the distributed work is the assignment/election
+    // passes (collected to metadata-scale histograms inside the
+    // query); the RETURNED verdict is a local relation — two rows,
+    // no broadcast-build subtrees left to race (the old all-DataFrame
+    // tail re-executed the batch×centroid subtree per AQE build)
     val p = plan(Similarity.indexDrift(spark, dir))
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"), p.take(3000))
-    // the assignment election is the bounded_topk aggregate, not a
-    // per-vector window over batch·C scored rows
-    assert(p.contains("bounded_topk"), p.take(3000))
+    assert(p.contains("LocalTableScan"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the corpus-sized fragment keeps the broadcast + bounded-heap
+    // election shape (no corpus window, no shuffle join)
+    val a = plan(Similarity.ivfAssign(spark, dir,
+      persistAssign = false))
+    assert(a.contains("BroadcastNestedLoopJoin") ||
+      a.contains("BroadcastExchange"), a.take(3000))
+    assert(a.contains("bounded_topk"), a.take(3000))
+    assert(!a.contains("Window"), a.take(3000))
+    assert(!a.contains("SortMergeJoin"), a.take(3000))
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
