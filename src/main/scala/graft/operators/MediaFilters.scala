@@ -58,7 +58,7 @@ final case class PHashFilter(hashSize: Int = 8,
   override val resultSchema = StructType(Seq(
     StructField(s"image_phash_$hashSize", StringType)))
 
-  private val DctSize = 32
+  import PHashFilter.{DctSize, dctCos}
 
   override def processBatch(batch: Seq[FilterInput]): Seq[Option[Seq[Any]]] =
     batch.map { in =>
@@ -127,11 +127,6 @@ final case class PHashFilter(hashSize: Int = 8,
     out
   }
 
-  /** DCT basis table — fixed by [[DctSize]], shared across every
-    * image (it was rebuilt per call: 1024 cos() per hashed image). */
-  private lazy val dctCos = Array.tabulate(DctSize, DctSize)((k, i) =>
-    math.cos(math.Pi * k * (2 * i + 1) / (2.0 * DctSize)))
-
   /** Separable DCT-II with orthonormal scaling. */
   private def dct2d(m: Array[Array[Double]]): Array[Array[Double]] = {
     val n = DctSize
@@ -150,6 +145,18 @@ final case class PHashFilter(hashSize: Int = 8,
       scale(k) * s
     }
   }
+}
+
+object PHashFilter {
+  private[operators] val DctSize = 32
+
+  /** DCT basis table — fixed by [[DctSize]], shared across every
+    * image. Lives on the COMPANION so it is built once per JVM: as
+    * an instance lazy val on the case class it was rebuilt once per
+    * deserialized task instance (1024 cos() per task — harmless, but
+    * free to fix). */
+  private[operators] lazy val dctCos = Array.tabulate(DctSize, DctSize)(
+    (k, i) => math.cos(math.Pi * k * (2 * i + 1) / (2.0 * DctSize)))
 }
 
 /** Model-backed image scoring — the contract of the reference's

@@ -981,10 +981,18 @@ object Dedup {
       .withColumn("cum", sum(col("tf") * col("tf")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("sufsq", col("n2") - col("cum") + col("tf") * col("tf"))
+    // persisted: the candidate join consumes prefixIdx TWICE (self-
+    // join) and canonicalization does NOT reuse the sides' exchanges —
+    // a round-9 stage census caught the whole tf→window(term)→
+    // window(doc)→filter chain executing twice (duplicate ~10 s +
+    // ~3.5 s + ~8 s stage pairs with identical 250k-record shuffle
+    // counts at sf0.1). The frame is prefix-postings-sized (≈37% of
+    // the postings), far cheaper to hold than to recompute (guide §5)
     val prefixIdx = marked
       .filter(lit((CosDen * CosDen).toLong) * col("sufsq") >=
         lit((CosNum * CosNum).toLong) * col("n2"))
       .select(col("doc_id"), col("term"), col("n2"))
+      .persist()
     // near-ids-only through the wide ops (same discipline as the LSH
     // band joins), except each side carries its 8-byte norm so the
     // final gate needs no join back to a norms table
