@@ -119,6 +119,11 @@ object Bench {
     timedSpark.sparkContext.setLogLevel("WARN")
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // label every job with its query (guide §1.3): event-log
+        // tooling can then attribute stages per query from ONE
+        // full-catalog run instead of 163 single-query JVMs. Metadata
+        // only — timing methodology unchanged.
+        timedSpark.sparkContext.setJobDescription(name)
         val t0 = System.nanoTime()
         val ok =
           try { force(fn(timedSpark, sfDir)); true } catch {
@@ -140,6 +145,7 @@ object Bench {
         // in the BlockManager across the whole run
         timedSpark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        timedSpark.sparkContext.setJobDescription(null)
         name -> dt
     }
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }

@@ -993,6 +993,14 @@ object Dedup {
         lit((CosNum * CosNum).toLong) * col("n2"))
       .select(col("doc_id"), col("term"), col("n2"))
       .persist()
+    // FORCE the cache before the self-join consumes it twice: AQE
+    // submits the join's two child stages concurrently, and two
+    // racing materializations of an unpopulated cache each re-run
+    // the whole tf→window(term)→window(doc) chain (event-log-caught:
+    // the term-exchange's 250k-record shuffle written 3× per run,
+    // read 2×). One cheap count serializes the chain to exactly one
+    // execution; every later consumer reads blocks. (guide §5)
+    prefixIdx.count()
     // near-ids-only through the wide ops (same discipline as the LSH
     // band joins), except each side carries its 8-byte norm so the
     // final gate needs no join back to a norms table
@@ -1004,14 +1012,19 @@ object Dedup {
       .distinct()
       .persist()
     // semi-filter the postings to candidate docs BEFORE any verify
-    // join: the full posting table never shuffles again (AQE
-    // broadcasts the candidate-doc lists while they are small and
-    // falls back to shuffle joins — over the already-shrunk side —
-    // when a pathological corpus makes them large)
-    val ta = tf.join(cands.select(col("doc_a")).distinct(),
+    // join. EXPLICIT broadcast, not AQE's runtime conversion: AQE
+    // plans these as shuffle joins first and submits both child
+    // stages eagerly, so the full 250k-record posting shuffle was
+    // already WRITTEN by the time the doc-list side turned out tiny
+    // (event-log-caught; the join then executed as broadcast over a
+    // shuffle nobody read). The doc lists are bounded by 2·|candidate
+    // pairs| longs — the prefix filter's output, the quantity the
+    // whole algorithm exists to keep small; a corpus that overflows
+    // this broadcast has already defeated the verify stage itself.
+    val ta = tf.join(broadcast(cands.select(col("doc_a")).distinct()),
         col("doc_id") === col("doc_a"), "left_semi")
       .select(col("doc_id").as("doc_a"), col("term"), col("tf").as("tfa"))
-    val tb = tf.join(cands.select(col("doc_b")).distinct(),
+    val tb = tf.join(broadcast(cands.select(col("doc_b")).distinct()),
         col("doc_id") === col("doc_b"), "left_semi")
       .select(col("doc_id").as("doc_b"), col("term"), col("tf").as("tfb"))
     cands.join(ta, "doc_a").join(tb, Seq("doc_b", "term"))
